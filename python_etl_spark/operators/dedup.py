@@ -1,0 +1,288 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+All of these avoid the O(n^2) all-pairs comparison:
+
+* exact / normalized dedup — hash + groupBy (one shuffle).
+* n-gram Jaccard — shingle inverted index: docs are joined only on
+  shared shingles, so cost is proportional to actual overlap.
+* MinHash + LSH — per-doc signature (one groupBy over exploded
+  shingles), banded bucket join; only same-bucket docs are paired.
+* SimHash — 64-bit sketch; candidate pairs via 16-bit band pigeonhole
+  (any pair within Hamming distance 3 shares at least one of four
+  16-bit chunks), verified with bit_count(xor).
+
+Everything is JVM-side Catalyst expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------- shingling --------------------------------
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_sh = F.size(toks) - F.lit(k - 1)
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# -------------------------- exact n-gram Jaccard --------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets via inverted-index join.
+
+    Only documents sharing >= 1 shingle are ever paired, so the join
+    size tracks true overlap instead of n^2.
+    """
+    sh = shingles(docs, text_col, id_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------ MinHash + LSH -----------------------------
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — num_hashes independent min-hashes, each a
+    seeded xxhash64 over the shingle, min-aggregated per doc. One
+    explode + one groupBy; partial aggregation applies."""
+    sh = shingles(docs, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band land in the
+    same bucket; the pair join runs per (band, bucket) only."""
+    r = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), F.slice("sig", b * r + 1, r).cast("string")
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_entries).alias("e")).select(
+        "id", "e.band", "e.bucket"
+    )
+    a = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates filtered by the signature
+    Jaccard estimate (fraction of agreeing min-hashes)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k).cache()
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cands.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------- SimHash --------------------------------
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over distinct tokens.
+
+    Per-bit vote: +1 if the token hash has the bit set, else -1;
+    bit is 1 when the vote sum is positive. Bits are OR-folded into one
+    long (no additive overflow under ANSI mode)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias(
+                "tok"
+            ),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    bit_exprs = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    packed = reduce(lambda x, y: x.bitwiseOR(y), bit_exprs)
+    return votes.select("id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates via the
+    4x16-bit chunk pigeonhole (d<=3 implies one identical chunk)."""
+    sh = simhash(docs, text_col, id_col).cache()
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", "e.chunk_no", "e.chunk")
+    a = chunks.select(
+        F.col("id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_no", "chunk"
+    )
+    b = chunks.select(
+        F.col("id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_no", "chunk"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk_no", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------- embedding near-dup pairs -----------------------
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (decimal-exact math).
+
+    This is the correctness baseline (all pairs); the scale path is
+    similarity.lsh_bucketed_pairs which prunes candidates first.
+    """
+    from python_etl_spark.functions.vector import (
+        as_double,
+        cosine_from_parts,
+        dot_exact,
+        norm_sq_exact,
+    )
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    withnorm = v.select("id", "vec", norm_sq_exact("vec").alias("nsq"))
+    a = withnorm.select(
+        F.col("id").alias("vec_a"), F.col("vec").alias("va"), F.col("nsq").alias("na")
+    )
+    b = withnorm.select(
+        F.col("id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nsq").alias("nb")
+    )
+    cos = cosine_from_parts(
+        dot_exact("va", "vb"), F.col("na"), F.col("nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+* brute_force_topk — exact cosine top-k; the query set is broadcast, so
+  the scan over the corpus is embarrassingly parallel (no shuffle of
+  the big side). Correctness baseline.
+* lsh_bucketed_topk — random-hyperplane LSH: corpus and queries are
+  bucketed by sign bits; only same-bucket candidates are scored. The
+  100 TB path: candidate count per query is corpus/2^n_planes on
+  average, and the bucket join is a plain shuffle join on the bucket id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_etl_spark.functions.vector import (
+    as_double,
+    cosine_from_parts,
+    dot_exact,
+    norm_sq_exact,
+)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    ).select("id", "vec", norm_sq_exact("vec").alias("nsq"))
+    queries = v.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nsq").alias("qnsq"),
+    )
+    corpus = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nsq").alias("cnsq"),
+    )
+    cos = cosine_from_parts(dot_exact("qvec", "cvec"), F.col("qnsq"), F.col("cnsq"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Pack sign(plane . vec) bits into a long bucket id (plain double
+    fold — approximate path, no cross-engine parity needed)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim, seed)
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    ).select(
+        "id",
+        "vec",
+        norm_sq_exact("vec").alias("nsq"),
+        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+    )
+    queries = v.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nsq").alias("qnsq"),
+        "bucket",
+    )
+    corpus = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nsq").alias("cnsq"),
+        "bucket",
+    )
+    cos = cosine_from_parts(dot_exact("qvec", "cvec"), F.col("qnsq"), F.col("cnsq"))
+    scored = (
+        corpus.join(F.broadcast(queries), ["bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -1,0 +1,702 @@
+"""ETL transform layer — the reference's extract/transform operator
+surface re-expressed as declarative DataFrame plans.
+
+Covers: projection/casting, filter pushdown, the join family,
+aggregation statistics, distinct/union/dedup, sort+limit, conditional
+logic, null handling, string/date/JSON functions, explode, pivot/
+unpivot/rollup, sessionization, as-of join, and window analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_spark.operators.asof import asof_join
+from python_etl_spark.operators.sessionize import sessionize
+from python_etl_spark.plans.common import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    register,
+    ts,
+    ts_sql,
+)
+from python_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _bc(df: DataFrame) -> DataFrame:
+    return F.broadcast(df)
+
+
+# -------------------------- projection / casting --------------------------
+@register(
+    "etl_select_cast",
+    oracle="""
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+  CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS priority_code,
+  LOWER(o_orderstatus) AS status_lc
+FROM orders
+""",
+)
+def etl_select_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_code"),
+        F.lower("o_orderstatus").alias("status_lc"),
+    )
+
+
+@register(
+    "etl_filter_pushdown",
+    oracle=f"""
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_shipdate >= {ts_sql('1999-01-01 00:00:00')}
+  AND l_shipdate < {ts_sql('1999-07-01 00:00:00')}
+  AND l_quantity > 45
+""",
+)
+def etl_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= ts("1999-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1999-07-01 00:00:00"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+# ------------------------------ join family -------------------------------
+@register(
+    "etl_join_inner",
+    oracle="""
+SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey,
+       c.c_mktsegment AS c_mktsegment, o.o_totalprice AS o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def etl_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(_bc(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "etl_join_left",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+       o.o_totalprice AS o_totalprice
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+""",
+)
+def etl_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P"),
+        "left",
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "etl_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def etl_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "etl_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def etl_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ------------------------------ aggregation -------------------------------
+@register(
+    "etl_agg_stats",
+    oracle=f"""
+SELECT c_mktsegment,
+  COUNT(*) AS n,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  MIN(c_acctbal) AS min_bal,
+  MAX(c_acctbal) AS max_bal,
+  {dsum_sql('c_acctbal')} AS sum_bal,
+  {davg_sql('c_acctbal')} AS avg_bal,
+  SQRT((COUNT(c_acctbal) * {dsum_sql('c_acctbal * c_acctbal', scale=4, prec=38)}
+        - {dsum_sql('c_acctbal')} * {dsum_sql('c_acctbal')})
+       / (COUNT(c_acctbal) * (COUNT(c_acctbal) - 1))) AS std_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def etl_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    n = F.count(bal)
+    sx = dsum(bal)
+    sx2 = dsum(bal * bal, scale=4, prec=38)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.min(bal).alias("min_bal"),
+        F.max(bal).alias("max_bal"),
+        sx.alias("sum_bal"),
+        davg(bal).alias("avg_bal"),
+        F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1)))).alias("std_bal"),
+    )
+
+
+@register(
+    "etl_distinct",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def etl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@register(
+    "etl_union_dedup",
+    oracle="""
+SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def etl_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_acctbal") > 5000).select("c_custkey", "c_name")
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name"
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "etl_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+)
+def etl_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+# --------------------------- conditional / nulls --------------------------
+@register(
+    "etl_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            WHEN o_totalprice < 400000 THEN 'large'
+            ELSE 'jumbo' END AS price_band,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""",
+)
+def etl_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .when(F.col("o_totalprice") < 400000, "large")
+        .otherwise("jumbo")
+    )
+    return orders.groupBy(band.alias("price_band")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "etl_null_handling",
+    oracle="""
+SELECT c.c_custkey AS c_custkey,
+  COALESCE(o.o_totalprice, 0.0) AS price_filled,
+  CASE WHEN o.o_orderkey IS NULL THEN 'no-order' ELSE 'has-order' END
+    AS order_flag,
+  NULLIF(c.c_mktsegment, 'BUILDING') AS segment_or_null
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+""",
+)
+def etl_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P"),
+        "left",
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price_filled"),
+        F.when(F.col("o_orderkey").isNull(), "no-order")
+        .otherwise("has-order")
+        .alias("order_flag"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias(
+            "segment_or_null"
+        ),
+    )
+
+
+# --------------------------- string / date / json -------------------------
+@register(
+    "etl_string_funcs",
+    oracle="""
+SELECT p_partkey,
+  UPPER(p_name) AS name_uc,
+  LOWER(p_type) AS type_lc,
+  SUBSTR(p_name, 1, 4) AS name_prefix,
+  CONCAT(p_brand, '/', p_type) AS brand_type,
+  REPLACE(p_name, 'a', '@') AS name_repl,
+  LENGTH(p_name) AS name_len,
+  TRIM(CONCAT(' ', p_name, ' ')) AS name_trim
+FROM part
+""",
+)
+def etl_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_repl"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trim"
+        ),
+    )
+
+
+@register(
+    "etl_date_funcs",
+    oracle=f"""
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+  CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sun0,
+  DATE_TRUNC('month', o_orderdate) AS month_start,
+  CAST(DATE_DIFF('day', o_orderdate, {ts_sql('2000-01-01 00:00:00')}) AS INT)
+    AS days_to_y2k,
+  o_orderdate + INTERVAL 30 DAY AS due_date
+FROM orders
+""",
+)
+def etl_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            ts("2000-01-01 00:00:00").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@register(
+    "etl_json_extract",
+    oracle="""
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+FROM events
+""",
+)
+def etl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+@register(
+    "etl_explode_tokens",
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) toks
+GROUP BY token
+""",
+)
+def etl_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------- pivot / unpivot / rollup -----------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "etl_pivot",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+    AS BIGINT) AS urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+    AS BIGINT) AS high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+    AS BIGINT) AS medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+    AS BIGINT) AS not_specified,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+    AS BIGINT) AS low
+FROM orders GROUP BY 1
+""",
+)
+def etl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"), "o_orderpriority"
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    cols = [F.col("order_year")] + [
+        F.col(f"`{p}`").alias(a) for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    ]
+    return pivoted.select(*cols)
+
+
+@register(
+    "etl_unpivot",
+    oracle=f"""
+WITH agg AS (
+  SELECT l_returnflag, {dsum_sql('l_quantity')} AS sum_qty,
+         {dsum_sql('l_extendedprice')} AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+""",
+)
+def etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "value"
+    )
+
+
+@register(
+    "etl_rollup",
+    oracle=f"""
+SELECT COALESCE(CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) AS VARCHAR),
+                'ALL') AS order_year,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderpriority)
+""",
+)
+def etl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority", "o_totalprice"
+    )
+    rolled = orders.rollup("yr", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+    return rolled.select(
+        F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "etl_dedup_subset",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_mktsegment
+FROM customer
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) = 1
+""",
+)
+def etl_dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+
+
+# ----------------------- sessionize / as-of (operators) -------------------
+@register(
+    "etl_sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  {dsum_sql('value')} AS total_value
+FROM numbered GROUP BY user_id, session_idx
+""",
+)
+def etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        gap_minutes=30,
+        tiebreak_col="event_id",
+        value_col="value",
+    )
+
+
+@register(
+    "etl_asof_join",
+    oracle="""
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       p.value AS value, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def etl_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+
+
+# ------------------------------ window suite ------------------------------
+@register(
+    "win_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "win_rank_in_group",
+    oracle=f"""
+WITH part_rev AS (
+  SELECT p.p_brand AS p_brand, p.p_partkey AS p_partkey,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, p.p_partkey
+)
+SELECT p_brand, p_partkey, revenue,
+  CAST(RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey)
+       AS INT) AS rnk
+FROM part_rev
+QUALIFY rnk <= 3
+""",
+)
+def win_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_rev = (
+        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(rev).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        part_rev.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+  value - LAG(value) OVER w AS value_delta,
+  LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle=f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', l_shipdate) AS day,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT day, revenue,
+  CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS ma7
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(dsum(rev).alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+    )
+
+
+@register(
+    "win_percentiles",
+    oracle="""
+SELECT c_mktsegment,
+  CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS median_bal,
+  CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE) AS p90_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("median_bal"),
+        F.percentile("c_acctbal", F.lit(0.9)).alias("p90_bal"),
+    )
+
+
+# ---------------------- streaming batch-equivalent ------------------------
+@register(
+    "stream_window_batch_equiv",
+    oracle=f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_window_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.hourly_event_stats — same logic the
+    streaming pipeline runs with a watermark; hash-checked against DuckDB."""
+    from python_etl_spark.streaming.windows import hourly_event_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return hourly_event_stats(ev)

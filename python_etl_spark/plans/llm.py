@@ -1,0 +1,408 @@
+"""LLM-data-pipeline plans: dedup, similarity search, text analysis,
+multimodal plumbing — registered with DuckDB oracles where the
+semantics are SQL-expressible, rows-only (pytest-verified) otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_spark.functions.text import LANG_MARKERS, STOPWORDS
+from python_etl_spark.functions.vector import (
+    as_double,
+    cosine_from_parts,
+    dot_exact,
+)
+from python_etl_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from python_etl_spark.operators.multimodal import attach_payload, decode_media
+from python_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from python_etl_spark.plans.common import register
+from python_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------ deduplication -----------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_hash,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.groupBy(
+        F.md5(F.encode(norm, "UTF-8")).alias("norm_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      ELSE [array_to_string(t, ' ')] END AS shingle_list
+  FROM toks),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+       (SELECT doc_id, unnest(shingle_list) AS shingle FROM sl) q),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pair
+JOIN cnt ca ON ca.doc_id = pair.doc_a
+JOIN cnt cb ON cb.doc_id = pair.doc_b
+WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+
+
+@register("dedup_minhash_lsh")  # approximate: rows-only + pytest oracle
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16, k=3, threshold=0.5)
+
+
+@register("dedup_simhash")  # approximate: rows-only + pytest oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+_VE_SQL = """
+ve AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)),
+nrm AS (
+  SELECT vec_id, SUM(x * x) AS nsq
+  FROM ve GROUP BY vec_id)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_VE_SQL},
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+  FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT vec_a, vec_b,
+  ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.vec_id = dots.vec_a
+JOIN nrm nb ON nb.vec_id = dots.vec_b
+WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.9
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9)
+
+
+# ---------------------------- similarity search ---------------------------
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH {_VE_SQL},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+  FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) AS cosine
+  FROM dots
+  JOIN nrm nq ON nq.vec_id = dots.query_id
+  JOIN nrm nb ON nb.vec_id = dots.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+  FROM scored) ranked
+WHERE rnk <= 5
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@register("sim_topk_lsh")  # approximate: rows-only + pytest recall oracle
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5, n_planes=4)
+
+
+@register(
+    "sim_pairwise_label",
+    oracle="""
+WITH ve AS (
+  SELECT label, vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)),
+cent AS (
+  SELECT label, i, SUM(x) / COUNT(x) AS cx
+  FROM ve GROUP BY label, i),
+nrm AS (
+  SELECT label, SUM(cx * cx) AS nsq
+  FROM cent GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.cx * b.cx) AS dot
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT label_a, label_b,
+  ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.label = dots.label_a
+JOIN nrm nb ON nb.label = dots.label_b
+""",
+)
+def sim_pairwise_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "label", F.posexplode(as_double("embedding")).alias("i", "x")
+    )
+    cent = ve.groupBy("label", "i").agg(
+        (F.sum("x") / F.count("x")).alias("cx")
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.col("cx") * F.col("cx")).alias("nsq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("cx").alias("ax")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i", F.col("cx").alias("bx")
+    )
+    dots = (
+        a.join(b, ["i"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("nsq").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("nsq").alias("nb"))
+    return (
+        dots.join(na, ["label_a"])
+        .join(nb, ["label_b"])
+        .select(
+            "label_a",
+            "label_b",
+            cosine_from_parts(F.col("dot"), F.col("na"), F.col("nb")).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+# ------------------------------ text analysis -----------------------------
+@register(
+    "text_token_count",
+    oracle="""
+SELECT doc_id, n_chars,
+  CAST(LENGTH(text) AS INT) AS text_len,
+  CAST(LEN(string_split(text, ' ')) AS INT) AS n_tokens_ws,
+  CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)
+    AS n_tokens_alnum
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.functions.text import alnum_tokens, ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").alias("text_len"),
+        F.size(ws_tokens("text")).alias("n_tokens_ws"),
+        F.size(alnum_tokens("text")).alias("n_tokens_alnum"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents)
+SELECT doc_id,
+  CAST(LEN(toks) AS INT) AS n_words,
+  CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(toks) AS avg_word_len,
+  CAST(LEN(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / LEN(toks)
+    AS stop_ratio,
+  LEAST(LEN(toks) / 200.0, 1.0) * 0.5
+    + CAST(LEN(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+      / LEN(toks) * 0.3
+    + LEAST((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(toks))
+            / 10.0, 1.0) * 0.2 AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.functions.text import stopword_count, ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_words = F.size(toks)
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    stop_ratio = stopword_count(toks).cast("double") / n_words
+    quality = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * F.lit(0.5)
+        + stop_ratio * F.lit(0.3)
+        + F.least(awl / F.lit(10.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        awl.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    return (
+        f"CAST(LEN(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in LANG_MARKERS[lang])}))) AS INT)"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+        {_marker_sql('en')} AS s_en, {_marker_sql('de')} AS s_de,
+        {_marker_sql('fr')} AS s_fr, {_marker_sql('es')} AS s_es
+      FROM t)
+SELECT doc_id, lang,
+  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  (CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es' END) = lang AS is_correct
+FROM s
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.functions.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+
+    def _score(words):
+        # single-arg lambda: F.filter treats 2-arg lambdas as (value, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = {lang: _score(words) for lang, words in LANG_MARKERS.items()}
+    s_en, s_de, s_fr, s_es = (
+        scores["en"],
+        scores["de"],
+        scores["fr"],
+        scores["es"],
+    )
+    pred = (
+        F.when(s_en + s_de + s_fr + s_es == 0, "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(
+    string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ------------------------------- multimodal -------------------------------
+@register(
+    "mm_metadata_extract",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+  CAST(strlen(text) AS BIGINT) AS byte_len,
+  CAST(64 + strlen(text) % 512 AS INT) AS width,
+  CAST(64 + strlen(text) % 256 AS INT) AS height
+FROM documents
+""",
+)
+def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched mapInPandas decode (fake decoder);
+    the oracle recomputes the deterministic fake in pure SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media(attach_payload(docs))

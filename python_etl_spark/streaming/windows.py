@@ -1,0 +1,52 @@
+"""Windowed event-stream aggregation — one definition for batch and
+streaming.
+
+``hourly_event_stats`` is written against the DataFrame API only, so
+the same function serves as (a) the batch oracle query
+(plans.etl.stream_window_batch_equiv, hash-checked against DuckDB) and
+(b) the streaming query (pass a readStream DataFrame plus a watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_etl_spark.plans.common import dsum
+
+
+def hourly_event_stats(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
