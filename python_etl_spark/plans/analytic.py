@@ -62,8 +62,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(REVENUE).alias("sum_disc_price"),
-            dsum(REVENUE * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dsum(REVENUE()).alias("sum_disc_price"),
+            dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
             (dsum("l_quantity") / n).alias("avg_qty"),
             (dsum("l_extendedprice") / n).alias("avg_price"),
             (dsum("l_discount", scale=4) / n).alias("avg_disc"),
@@ -105,7 +105,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(_bc(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(REVENUE).alias("revenue"))
+        .agg(dsum(REVENUE()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -186,7 +186,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_bc(nation), supp.s_nationkey == nation.n_nationkey)
         .join(_bc(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(REVENUE).alias("revenue"))
+        .agg(dsum(REVENUE()).alias("revenue"))
     )
 
 
@@ -282,7 +282,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_region",
             "cust_region",
             F.year("l_shipdate").alias("l_year"),
-            REVENUE.alias("volume"),
+            REVENUE().alias("volume"),
         )
         .groupBy("supp_region", "cust_region", "l_year")
         .agg(dsum("volume").alias("revenue"))
@@ -329,7 +329,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_bc(region), nation.n_regionkey == region.r_regionkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
-            REVENUE.alias("volume"),
+            REVENUE().alias("volume"),
             "p_brand",
         )
     )
@@ -371,7 +371,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    amount = REVENUE - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    amount = REVENUE() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     return (
         li.join(_bc(part), li.l_partkey == part.p_partkey)
         .join(_bc(supp), li.l_suppkey == supp.s_suppkey)
@@ -421,7 +421,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_bc(cust), orders.o_custkey == cust.c_custkey)
         .join(_bc(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(REVENUE).alias("revenue"))
+        .agg(dsum(REVENUE()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -547,7 +547,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < ts("1997-10-01 00:00:00"))
     )
     part = _t(spark, sf_dir, "part")
-    rev_dec = REVENUE.cast("decimal(28,6)")
+    rev_dec = REVENUE().cast("decimal(28,6)")
     promo_dec = F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(
         F.lit(0).cast("decimal(28,6)")
     )
@@ -585,7 +585,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(REVENUE).alias("total_revenue")
+        dsum(REVENUE()).alias("total_revenue")
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -719,7 +719,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(_bc(part), li.l_partkey == part.p_partkey)
         .where(cond)
-        .agg(dsum(REVENUE).alias("revenue"))
+        .agg(dsum(REVENUE()).alias("revenue"))
     )
 
 

@@ -73,5 +73,10 @@ def ts_sql(lit: str) -> str:
     return f"TIMESTAMP '{lit}'"
 
 
-REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def REVENUE() -> Column:
+    """Lazy: building a Column requires an active SparkContext, and the
+    driver imports this module before creating its session."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
