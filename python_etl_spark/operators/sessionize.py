@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_etl_spark.plans.common import dsum
+from python_etl_spark.functions.exact import dsum
 
 
 def sessionize(

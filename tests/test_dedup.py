@@ -1,0 +1,107 @@
+"""Exactness oracles for the approximate dedup operators: crafted
+corpora with known near-duplicates, MinHash estimates checked against
+exact Jaccard, SimHash against true Hamming neighbors."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from python_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one token changed
+FAR = "completely different text about spark dataframes and shuffles here"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE + " extra tail words")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    got = shingles(df, k=3).collect()
+    assert [(r.id, r.shingle) for r in got] == [(0, "one two")]
+
+
+def test_ngram_jaccard_matches_exact(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.1).collect()
+    }
+    texts = {0: BASE, 1: NEAR, 2: FAR, 3: BASE + " extra tail words"}
+    for (a, b), jac in pairs.items():
+        assert jac == pytest.approx(exact_jaccard(texts[a], texts[b]))
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert (0, 3) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_estimates_jaccard(spark, corpus):
+    sigs = {r.id: r.sig for r in minhash_signatures(corpus, num_hashes=64).collect()}
+    est = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 64
+    true = exact_jaccard(BASE, NEAR)
+    assert abs(est - true) < 0.25  # 64 hashes -> stderr ~ 0.06
+
+
+def test_minhash_lsh_finds_near_dup(spark, corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(corpus, threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_dup(spark):
+    # SimHash needs enough tokens for stable bit votes: 200-token doc
+    # with a single changed token keeps Hamming distance tiny.
+    words = [f"tok{i}" for i in range(200)]
+    base = " ".join(words)
+    near = " ".join(["CHANGED" if i == 100 else w for i, w in enumerate(words)])
+    far = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(df, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert not any(2 in p for p in pairs)
+
+
+def test_lsh_candidates_subset_of_jaccard_space(spark, sf_dir):
+    """On real data: every LSH pair with high estimate must have
+    nonzero true shingle overlap (sanity against hash collisions)."""
+    from python_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    lsh = minhash_lsh_pairs(docs, threshold=0.3).collect()
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for r in lsh:
+        assert (r.doc_a, r.doc_b) in exact

@@ -1,0 +1,33 @@
+"""The driver's correctness gate, replicated: every registered oracle
+query must hash-match DuckDB at sf0.001 (fast loop; the driver runs
+sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_etl_spark.plans import ORACLES, QUERIES
+from python_etl_spark.testing import compare_frames, duckdb_connection
+
+ORACLE_NAMES = sorted(n for n in QUERIES if n in ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(ORACLES[name]).df()
+    result = compare_frames(name, spark_pdf, oracle_pdf)
+    assert result.ok, f"{result.detail}\n" + "\n".join(result.diffs[:3])
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0, name

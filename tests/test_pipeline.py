@@ -1,0 +1,56 @@
+"""End-to-end Pipeline API: extract -> transform -> load over real
+parquet inputs, both fluent and spec-dict forms."""
+
+from __future__ import annotations
+
+from python_etl_spark.pipeline import Pipeline
+from python_etl_spark.sources.readers import read_parquet
+
+
+def test_pipeline_fluent(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "joined.parquet")
+    result = (
+        Pipeline(spark)
+        .extract("orders", "parquet", f"{sf_dir}/orders.parquet")
+        .extract("customer", "parquet", f"{sf_dir}/customer.parquet")
+        .transform(
+            "joined",
+            lambda t: t["orders"].join(
+                t["customer"],
+                t["orders"].o_custkey == t["customer"].c_custkey,
+            ),
+        )
+        .transform_sql(
+            "big",
+            "SELECT o_orderkey, c_name, o_totalprice FROM joined "
+            "WHERE o_totalprice > 300000",
+        )
+        .load("big", "parquet", out, partition_by=["c_name"])
+        .run()
+    )
+    assert result == {"big": out}
+    back = read_parquet(spark, out)
+    assert back.count() > 0
+    assert set(back.columns) == {"o_orderkey", "c_name", "o_totalprice"}
+    assert back.where("o_totalprice <= 300000").count() == 0
+
+
+def test_pipeline_from_spec(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "spec_out.parquet")
+    spec = {
+        "extract": [
+            {"name": "orders", "format": "parquet",
+             "path": f"{sf_dir}/orders.parquet"},
+        ],
+        "transform_sql": [
+            {"name": "by_status",
+             "query": "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                      "GROUP BY o_orderstatus"},
+        ],
+        "load": [
+            {"name": "by_status", "format": "parquet", "path": out},
+        ],
+    }
+    Pipeline.from_spec(spark, spec).run()
+    back = read_parquet(spark, out)
+    assert back.count() == 3  # statuses O/F/P

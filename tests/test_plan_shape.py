@@ -1,0 +1,53 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI:
+filters reach the parquet scan, projections prune columns, dimension
+joins broadcast instead of shuffling."""
+
+from __future__ import annotations
+
+from python_etl_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "etl_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "etl_filter_pushdown")
+    # 3-column projection must not read the other 8 lineitem columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["q03_shipping_priority", "q05_local_supplier_volume",
+                 "q10_returned_items"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_q01_whole_stage_codegen(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["q01_pricing_summary"](spark, sf_dir).explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """Scalar-subquery joins must broadcast, not nested-loop over rows."""
+    for name in ["q11_supplier_balance_share", "q22_inactive_customers",
+                 "q15_top_supplier"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name

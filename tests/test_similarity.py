@@ -1,0 +1,61 @@
+"""ANN recall oracles: LSH top-k against brute force on a clustered
+synthetic corpus (recall must be high when neighbors are genuinely
+close), plus smoke on the real embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from python_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((5, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_bruteforce_topk_is_exact(clustered):
+    got = brute_force_topk(clustered, query_ids=[0], k=3).collect()
+    assert len(got) == 3
+    # all top neighbors of a clustered point are in its own cluster
+    pdf = clustered.toPandas()
+    labels = dict(zip(pdf.vec_id, pdf.label))
+    assert all(labels[r.neighbor_id] == labels[0] for r in got)
+    assert all(r.cosine > 0.9 for r in got)
+
+
+def test_lsh_recall_on_clustered(clustered):
+    queries = [0, 40, 80, 120, 160]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(clustered, queries, k=5, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_lsh_runs_on_real_embeddings(spark, sf_dir):
+    from python_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = lsh_bucketed_topk(emb, query_ids=[0, 1], k=3, n_planes=4).collect()
+    assert all(r.rnk <= 3 for r in got)

@@ -1,0 +1,98 @@
+"""Structured Streaming: windowed aggregation equals its batch twin on
+the same input; stateful sessionization closes sessions correctly."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_etl_spark.sources.tables import load_table
+from python_etl_spark.streaming.windows import hourly_event_stats
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    # watermarks require TIMESTAMP (LTZ); session tz is UTC so values align
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").parquet(path)
+    return path, ev.schema
+
+
+def test_stream_equals_batch(spark, event_files, tmp_path):
+    path, schema = event_files
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = hourly_event_stats(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hourly").collect()
+    batch = hourly_event_stats(spark.read.schema(schema).parquet(path)).collect()
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got_map = {key(r): (r.n, r.total_value) for r in got}
+    batch_map = {key(r): (r.n, r.total_value) for r in batch}
+    assert got_map == batch_map
+
+
+def test_streaming_sessionize_closes_sessions(spark, event_files, tmp_path):
+    from python_etl_spark.operators.sessionize import sessionize
+    from python_etl_spark.streaming.sessions import streaming_sessionize
+
+    path, schema = event_files
+    stream = spark.readStream.schema(schema).parquet(path).select(
+        "user_id", "ts", "value"
+    )
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions").collect()
+    assert len(got) > 0
+
+    # batch truth: all sessions; the stream emits the CLOSED ones, i.e.
+    # every batch session except each user's final (still-open) session
+    batch = sessionize(
+        spark.read.schema(schema).parquet(path).select("user_id", "ts", "value"),
+        gap_minutes=30,
+        value_col="value",
+    ).collect()
+    last_by_user = {}
+    for r in batch:
+        cur = last_by_user.get(r.user_id)
+        if cur is None or r.session_idx > cur.session_idx:
+            last_by_user[r.user_id] = r
+    closed_in_data = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if last_by_user[r.user_id].session_idx != r.session_idx
+    }
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in batch
+    }
+    got_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in got
+    }
+    # every gap-closed session must be emitted; event-time timeouts may
+    # additionally flush trailing open sessions once the watermark
+    # passes them — but never anything that isn't a true batch session
+    assert closed_in_data <= got_set
+    assert got_set <= all_sessions
