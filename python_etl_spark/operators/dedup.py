@@ -47,6 +47,19 @@ def shingles(
     )
 
 
+def shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh) with sh = xxhash64(shingle): 8-byte keys shrink every
+    downstream shuffle/join vs. raw shingle strings; collision odds are
+    ~n²/2⁶⁴ — negligible against the corpus sizes this targets."""
+    sh = shingles(docs, text_col, id_col, k)
+    return sh.select("id", F.xxhash64("shingle").alias("sh"))
+
+
 # -------------------------- exact n-gram Jaccard --------------------------
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -58,14 +71,15 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over shingle sets via inverted-index join.
 
     Only documents sharing >= 1 shingle are ever paired, so the join
-    size tracks true overlap instead of n^2.
+    size tracks true overlap instead of n^2. The inverted index joins
+    on the 64-bit shingle hash, not the string.
     """
-    sh = shingles(docs, text_col, id_col, k).cache()
+    sh = shingle_hashes(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("id").alias("doc_a"), "sh")
+    b = sh.select(F.col("id").alias("doc_b"), "sh")
     shared = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -91,12 +105,13 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 3,
 ) -> DataFrame:
-    """(id, sig array<long>) — num_hashes independent min-hashes, each a
-    seeded xxhash64 over the shingle, min-aggregated per doc. One
-    explode + one groupBy; partial aggregation applies."""
-    sh = shingles(docs, text_col, id_col, k)
+    """(id, sig array<long>) — num_hashes independent min-hashes,
+    min-aggregated per doc. One explode + one groupBy; partial
+    aggregation applies. Each hash function is a cheap long-input remix
+    of the single string hash (hashing the string once, not 64 times)."""
+    sh = shingle_hashes(docs, text_col, id_col, k)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*mins)

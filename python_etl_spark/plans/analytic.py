@@ -860,3 +860,24 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q02 — cheapest part per brand (TPC-H Q2's min-cost shape, no partsupp)
+# --------------------------------------------------------------------------
+@register(
+    "q02_cheapest_part_per_brand",
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice
+FROM part
+QUALIFY p_retailprice = MIN(p_retailprice) OVER (PARTITION BY p_brand)
+""",
+)
+def q02_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )

@@ -700,3 +700,42 @@ def stream_window_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return hourly_event_stats(ev)
+
+
+@register(
+    "etl_cube",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def etl_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cubed = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+    return cubed.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n",
+        "total",
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+  CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+FROM customer
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )

@@ -406,3 +406,98 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the deterministic fake in pure SQL."""
     docs = _t(spark, sf_dir, "documents")
     return decode_media(attach_payload(docs))
+
+
+@register(
+    "text_bigram_freq",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> concat_ws(' ', t[i], t[i+1]))) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram HAVING COUNT(*) >= 5
+""",
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (shingle machinery, k=2, counted
+    over all occurrences per doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH {_VE_SQL},
+q AS (SELECT i, x FROM ve WHERE vec_id = 0),
+dots AS (
+  SELECT b.vec_id AS neighbor_id, SUM(q.x * b.x) AS dot
+  FROM q JOIN ve b ON q.i = b.i AND b.vec_id <> 0
+  GROUP BY b.vec_id)
+SELECT neighbor_id,
+  ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) AS cosine
+FROM dots
+JOIN nrm nb ON nb.vec_id = dots.neighbor_id
+CROSS JOIN (SELECT nsq FROM nrm WHERE vec_id = 0) nq
+WHERE ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) >= 0.2
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors within a cosine radius of a query vector — the
+    range-query twin of top-k search (same broadcast scan, no shuffle
+    of the corpus side)."""
+    from python_etl_spark.functions.vector import (
+        as_double,
+        cosine_from_parts,
+        dot,
+        norm_sq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
+    ).select("id", "vec", norm_sq("vec").alias("nsq"))
+    q = v.where(F.col("id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("nsq").alias("qnsq")
+    )
+    cos = cosine_from_parts(dot("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
+    return (
+        v.where(F.col("id") != 0)
+        .join(F.broadcast(q))
+        .select(F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.2)
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id, CAST(r.i AS INT) AS frame_no
+FROM documents, range(4) r(i)
+WHERE r.i < LEAST(4, CAST(FLOOR(strlen(text) / 10) AS INT) + 1)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the binary payload column."""
+    from python_etl_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs), every_nth=10, max_frames=4)
