@@ -1,0 +1,39 @@
+"""Keyed upsert / merge (the *load-with-updates* half of ETL).
+
+``upsert`` merges an updates frame into a base frame by key: the
+update row wins where keys collide, base rows pass through otherwise.
+Implemented as union + windowed keep-first — one shuffle on the key,
+no driver-side state, works at any scale. ``latest_by_key`` is the
+same machinery for change-log compaction (keep the newest version of
+each key, e.g. CDC streams)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """updates override base on key collisions; schemas must match."""
+    tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
+        base.withColumn("__pri", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy("__pri")
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+
+
+def latest_by_key(
+    df: DataFrame, keys: list[str], version_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Change-log compaction: keep the highest-version row per key."""
+    order = [F.desc(version_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -739,3 +739,125 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
     )
+
+
+# ------------------------- units / upsert / sampling ----------------------
+@register(
+    "etl_unit_conversion",
+    oracle="""
+SELECT event_id,
+  (value - 32.0) * 5.0 / 9.0 AS temp_c,
+  value * 0.45359237 AS mass_kg,
+  value * 2.54 AS len_cm,
+  value * 1.609344 AS dist_km,
+  value / 3600.0 AS dur_hours
+FROM events
+""",
+)
+def etl_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's classic transform: imperial->metric / F->C
+    conversions as pure column arithmetic (functions/units.py)."""
+    from python_etl_spark.functions.units import (
+        fahrenheit_to_celsius,
+        inches_to_cm,
+        lbs_to_kg,
+        miles_to_km,
+        seconds_to_hours,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        fahrenheit_to_celsius(v).alias("temp_c"),
+        lbs_to_kg(v).alias("mass_kg"),
+        inches_to_cm(v).alias("len_cm"),
+        miles_to_km(v).alias("dist_km"),
+        seconds_to_hours(v).alias("dur_hours"),
+    )
+
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+
+@register(
+    "etl_upsert_merge",
+    oracle=f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderstatus = 'P'),
+tagged AS (
+  SELECT {_ORDER_COLS}, 0 AS pri FROM updates
+  UNION ALL
+  SELECT {_ORDER_COLS}, 1 AS pri FROM orders)
+SELECT {_ORDER_COLS}
+FROM tagged
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri) = 1
+""",
+)
+def etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed merge: an updates batch (doubled totalprice for pending
+    orders) overrides the base table on key collision."""
+    from python_etl_spark.operators.upsert import upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return upsert(orders, updates, keys=["o_orderkey"])
+
+
+@register(
+    "etl_latest_by_key",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey ORDER BY l_linenumber DESC) = 1
+""",
+)
+def etl_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: newest version (highest linenumber) per
+    key — the CDC-stream shape."""
+    from python_etl_spark.operators.upsert import latest_by_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return latest_by_key(li, ["l_orderkey"], "l_linenumber").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@register(
+    "etl_sample_deterministic",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE ASCII(SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) < 52
+""",
+)
+def etl_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic hash sample (md5 hex digit 0-3): reproducible
+    across engines and runs, unlike rand()-based sampling."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.ascii(
+        F.substring(
+            F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1
+        )
+    )
+    return orders.where(digit < 52).select("o_orderkey", "o_totalprice")
+
+
+@register("etl_approx_distinct")  # approximate: rows-only + pytest bound
+def etl_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per group — the sketch path for
+    100 TB cardinality estimation (exact count_distinct is the oracle
+    in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )

@@ -14,7 +14,16 @@ SF_SMALL = "/root/testdata/sf0.001"
 def spark():
     from python_etl_spark.session import get_spark
 
-    s = get_spark("pytest", master="local[8]", shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "pytest",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh-"),
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -1,0 +1,137 @@
+"""Scale tooling: salted joins must equal plain joins; bucketed tables
+must join without an exchange; HLL sketches must be within their error
+bound; upsert semantics on crafted data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_spark.operators.skew import salted_join
+from python_etl_spark.operators.upsert import latest_by_key, upsert
+from python_etl_spark.sources.tables import load_table
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+    salted = salted_join(orders, cust, on="o_custkey").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    got = _sorted_rows(
+        salted_join(left, right, on="k", how="left").select("k", "v", "w")
+    )
+    assert got == [(1, "a", "x"), (2, "b", None)]
+
+
+def test_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new"), (3, "insert")], "k long, v string"
+    )
+    got = dict(_sorted_rows(upsert(base, updates, keys=["k"])))
+    assert got == {1: "new", 2: "keep", 3: "insert"}
+
+
+def test_latest_by_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 2, "c"), (2, 1, "d")],
+        "k long, ver int, v string",
+    )
+    got = {
+        r.k: r.v
+        for r in latest_by_key(df, ["k"], "ver", tiebreak="v").collect()
+    }
+    assert got == {1: "c", 2: "d"}  # highest ver, then highest tiebreak
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    from python_etl_spark.plans import QUERIES
+
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in QUERIES["etl_approx_distinct"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.o, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_orderkey").alias("o"),
+            F.count_distinct("l_partkey").alias("p"),
+        )
+        .collect()
+    }
+    for flag, (ao, ap) in approx.items():
+        eo, ep = exact[flag]
+        assert abs(ao - eo) / eo < 0.05, (flag, ao, eo)
+        assert abs(ap - ep) / ep < 0.05, (flag, ap, ep)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both sides on the join key makes the repeated-join
+    workload shuffle-free — the co-location strategy for fact-fact
+    joins at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    # small test tables would broadcast; disable it so the plan shows
+    # the bucketed sort-merge join a fact-fact join would use at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE orders_b")
+        spark.sql("DROP TABLE lineitem_b")
+
+
+def test_unit_conversions_exact(spark):
+    from python_etl_spark.functions.units import CONVERTERS, convert
+
+    df = spark.createDataFrame([(212.0,), (32.0,)], "v double")
+    c = {
+        r.v: r.c
+        for r in df.select(
+            "v", convert("v", "fahrenheit_to_celsius").alias("c")
+        ).collect()
+    }
+    assert c == {212.0: 100.0, 32.0: 0.0}
+    with pytest.raises(ValueError, match="unknown conversion"):
+        convert("v", "furlongs_to_parsecs")
+    assert "lbs_to_kg" in CONVERTERS
