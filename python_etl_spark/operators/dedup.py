@@ -29,7 +29,14 @@ def shingles(
     id_col: str = "doc_id",
     k: int = 3,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle)."""
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Input is repartitioned to the session's parallelism first: document
+    tables often arrive as a single file/partition, which would leave
+    the explode+hash stage single-threaded."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
@@ -192,6 +199,9 @@ def simhash(
     Per-bit vote: +1 if the token hash has the bit set, else -1;
     bit is 1 when the vote sum is positive. Bits are OR-folded into one
     long (no additive overflow under ANSI mode)."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = (
         docs.select(
             F.col(id_col).alias("id"),

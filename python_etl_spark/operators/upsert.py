@@ -27,10 +27,20 @@ def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def latest_by_key(
-    df: DataFrame, keys: list[str], version_col: str, tiebreak: str | None = None
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak: str | list[str] | None = None,
 ) -> DataFrame:
-    """Change-log compaction: keep the highest-version row per key."""
-    order = [F.desc(version_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    """Change-log compaction: keep the highest-version row per key.
+
+    Pass ``tiebreak`` column(s) that make the ordering total — without
+    one, version ties are broken arbitrarily (nondeterministic across
+    runs/partitionings)."""
+    tiebreaks = (
+        [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    )
+    order = [F.desc(version_col)] + [F.desc(t) for t in tiebreaks]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -817,7 +817,8 @@ def etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
 FROM lineitem
 QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY l_orderkey ORDER BY l_linenumber DESC) = 1
+  PARTITION BY l_orderkey
+  ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) = 1
 """,
 )
 def etl_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,7 +827,10 @@ def etl_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_etl_spark.operators.upsert import latest_by_key
 
     li = _t(spark, sf_dir, "lineitem")
-    return latest_by_key(li, ["l_orderkey"], "l_linenumber").select(
+    return latest_by_key(
+        li, ["l_orderkey"], "l_linenumber",
+        tiebreak=["l_partkey", "l_quantity"],
+    ).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
     )
 
@@ -861,3 +865,26 @@ def etl_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
     )
+
+
+@register(
+    "stream_sliding_batch_equiv",
+    oracle=f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - CAST(r.i AS INT) * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events, range(4) r(i))
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+  event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+""",
+)
+def stream_sliding_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.sliding_event_stats: 1h windows
+    sliding by 15min — every event lands in 4 overlapping windows."""
+    from python_etl_spark.streaming.windows import sliding_event_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_event_stats(ev, window="1 hour", slide="15 minutes")

@@ -96,3 +96,37 @@ def test_streaming_sessionize_closes_sessions(spark, event_files, tmp_path):
     # passes them — but never anything that isn't a true batch session
     assert closed_in_data <= got_set
     assert got_set <= all_sessions
+
+
+def test_stream_file_sink_pipeline(spark, event_files, tmp_path):
+    """File source -> windowed agg -> checkpointed parquet sink: the
+    durable streaming pipeline shape (restartable via checkpoint)."""
+    path, schema = event_files
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = hourly_event_stats(stream, watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(sink)
+    assert set(written.columns) == {
+        "window_start", "event_type", "n", "total_value"
+    }
+    # append mode emits only watermark-finalized windows: a subset of
+    # the batch result with identical values
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in hourly_event_stats(
+            spark.read.schema(schema).parquet(path)
+        ).collect()
+    }
+    rows = written.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert batch[(r.window_start, r.event_type)] == (r.n, r.total_value)
