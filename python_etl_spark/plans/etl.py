@@ -888,3 +888,205 @@ def stream_sliding_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sliding_event_stats(ev, window="1 hour", slide="15 minutes")
+
+
+# ---------------------- arrays / sets / advanced aggs ---------------------
+@register(
+    "etl_array_funcs",
+    oracle="""
+SELECT p_partkey,
+  string_split(p_name, ' ') AS words,
+  CAST(LEN(string_split(p_name, ' ')) AS INT) AS n_words,
+  list_contains(string_split(p_name, ' '), 'small') AS has_small,
+  string_split(p_name, ' ')[1] AS first_word,
+  array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_joined
+FROM part
+""",
+)
+def etl_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ", -1)
+    return part.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "small").alias("has_small"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.sort_array(words), "-").alias("sorted_joined"),
+    )
+
+
+@register(
+    "etl_regex_extract",
+    oracle="""
+SELECT p_partkey, p_name,
+  regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS adjective,
+  regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS noun,
+  regexp_matches(p_name, '(ring|bolt|gear)') AS is_hardware
+FROM part
+""",
+)
+def etl_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 1).alias("adjective"),
+        F.regexp_extract("p_name", r"^(\w+) (\w+)$", 2).alias("noun"),
+        F.col("p_name").rlike("(ring|bolt|gear)").alias("is_hardware"),
+    )
+
+
+@register(
+    "etl_intersect_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def etl_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_acctbal") > 0).select("c_custkey")
+    b = cust.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        "c_custkey"
+    )
+    c = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b).exceptAll(c.distinct())
+
+
+@register(
+    "etl_argmax",
+    oracle="""
+SELECT c_mktsegment,
+  arg_max(c_name, c_acctbal || '|' || CAST(c_custkey AS VARCHAR)) AS richest
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def etl_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: the row-attribute-at-extreme aggregation.
+    Ordering key includes the custkey so ties are deterministic; the
+    string concat trick keeps the compound key identical cross-engine
+    (acctbal is 2-dec so its string form matches)."""
+    cust = _t(spark, sf_dir, "customer")
+    key = F.concat(
+        F.col("c_acctbal").cast("string"),
+        F.lit("|"),
+        F.col("c_custkey").cast("string"),
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", key).alias("richest")
+    )
+
+
+@register(
+    "etl_string_agg",
+    oracle="""
+SELECT c_nationkey,
+  array_to_string(list_sort(list(c_name)), ',') AS names
+FROM customer
+WHERE c_acctbal > 9000
+GROUP BY c_nationkey
+""",
+)
+def etl_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg/string_agg with deterministic (sorted) element order."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+  percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+  cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@register(
+    "etl_corr",
+    oracle=f"""
+SELECT l_returnflag, ROUND(corr_raw, 8) AS corr_qty_price
+FROM (
+SELECT l_returnflag,
+  (COUNT(*) * {dsum_sql('l_quantity * l_extendedprice', scale=4, prec=38)}
+   - {dsum_sql('l_quantity')} * {dsum_sql('l_extendedprice')})
+  / (SQRT(COUNT(*) * {dsum_sql('l_quantity * l_quantity', scale=4, prec=38)}
+          - {dsum_sql('l_quantity')} * {dsum_sql('l_quantity')})
+     * SQRT(COUNT(*) * {dsum_sql('l_extendedprice * l_extendedprice', scale=4, prec=38)}
+            - {dsum_sql('l_extendedprice')} * {dsum_sql('l_extendedprice')}))
+    AS corr_raw
+FROM lineitem GROUP BY l_returnflag
+) g
+""",
+)
+def etl_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal sums (Spark's corr() and
+    DuckDB's disagree in the last ulps; the moment formula over
+    identical exact sums is engine-invariant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sq, sp = dsum(q), dsum(p)
+    sqq = dsum(q * q, scale=4, prec=38)
+    spp = dsum(p * p, scale=4, prec=38)
+    sqp = dsum(q * p, scale=4, prec=38)
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    # engines convert wide decimals to double along different paths
+    # (1-ulp differences at 18 sig digits): round the derived statistic
+    return li.groupBy("l_returnflag").agg(
+        F.round(corr, 8).alias("corr_qty_price")
+    )
+
+
+@register(
+    "etl_data_quality",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS positive_price,
+  CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+    AS BIGINT) AS known_status,
+  CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+                THEN 0 ELSE 1 END) AS BIGINT) AS date_in_range,
+  CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS custkey_present
+FROM orders
+""",
+)
+def etl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-violation counts in one pass (operators/quality.py)."""
+    from python_etl_spark.functions.exact import ts as ts_lit
+    from python_etl_spark.operators.quality import violation_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range": (F.col("o_orderdate") >= ts_lit("1990-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_lit("2002-01-01 00:00:00")),
+        "custkey_present": F.col("o_custkey").isNotNull(),
+    }
+    return violation_counts(orders, rules)

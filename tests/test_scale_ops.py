@@ -135,3 +135,24 @@ def test_unit_conversions_exact(spark):
     with pytest.raises(ValueError, match="unknown conversion"):
         convert("v", "furlongs_to_parsecs")
     assert "lbs_to_kg" in CONVERTERS
+
+
+def test_validate_quarantine_split(spark):
+    from python_etl_spark.operators.quality import validate
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 7.0, "X"), (4, -1.0, "Y")],
+        "id long, price double, status string",
+    )
+    rules = {
+        "positive_price": F.col("price") > 0,
+        "known_status": F.col("status").isin("O", "F", "P"),
+    }
+    valid, quarantined = validate(df, rules)
+    assert [r.id for r in valid.orderBy("id").collect()] == [1]
+    bad = {r.id: sorted(r.failed_rules) for r in quarantined.collect()}
+    assert bad == {
+        2: ["positive_price"],
+        3: ["known_status"],
+        4: ["known_status", "positive_price"],
+    }
