@@ -43,9 +43,8 @@ def shingles(
         n_sh >= 1,
         F.transform(
             F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
+            # slice+array_join is ~2x faster than k element_at calls
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return (

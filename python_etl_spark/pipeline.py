@@ -23,10 +23,16 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_etl_spark.sinks.writers import write_csv, write_json, write_parquet
+from python_etl_spark.sinks.writers import (
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
 from python_etl_spark.sources.readers import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_xml,
 )
@@ -36,11 +42,13 @@ _READERS = {
     "csv": read_csv,
     "json": read_json,
     "xml": read_xml,
+    "orc": read_orc,
 }
 _WRITERS = {
     "parquet": write_parquet,
     "csv": write_csv,
     "json": write_json,
+    "orc": write_orc,
 }
 
 

@@ -44,3 +44,16 @@ def write_csv(
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     df.write.mode(mode).json(path)
     return path
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path

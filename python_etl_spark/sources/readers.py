@@ -138,3 +138,27 @@ def read_jdbc(
             "environment. Add the driver to spark.jars and retry. "
             f"Underlying error: {e}"
         ) from e
+
+
+def read_orc(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_text(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal payload ingestion: one row per
+    file with (path, modificationTime, length, content binary)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -83,3 +83,28 @@ def test_xml_reader(spark, tmp_path):
 def test_jdbc_gated_error(spark):
     with pytest.raises(RuntimeError, match="JDBC"):
         read_jdbc(spark, "jdbc:postgresql://nowhere/db", "sometable")
+
+
+def test_orc_roundtrip(spark, sample, tmp_path):
+    from python_etl_spark.sinks.writers import write_orc
+    from python_etl_spark.sources.readers import read_orc
+
+    path = str(tmp_path / "t.orc")
+    write_orc(sample, path)
+    assert _sorted_rows(read_orc(spark, path)) == _sorted_rows(sample)
+
+
+def test_text_and_binary_sources(spark, tmp_path):
+    from python_etl_spark.sources.readers import read_binary_files, read_text
+
+    (tmp_path / "a.txt").write_text("hello\nworld")
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\x02payload")
+    lines = read_text(spark, str(tmp_path / "a.txt"))
+    assert sorted(r.value for r in lines.collect()) == ["hello", "world"]
+    whole = read_text(spark, str(tmp_path / "a.txt"), wholetext=True)
+    assert whole.first().value == "hello\nworld"
+    bins = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = bins.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == b"\x00\x01\x02payload"
+    assert rows[0].length == 10

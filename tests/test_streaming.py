@@ -4,6 +4,7 @@ the same input; stateful sessionization closes sessions correctly."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from python_etl_spark.sources.tables import load_table
 from python_etl_spark.streaming.windows import hourly_event_stats
@@ -130,3 +131,45 @@ def test_stream_file_sink_pipeline(spark, event_files, tmp_path):
     assert len(rows) > 0
     for r in rows:
         assert batch[(r.window_start, r.event_type)] == (r.n, r.total_value)
+
+
+def test_foreach_batch_streaming_upsert(spark, event_files, tmp_path):
+    """Stream -> foreachBatch -> keyed upsert into a parquet table: the
+    incremental-materialization sink (latest value per user)."""
+    from python_etl_spark.operators.upsert import latest_by_key
+
+    path, schema = event_files
+    table = str(tmp_path / "latest_per_user")
+
+    def merge_batch(batch_df, batch_id):
+        compact = latest_by_key(
+            batch_df.select("user_id", "ts", "value"),
+            ["user_id"], "ts", tiebreak="value",
+        )
+        try:
+            existing = batch_df.sparkSession.read.parquet(table)
+            merged = latest_by_key(
+                existing.unionByName(compact),
+                ["user_id"], "ts", tiebreak="value",
+            )
+        except Exception:
+            merged = compact
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(table)
+        merged.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.user_id: r.ts for r in spark.read.parquet(table).collect()}
+    truth = {
+        r.user_id: r.mx
+        for r in spark.read.schema(schema).parquet(path)
+        .groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    assert got == truth
