@@ -310,3 +310,42 @@ def embedding_near_dup_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------ unified facade ----------------------------
+def near_dup(
+    docs: DataFrame,
+    method: str = "minhash",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """One entry point over the dedup family.
+
+    method: 'exact' | 'ngram' | 'minhash' | 'simhash' | 'embedding'.
+    'minhash' is the 100 TB default; 'ngram' is its exact (more
+    expensive) twin; 'embedding' expects an array<float> column named
+    by ``text_col``.
+    """
+    if method == "exact":
+        hashed = docs.groupBy(
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h")
+        ).agg(
+            F.min(id_col).alias("keeper"),
+            F.collect_list(id_col).alias("members"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        return hashed.where(F.col("n_copies") > 1)
+    if method == "ngram":
+        return ngram_jaccard_pairs(docs, text_col, id_col, **kwargs)
+    if method == "minhash":
+        return minhash_lsh_pairs(docs, text_col, id_col, **kwargs)
+    if method == "simhash":
+        return simhash_pairs(docs, text_col, id_col, **kwargs)
+    if method == "embedding":
+        return embedding_near_dup_pairs(
+            docs, vec_col=text_col, id_col=id_col, **kwargs
+        )
+    raise ValueError(
+        f"unknown method {method!r}; have exact/ngram/minhash/simhash/embedding"
+    )

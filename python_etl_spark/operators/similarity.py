@@ -94,7 +94,12 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    multi_probe: bool = False,
 ) -> DataFrame:
+    """LSH ANN top-k. With ``multi_probe`` the query side additionally
+    probes every bucket at Hamming distance 1 from its own (n_planes
+    extra buckets per query): a large recall gain whose cost scales
+    with the tiny query side — the corpus is never replicated."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes, dim, seed)
     v = embeddings.select(
@@ -111,6 +116,17 @@ def lsh_bucketed_topk(
         F.col("nsq").alias("qnsq"),
         "bucket",
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(
+                    F.shiftleft(F.lit(1).cast("long"), p)
+                )
+                for p in range(n_planes)
+            ],
+        )
+        queries = queries.withColumn("bucket", F.explode(probes))
     corpus = v.select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("cvec"),

@@ -1090,3 +1090,53 @@ def etl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_present": F.col("o_custkey").isNotNull(),
     }
     return violation_counts(orders, rules)
+
+
+@register(
+    "etl_grouped_gaps",
+    oracle="""
+WITH d AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS x FROM orders),
+g AS (
+  SELECT o_custkey, x,
+    x - LAG(x) OVER (PARTITION BY o_custkey ORDER BY x) AS gap
+  FROM d)
+SELECT o_custkey, COUNT(*) AS n_orders, MIN(x) AS first_day,
+  MAX(x) AS last_day, MAX(gap) AS max_gap
+FROM g GROUP BY o_custkey
+""",
+)
+def etl_grouped_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-customer order-gap
+    stats computed in an Arrow batch per group — the custom-Python
+    aggregation seam, hash-checked because its arithmetic is exact
+    integer day math."""
+    import numpy as np
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("x"),
+    )
+
+    def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(pdf["x"].to_numpy())
+        d = np.diff(x)
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(x)],
+                "first_day": [int(x[0])],
+                "last_day": [int(x[-1])],
+                "max_gap": [int(d.max()) if len(d) else None],
+            }
+        )
+
+    return days.groupBy("o_custkey").applyInPandas(
+        gaps,
+        schema="o_custkey long, n_orders long, first_day long, "
+        "last_day long, max_gap long",
+    )

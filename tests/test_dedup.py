@@ -105,3 +105,23 @@ def test_lsh_candidates_subset_of_jaccard_space(spark, sf_dir):
     }
     for r in lsh:
         assert (r.doc_a, r.doc_b) in exact
+
+
+def test_near_dup_facade(spark, corpus):
+    from python_etl_spark.operators.dedup import near_dup
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup(corpus, method="minhash", threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs
+    dup_docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "other")],
+        "doc_id long, text string",
+    )
+    groups = near_dup(dup_docs, method="exact").collect()
+    assert len(groups) == 1 and groups[0].keeper == 0
+    assert sorted(groups[0].members) == [0, 1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown method"):
+        near_dup(corpus, method="fuzzy")

@@ -59,3 +59,27 @@ def test_lsh_runs_on_real_embeddings(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     got = lsh_bucketed_topk(emb, query_ids=[0, 1], k=3, n_planes=4).collect()
     assert all(r.rnk <= 3 for r in got)
+
+
+def test_multiprobe_improves_recall(clustered):
+    queries = [0, 40, 80, 120, 160]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(
+            clustered, queries, k=5, n_planes=8
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(
+            clustered, queries, k=5, n_planes=8, multi_probe=True
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.8, (r_single, r_multi)
