@@ -47,3 +47,23 @@ def latest_by_key(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def conform_schema(df, target_ddl: str, strict: bool = False):
+    """Conform a frame to a target schema: reorder, cast, and add
+    missing columns as NULLs; drop extras unless ``strict`` (then
+    raise). The standard last-step before a typed sink."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(target_ddl)
+    have = set(df.columns)
+    extra = have - {f.name for f in target.fields}
+    if strict and extra:
+        raise ValueError(f"unexpected columns: {sorted(extra)}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

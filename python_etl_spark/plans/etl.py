@@ -1140,3 +1140,53 @@ def etl_grouped_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="o_custkey long, n_orders long, first_day long, "
         "last_day long, max_gap long",
     )
+
+
+@register(
+    "etl_fillna_dropna",
+    oracle="""
+WITH j AS (
+  SELECT c.c_custkey AS c_custkey, o.o_totalprice AS o_totalprice,
+         o.o_orderstatus AS o_orderstatus
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P')
+SELECT c_custkey,
+  COALESCE(o_totalprice, -1.0) AS price_filled,
+  COALESCE(o_orderstatus, 'NONE') AS status_filled
+FROM j
+""",
+)
+def etl_fillna_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface: na.fill with per-column defaults."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P"),
+        "left",
+    ).select("c_custkey", "o_totalprice", "o_orderstatus")
+    return j.na.fill({"o_totalprice": -1.0, "o_orderstatus": "NONE"}).select(
+        "c_custkey",
+        F.col("o_totalprice").alias("price_filled"),
+        F.col("o_orderstatus").alias("status_filled"),
+    )
+
+
+@register(
+    "etl_dropna",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+WHERE o.o_orderkey IS NOT NULL
+""",
+)
+def etl_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "P"),
+        "left",
+    ).select("c_custkey", "o_orderkey")
+    return j.na.drop(subset=["o_orderkey"])

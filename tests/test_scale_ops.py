@@ -156,3 +156,16 @@ def test_validate_quarantine_split(spark):
         3: ["known_status"],
         4: ["known_status", "positive_price"],
     }
+
+
+def test_conform_schema(spark):
+    from python_etl_spark.operators.upsert import conform_schema
+
+    df = spark.createDataFrame(
+        [(1, "5", 2.0)], "id long, qty string, junk double"
+    )
+    out = conform_schema(df, "id int, qty int, note string")
+    assert out.dtypes == [("id", "int"), ("qty", "int"), ("note", "string")]
+    assert out.first() == (1, 5, None)
+    with pytest.raises(ValueError, match="unexpected columns"):
+        conform_schema(df, "id int, qty int", strict=True)
