@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline on the test corpus:
+
+ingest documents -> quality filter -> language filter -> exact dedup ->
+MinHash near-dedup -> token stats -> write curated parquet.
+
+Run: python examples/llm_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from python_etl_spark import get_spark  # noqa: E402
+from python_etl_spark.functions.text import stopword_count, ws_tokens  # noqa: E402
+from python_etl_spark.operators.dedup import near_dup  # noqa: E402
+from python_etl_spark.operators.quality import validate  # noqa: E402
+from python_etl_spark.sinks.writers import write_parquet  # noqa: E402
+from python_etl_spark.sources.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp("llm-out")
+    spark = get_spark("llm-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate (JVM expressions only)
+    toks = ws_tokens("text")
+    docs = docs.withColumn("n_words", F.size(toks)).withColumn(
+        "stop_ratio", stopword_count(toks).cast("double") / F.col("n_words")
+    )
+    valid, quarantined = validate(
+        docs,
+        {
+            "min_length": F.col("n_words") >= 10,
+            "max_length": F.col("n_words") <= 10_000,
+            "nonempty": F.length("text") > 0,
+        },
+    )
+    n1 = valid.count()
+
+    # 2. exact dedup: keep lowest doc_id per identical text
+    keep = valid.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = valid.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n2 = deduped.count()
+
+    # 3. near-dedup: drop the higher-id side of each MinHash-LSH pair
+    pairs = near_dup(deduped, method="minhash", threshold=0.6)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = deduped.join(losers, "doc_id", "left_anti")
+    n3 = curated.count()
+
+    # 4. write curated set partitioned by language
+    path = write_parquet(
+        curated.select("doc_id", "text", "lang", "source", "n_words"),
+        f"{out_dir}/curated.parquet",
+        partition_by=["lang"],
+    )
+    print(
+        f"ingested={n0} quality_pass={n1} exact_deduped={n2} "
+        f"near_deduped={n3} quarantined={quarantined.count()} -> {path}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

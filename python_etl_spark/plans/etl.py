@@ -1190,3 +1190,58 @@ def etl_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("c_custkey", "o_orderkey")
     return j.na.drop(subset=["o_orderkey"])
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  CAST(COUNT(*) OVER (
+    PARTITION BY o_orderstatus ORDER BY o_totalprice
+    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT)
+    AS peers_within_5k
+FROM orders
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — peers within a price band,
+    as opposed to the row-count frames elsewhere in the suite."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("peers_within_5k"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )

@@ -501,3 +501,63 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return frame_sample(attach_payload(docs), every_nth=10, max_frames=4)
+
+
+@register(
+    "sim_knn_join_exact",
+    oracle=f"""
+WITH {_VE_SQL},
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.x * b.x) AS dot
+  FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+    ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) AS cosine
+  FROM dots
+  JOIN nrm nq ON nq.vec_id = dots.query_id
+  JOIN nrm nb ON nb.vec_id = dots.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+  FROM scored) ranked
+WHERE rnk <= 3
+""",
+)
+def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN self-join: top-3 neighbors for EVERY vector (exact,
+    correctness baseline — the LSH-bucketed variant is the scale path)."""
+    from python_etl_spark.functions.vector import (
+        as_double,
+        cosine_from_parts,
+        dot,
+        norm_sq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
+    ).select("id", "vec", norm_sq("vec").alias("nsq"))
+    a = v.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nsq").alias("qnsq"),
+    )
+    b = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nsq").alias("cnsq"),
+    )
+    cos = cosine_from_parts(dot("qvec", "cvec"), F.col("qnsq"), F.col("cnsq"))
+    scored = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
