@@ -787,52 +787,36 @@ LIMIT 10
 """,
 )
 def q21_high_value_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale formulation: instead of three lineitem scans (base + EXISTS
-    semi + NOT-EXISTS anti, each its own shuffle of the fact table),
-    aggregate per-(order, supplier) max shipdates once and derive both
-    existence conditions from a window over that small frame:
-
-      l1 qualifies  <=>  the order has >= 2 suppliers (EXISTS)  AND
-                         l1.shipdate >= max over OTHER suppliers' ship
-                         dates (no strictly-later other item = NOT EXISTS)
-    """
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
-
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("sm")
+    l1 = li.alias("l1")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    ).alias("l3")
+    base = l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey).join(
+        _bc(supp), F.col("l1.l_suppkey") == supp.s_suppkey
     )
-    w = Window.partitionBy("l_orderkey")
-    enriched = (
-        per_supp.withColumn("m1", F.max("sm").over(w))
-        .withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_at_m1",
-            F.sum(F.when(F.col("sm") == F.col("m1"), 1).otherwise(0)).over(w),
-        )
-        .withColumn(
-            "m2", F.max(F.when(F.col("sm") < F.col("m1"), F.col("sm"))).over(w)
-        )
+    base = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("k2"))
+        & (F.col("l1.l_suppkey") != F.col("s2")),
+        "left_semi",
     )
-    other_max = F.when(
-        (F.col("sm") == F.col("m1")) & (F.col("n_at_m1") == 1), F.col("m2")
-    ).otherwise(F.col("m1"))
-    bounds = enriched.select(
-        "l_orderkey",
-        "l_suppkey",
-        other_max.alias("other_max"),
-        "n_supp",
-    ).where(F.col("n_supp") >= 2)
-
-    qualifying = (
-        li.join(bounds, ["l_orderkey", "l_suppkey"])
-        .where(F.col("l_shipdate") >= F.col("other_max"))
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
-        .join(_bc(supp), F.col("l_suppkey") == supp.s_suppkey)
+    base = base.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("k3"))
+        & (F.col("l1.l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l1.l_shipdate")),
+        "left_anti",
     )
     return (
-        qualifying.groupBy("s_name")
+        base.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
