@@ -19,6 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from python_etl_spark import get_spark  # noqa: E402
 from python_etl_spark.functions.text import stopword_count, ws_tokens  # noqa: E402
+from python_etl_spark.operators.components import dedup_keepers  # noqa: E402
 from python_etl_spark.operators.dedup import near_dup  # noqa: E402
 from python_etl_spark.operators.quality import validate  # noqa: E402
 from python_etl_spark.sinks.writers import write_parquet  # noqa: E402
@@ -56,10 +57,10 @@ def main() -> None:
     deduped = valid.join(keep.select("doc_id"), "doc_id", "left_semi")
     n2 = deduped.count()
 
-    # 3. near-dedup: drop the higher-id side of each MinHash-LSH pair
+    # 3. near-dedup: MinHash-LSH pairs -> connected components -> keep
+    # the lowest doc_id per duplicate cluster
     pairs = near_dup(deduped, method="minhash", threshold=0.6)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    curated = deduped.join(losers, "doc_id", "left_anti")
+    curated = dedup_keepers(deduped, pairs)
     n3 = curated.count()
 
     # 4. write curated set partitioned by language

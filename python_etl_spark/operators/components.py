@@ -1,0 +1,86 @@
+"""Connected components over near-duplicate pair graphs.
+
+Near-dup detection yields PAIRS; choosing keepers needs GROUPS
+(a~b, b~c => {a,b,c} keep one). This is iterative min-label
+propagation: every node adopts the smallest id reachable in one hop,
+repeated until fixpoint. Iterations = graph diameter (tiny for dedup
+clusters); each iteration is two shuffles (groupBy min + join), and
+intermediate lineage is truncated via localCheckpoint so plans don't
+grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """pairs: undirected edges. Returns (id, component) where component
+    is the minimum node id in each connected component."""
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Drop every doc that shares a component with a lower-id doc:
+    the standard pairs -> groups -> keep-one dedup composition."""
+    comp = connected_components(pairs, left_col, right_col)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1245,3 +1245,32 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w_full).alias("last_price"),
     )
+
+
+@register(
+    "etl_scd2_history",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+  o_orderdate AS valid_from,
+  LEAD(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+  LEAD(o_orderdate) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+    AS is_current
+FROM orders
+""",
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 shape: each version carries a
+    [valid_from, valid_to) range; the open-ended row is current."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -125,3 +125,39 @@ def test_near_dup_facade(spark, corpus):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown method"):
         near_dup(corpus, method="fuzzy")
+
+
+def test_connected_components(spark):
+    from python_etl_spark.operators.components import (
+        connected_components,
+        dedup_keepers,
+    )
+
+    # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keepers(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one per component + untouched doc
+
+
+def test_components_long_chain_converges(spark):
+    from python_etl_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(chain, max_iterations=40).collect()
+    assert {r.component for r in comp} == {0}
