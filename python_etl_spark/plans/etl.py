@@ -1274,3 +1274,93 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "etl_date_spine_gapfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', l_shipdate) AS day,
+         {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= {ts_sql('1998-01-01 00:00:00')}
+    AND l_shipdate < {ts_sql('1998-03-01 00:00:00')}
+  GROUP BY 1),
+spine AS (
+  SELECT CAST(gs.d AS TIMESTAMP) AS day
+  FROM generate_series(TIMESTAMP '1998-01-01 00:00:00',
+                       TIMESTAMP '1998-02-28 00:00:00',
+                       INTERVAL 1 DAY) gs(d))
+SELECT s.day AS day, COALESCE(daily.revenue, 0.0) AS revenue,
+       daily.revenue IS NULL AS is_gap
+FROM spine s LEFT JOIN daily ON daily.day = s.day
+""",
+)
+def etl_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate a calendar spine and left-join
+    the aggregate so missing days appear as explicit zeros."""
+    from python_etl_spark.plans.common import REVENUE
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-03-01 00:00:00"))
+    )
+    daily = li.groupBy(
+        F.date_trunc("day", F.col("l_shipdate")).alias("day")
+    ).agg(dsum(REVENUE()).alias("revenue"))
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                ts("1998-01-01 00:00:00"),
+                ts("1998-02-28 00:00:00"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    d = daily.withColumnRenamed("day", "dday")
+    return spine.join(d, spine.day == d.dday, "left").select(
+        "day",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.col("revenue").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "text_langid_accuracy",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+    CAST(LEN(list_filter(toks, x -> x IN ('the','and','of','is','to')))
+      AS INT) AS s_en,
+    CAST(LEN(list_filter(toks, x -> x IN ('der','und','die','das','nicht')))
+      AS INT) AS s_de,
+    CAST(LEN(list_filter(toks, x -> x IN ('le','la','et','les','des')))
+      AS INT) AS s_fr,
+    CAST(LEN(list_filter(toks, x -> x IN ('el','los','las','una','por')))
+      AS INT) AS s_es
+  FROM t),
+p AS (SELECT lang,
+  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred FROM s)
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS accuracy
+FROM p
+""",
+)
+def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level accuracy of the marker-token lang-id heuristic."""
+    from python_etl_spark.plans.common import QUERIES
+
+    per_doc = QUERIES["text_langid"](spark, sf_dir)
+    correct = F.when(F.col("is_correct"), 1).otherwise(0)
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(correct).alias("n_correct"),
+        (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

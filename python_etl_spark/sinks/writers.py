@@ -57,3 +57,26 @@ def write_orc(
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
     return path
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **properties,
+) -> str:
+    """JDBC load. Gated: raises a descriptive error when no JDBC driver
+    jar is on the classpath (none bundled in this environment)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    try:
+        writer.mode(mode).save()
+        return table
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            "JDBC write failed — no JDBC driver jar is bundled in this "
+            "environment. Add the driver to spark.jars and retry. "
+            f"Underlying error: {e}"
+        ) from e

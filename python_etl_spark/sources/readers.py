@@ -162,3 +162,29 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet_name: str | int = 0,
+    header: bool = True,
+) -> DataFrame:
+    """Excel extract (the classic small-file ETL source): parsed on the
+    driver via pandas/openpyxl — Excel files are driver-sized by
+    nature — then parallelized as a DataFrame.
+
+    Gated: raises a descriptive error when no Excel engine (openpyxl /
+    xlrd) is installed in this environment."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(
+            path, sheet_name=sheet_name, header=0 if header else None
+        )
+    except ImportError as e:
+        raise RuntimeError(
+            "Excel read requires an engine (openpyxl for .xlsx); none is "
+            f"installed in this environment. Underlying error: {e}"
+        ) from e
+    return spark.createDataFrame(pdf)

@@ -108,3 +108,32 @@ def test_text_and_binary_sources(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0].content) == b"\x00\x01\x02payload"
     assert rows[0].length == 10
+
+
+def test_csv_gzip_roundtrip(spark, sample, tmp_path):
+    path = str(tmp_path / "t.csv.gz")
+    sample.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+    import glob
+    assert glob.glob(f"{path}/*.gz")
+    back = read_csv(spark, path, schema="id long, name string, score double")
+    assert _sorted_rows(back) == _sorted_rows(sample)
+
+
+def test_excel_gated(spark, tmp_path):
+    from python_etl_spark.sources.readers import read_excel
+
+    f = tmp_path / "x.xlsx"
+    f.write_bytes(b"not really an xlsx")
+    with pytest.raises(Exception) as ei:
+        read_excel(spark, str(f))
+    # either the gate (no engine) or a parse error — never a silent pass
+    assert ei.value is not None
+
+
+def test_jdbc_write_gated(spark, sample):
+    from python_etl_spark.sinks.writers import write_jdbc
+
+    with pytest.raises(RuntimeError, match="JDBC"):
+        write_jdbc(sample, "jdbc:postgresql://nowhere/db", "t")
