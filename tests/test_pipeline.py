@@ -54,3 +54,26 @@ def test_pipeline_from_spec(spark, sf_dir, tmp_path):
     Pipeline.from_spec(spark, spec).run()
     back = read_parquet(spark, out)
     assert back.count() == 3  # statuses O/F/P
+
+
+def test_example_pipeline_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The shipped example must keep working end-to-end."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "llm_example", "examples/llm_data_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(
+        _sys, "argv", ["x", sf_dir, str(tmp_path / "out")]
+    )
+    # example calls get_spark/stop; reuse of the session-scoped spark is
+    # fine (getOrCreate returns it) but it must not stop our fixture
+    monkeypatch.setattr(
+        type(spark), "stop", lambda self: None
+    )
+    mod.main()
+    out = capsys.readouterr().out
+    assert "ingested=" in out and "near_deduped=" in out
