@@ -1364,3 +1364,115 @@ def text_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).alias("n_correct"),
         (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# --------------------------- event analytics pack -------------------------
+@register(
+    "events_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS did_signup,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS signup_then_click,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                 AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+FROM firsts
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: first
+    occurrence per stage per user, strictly increasing timestamps."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s = F.col("t_signup").isNotNull()
+    sc_ = s & (F.col("t_click") > F.col("t_signup"))
+    scp = sc_ & (F.col("t_purchase") > F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one(s).alias("did_signup"),
+        one(sc_).alias("signup_then_click"),
+        one(scp).alias("full_funnel"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH base AS (
+  SELECT user_id, ts,
+    CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7 AS INT)
+      AS week
+  FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM base GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, week FROM base)
+SELECT c.cohort_week AS cohort_week,
+  CAST(a.week - c.cohort_week AS INT) AS week_offset,
+  COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, a.week - c.cohort_week
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week,
+    counted as active per week offset."""
+    ev = _t(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("int")
+    base = ev.select("user_id", week.alias("week"))
+    cohort = base.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = base.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive per-user events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
