@@ -561,3 +561,107 @@ def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+@register(
+    "text_byte_pair_stats",
+    oracle="""
+WITH pairs AS (
+  SELECT unnest(list_transform(range(1, strlen(text)),
+                i -> text[i:i+1])) AS pair
+  FROM documents WHERE strlen(text) >= 2)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair HAVING COUNT(*) >= 100
+""",
+)
+def text_byte_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training primitive: corpus-wide adjacent character-pair
+    frequencies (merge candidates), pure JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+    )
+    return (
+        docs.where(F.length("text") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+_BOW_DIM = 16
+
+
+def _bucket_sql(tok: str) -> str:
+    # md5 is identical across engines; first hex char -> 16 buckets
+    return f"CAST(ASCII(SUBSTR(md5({tok}), 1, 1)) % {_BOW_DIM} AS INT)"
+
+
+@register(
+    "text_hashed_bow",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_bucket_sql('unnest(string_split(text, chr(32)))')} AS b
+  FROM documents)
+SELECT doc_id,
+  {', '.join(f"CAST(SUM(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS b{i}"
+             for i in range(16))}
+FROM tok GROUP BY doc_id
+""",
+)
+def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (hashing-trick bag of words): token -> one of 16
+    buckets via md5, counted per document — the fixed-width featurizer
+    for downstream ML without a vocabulary build."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    bucket = (
+        F.ascii(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 1))
+        % _BOW_DIM
+    ).cast("int")
+    with_b = tok.select("doc_id", bucket.alias("b"))
+    aggs = [
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"b{i}")
+        for i in range(_BOW_DIM)
+    ]
+    return with_b.groupBy("doc_id").agg(*aggs)
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, strlen(text) + 1),
+                        i -> text[i:i])) AS ch
+  FROM documents),
+freq AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM freq GROUP BY doc_id)
+SELECT f.doc_id AS doc_id,
+  ROUND(-SUM((c / n) * LN(c / n)), 6) AS char_entropy
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-document character distribution — a
+    cheap gibberish/compression-quality signal. Rounded to 6 decimals
+    (double sum order differs across engines at ~1e-15)."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
+    )
