@@ -665,3 +665,33 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
     )
+
+
+@register(
+    "text_reverse_pandas_udf",
+    oracle="""
+SELECT doc_id, reverse(text) AS rev_text,
+  strlen(text) AS n_bytes
+FROM documents
+""",
+)
+def text_reverse_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow scalar (Series->Series) Pandas UDF on the hash-checked
+    path: byte-exact string reversal proves the Arrow round-trip is
+    lossless for the text corpus."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def rev(s):
+        return s.map(lambda x: x[::-1])
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def blen(s):
+        return s.map(lambda x: len(x.encode("utf-8")))
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rev("text").alias("rev_text"), blen("text").alias("n_bytes")
+    )

@@ -137,3 +137,43 @@ def test_jdbc_write_gated(spark, sample):
 
     with pytest.raises(RuntimeError, match="JDBC"):
         write_jdbc(sample, "jdbc:postgresql://nowhere/db", "t")
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """PERMISSIVE captures bad rows in _corrupt_record; DROPMALFORMED
+    silently drops them — both standard untrusted-feed modes."""
+    f = tmp_path / "messy.csv"
+    f.write_text("id,qty\n1,10\nnot_a_number,xx\n3,30\n")
+    schema = "id long, qty long, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema).option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(f))
+    ).cache()
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    dropped = (
+        spark.read.schema("id long, qty long").option("header", True)
+        .option("mode", "DROPMALFORMED").csv(str(f))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+    permissive.unpersist()
+
+
+def test_python_udtf(spark):
+    """Spark 4 Python UDTF: one row in -> many typed rows out."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class Splitter:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    got = Splitter(lit("alpha beta gamma")).collect()
+    assert [(r.word, r.pos) for r in got] == [
+        ("alpha", 0), ("beta", 1), ("gamma", 2)
+    ]
