@@ -1476,3 +1476,127 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ------------------------- join family completions ------------------------
+@register(
+    "etl_join_full_outer",
+    oracle="""
+SELECT a.k AS k_high, b.k AS k_building, a.n AS n_high, b.n AS n_building
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+      WHERE c_acctbal > 8000 GROUP BY c_nationkey) a
+FULL OUTER JOIN
+     (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+      WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) b
+ON a.k = b.k
+""",
+)
+def etl_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = (
+        cust.where(F.col("c_acctbal") > 8000)
+        .groupBy(F.col("c_nationkey").alias("k_high"))
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    b = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("k_building"))
+        .agg(F.count(F.lit(1)).alias("n_building"))
+    )
+    return a.join(b, a.k_high == b.k_building, "full_outer").select(
+        "k_high", "k_building", "n_high", "n_building"
+    )
+
+
+@register(
+    "etl_join_right",
+    oracle="""
+SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey,
+       c.c_name AS c_name
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def etl_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "etl_cross_join",
+    oracle="""
+SELECT n.n_name AS n_name, r.r_name AS r_name
+FROM nation n CROSS JOIN region r
+""",
+)
+def etl_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intentional cartesian of two tiny dims (25 x 5): the one place a
+    cross join is legitimate."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.crossJoin(_bc(region)).select("n_name", "r_name")
+
+
+@register(
+    "etl_union_all",
+    oracle="""
+SELECT c_custkey, 'high_balance' AS tag FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT c_custkey, 'building' AS tag FROM customer
+WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def etl_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("high_balance").alias("tag")
+    )
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("building").alias("tag")
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  NTH_VALUE(o_totalprice, 2) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+FROM orders
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "etl_format_string",
+    oracle="""
+SELECT printf('ORD-%08d/%s', o_orderkey, o_orderstatus) AS order_code,
+       o_orderkey
+FROM orders
+""",
+)
+def etl_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.format_string(
+            "ORD-%08d/%s", F.col("o_orderkey"), F.col("o_orderstatus")
+        ).alias("order_code"),
+        "o_orderkey",
+    )
