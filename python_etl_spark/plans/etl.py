@@ -1600,3 +1600,29 @@ def etl_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_code"),
         "o_orderkey",
     )
+
+
+@register(
+    "etl_lateral_topn",
+    oracle="""
+SELECT n.n_name AS n_name, t.c_custkey AS c_custkey, t.c_acctbal AS c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+""",
+)
+def etl_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the spark.sql surface:
+    per-nation top-2 customers by balance (the window-free top-N idiom)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        SELECT n.n_name AS n_name, t.c_custkey AS c_custkey,
+               t.c_acctbal AS c_acctbal
+        FROM v_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """)

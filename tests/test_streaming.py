@@ -226,3 +226,31 @@ def test_stream_stream_join(spark, event_files, tmp_path):
     # batch pair (late-arrival pruning can only DROP, never invent)
     assert got <= batch
     assert len(got) >= int(0.95 * len(batch)), (len(got), len(batch))
+
+
+def test_streaming_dedup_within_watermark(spark, event_files, tmp_path):
+    """Streaming exact dedup: duplicate events (same event_id) arriving
+    within the watermark horizon are emitted once."""
+    path, schema = event_files
+    # double every event to simulate at-least-once delivery
+    dup_path = str(tmp_path / "dup_events")
+    base = spark.read.schema(schema).parquet(path)
+    base.unionAll(base).write.mode("overwrite").parquet(dup_path)
+
+    stream = spark.readStream.schema(schema).parquet(dup_path)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids))  # no duplicates emitted
+    assert len(ids) == base.count()   # every original event exactly once
