@@ -147,3 +147,125 @@ def lsh_bucketed_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ------------------------------ IVF (coarse quantizer) --------------------
+def _kmeans_centroids(
+    v: DataFrame,
+    n_centroids: int,
+    iterations: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd iterations, DataFrame-only.
+
+    Init: the n_centroids vectors with the smallest xxhash64(id) —
+    deterministic, seed-free, spread pseudo-randomly. Each iteration:
+    assign to nearest centroid (broadcast centroids), recompute means
+    via posexplode + groupBy (one shuffle). Centroid count is small by
+    design (sqrt(corpus) rule), so the broadcast is cheap.
+    """
+    init = (
+        v.select("id", "vec", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    # stable small centroid ids 0..k-1
+    centroids = init.select(
+        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cid"), "cvec"
+    )
+    for _ in range(iterations):
+        assigned = _assign(v, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("vec").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "cx"))
+                ).alias("pairs")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pairs"), lambda p: p.cx).alias("cvec"),
+            )
+        )
+    return centroids
+
+
+def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector by dot/norm cosine, broadcast join."""
+    c = F.broadcast(centroids)
+    scored = v.join(c).select(
+        "id",
+        "vec",
+        "cid",
+        (
+            dot_exact("vec", "cvec")
+            / (F.sqrt(norm_sq_exact("vec")) * F.sqrt(norm_sq_exact("cvec")))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into n_centroids inverted lists by a
+    k-means coarse quantizer; each query probes its nprobe nearest
+    lists only. Candidate fraction ~ nprobe/n_centroids of the corpus —
+    the classic recall/cost dial. All DataFrame ops; centroids are the
+    only broadcast state."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    centroids = _kmeans_centroids(v, n_centroids).cache()
+    lists = _assign(v, centroids).select(
+        "id", "vec", F.col("cid").alias("list_id"),
+        norm_sq_exact("vec").alias("nsq"),
+    )
+
+    queries = v.where(F.col("id").isin(query_ids))
+    qscored = queries.join(F.broadcast(centroids)).select(
+        F.col("id").alias("query_id"),
+        "vec",
+        "cid",
+        (
+            dot_exact("vec", "cvec")
+            / (F.sqrt(norm_sq_exact("vec")) * F.sqrt(norm_sq_exact("cvec")))
+        ).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            F.col("vec").alias("qvec"),
+            norm_sq_exact("vec").alias("qnsq"),
+            F.col("cid").alias("list_id"),
+        )
+    )
+    cos = cosine_from_parts(dot_exact("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
+    scored = (
+        lists.join(F.broadcast(probes), ["list_id"])
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

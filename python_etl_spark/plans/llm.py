@@ -695,3 +695,13 @@ def text_reverse_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rev("text").alias("rev_text"), blen("text").alias("n_bytes")
     )
+
+
+@register("sim_topk_ivf")  # approximate: rows-only + pytest recall oracle
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_centroids=16, nprobe=4
+    )

@@ -83,3 +83,30 @@ def test_multiprobe_improves_recall(clustered):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.8, (r_single, r_multi)
+
+
+def test_ivf_recall_on_clustered(clustered):
+    from python_etl_spark.operators.similarity import ivf_topk
+
+    queries = [0, 40, 80, 120, 160]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, queries, k=5, n_centroids=8, nprobe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_ivf_runs_on_real_embeddings(spark, sf_dir):
+    from python_etl_spark.operators.similarity import ivf_topk
+    from python_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ivf_topk(emb, query_ids=[0, 1], k=3, n_centroids=8, nprobe=2).collect()
+    assert len(got) == 6 and all(r.rnk <= 3 for r in got)
