@@ -705,3 +705,117 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=16, nprobe=4
     )
+
+
+_MH_K = 16   # md5-based hash functions (checked variant)
+_MH_BANDS = 4
+_MH_ROWS = _MH_K // _MH_BANDS
+
+
+@register(
+    "dedup_minhash_lsh_checked",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      ELSE [array_to_string(t, ' ')] END AS shingle_list
+  FROM toks),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+       (SELECT doc_id, unnest(shingle_list) AS shingle FROM sl) q),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN(SUBSTR(md5('{i}|' || shingle), 1, 16)) AS h{i}"
+               for i in range(16))}
+  FROM sh GROUP BY doc_id),
+buckets AS (
+  {' UNION ALL '.join(
+      "SELECT doc_id, " + str(b) + " AS band, "
+      + "md5(" + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + ")"
+      + " AS bucket FROM sig"
+      for b in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST({' + '.join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+                     for i in range(16))} AS DOUBLE) / 16 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+)
+def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with md5-based hash functions: slower than the
+    xxhash64 production variant (dedup_minhash_lsh) but expressible in
+    DuckDB, so the ENTIRE pipeline — shingling, signatures, banding,
+    bucket join, estimate filter — is hash-checked end to end.
+    min over fixed-length lowercase-hex strings == min over the
+    unsigned 64-bit values they encode."""
+    from python_etl_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+
+    def h(i):
+        return F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("shingle")), "UTF-8")),
+            1,
+            16,
+        )
+
+    sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
+    )
+    band_frames = []
+    for b in range(_MH_BANDS):
+        parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+        concat = parts[0]
+        for p in parts[1:]:
+            concat = F.concat(concat, F.lit("|"), p)
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.encode(concat, "UTF-8")).alias("bucket"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionAll(bf)
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b2, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(_MH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(_MH_K)],
+    )
+    matches = [
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    ]
+    total = matches[0]
+    for m in matches[1:]:
+        total = total + m
+    est = total.cast("double") / _MH_K
+    return (
+        cand.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= 0.5)
+    )
