@@ -1626,3 +1626,81 @@ def etl_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
     """)
+
+
+@register(
+    "etl_skew_diagnostics",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey)
+SELECT COUNT(*) AS n_keys,
+  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+  CAST(SUM(c) AS BIGINT) AS total_rows,
+  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_key_share,
+  CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+    AS max_over_mean
+FROM per_key
+""",
+)
+def etl_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiling — the measurement that decides between
+    plain shuffle, AQE skew-join, and operators.skew.salted_join."""
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.sum("c").alias("total_rows"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_key_share"),
+        (
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count(F.lit(1)))
+        ).alias("max_over_mean"),
+    )
+
+
+@register(
+    "etl_skewness_kurtosis",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    {dsum_sql('l_quantity')} AS s1,
+    {dsum_sql('l_quantity * l_quantity', scale=4, prec=38)} AS s2,
+    {dsum_sql('l_quantity * l_quantity * l_quantity', scale=4, prec=38)} AS s3,
+    {dsum_sql('l_quantity * l_quantity * l_quantity * l_quantity',
+              scale=4, prec=38)} AS s4
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 8) AS skewness,
+  ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+         + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+         - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        / POW(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3.0, 8) AS excess_kurtosis
+FROM m
+""",
+)
+def etl_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness from exact decimal moment sums — the same
+    engine-invariant construction as etl_agg_stats/etl_corr; rounded to
+    8 (the final pow/divide chain differs at ~1 ulp across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = dsum(q)
+    s2 = dsum(q * q, scale=4, prec=38)
+    s3 = dsum(q * q * q, scale=4, prec=38)
+    s4 = dsum(q * q * q * q, scale=4, prec=38)
+    m1 = s1 / n
+    m2 = s2 / n
+    m3 = s3 / n
+    m4 = s4 / n
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(m2 - m1 * m1, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / F.pow(m2 - m1 * m1, 2.0) - 3.0
+    return li.groupBy("l_returnflag").agg(
+        F.round(skew, 8).alias("skewness"),
+        F.round(kurt, 8).alias("excess_kurtosis"),
+    )
