@@ -1704,3 +1704,22 @@ def etl_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 8).alias("skewness"),
         F.round(kurt, 8).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "etl_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM orders GROUP BY 1
+""",
+)
+def etl_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -1,0 +1,41 @@
+#!/usr/bin/env python
+"""Time EVERY registered query at a scale factor -> BENCH_ALL.md."""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from python_etl_spark.plans import ORACLES, QUERIES
+    from python_etl_spark.session import get_spark
+
+    spark = get_spark("bench-all")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()  # warm
+
+    rows = []
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        rows.append((name, dt, n, "oracle" if name in ORACLES else "rows-only"))
+        print(f"{name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = sum(r[1] for r in rows)
+    with open("BENCH_ALL.md", "w") as f:
+        f.write(f"# BENCH_ALL — every registered query at `{sf_dir}`\n\n")
+        f.write(f"{len(rows)} queries, total {total:.1f}s wall on local[32] "
+                "(sequential, includes per-query planning).\n\n")
+        f.write("| query | wall s | rows | check |\n|---|---|---|---|\n")
+        for name, dt, n, kind in sorted(rows, key=lambda r: -r[1]):
+            f.write(f"| {name} | {dt:.2f} | {n} | {kind} |\n")
+    print(f"wrote BENCH_ALL.md ({len(rows)} queries, {total:.1f}s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
