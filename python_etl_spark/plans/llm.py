@@ -142,8 +142,10 @@ WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.9
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_etl_spark.operators.similarity import near_dup_pairs_blocked
+
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9)
+    return near_dup_pairs_blocked(emb, threshold=0.9)
 
 
 # ---------------------------- similarity search ---------------------------
@@ -525,42 +527,14 @@ WHERE rnk <= 3
 """,
 )
 def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full kNN self-join: top-3 neighbors for EVERY vector (exact,
-    correctness baseline — the LSH-bucketed variant is the scale path)."""
-    from python_etl_spark.functions.vector import (
-        as_double,
-        cosine_from_parts,
-        dot,
-        norm_sq,
-    )
+    """Full kNN self-join: top-3 neighbors for EVERY vector — exact
+    baseline, computed as a broadcast BLAS block scan (see
+    operators.similarity.knn_join_blocked); approximate twins (LSH/IVF)
+    are the no-broadcast scale path."""
+    from python_etl_spark.operators.similarity import knn_join_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
-    ).select("id", "vec", norm_sq("vec").alias("nsq"))
-    a = v.select(
-        F.col("id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("nsq").alias("qnsq"),
-    )
-    b = v.select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("cvec"),
-        F.col("nsq").alias("cnsq"),
-    )
-    cos = cosine_from_parts(dot("qvec", "cvec"), F.col("qnsq"), F.col("cnsq"))
-    scored = (
-        a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id", "cosine", "rnk")
-    )
+    return knn_join_blocked(emb, k=3)
 
 
 @register(
