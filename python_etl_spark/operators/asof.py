@@ -33,9 +33,13 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
-    if right_ts not in right_cols and right_ts not in keys:
-        pass  # caller excluded the right timestamp from the output
     left_payload = [c for c in left.columns if c not in keys]
+    clash = set(left_payload) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"left/right payload column name collision: {sorted(clash)}; "
+            "rename or restrict right_cols"
+        )
     right_types = dict(right.dtypes)
 
     l_side = left.select(

@@ -303,7 +303,6 @@ def knn_join_blocked(
 
     def score(batches):
         c_ids, c_m, c_norms = bc.value
-        order_key = np.argsort(c_ids, kind="stable")
         for b in batches:
             q_ids = b[id_col].to_numpy()
             q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])

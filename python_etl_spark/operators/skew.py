@@ -13,6 +13,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SALT_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -24,7 +27,17 @@ def salted_join(
 
     Deterministic salt (hash of the full row via monotonically
     increasing id would break retries; use a stable hash of all
-    columns) so task retries produce identical results."""
+    columns) so task retries produce identical results.
+
+    Only inner/left/left_semi joins are supported: ``other`` is
+    replicated ``salt_buckets`` times, so any join type that emits
+    unmatched rows of the replicated side (right/full outer, right
+    semi/anti) would duplicate them once per salt bucket."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "replicated side would emit unmatched rows once per salt bucket"
+        )
     salt = (
         F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % salt_buckets
     ).alias("__salt")

@@ -13,12 +13,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
-    """updates override base on key collisions; schemas must match."""
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+) -> DataFrame:
+    """updates override base on key collisions; schemas must match.
+
+    ``updates`` must be key-unique — if it can hold several rows per
+    key, pass ``version_col`` (highest wins) to make the surviving row
+    deterministic; without it ties are broken arbitrarily."""
     tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
         base.withColumn("__pri", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy("__pri")
+    order = [F.asc("__pri")] + ([F.desc(version_col)] if version_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

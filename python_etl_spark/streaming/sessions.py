@@ -57,7 +57,10 @@ def _sessionize_group(
             closed.append(tuple(cur))
             cur = [t, t, 1, v]
         else:
-            cur[1] = t
+            # a late (within-watermark) event may carry ts inside the
+            # open session's span: never move the session window backwards
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
             cur[2] += 1
             cur[3] += v
     state.update(tuple(cur))

@@ -36,6 +36,19 @@ def test_asof_backward_inclusive(spark):
     }
 
 
+def test_asof_rejects_payload_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a")], "k long, ts timestamp_ntz, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "b")], "k long, rts timestamp_ntz, v string"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+
 def test_sessionize_gap_boundaries(spark):
     events = spark.createDataFrame(
         [

@@ -39,6 +39,27 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got == [(1, "a", "x"), (2, "b", None)]
 
 
+def test_salted_join_rejects_replicated_outer(spark):
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="salt bucket"):
+        salted_join(left, right, on="k", how="right")
+    with pytest.raises(ValueError, match="salt bucket"):
+        salted_join(left, right, on="k", how="full_outer")
+
+
+def test_upsert_version_col_tiebreak(spark):
+    base = spark.createDataFrame([(1, "old", 0)], "k long, v string, ver int")
+    updates = spark.createDataFrame(
+        [(1, "v1", 1), (1, "v2", 2)], "k long, v string, ver int"
+    )
+    got = dict(
+        (r.k, r.v)
+        for r in upsert(base, updates, keys=["k"], version_col="ver").collect()
+    )
+    assert got == {1: "v2"}  # highest version among colliding updates wins
+
+
 def test_upsert_semantics(spark):
     base = spark.createDataFrame(
         [(1, "old"), (2, "keep")], "k long, v string"
