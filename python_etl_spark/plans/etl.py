@@ -734,11 +734,14 @@ FROM customer
 """,
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE without the single-partition window: range-partition
+    + per-partition row_number + broadcast offsets (operators/ranking)."""
+    from python_etl_spark.operators.ranking import with_ntile
+
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
-    )
+    return with_ntile(
+        cust, ["c_acctbal", "c_custkey"], 4, out_col="quartile"
+    ).select("c_custkey", "c_acctbal", "quartile")
 
 
 # ------------------------- units / upsert / sampling ----------------------
@@ -1013,13 +1016,14 @@ FROM orders WHERE o_orderstatus = 'P'
 """,
 )
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist over a total order (orderkey tiebreak)
+    via the scale-safe global rank — no Exchange SinglePartition."""
+    from python_etl_spark.operators.ranking import with_percent_rank
+
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
+    return with_percent_rank(
+        orders, ["o_totalprice", "o_orderkey"]
+    ).select("o_orderkey", "pr", "cd")
 
 
 @register(

@@ -45,6 +45,14 @@ def test_q01_whole_stage_codegen(spark, sf_dir):
     assert "WholeStageCodegen" in buf.getvalue()
 
 
+def test_global_rank_no_single_partition_window(spark, sf_dir):
+    """win_ntile / win_percent_rank must not funnel all rows through a
+    single-partition global-order window (the 100 TB scale-killer)."""
+    for name in ["win_ntile", "win_percent_rank"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_no_cartesian_products(spark, sf_dir):
     """Scalar-subquery joins must broadcast, not nested-loop over rows."""
     for name in ["q11_supplier_balance_share", "q22_inactive_customers",

@@ -39,6 +39,36 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert got == [(1, "a", "x"), (2, "b", None)]
 
 
+def test_global_rank_matches_window(spark, sf_dir):
+    """Scale-safe global rank == row_number over the same total order,
+    for several partition counts (offsets must compose correctly)."""
+    from pyspark.sql import Window
+
+    from python_etl_spark.operators.ranking import global_rank, with_ntile
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = {
+        r.c_custkey: r.rn
+        for r in cust.select(
+            "c_custkey", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    for n_parts in (1, 7, 32):
+        ranked, n = global_rank(
+            cust, ["c_acctbal", "c_custkey"], "r", num_partitions=n_parts
+        )
+        got = {r.c_custkey: r.r for r in ranked.select("c_custkey", "r").collect()}
+        assert n == len(want)
+        assert got == want, n_parts
+    # ntile edge: more buckets than rows -> tile == rank
+    tiny = cust.limit(3)
+    tiles = sorted(
+        r.t for r in with_ntile(tiny, ["c_custkey"], 10, out_col="t").collect()
+    )
+    assert tiles == [1, 2, 3]
+
+
 def test_salted_join_rejects_replicated_outer(spark):
     left = spark.createDataFrame([(1, "a")], "k long, v string")
     right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
