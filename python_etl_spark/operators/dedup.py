@@ -339,10 +339,12 @@ def near_dup(
 ) -> DataFrame:
     """One entry point over the dedup family.
 
-    method: 'exact' | 'ngram' | 'minhash' | 'simhash' | 'embedding'.
-    'minhash' is the 100 TB default; 'ngram' is its exact (more
-    expensive) twin; 'embedding' expects an array<float> column named
-    by ``text_col``.
+    method: 'exact' | 'ngram' | 'minhash' | 'simhash' | 'embedding' |
+    'embedding_lsh'. 'minhash' is the 100 TB default for text; 'ngram'
+    is its exact (more expensive) twin. 'embedding' / 'embedding_lsh'
+    expect an array<float> column named by ``text_col``: 'embedding' is
+    the exact all-pairs baseline, 'embedding_lsh' the LSH-bucketed
+    100 TB path (similarity.lsh_bucketed_pairs).
     """
     if method == "exact":
         hashed = docs.groupBy(
@@ -363,6 +365,11 @@ def near_dup(
         return embedding_near_dup_pairs(
             docs, vec_col=text_col, id_col=id_col, **kwargs
         )
+    if method == "embedding_lsh":
+        from python_etl_spark.operators.similarity import lsh_bucketed_pairs
+
+        return lsh_bucketed_pairs(docs, vec_col=text_col, id_col=id_col, **kwargs)
     raise ValueError(
-        f"unknown method {method!r}; have exact/ngram/minhash/simhash/embedding"
+        f"unknown method {method!r}; have "
+        "exact/ngram/minhash/simhash/embedding/embedding_lsh"
     )

@@ -95,12 +95,16 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     multi_probe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH ANN top-k. With ``multi_probe`` the query side additionally
     probes every bucket at Hamming distance 1 from its own (n_planes
     extra buckets per query): a large recall gain whose cost scales
-    with the tiny query side — the corpus is never replicated."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    with the tiny query side — the corpus is never replicated.
+
+    Pass ``dim`` to skip the one-row lookup used to size hyperplanes."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes, dim, seed)
     v = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
@@ -271,13 +275,65 @@ def ivf_topk(
     )
 
 
-# ------------------------- vectorized exact block scan --------------------
-def _corpus_matrix(embeddings: DataFrame, vec_col: str, id_col: str):
+# --------------------- distributed exact block matmul ---------------------
+#
+# Exact all-pairs cosine WITHOUT any driver-side collect: the corpus is
+# hash-split into chunks, each chunk packed into ONE row holding its id
+# list and a row-major flattened matrix; chunk-pair rows are formed with
+# a self cross-join (n_chunks^2 rows — block METADATA, never row data,
+# crosses the shuffle only as packed arrays), and each pair computes a
+# (chunk x chunk) BLAS cosine block executor-side. Work is inherently
+# O(n^2) — this is the exact BASELINE; the LSH/IVF twins above are the
+# 100 TB path — but it is now distributed O(n^2): no single machine ever
+# holds more than two chunks, and the driver holds nothing.
+
+
+def _pack_chunks(
+    embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+    rows_per_chunk: int = 8192,
+) -> DataFrame:
+    """(ck, ids array<long>, mat array<double> row-major, dim) — one row
+    per hash chunk. Chunk count scales with a distributed count(); rows
+    per chunk stay bounded so a block pair always fits an executor."""
+    import numpy as np
+    import pandas as pd
+
+    n = embeddings.count()
+    n_chunks = max(1, -(-n // rows_per_chunk))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        return pd.DataFrame(
+            {
+                "ck": [int(pdf["ck"].iloc[0])],
+                "ids": [pdf["id"].tolist()],
+                "mat": [m.ravel().tolist()],
+                "dim": [int(m.shape[1])],
+            }
+        )
+
+    return (
+        embeddings.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn(
+            "ck",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_chunks)).cast("int"),
+        )
+        .groupBy("ck")
+        .applyInPandas(
+            pack, schema="ck int, ids array<long>, mat array<double>, dim int"
+        )
+    )
+
+
+def _unpack(row_ids, row_mat, dim):
     import numpy as np
 
-    pdf = embeddings.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    ids = np.asarray(row_ids, dtype=np.int64)
+    m = np.asarray(row_mat, dtype=np.float64).reshape(len(ids), dim)
     norms = np.sqrt((m * m).sum(axis=1))
     return ids, m, norms
 
@@ -287,48 +343,57 @@ def knn_join_blocked(
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rows_per_chunk: int = 8192,
 ) -> DataFrame:
-    """Exact kNN self-join via BLAS block matmul.
+    """Exact kNN self-join via distributed chunked BLAS block matmul.
 
-    The corpus matrix is broadcast (exact all-pairs is only sane when
-    one side fits an executor — the approximate twins handle the rest);
-    each Arrow batch computes a (batch x corpus) cosine block in one
-    matmul instead of per-pair Catalyst lambda folds (~20x faster).
-    Cosines are rounded to 6 decimals, matching the DuckDB oracle."""
+    Every (query-chunk, corpus-chunk) pair yields the query chunk's
+    local top-k against that corpus chunk; a final per-query window
+    merges the n_chunks local lists into the global top-k. Cosines are
+    rounded to 6 decimals, matching the DuckDB oracle."""
     import numpy as np
     import pandas as pd
 
-    ids, m, norms = _corpus_matrix(embeddings, vec_col, id_col)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, m, norms))
+    packed = _pack_chunks(embeddings, vec_col, id_col, rows_per_chunk)
+    left = packed.select(
+        F.col("ids").alias("q_ids"), F.col("mat").alias("q_mat"), "dim"
+    )
+    right = packed.select(
+        F.col("ids").alias("c_ids"), F.col("mat").alias("c_mat"),
+        F.col("dim").alias("c_dim"),
+    )
+    pairs = left.crossJoin(right)
 
     def score(batches):
-        c_ids, c_m, c_norms = bc.value
         for b in batches:
-            q_ids = b[id_col].to_numpy()
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            q_norms = np.sqrt((q * q).sum(axis=1))
-            s = np.round(
-                (q @ c_m.T) / (q_norms[:, None] * c_norms[None, :]), 6
-            )
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for row, qid in enumerate(q_ids):
-                sims = s[row]
-                mask = c_ids != qid
-                # sort by (-cosine, neighbor_id): lexsort keys reversed
-                idx = np.lexsort((c_ids[mask], -sims[mask]))[:k]
-                sel_ids = c_ids[mask][idx]
-                sel_sims = sims[mask][idx]
-                out_q.extend([qid] * len(idx))
-                out_n.extend(sel_ids.tolist())
-                out_c.extend(sel_sims.tolist())
-                out_r.extend(range(1, len(idx) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n,
-                 "cosine": out_c, "rnk": out_r}
-            )
+            for _, row in b.iterrows():
+                q_ids, q, q_norms = _unpack(row.q_ids, row.q_mat, row.dim)
+                c_ids, c, c_norms = _unpack(row.c_ids, row.c_mat, row.c_dim)
+                s = np.round(
+                    (q @ c.T) / (q_norms[:, None] * c_norms[None, :]), 6
+                )
+                out_q, out_n, out_c = [], [], []
+                for i, qid in enumerate(q_ids):
+                    sims = s[i]
+                    mask = c_ids != qid
+                    idx = np.lexsort((c_ids[mask], -sims[mask]))[:k]
+                    out_q.extend([qid] * len(idx))
+                    out_n.extend(c_ids[mask][idx].tolist())
+                    out_c.extend(sims[mask][idx].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cosine double, rnk int"
+    local = pairs.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
 
@@ -337,34 +402,118 @@ def near_dup_pairs_blocked(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rows_per_chunk: int = 8192,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (a < b, cosine >= threshold) via the
-    same broadcast block matmul."""
+    same distributed block matmul; only upper-triangle chunk pairs are
+    formed (ck_a <= ck_b), and pair ids are emitted (min, max)-ordered
+    so every pair appears exactly once."""
     import numpy as np
     import pandas as pd
 
-    ids, m, norms = _corpus_matrix(embeddings, vec_col, id_col)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, m, norms))
+    packed = _pack_chunks(embeddings, vec_col, id_col, rows_per_chunk)
+    left = packed.select(
+        F.col("ck").alias("a_ck"), F.col("ids").alias("a_ids"),
+        F.col("mat").alias("a_mat"), "dim",
+    )
+    right = packed.select(
+        F.col("ck").alias("b_ck"), F.col("ids").alias("b_ids"),
+        F.col("mat").alias("b_mat"), F.col("dim").alias("b_dim"),
+    )
+    pairs = left.crossJoin(right).where(F.col("a_ck") <= F.col("b_ck"))
 
     def score(batches):
-        c_ids, c_m, c_norms = bc.value
-        for b in batches:
-            q_ids = b[id_col].to_numpy()
-            q = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            q_norms = np.sqrt((q * q).sum(axis=1))
-            s = np.round(
-                (q @ c_m.T) / (q_norms[:, None] * c_norms[None, :]), 6
-            )
-            a_col, b_col, c_col = [], [], []
-            for row, qid in enumerate(q_ids):
-                mask = (c_ids > qid) & (s[row] >= threshold)
-                a_col.extend([qid] * int(mask.sum()))
-                b_col.extend(c_ids[mask].tolist())
-                c_col.extend(s[row][mask].tolist())
-            yield pd.DataFrame(
-                {"vec_a": a_col, "vec_b": b_col, "cosine": c_col}
-            )
+        for batch in batches:
+            for _, row in batch.iterrows():
+                a_ids, a, a_norms = _unpack(row.a_ids, row.a_mat, row.dim)
+                b_ids, b, b_norms = _unpack(row.b_ids, row.b_mat, row.b_dim)
+                s = np.round(
+                    (a @ b.T) / (a_norms[:, None] * b_norms[None, :]), 6
+                )
+                same = row.a_ck == row.b_ck
+                lo, hi, cos = [], [], []
+                for i, aid in enumerate(a_ids):
+                    hit = s[i] >= threshold
+                    if same:
+                        hit &= b_ids > aid
+                    else:
+                        hit &= b_ids != aid
+                    bids = b_ids[hit]
+                    sims = s[i][hit]
+                    lo.extend(np.minimum(aid, bids).tolist())
+                    hi.extend(np.maximum(aid, bids).tolist())
+                    cos.extend(sims.tolist())
+                yield pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    out = pairs.mapInPandas(
         score, schema="vec_a long, vec_b long, cosine double"
+    )
+    # cross-chunk blocks emit each unordered pair once (ids live in
+    # exactly one chunk each), so no dedup shuffle is needed
+    return out
+
+
+# ----------------- LSH-bucketed embedding near-dup (100 TB path) ----------
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed embedding near-dup pairs: random-hyperplane LSH
+    candidates + exact cosine verification.
+
+    ``n_tables`` independent hash tables (fresh hyperplanes per table);
+    a pair is a candidate if it collides in ANY table — collision
+    probability per table is (1 - theta/pi)^n_planes, so tables
+    multiply recall while n_planes divides candidate volume. The
+    candidate join runs per (table, bucket); the verify join touches
+    candidates only. Never all-pairs — this is the 100 TB path the
+    exact ``near_dup_pairs_blocked`` baselines."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    ).select("id", "vec", norm_sq_exact("vec").alias("nsq"))
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(
+                    F.col("vec"), _hyperplanes(n_planes, dim, seed + 1000 * t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = v.select("id", F.explode(tables).alias("e")).select(
+        "id", "e.table", "e.bucket"
+    )
+    a = buckets.select(F.col("id").alias("vec_a"), "table", "bucket")
+    b = buckets.select(F.col("id").alias("vec_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("id").alias("vec_a"), F.col("vec").alias("xa"),
+        F.col("nsq").alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("vec_b"), F.col("vec").alias("xb"),
+        F.col("nsq").alias("nb"),
+    )
+    cos = cosine_from_parts(dot_exact("xa", "xb"), F.col("na"), F.col("nb"))
+    return (
+        cands.join(va, ["vec_a"])
+        .join(vb, ["vec_b"])
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

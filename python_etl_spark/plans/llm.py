@@ -142,10 +142,25 @@ WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.9
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline, distributed chunked block matmul (no
+    driver collect); dedup_embedding_lsh is the sub-quadratic twin."""
     from python_etl_spark.operators.similarity import near_dup_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
     return near_dup_pairs_blocked(emb, threshold=0.9)
+
+
+@register("dedup_embedding_lsh")  # approximate: rows-only + pytest recall oracle
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup — the 100 TB path: hyperplane
+    candidates (4 tables x 8 planes), exact cosine verify on candidates
+    only; precision is exact, recall is pytest-checked vs the exact op."""
+    from python_etl_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(
+        emb, threshold=0.9, n_planes=8, n_tables=4, dim=64
+    )
 
 
 # ---------------------------- similarity search ---------------------------
@@ -528,9 +543,9 @@ WHERE rnk <= 3
 )
 def sim_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full kNN self-join: top-3 neighbors for EVERY vector — exact
-    baseline, computed as a broadcast BLAS block scan (see
-    operators.similarity.knn_join_blocked); approximate twins (LSH/IVF)
-    are the no-broadcast scale path."""
+    baseline, computed as a distributed chunked BLAS block matmul (see
+    operators.similarity.knn_join_blocked; no driver-side collect);
+    approximate twins (LSH/IVF) are the sub-quadratic scale path."""
     from python_etl_spark.operators.similarity import knn_join_blocked
 
     emb = _t(spark, sf_dir, "embeddings")

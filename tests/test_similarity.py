@@ -85,6 +85,69 @@ def test_multiprobe_improves_recall(clustered):
     assert r_multi >= 0.8, (r_single, r_multi)
 
 
+def test_knn_join_blocked_chunk_invariance(clustered):
+    """The distributed block matmul must give identical results for any
+    chunking (1 chunk == classic single-block; several chunks exercise
+    the cross-block merge)."""
+    from python_etl_spark.operators.similarity import knn_join_blocked
+
+    want = None
+    for rows_per_chunk in (1000, 64):
+        got = sorted(
+            tuple(r)
+            for r in knn_join_blocked(
+                clustered, k=3, rows_per_chunk=rows_per_chunk
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, rows_per_chunk
+    assert len(want) == 200 * 3
+
+
+def test_near_dup_pairs_blocked_chunk_invariance(clustered):
+    from python_etl_spark.operators.similarity import near_dup_pairs_blocked
+
+    want = None
+    for rows_per_chunk in (1000, 64):
+        got = sorted(
+            tuple(r)
+            for r in near_dup_pairs_blocked(
+                clustered, threshold=0.9, rows_per_chunk=rows_per_chunk
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want, rows_per_chunk
+    # every pair unique and ordered
+    assert all(a < b for a, b, _ in want)
+    assert len(want) == len({(a, b) for a, b, _ in want})
+
+
+def test_lsh_bucketed_pairs_recall_and_precision(clustered):
+    """The 100 TB embedding near-dup path: candidates from hyperplane
+    tables, exact verify. Precision must be exact (verified subset of
+    the exact op's pairs); recall high on clustered data."""
+    from python_etl_spark.operators.dedup import embedding_near_dup_pairs
+    from python_etl_spark.operators.similarity import lsh_bucketed_pairs
+
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(clustered, threshold=0.9).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in lsh_bucketed_pairs(
+            clustered, threshold=0.9, n_planes=8, n_tables=4, dim=16
+        ).collect()
+    }
+    assert set(approx) <= set(exact)  # precision 1.0 (exact verify)
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # identical rounded cosines
+    recall = len(approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall} over {len(exact)} true pairs"
+
+
 def test_ivf_recall_on_clustered(clustered):
     from python_etl_spark.operators.similarity import ivf_topk
 
