@@ -53,18 +53,45 @@ def shingles(
     )
 
 
+def _cap_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop 'stop shingles' whose document frequency exceeds the cap.
+
+    Boilerplate/template shingles (cookie banners, license headers)
+    appear in a huge fraction of a real web corpus; every such shingle
+    makes its inverted-index bucket quadratic. The hot set is tiny by
+    construction (only pathological shingles exceed the cap), so it
+    broadcasts and the filter is a broadcast anti join — no extra
+    shuffle of the big side. A doc whose shingles are ALL hot drops out
+    of candidate generation entirely (it has no distinguishing
+    content)."""
+    if max_doc_freq is None:
+        return sh
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    return sh.join(F.broadcast(hot), ["sh"], "left_anti")
+
+
 def shingle_hashes(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id, sh) with sh = xxhash64(shingle): 8-byte keys shrink every
     downstream shuffle/join vs. raw shingle strings; collision odds are
     ~n²/2⁶⁴ — negligible against the corpus sizes this targets.
 
     Hashes BEFORE the distinct so the dedup shuffle moves 16-byte
-    (id, long) rows instead of strings (~1.5s saved at sf0.1)."""
+    (id, long) rows instead of strings (~1.5s saved at sf0.1).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents (see _cap_doc_freq) — the robustness knob against
+    boilerplate-heavy corpora."""
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
@@ -77,10 +104,11 @@ def shingle_hashes(
             lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
         ),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    return (
+    sh = (
         docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
         .distinct()
     )
+    return _cap_doc_freq(sh, max_doc_freq)
 
 
 # -------------------------- exact n-gram Jaccard --------------------------
@@ -90,14 +118,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets via inverted-index join.
 
     Only documents sharing >= 1 shingle are ever paired, so the join
     size tracks true overlap instead of n^2. The inverted index joins
     on the 64-bit shingle hash, not the string.
+
+    With ``max_doc_freq``, Jaccard is computed over the RETAINED
+    shingle sets (stop shingles removed from both numerator and
+    denominator) — the standard boilerplate-robust variant.
     """
-    sh = shingle_hashes(docs, text_col, id_col, k).cache()
+    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("doc_a"), "sh")
     b = sh.select(F.col("id").alias("doc_b"), "sh")
@@ -127,12 +160,16 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) — num_hashes independent min-hashes,
     min-aggregated per doc. One explode + one groupBy; partial
     aggregation applies. Each hash function is a cheap long-input remix
-    of the single string hash (hashing the string once, not 64 times)."""
-    sh = shingle_hashes(docs, text_col, id_col, k)
+    of the single string hash (hashing the string once, not 64 times).
+
+    ``max_doc_freq`` caps shingle document frequency first, so one
+    viral boilerplate shingle can't dominate every signature."""
+    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -181,10 +218,13 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates filtered by the signature
     Jaccard estimate (fraction of agreeing min-hashes)."""
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, k).cache()
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, k, max_doc_freq
+    ).cache()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))

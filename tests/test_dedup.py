@@ -107,6 +107,56 @@ def test_lsh_candidates_subset_of_jaccard_space(spark, sf_dir):
         assert (r.doc_a, r.doc_b) in exact
 
 
+def test_stop_shingle_df_cap(spark):
+    """Boilerplate-heavy corpus: every doc shares a template sentence.
+    Without the cap, the template shingles pair ALL docs (quadratic
+    bucket); with max_doc_freq the hot shingles drop out and only the
+    genuinely-duplicated pair remains. A normal corpus is unchanged."""
+    from python_etl_spark.operators.dedup import shingle_hashes
+
+    boiler = "subscribe to our newsletter and accept all cookies please"
+    rows = [(i, f"{boiler} unique content number {i} about topic {i * 7}")
+            for i in range(20)]
+    rows += [(100, f"{boiler} same special payload text here"),
+             (101, f"{boiler} same special payload text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.05).count()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.05, max_doc_freq=10
+        ).collect()
+    }
+    assert uncapped > 200  # boilerplate pairs every doc with every doc
+    assert capped == {(100, 101)}  # only the true duplicate survives
+
+    # candidate volume actually collapses: retained inverted index holds
+    # no shingle with df > cap
+    sh = shingle_hashes(docs, max_doc_freq=10)
+    from pyspark.sql import functions as F
+    max_df = sh.groupBy("sh").count().agg(F.max("count")).first()[0]
+    assert max_df <= 10
+
+    # normal corpus (nothing above the cap): results identical
+    normal = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR)], "doc_id long, text string"
+    )
+    plain = sorted(tuple(r) for r in ngram_jaccard_pairs(normal, threshold=0.1).collect())
+    with_cap = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(normal, threshold=0.1, max_doc_freq=10).collect()
+    )
+    assert plain == with_cap
+
+    # minhash path takes the knob too
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, max_doc_freq=10).collect()
+    }
+    assert (100, 101) in lsh
+
+
 def test_near_dup_facade(spark, corpus):
     from python_etl_spark.operators.dedup import near_dup
 
