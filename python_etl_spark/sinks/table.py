@@ -1,0 +1,165 @@
+"""Versioned parquet table with atomic manifest commits — a minimal
+lakehouse-style sink (Iceberg/Delta shape, zero external deps) so MERGE
+and CDC compaction land somewhere durable.
+
+Layout::
+
+    <root>/
+      data/commit-00000000/   part-*.parquet   (one dir per commit)
+      data/commit-00000001/   ...
+      _manifests/v00000000.json                (one manifest per version)
+      _manifests/_latest                       (current version number)
+
+A manifest lists the data DIRECTORIES visible in that version, so a
+snapshot read is ``spark.read.parquet(*dirs)`` — parquet pushdown,
+pruning, and partitioned layouts all still apply. Commits are atomic:
+the manifest is written to a temp name and ``os.rename``d into place
+(atomic on POSIX), and ``_latest`` is swapped the same way; readers see
+either the old or the new version, never a half-commit. Old versions
+stay readable (time travel) until ``vacuum``.
+
+Operations:
+
+* ``create`` / ``append`` — new commit dir + manifest (append lists old
+  dirs + the new one). No data rewrite.
+* ``merge`` — copy-on-write MERGE (upsert semantics via
+  ``operators.upsert``): reads the current snapshot, merges the updates
+  frame, writes a full new commit dir, manifest lists only that dir.
+* ``delete_where`` — copy-on-write anti-filter rewrite.
+* ``read`` — latest or ``version=`` snapshot.
+
+At 100 TB the copy-on-write merge rewrites the table — that's the
+simplest correct strategy (real Iceberg/Delta add file-level pruning &
+merge-on-read); partition the table and merge per-partition slices to
+bound rewrite cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_LATEST = "_latest"
+
+
+class VersionedTable:
+    def __init__(self, root: str):
+        self.root = root
+        self._mdir = os.path.join(root, _MANIFEST_DIR)
+
+    # ------------------------------ internals -----------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._mdir, f"v{version:08d}.json")
+
+    def _atomic_write(self, path: str, payload: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)  # atomic on POSIX
+
+    def _commit(self, dirs: list[str], op: str, version: int) -> int:
+        manifest = {"version": version, "op": op, "data_dirs": dirs}
+        os.makedirs(self._mdir, exist_ok=True)
+        path = self._manifest_path(version)
+        if os.path.exists(path):
+            raise RuntimeError(
+                f"version {version} already committed (concurrent writer?)"
+            )
+        self._atomic_write(path, json.dumps(manifest, indent=1))
+        self._atomic_write(os.path.join(self._mdir, _LATEST), str(version))
+        return version
+
+    def _read_manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _write_data(self, df: DataFrame, version: int) -> str:
+        out = os.path.join(self.root, "data", f"commit-{version:08d}")
+        df.write.mode("errorifexists").parquet(out)
+        return out
+
+    # ------------------------------- public --------------------------------
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(os.path.join(self._mdir, _LATEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def history(self) -> list[dict]:
+        v = self.latest_version()
+        if v is None:
+            return []
+        return [self._read_manifest(i) for i in range(v + 1)]
+
+    def create(self, df: DataFrame) -> int:
+        if self.exists():
+            raise RuntimeError(f"table already exists at {self.root}")
+        d = self._write_data(df, 0)
+        return self._commit([d], "create", 0)
+
+    def append(self, df: DataFrame) -> int:
+        cur = self._read_manifest()
+        v = cur["version"] + 1
+        d = self._write_data(df, v)
+        return self._commit(cur["data_dirs"] + [d], "append", v)
+
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        version_col: str | None = None,
+    ) -> int:
+        """Copy-on-write MERGE: update rows win on key collision, new
+        keys are inserted (upsert semantics; ``version_col`` breaks ties
+        inside a non-key-unique updates batch)."""
+        from python_etl_spark.operators.upsert import upsert
+
+        cur = self._read_manifest()
+        spark = updates.sparkSession
+        base = spark.read.parquet(*cur["data_dirs"])
+        merged = upsert(base, updates.select(*base.columns), keys, version_col)
+        v = cur["version"] + 1
+        d = self._write_data(merged, v)
+        return self._commit([d], "merge", v)
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write DELETE: rewrite the snapshot without matching
+        rows. ``condition`` is a Column predicate."""
+        cur = self._read_manifest()
+        spark = SparkSession.getActiveSession()
+        base = spark.read.parquet(*cur["data_dirs"])
+        v = cur["version"] + 1
+        d = self._write_data(base.where(~condition), v)
+        return self._commit([d], "delete", v)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self._read_manifest(version)
+        return spark.read.parquet(*m["data_dirs"])
+
+    def vacuum(self) -> list[str]:
+        """Drop data dirs unreachable from the LATEST version (ends time
+        travel for older versions). Returns removed dirs."""
+        import shutil
+
+        live = set(self._read_manifest()["data_dirs"])
+        data_root = os.path.join(self.root, "data")
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, name)
+            if full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+        return removed
