@@ -5,14 +5,19 @@ metadata struct, Arrow-batched ``mapInPandas`` decode with an explicit
 output schema, and batch-shape control via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual media decoders (PIL / soundfile / ffmpeg) are NOT in this
-container, so ``decode_media`` dispatches to a deterministic fake
-decoder by default and raises ``NotImplementedError`` when a real
-decode is requested — the seam where image/audio libs plug in.
+Three decoders plug into the one ``mapInPandas`` seam:
+
+* ``fake``    — deterministic dimensions from payload size (CI default;
+                the registered query's oracle recomputes it in SQL).
+* ``headers`` — REAL byte parsing, stdlib-only: PNG IHDR, JPEG SOFn,
+                GIF, BMP, and WAV RIFF headers → (fmt, width, height).
+* ``pil``     — full image decode via Pillow, import-guarded: raises a
+                clear error when the library is absent.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,20 +61,122 @@ def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def parse_media_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Stdlib-only header probe: (fmt, width, height) or None.
+
+    Reads only the fixed-offset header fields — O(1) per payload except
+    the JPEG segment walk (bounded by header size), so it's safe to run
+    over billions of binaries without decoding pixel data."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:3] == b"\xff\xd8\xff":  # JPEG: walk segments to SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpg", w, h
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return "gif", w, h
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", w, abs(h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # width := sample rate, height := channel count (audio "shape")
+        channels = struct.unpack("<H", payload[22:24])[0]
+        rate = struct.unpack("<I", payload[24:28])[0]
+        return "wav", rate, channels
+    return None
+
+
+def _header_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    fmts, widths, heights = [], [], []
+    for payload in batch["payload"]:
+        parsed = parse_media_header(bytes(payload))
+        fmt, w, h = parsed if parsed else (None, None, None)
+        fmts.append(fmt)
+        widths.append(w)
+        heights.append(h)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "fmt": fmts,
+            "byte_len": batch["payload"].map(len),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+        }
+    )
+
+
+def _pil_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Full decode via Pillow (import-guarded at dispatch)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    fmts, widths, heights = [], [], []
+    for payload in batch["payload"]:
+        try:
+            with Image.open(BytesIO(bytes(payload))) as im:
+                fmts.append((im.format or "").lower())
+                widths.append(im.size[0])
+                heights.append(im.size[1])
+        except Exception:
+            fmts.append(None)
+            widths.append(None)
+            heights.append(None)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "fmt": fmts,
+            "byte_len": batch["payload"].map(len),
+            "width": pd.array(widths, dtype="Int32"),
+            "height": pd.array(heights, dtype="Int32"),
+        }
+    )
+
+
 def decode_media(
-    payloads: DataFrame, real_decoder: bool = False
+    payloads: DataFrame,
+    real_decoder: bool = False,
+    decoder: str | None = None,
 ) -> DataFrame:
-    """Arrow-batched decode over (doc_id, payload, meta) rows."""
-    if real_decoder:
-        raise NotImplementedError(
-            "media decoders (PIL/soundfile) are not available in this "
-            "environment; plug a real decoder into _decode_iter here"
-        )
+    """Arrow-batched decode over (doc_id, payload, meta) rows.
+
+    decoder: 'fake' (default) | 'headers' (stdlib byte parsing) |
+    'pil' (Pillow full decode, gated on the library being installed).
+    ``real_decoder=True`` is the backwards-compatible alias for 'pil'.
+    """
+    decoder = decoder or ("pil" if real_decoder else "fake")
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='pil' needs Pillow installed on the executors "
+                "(pip install pillow); use decoder='headers' for the "
+                "dependency-free header probe"
+            ) from e
+        body = _pil_decode
+    elif decoder == "headers":
+        body = _header_decode
+    elif decoder == "fake":
+        body = _fake_decode
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}: fake/headers/pil")
+
     flat = payloads.select("doc_id", "payload", F.col("meta.fmt").alias("fmt"))
 
     def _decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield _fake_decode(batch)
+            yield body(batch)
 
     return flat.mapInPandas(_decode_iter, schema=DECODE_SCHEMA)
 

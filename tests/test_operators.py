@@ -98,3 +98,99 @@ def test_multimodal_stub(spark):
     assert {r.doc_id: r["count"] for r in frames} == {0: 3, 1: 2, 2: 3}
     with pytest.raises(NotImplementedError):
         decode_media(payloads, real_decoder=True)
+
+
+def _png_bytes(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h)
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # SOI + APP0 (16 bytes) + SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", h, w
+    ) + b"\x01\x11\x00"
+    return b"\xff\xd8\xff" + app0[1:] + sof0
+
+
+def _wav_bytes(rate, channels):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(b"\x00\x00" * 8)
+    return buf.getvalue()
+
+
+def test_multimodal_header_decoder_real_bytes(spark):
+    """The 'headers' decoder parses REAL container headers (stdlib-only):
+    PNG IHDR, GIF, JPEG SOF0, WAV RIFF — through the same Arrow seam."""
+    from python_etl_spark.operators.multimodal import decode_media
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, _png_bytes(640, 480), "png"),
+        (1, _gif_bytes(32, 16), "gif"),
+        (2, _jpeg_bytes(800, 600), "jpg"),
+        (3, _wav_bytes(44100, 2), "wav"),
+        (4, b"not a media file at all", "bin"),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id", "payload", F.struct("fmt", F.length("payload").alias("declared_len")).alias("meta")
+    )
+    got = {
+        r.doc_id: (r.fmt, r.width, r.height)
+        for r in decode_media(payloads, decoder="headers").collect()
+    }
+    assert got[0] == ("png", 640, 480)
+    assert got[1] == ("gif", 32, 16)
+    assert got[2] == ("jpg", 800, 600)
+    assert got[3] == ("wav", 44100, 2)  # sample rate / channels
+    assert got[4] == (None, None, None)  # unknown container -> nulls
+
+
+def test_multimodal_pil_decoder_when_available(spark):
+    """Full Pillow decode through the same seam; skips when the lib is
+    absent (the gate must raise a clear NotImplementedError then)."""
+    import pytest
+
+    from python_etl_spark.operators.multimodal import decode_media
+    from pyspark.sql import functions as F
+
+    payloads = spark.createDataFrame(
+        [(0, _png_bytes(8, 4), "png")], "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id", "payload", F.struct("fmt", F.length("payload").alias("declared_len")).alias("meta")
+    )
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_media(payloads, decoder="pil")
+        return
+    got = decode_media(payloads, decoder="pil").collect()
+    assert (got[0].width, got[0].height) == (8, 4)
