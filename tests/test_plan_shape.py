@@ -53,6 +53,15 @@ def test_global_rank_no_single_partition_window(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
 
+def test_chunked_exact_ops_never_broadcast_corpus(spark, sf_dir):
+    """The distributed exact embedding ops must not pull packed chunks
+    through the driver as a broadcast relation — the chunk cartesian has
+    to stay executor-side (shuffle-replicate)."""
+    for name in ["sim_knn_join_exact", "dedup_embedding_cosine"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
 def test_no_cartesian_products(spark, sf_dir):
     """Scalar-subquery joins must broadcast, not nested-loop over rows."""
     for name in ["q11_supplier_balance_share", "q22_inactive_customers",
