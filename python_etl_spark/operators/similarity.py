@@ -293,7 +293,7 @@ def _pack_chunks(
     embeddings: DataFrame,
     vec_col: str,
     id_col: str,
-    rows_per_chunk: int = 8192,
+    rows_per_chunk: int = 4096,
 ) -> DataFrame:
     """(ck, ids array<long>, mat array<double> row-major, dim) — one row
     per hash chunk. Chunk count scales with a distributed count(); rows
@@ -328,6 +328,9 @@ def _pack_chunks(
             pack, schema="ck int, ids array<long>, mat array<double>, dim int"
         )
     )
+    # NOTE: do NOT .persist() this — caching multi-MB array rows through
+    # the columnar cache serializer measured 2-5x SLOWER than recomputing
+    # the pack for each cartesian branch (8s vs 4s at sf0.1)
 
 
 def _unpack(row_ids, row_mat, dim):
@@ -344,7 +347,7 @@ def knn_join_blocked(
     k: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    rows_per_chunk: int = 8192,
+    rows_per_chunk: int = 4096,
 ) -> DataFrame:
     """Exact kNN self-join via distributed chunked BLAS block matmul.
 
@@ -406,7 +409,7 @@ def near_dup_pairs_blocked(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    rows_per_chunk: int = 8192,
+    rows_per_chunk: int = 4096,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (a < b, cosine >= threshold) via the
     same distributed block matmul; only upper-triangle chunk pairs are
