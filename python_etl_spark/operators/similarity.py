@@ -155,67 +155,84 @@ def lsh_bucketed_topk(
 
 
 # ------------------------------ IVF (coarse quantizer) --------------------
+#
+# The centroid matrix is DRIVER-HELD model state (n_centroids x dim
+# doubles — a few MB even at 4096x1024), exactly like Spark MLlib's
+# KMeans. The corpus never leaves the executors: assignment is one
+# Arrow-batched argmax matmul per batch (no join, no window, no
+# shuffle), and each Lloyd iteration costs exactly ONE shuffle — the
+# groupBy(cid) grouped mean. The earlier DataFrame-only formulation
+# (corpus x centroids broadcast join + per-row window row_number +
+# posexplode groupBy) shuffled corpus*k rows three times per iteration
+# and was the slowest query in the sweep (6.5s -> ~1.5s at sf0.1).
+
+
+def _normalize_rows(c: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((c * c).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return c / norms[:, None]
+
+
+def _assign_udf(cn: np.ndarray):
+    """pandas_udf: nearest-centroid id by cosine against the
+    row-normalized centroid matrix ``cn``. Row norms of the input don't
+    change the argmax, so only centroids are normalized. np.argmax
+    takes the FIRST max — the (desc sim, asc cid) tiebreak."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def best_cid(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        return pd.Series((m @ cn.T).argmax(axis=1).astype("int32"))
+
+    return best_cid
+
+
 def _kmeans_centroids(
     v: DataFrame,
     n_centroids: int,
     iterations: int = 5,
-) -> DataFrame:
-    """Deterministic Lloyd iterations, DataFrame-only.
+) -> np.ndarray:
+    """Deterministic Lloyd iterations -> (n_centroids, dim) ndarray.
 
     Init: the n_centroids vectors with the smallest xxhash64(id) —
-    deterministic, seed-free, spread pseudo-randomly. Each iteration:
-    assign to nearest centroid (broadcast centroids), recompute means
-    via posexplode + groupBy (one shuffle). Centroid count is small by
-    design (sqrt(corpus) rule), so the broadcast is cheap.
-    """
+    deterministic, seed-free, pseudo-randomly spread. Only the centroid
+    matrix and the per-cluster means (n_centroids rows) ever reach the
+    driver; empty clusters keep their previous centroid."""
+    # iterative working set: cache for the Lloyd loop (the canonical
+    # Spark pattern — MEMORY_AND_DISK, spills if the corpus outgrows
+    # executor memory), released before returning
+    v = v.persist()
     init = (
-        v.select("id", "vec", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        v.select("vec", F.xxhash64(F.col("id").cast("string")).alias("h"))
         .orderBy("h")
         .limit(n_centroids)
-        .select(F.col("id").alias("cid"), F.col("vec").alias("cvec"))
+        .collect()
     )
-    # stable small centroid ids 0..k-1
-    centroids = init.select(
-        (F.row_number().over(Window.orderBy("cid")) - 1).alias("cid"), "cvec"
-    )
-    for _ in range(iterations):
-        assigned = _assign(v, centroids)
-        centroids = (
-            assigned.select("cid", F.posexplode("vec").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("cx"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("i", "cx"))
-                ).alias("pairs")
-            )
-            .select(
-                "cid",
-                F.transform(F.col("pairs"), lambda p: p.cx).alias("cvec"),
-            )
+    c = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
+        return pd.DataFrame(
+            {"cid": [int(pdf["cid"].iloc[0])], "cvec": [m.mean(axis=0).tolist()]}
         )
-    return centroids
 
-
-def _assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector by dot/norm cosine, broadcast join."""
-    c = F.broadcast(centroids)
-    scored = v.join(c).select(
-        "id",
-        "vec",
-        "cid",
-        (
-            dot_exact("vec", "cvec")
-            / (F.sqrt(norm_sq_exact("vec")) * F.sqrt(norm_sq_exact("cvec")))
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "vec", "cid")
-    )
+    for _ in range(iterations):
+        assigned = v.withColumn("cid", _assign_udf(_normalize_rows(c))("vec"))
+        means = (
+            assigned.select("cid", "vec")
+            .groupBy("cid")
+            .applyInPandas(mean_vec, schema="cid int, cvec array<double>")
+            .collect()
+        )
+        nxt = c.copy()
+        for r in means:
+            nxt[r["cid"]] = np.asarray(r["cvec"], dtype=np.float64)
+        c = nxt
+    v.unpersist(blocking=False)
+    return c
 
 
 def ivf_topk(
@@ -232,34 +249,33 @@ def ivf_topk(
     lists only. Candidate fraction ~ nprobe/n_centroids of the corpus —
     the classic recall/cost dial. All DataFrame ops; centroids are the
     only broadcast state."""
+    from pyspark.sql.functions import pandas_udf
+
     v = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     )
-    centroids = _kmeans_centroids(v, n_centroids).cache()
-    lists = _assign(v, centroids).select(
-        "id", "vec", F.col("cid").alias("list_id"),
+    cn = _normalize_rows(_kmeans_centroids(v, n_centroids))
+    lists = v.select(
+        "id", "vec", _assign_udf(cn)("vec").alias("list_id"),
         norm_sq_exact("vec").alias("nsq"),
     )
 
-    queries = v.where(F.col("id").isin(query_ids))
-    qscored = queries.join(F.broadcast(centroids)).select(
-        F.col("id").alias("query_id"),
-        "vec",
-        "cid",
-        (
-            dot_exact("vec", "cvec")
-            / (F.sqrt(norm_sq_exact("vec")) * F.sqrt(norm_sq_exact("cvec")))
-        ).alias("sim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    @pandas_udf("array<int>")
+    def probe_cids(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        # stable argsort on -sim: lower cid wins ties (desc sim, asc cid)
+        order = np.argsort(-(m @ cn.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
     probes = (
-        qscored.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
+        v.where(F.col("id").isin(query_ids))
         .select(
-            "query_id",
+            F.col("id").alias("query_id"),
             F.col("vec").alias("qvec"),
             norm_sq_exact("vec").alias("qnsq"),
-            F.col("cid").alias("list_id"),
+            F.explode(probe_cids("vec")).alias("list_id"),
         )
     )
     cos = cosine_from_parts(dot_exact("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
