@@ -759,25 +759,27 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
         )
 
+    # sig feeds the band explode AND both sides of the estimate join —
+    # cache it or the shingle+groupBy pipeline recomputes up to 3x
     sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
         *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
-    )
-    band_frames = []
-    for b in range(_MH_BANDS):
+    ).cache()
+
+    def band_bucket(b):
         parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
         concat = parts[0]
         for p in parts[1:]:
             concat = F.concat(concat, F.lit("|"), p)
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.encode(concat, "UTF-8")).alias("bucket"),
-            )
+        return F.struct(
+            F.lit(b).alias("band"), F.md5(F.encode(concat, "UTF-8")).alias("bucket")
         )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionAll(bf)
+
+    # one pass over sig (posexplode of the 4 band structs), not a
+    # 4-branch union that re-reads sig per band
+    buckets = sig.select(
+        "doc_id",
+        F.explode(F.array(*[band_bucket(b) for b in range(_MH_BANDS)])).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
