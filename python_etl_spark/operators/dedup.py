@@ -23,6 +23,25 @@ from pyspark.sql import functions as F
 
 
 # ------------------------------- shingling --------------------------------
+def _word_grams(toks: F.Column, k: int) -> F.Column:
+    """Word k-gram strings from a token array in k-1 chained zip_with
+    passes — linear in the token count. Each pass zips the running gram
+    array with the token array shifted one further; the trailing k-1
+    positions pair with null, concat null-propagates, and array_compact
+    drops them. (The earlier transform(sequence, i ->
+    array_join(slice(toks, i+1, k))) re-walked the array per position.)
+
+    Caller handles the size < k case (empty after compact)."""
+    g = toks
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_compact(g)
+
+
 def shingles(
     docs: DataFrame,
     text_col: str = "text",
@@ -39,14 +58,9 @@ def shingles(
         docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
-    grams = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            # slice+array_join is ~2x faster than k element_at calls
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    grams = F.when(n_sh >= 1, _word_grams(toks, k)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
@@ -99,10 +113,7 @@ def shingle_hashes(
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
         n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-        ),
+        F.transform(_word_grams(toks, k), lambda g: F.xxhash64(g)),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
     sh = (
         docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
@@ -193,10 +204,7 @@ def minhash_signatures(
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
         n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-        ),
+        F.transform(_word_grams(toks, k), lambda g: F.xxhash64(g)),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
     sig = F.array(
         *[

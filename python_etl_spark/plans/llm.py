@@ -442,16 +442,17 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     over all occurrences per doc)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
-    # slice+array_join over a materialized token array instead of two
-    # element_at seeks per position (same ~2x win as shingles())
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
-        lambda i: F.array_join(F.slice(F.col("t"), i + 1, 2), " "),
+    # one pass: zip the token array with its own 1-shifted tail; the
+    # final element pairs with null and concat null-propagates -> filtered
+    t = F.col("t")
+    grams = F.zip_with(
+        t, F.slice(t, 2, F.size(t)), lambda a, b: F.concat(a, F.lit(" "), b)
     )
     return (
         docs.where(F.size(toks) >= 2)
         .select(toks.alias("t"))
         .select(F.explode(grams).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 5)
@@ -565,12 +566,17 @@ def text_byte_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE-training primitive: corpus-wide adjacent character-pair
     frequencies (merge candidates), pure JVM expressions."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = F.expr(
-        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
-    )
+    # one pass: zip the char array with its own 1-shifted tail; the
+    # final element pairs with null -> concat yields null -> filtered.
+    # (substr-per-index was O(len^2) per doc; per-index slice re-walked
+    # the array each position)
+    cs = F.col("cs")
+    pairs = F.zip_with(cs, F.slice(cs, 2, F.size(cs)), lambda a, b: F.concat(a, b))
     return (
         docs.where(F.length("text") >= 2)
+        .select(F.split("text", "", -1).alias("cs"))
         .select(F.explode(pairs).alias("pair"))
+        .where(F.col("pair").isNotNull())
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 100)
