@@ -814,3 +814,183 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= 0.5)
     )
+
+
+# --------------------- round-2 additions: corpus curation ------------------
+
+_NGRAM_SH_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      ELSE [array_to_string(t, ' ')] END AS shingle_list
+  FROM toks),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+       (SELECT doc_id, unnest(shingle_list) AS shingle FROM sl) q)
+"""
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+    tf.tf * ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS s
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, s,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, tok ASC) AS rnk
+  FROM scored)
+SELECT doc_id, tok, ROUND(s, 6) AS score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor.
+
+    tf and df come from ONE exploded aggregation each; N is a 1-row
+    broadcast. idf is rounded to 9 decimals BEFORE the multiply so the
+    rank order is engine-invariant (ln() differs in the last ulp
+    between JVM and DuckDB). The final window is partitioned by doc_id
+    — embarrassingly parallel, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 9)
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", F.round("s", 6).alias("score"), "rnk")
+    )
+
+
+@register(
+    "text_boilerplate_coverage",
+    oracle=f"""
+WITH {_NGRAM_SH_SQL},
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  ROUND(AVG(CASE WHEN df.df > 1 THEN 1.0 ELSE 0.0 END), 6)
+    AS boilerplate_frac
+FROM sh JOIN df ON sh.shingle = df.shingle
+GROUP BY sh.doc_id
+""",
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 3-gram shingles that also appear in
+    ANOTHER document — the boilerplate / contamination signal that
+    drives the stop-shingle df-cap. Inverted-index shaped: one shingle
+    df aggregation joined back to the per-doc shingle list; never
+    all-pairs."""
+    from python_etl_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3)
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") > 1, 1.0).otherwise(0.0)), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+def _hexval_sql(expr: str) -> str:
+    a = f"ASCII(SUBSTR(md5(CAST(doc_id AS VARCHAR)), {expr}, 1))"
+    return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+
+@register(
+    "etl_weighted_sample",
+    oracle=f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_hexval_sql('1')} * 16 + {_hexval_sql('2')}
+      < 256.0 * (length(source) % 5 + 1) / 10.0
+""",
+)
+def etl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted downsampling — the training-mixture
+    primitive: each source keeps a deterministic hash fraction of its
+    docs (here weight = (len(source) mod 5 + 1)/10, i.e. 10%-50%).
+    md5-derived uniform in [0,256) compared against 256*weight; pure
+    narrow filter, reproducible across engines and runs."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def hexval(pos: int):
+        a = F.ascii(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), pos, 1
+            )
+        )
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    u = hexval(1) * 16 + hexval(2)
+    w = (F.length("source") % 5 + 1).cast("double") / 10.0
+    return docs.where(u < F.lit(256.0) * w).select("doc_id", "source", "lang")
+
+
+@register(
+    "dedup_groups",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_SH_SQL},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pair
+  JOIN cnt ca ON ca.doc_id = pair.doc_a
+  JOIN cnt cb ON cb.doc_id = pair.doc_b
+  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> group labels (minimum
+    doc id per component): the pairs->groups->keep-one composition
+    every dedup pipeline ends with. Iterative min-label propagation
+    (operators/components.py); the DuckDB oracle recomputes components
+    via a recursive transitive-closure CTE."""
+    from python_etl_spark.operators.components import connected_components
+    from python_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("group_id")
+    )
