@@ -59,6 +59,33 @@ def write_orc(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed parquet table (saveAsTable path): pre-shuffles rows into
+    ``buckets`` files by hash of ``bucket_cols`` so later joins and
+    aggregations on those keys are CO-LOCATED — Spark elides the
+    Exchange on both sides (see tests/test_bucketing.py, which asserts
+    the shuffle-free plan). ``sort_cols`` additionally sorts within
+    buckets, enabling sort-merge joins with no per-task sort.
+
+    At 100 TB this is the difference between shuffling the fact table
+    on every join and shuffling it ONCE at ingest."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
