@@ -358,12 +358,14 @@ def simhash_pairs(
         F.col("id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_no", "chunk"
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # verify (cheap bit_count) BEFORE the dedup shuffle: distinct then
+    # only moves true near-dup pairs, not every chunk collision
     return (
         a.join(b, ["chunk_no", "chunk"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
