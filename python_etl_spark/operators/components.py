@@ -46,10 +46,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the previous label through the checkpoint: convergence
+        # detection is then a filter on materialized rows, not an extra
+        # join-against-previous-labels job per iteration
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
@@ -57,13 +61,9 @@ def connected_components(
         )
         updated = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.where(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.select("id", "component")
         if changed == 0:
             break
     edges.unpersist()
