@@ -994,3 +994,68 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+@register(
+    "mm_header_probe",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS fmt,
+  CAST(64 AS BIGINT) AS byte_len,
+  CAST(64 + doc_id % 512 AS INT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 8
+            ELSE 64 + doc_id % 256 END AS INT) AS height
+FROM documents
+""",
+)
+def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media header parsing on the hash-checked path: payloads are
+    genuine PNG / GIF89a / WAV-RIFF header bytes constructed from
+    doc_id (Arrow-batched builder UDF), decoded by the stdlib header
+    probe (operators/multimodal.py parse_media_header). The oracle
+    predicts (fmt, width, height) from the same doc_id arithmetic, so
+    a probe that misreads any offset hash-mismatches immediately."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from python_etl_spark.operators.multimodal import decode_media
+
+    # no type annotations: postponed evaluation (future annotations)
+    # leaves them as unresolvable strings for pyspark's inspector
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def build_payload(doc_ids):
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            w, h, ch = 64 + d % 512, 64 + d % 256, 1 + d % 8
+            m = d % 3
+            if m == 0:  # PNG signature + IHDR width/height (big-endian)
+                p = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13)
+                    + b"IHDR"
+                    + struct.pack(">II", w, h)
+                )
+            elif m == 1:  # GIF89a logical screen size (little-endian)
+                p = b"GIF89a" + struct.pack("<HH", w, h)
+            else:  # WAV RIFF: channels @22, sample rate @24
+                p = (
+                    b"RIFF"
+                    + struct.pack("<I", 56)
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHH", 16, 1, ch)
+                    + struct.pack("<I", w)
+                )
+            out.append(p.ljust(64, b"\x00"))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id",
+        build_payload("doc_id").alias("payload"),
+        F.struct(F.lit(None).cast("string").alias("fmt")).alias("meta"),
+    )
+    return decode_media(payloads, decoder="headers")
