@@ -35,10 +35,13 @@ def connected_components(
         .distinct()
         .cache()
     )
+    # seed with the one-hop neighbor min: one aggregation replaces the
+    # distinct-ids init AND the first propagation iteration (edges hold
+    # both directions, so every node appears as src)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("component"))
     )
     for _ in range(max_iterations):
         neighbor_min = (
