@@ -678,12 +678,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    # aggregate BEFORE the joins: l_orderkey determines the other group
+    # keys, so the shuffle moves (orderkey, qty) pairs with map-side
+    # combine instead of the full 3-way-joined fact with 5 wide keys;
+    # only the few >250 survivors reach the joins
+    big = (
+        li.groupBy("l_orderkey")
         .agg(dsum("l_quantity").alias("sum_qty"))
         .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
