@@ -600,10 +600,13 @@ def win_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # aggregate before the join: l_partkey determines p_brand, so the
+    # shuffle moves (partkey, revenue) partials instead of joined rows
     part_rev = (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
+        li.groupBy("l_partkey")
         .agg(dsum(rev).alias("revenue"))
+        .join(_bc(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "p_partkey", "revenue")
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
     return (
