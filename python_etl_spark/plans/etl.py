@@ -1734,3 +1734,64 @@ def etl_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# ---------------------- round-2 additions: join strategies -----------------
+@register(
+    "etl_range_join",
+    oracle="""
+WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+FROM p JOIN c ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+GROUP BY p.event_id
+""",
+)
+def etl_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join as a bucketized EQUI-join
+    (operators/range_join.py): clicks landing in each purchase's
+    30-minute window. The naive theta-join is a nested-loop cartesian;
+    bucketing makes it a linear shuffle join."""
+    from python_etl_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    joined = range_join(
+        clicks, purchases, "c_ts", "w_start", "w_end", bucket_width_s=1800
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+@register(
+    "etl_salted_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def etl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join on the hash-checked path: the fact side
+    gets a deterministic row-hash salt, the other side is replicated
+    per salt bucket, and the equi-join runs on (key, salt) — one hot
+    key spreads over 8 reducers. Must equal the plain join row for row
+    (the oracle IS the plain join)."""
+    from python_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(li, orders, on="l_orderkey", salt_buckets=8).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"
+    )
