@@ -1795,3 +1795,147 @@ def etl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, orders, on="l_orderkey", salt_buckets=8).select(
         "l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority"
     )
+
+
+@register(
+    "etl_stratified_sample",
+    oracle="""
+WITH g AS (
+  SELECT o_orderkey, o_orderpriority,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders)
+SELECT o_orderkey, o_orderpriority FROM g
+WHERE rn <= CAST(CEIL(0.125 * cnt) AS BIGINT)
+""",
+)
+def etl_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 12.5% stratified sample per order priority, deterministic
+    (md5-hash order within each stratum, so every engine and every run
+    picks the same rows). Scale-safe: per-stratum ranks come from ONE
+    range-partitioned global rank (operators/ranking.py — parallel
+    windows + broadcast offsets), minus each stratum's broadcast start
+    offset. No per-stratum single task, unlike a plain
+    Window.partitionBy(stratum) over few huge strata."""
+    import math
+
+    from python_etl_spark.operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    df = orders.withColumn(
+        "__h", F.md5(F.col("o_orderkey").cast("string"))
+    )
+    ranked, _n = global_rank(
+        df, ["o_orderpriority", "__h", "o_orderkey"], "__g"
+    )
+    # per-stratum start offsets + kept-row counts: O(#strata) rows only
+    counts = {
+        r["o_orderpriority"]: r["n"]
+        for r in df.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows, acc = [], 0
+    for pri in sorted(counts):
+        rows.append((pri, acc, math.ceil(0.125 * counts[pri])))
+        acc += counts[pri]
+    off = spark.createDataFrame(
+        rows, "o_orderpriority string, __off long, __keep long"
+    )
+    return (
+        ranked.join(F.broadcast(off), "o_orderpriority")
+        .where(F.col("__g") - F.col("__off") <= F.col("__keep"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "etl_zscore_normalize",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+    {dsum_sql('l_quantity')} / COUNT(*) AS mean,
+    {dsum_sql('l_quantity * l_quantity')} / COUNT(*) AS msq
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+  ROUND((l.l_quantity - s.mean) / sqrt(s.msq - s.mean * s.mean), 6) AS z
+FROM lineitem l JOIN s ON s.l_returnflag = l.l_returnflag
+""",
+)
+def etl_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature scaling (population std) — the
+    normalize-before-training transform. Group moments via exact
+    decimal sums (order-independent, engine-identical); the tiny
+    moments table is BROADCAST back, so the big side is one narrow
+    scan + projection, never shuffled."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("mean"),
+        (
+            dsum(F.col("l_quantity") * F.col("l_quantity"))
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    z = F.round(
+        (F.col("l_quantity") - F.col("mean"))
+        / F.sqrt(F.col("msq") - F.col("mean") * F.col("mean")),
+        6,
+    )
+    return (
+        li.join(F.broadcast(s), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            z.alias("z"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH d AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, DATE_TRUNC('day', ts)),
+s AS (
+  SELECT event_type,
+    CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+    CAST(SUM(n * n) AS DOUBLE) / COUNT(*) AS msq
+  FROM d GROUP BY event_type)
+SELECT d.event_type, d.day, d.n,
+  ROUND((d.n - s.mean) / sqrt(s.msq - s.mean * s.mean), 6) AS z,
+  ABS((d.n - s.mean) / sqrt(s.msq - s.mean * s.mean)) >= 1.5 AS is_anomaly
+FROM d JOIN s ON s.event_type = d.event_type
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type, z-scored
+    against that type's distribution over days; |z| >= 1.5 flags the
+    anomaly. Counts are integers (exact in any order); the per-type
+    stats table is tiny and BROADCAST. Two partial-agg shuffles of
+    (type, day) rows — nothing row-level ever reshuffles."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = d.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (
+            F.sum(F.col("n") * F.col("n")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    zraw = (F.col("n") - F.col("mean")) / F.sqrt(
+        F.col("msq") - F.col("mean") * F.col("mean")
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type", "day", "n",
+            F.round(zraw, 6).alias("z"),
+            (F.abs(zraw) >= 1.5).alias("is_anomaly"),
+        )
+    )

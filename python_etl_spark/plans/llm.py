@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from python_etl_spark.functions.text import LANG_MARKERS, STOPWORDS
 from python_etl_spark.functions.vector import (
     as_double,
+    cosine_exact,
     cosine_from_parts,
     dot_exact,
 )
@@ -25,7 +26,7 @@ from python_etl_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
 )
-from python_etl_spark.plans.common import register
+from python_etl_spark.plans.common import davg_sql, register
 from python_etl_spark.sources.tables import load_table
 
 
@@ -1059,3 +1060,245 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(None).cast("string").alias("fmt")).alias("meta"),
     )
     return decode_media(payloads, decoder="headers")
+
+
+# ------------------------- corpus curation, round 2b -----------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact ' || source || '@example.com call 555-01' ||
+      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM aug
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mask-before-training step of every LLM data
+    pipeline. The synthetic corpus carries no PII, so a deterministic
+    email+phone suffix is appended IN-PLAN (from source/doc_id) and
+    then redacted, exercising the real regex machinery on the
+    hash-checked path. Pure narrow projection: zero shuffles, runs
+    inside one WholeStageCodegen span at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks)
+SELECT doc_id,
+  CAST(len(g) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+  CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_ratio
+FROM sl
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio — the standard repetition/boilerplate
+    quality signal (high ratio = template or degenerate text). All
+    per-row array expressions (split -> zip_with k-grams ->
+    array_distinct): zero shuffles, no UDF, embarrassingly parallel."""
+    from python_etl_spark.operators.dedup import _word_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = F.when(
+        F.size(toks) - F.lit(2) >= 1, _word_grams(toks, 3)
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = docs.select("doc_id", grams.alias("g"))
+    n = F.size("g")
+    d = F.size(F.array_distinct("g"))
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        d.cast("bigint").alias("n_distinct"),
+        ((n - d).cast("double") / n).alias("rep_ratio"),
+    )
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+WITH {_NGRAM_SH_SQL},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id,
+  COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hits,
+  CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS overlap_frac
+FROM corp c LEFT JOIN bench b ON b.shingle = c.shingle
+GROUP BY c.doc_id
+HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+""",
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs whose word
+    3-grams overlap a held-out benchmark set (doc_id % 97 == 0 stands
+    in for the eval suite). The benchmark shingle set is tiny and
+    BROADCAST; the corpus side is scanned once (left join + one
+    per-doc aggregate with map-side combine), joined on 8-byte
+    xxhash64 shingle keys. Never all-pairs: cost is linear in corpus
+    shingles at any scale."""
+    from python_etl_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3).select(
+        "id", F.xxhash64("shingle").alias("sid")
+    )
+    bench = (
+        sh.where(F.col("id") % 97 == 0).select("sid").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corp = sh.where(F.col("id") % 97 != 0)
+    marked = corp.join(F.broadcast(bench), "sid", "left")
+    hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            hits.alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_shingles")).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_rep",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                       ORDER BY n_chars DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY md5(lower(text))) AS gs,
+    SUM(n_chars) OVER (PARTITION BY md5(lower(text))) AS tc
+  FROM documents)
+SELECT doc_id, CAST(gs AS BIGINT) AS group_size,
+  CAST(tc - n_chars AS BIGINT) AS dup_chars_removed
+FROM g WHERE rn = 1
+""",
+)
+def dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the keep-one step that ends
+    every dedup pipeline: group by content key (md5 of lowercased
+    text), keep the longest doc (ties -> smallest id), report how many
+    duplicate chars were dropped. One hash-partitioned shuffle on the
+    content key; group sizes are bounded by duplicate multiplicity, so
+    no skew pathologies at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    gk = F.md5(F.lower(F.col("text")))
+    w = Window.partitionBy("gk")
+    wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    g = docs.select("doc_id", "n_chars", gk.alias("gk"))
+    return (
+        g.withColumn("rn", F.row_number().over(wo))
+        .withColumn("gs", F.count(F.lit(1)).over(w))
+        .withColumn("tc", F.sum("n_chars").over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gs").cast("bigint").alias("group_size"),
+            (F.col("tc") - F.col("n_chars"))
+            .cast("bigint")
+            .alias("dup_chars_removed"),
+        )
+    )
+
+
+@register(
+    "sim_cluster_centroids",
+    oracle=f"""
+WITH ve AS (
+  SELECT vec_id, label, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)),
+cent AS (SELECT label, i, AVG(x) AS c FROM ve GROUP BY label, i),
+cn AS (SELECT label, SUM(c * c) AS cnsq FROM cent GROUP BY label),
+vd AS (
+  SELECT v.vec_id, v.label, SUM(v.x * c.c) AS dot, SUM(v.x * v.x) AS vnsq
+  FROM ve v JOIN cent c ON c.label = v.label AND c.i = v.i
+  GROUP BY v.vec_id, v.label),
+cosv AS (
+  SELECT vd.label, ROUND(dot / (sqrt(vnsq) * sqrt(cnsq)), 6) AS cos
+  FROM vd JOIN cn ON cn.label = vd.label)
+SELECT label, COUNT(*) AS n_members, ROUND({davg_sql('cos')}, 6) AS cohesion
+FROM cosv GROUP BY label
+""",
+)
+def sim_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cluster cohesion (mean member-to-centroid
+    cosine) — the cluster-quality summary used to audit embedding
+    partitions. Centroids via posexplode + one partial-agg shuffle on
+    (label, dim); members re-scored against the BROADCAST centroid
+    array (no second shuffle of the corpus). Cosines are rounded to 6
+    decimals before the exact decimal-sum average, so both engines
+    aggregate identical values."""
+    from python_etl_spark.plans.common import davg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", as_double("embedding").alias("vec"))
+    ex = v.select("label", F.posexplode("vec").alias("i", "x"))
+    cent = ex.groupBy("label", "i").agg(F.avg("x").alias("c"))
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("p"))
+        .select("label", F.transform("p", lambda s: s["c"]).alias("cvec"))
+    )
+    joined = v.join(F.broadcast(cent_arr), "label")
+    cosv = joined.select(
+        "label", cosine_exact("vec", "cvec").alias("cos")
+    )
+    return cosv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(davg("cos"), 6).alias("cohesion"),
+    )

@@ -46,11 +46,23 @@ def test_q01_whole_stage_codegen(spark, sf_dir):
 
 
 def test_global_rank_no_single_partition_window(spark, sf_dir):
-    """win_ntile / win_percent_rank must not funnel all rows through a
-    single-partition global-order window (the 100 TB scale-killer)."""
-    for name in ["win_ntile", "win_percent_rank"]:
+    """win_ntile / win_percent_rank / etl_stratified_sample must not
+    funnel all rows through a single-partition global-order window (the
+    100 TB scale-killer)."""
+    for name in ["win_ntile", "win_percent_rank", "etl_stratified_sample"]:
         plan = _plan(spark, sf_dir, name)
         assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_broadcast_stat_joins(spark, sf_dir):
+    """The new normalize/anomaly/contamination queries must broadcast
+    their small side (stats / benchmark set / centroids), leaving the
+    big side unshuffled at the join."""
+    for name in ["etl_zscore_normalize", "events_anomaly_zscore",
+                 "dedup_contamination", "sim_cluster_centroids"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
 
 
 def test_chunked_exact_ops_never_broadcast_corpus(spark, sf_dir):
