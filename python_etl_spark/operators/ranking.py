@@ -109,3 +109,46 @@ def with_percent_rank(
         .withColumn(cd_col, cd)
         .drop("__r")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    val_col: str | Column,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total over a global TOTAL order without a
+    single-partition window: range-partition on the order keys,
+    per-partition prefix sums (parallel windows), then add each
+    partition's broadcast starting offset (the sum of all preceding
+    partitions). Only O(num_partitions) partial sums reach the driver."""
+    spark = df.sparkSession
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", v)
+        .persist()
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in part.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.sum("__v").over(w) + F.col("__off"))
+        .drop("__pid", "__off", "__v")
+    )

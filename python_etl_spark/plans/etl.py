@@ -1939,3 +1939,66 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(zraw) >= 1.5).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "etl_surrogate_key",
+    oracle="""
+SELECT o_orderkey,
+  ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS sk
+FROM orders
+""",
+)
+def etl_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive surrogate-key assignment over a total order — the
+    dimension-load primitive (monotonically_increasing_id leaves gaps;
+    warehouses want dense keys). Scale-safe global rank
+    (operators/ranking.py): range partition + parallel windows +
+    broadcast offsets, no Exchange SinglePartition."""
+    from python_etl_spark.operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ranked, _ = global_rank(orders, ["o_orderdate", "o_orderkey"], "sk")
+    return ranked.select("o_orderkey", F.col("sk").cast("bigint").alias("sk"))
+
+
+@register(
+    "etl_sequence_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin
+FROM c
+""",
+)
+def etl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training batches: shuffle docs into a
+    deterministic hash order, running token total, then bin = the
+    2048-token block the doc STARTS in — contiguous ~budget-sized
+    micro-batches. The running total uses the scale-safe global cumsum
+    (range partition + broadcast prefix offsets), so packing 100 TB of
+    docs never funnels through one task."""
+    from python_etl_spark.operators.ranking import global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    c = global_cumsum(t, ["h", "doc_id"], "n_tokens", "cum")
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")).cast("double") / 2048
+        ).cast("bigint").alias("bin"),
+    )

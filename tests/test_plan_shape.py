@@ -49,7 +49,8 @@ def test_global_rank_no_single_partition_window(spark, sf_dir):
     """win_ntile / win_percent_rank / etl_stratified_sample must not
     funnel all rows through a single-partition global-order window (the
     100 TB scale-killer)."""
-    for name in ["win_ntile", "win_percent_rank", "etl_stratified_sample"]:
+    for name in ["win_ntile", "win_percent_rank", "etl_stratified_sample",
+                 "etl_surrogate_key", "etl_sequence_pack"]:
         plan = _plan(spark, sf_dir, name)
         assert "Exchange SinglePartition" not in plan, (name, plan)
 
