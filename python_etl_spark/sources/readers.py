@@ -188,3 +188,22 @@ def read_excel(
             f"installed in this environment. Underlying error: {e}"
         ) from e
     return spark.createDataFrame(pdf)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width (mainframe/ledger-style) text source: ``colspecs`` is
+    ``(name, start, length, type)`` with 1-based starts. Implemented as
+    a distributed text scan + substring/trim/cast projection — a single
+    narrow WholeStageCodegen stage, no Python in the row path."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring("value", start, length)).cast(dtype).alias(name)
+        for name, start, length, dtype in colspecs
+    ]
+    return raw.select(*cols)

@@ -177,3 +177,29 @@ def test_python_udtf(spark):
     assert [(r.word, r.pos) for r in got] == [
         ("alpha", 0), ("beta", 1), ("gamma", 2)
     ]
+
+
+def test_fixed_width_reader(spark, tmp_path):
+    from python_etl_spark.sources.readers import read_fixed_width
+
+    p = tmp_path / "ledger.txt"
+    p.write_text(
+        "00001alpha     0001.50\n"
+        "00002beta      0002.25\n"
+        "00003gamma     -003.75\n"
+    )
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            ("id", 1, 5, "long"),
+            ("name", 6, 10, "string"),
+            ("amount", 16, 7, "double"),
+        ],
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [
+        (1, "alpha", 1.5),
+        (2, "beta", 2.25),
+        (3, "gamma", -3.75),
+    ]

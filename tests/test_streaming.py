@@ -254,3 +254,82 @@ def test_streaming_dedup_within_watermark(spark, event_files, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids))  # no duplicates emitted
     assert len(ids) == base.count()   # every original event exactly once
+
+
+def test_stream_static_broadcast_join(spark, event_files, tmp_path):
+    """Stream-static join: each micro-batch joins the (broadcast) static
+    dimension — per-tier windowed counts equal the batch twin."""
+    path, schema = event_files
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(200)], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(schema).parquet(path)
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tier_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.tier: r.n for r in spark.sql("SELECT * FROM tier_counts").collect()}
+    truth = {
+        r.tier: r.n
+        for r in spark.read.schema(schema).parquet(path)
+        .join(dim, "user_id").groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == truth
+
+
+def test_streaming_cdc_merge_into_versioned_table(spark, event_files, tmp_path):
+    """CDC into the lakehouse sink: every micro-batch MERGEs its
+    compacted changelog into a VersionedTable (copy-on-write manifest
+    commits). Final snapshot equals the batch latest-value-per-user;
+    the manifest history shows one committed version per batch."""
+    from python_etl_spark.operators.upsert import latest_by_key
+    from python_etl_spark.sinks.table import VersionedTable
+
+    path, schema = event_files
+    table = VersionedTable(str(tmp_path / "vt_cdc"))
+
+    def merge_batch(batch_df, batch_id):
+        compact = latest_by_key(
+            batch_df.select("user_id", "ts", "value"),
+            ["user_id"], "ts", tiebreak="value",
+        )
+        if table.exists():
+            table.merge(compact, ["user_id"], version_col="ts")
+        else:
+            table.create(compact)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.user_id: (r.ts, r.value)
+        for r in table.read(spark).collect()
+    }
+    full = spark.read.schema(schema).parquet(path)
+    truth = {
+        r.user_id: (r.ts, r.value)
+        for r in latest_by_key(
+            full.select("user_id", "ts", "value"), ["user_id"], "ts",
+            tiebreak="value",
+        ).collect()
+    }
+    assert got == truth
+    assert len(table.history()) >= 1
