@@ -2002,3 +2002,79 @@ def etl_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum") - F.col("n_tokens")).cast("double") / 2048
         ).cast("bigint").alias("bin"),
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+WITH prev AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 10 <> 7),
+cur AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 10 = 3
+         THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+      AS o_totalprice,
+    o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 4)
+SELECT
+  CASE
+    WHEN p.o_orderkey IS NULL THEN 'insert'
+    WHEN c.o_orderkey IS NULL THEN 'delete'
+    WHEN p.o_totalprice <> c.o_totalprice
+      OR p.o_orderstatus <> c.o_orderstatus THEN 'update'
+    ELSE 'unchanged' END AS change_type,
+  COUNT(*) AS n
+FROM prev p FULL OUTER JOIN cur c ON c.o_orderkey = p.o_orderkey
+GROUP BY 1
+""",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC classification: full-outer join two table
+    versions on the business key and classify every row as insert /
+    update / delete / unchanged — the change-detection step that feeds
+    incremental loads. The two snapshots are derived in-plan from the
+    same scan (deterministic key filters + a synthetic price bump).
+    One co-partitioned shuffle join on the key, then a tiny
+    partial-agg rollup; at scale both sides can be bucketed on the key
+    to make the diff exchange-free."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    prev = orders.where(F.col("o_orderkey") % 10 != 7)
+    cur = orders.where(F.col("o_orderkey") % 10 != 4).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 3,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    p = prev.select(
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("p_price"),
+        F.col("o_orderstatus").alias("p_status"),
+    )
+    c = cur.select(
+        F.col("o_orderkey").alias("ck"),
+        F.col("o_totalprice").alias("c_price"),
+        F.col("o_orderstatus").alias("c_status"),
+    )
+    j = p.join(c, p.pk == c.ck, "full_outer")
+    change = (
+        F.when(F.col("pk").isNull(), F.lit("insert"))
+        .when(F.col("ck").isNull(), F.lit("delete"))
+        .when(
+            (F.col("p_price") != F.col("c_price"))
+            | (F.col("p_status") != F.col("c_status")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
