@@ -2,7 +2,8 @@
 """End-to-end LLM training-data pipeline on the test corpus:
 
 ingest documents -> quality filter -> language filter -> exact dedup ->
-MinHash near-dedup -> token stats -> write curated parquet.
+MinHash near-dedup -> PII redaction -> benchmark decontamination ->
+sequence packing -> write curated parquet.
 
 Run: python examples/llm_data_pipeline.py [sf_dir] [out_dir]
 """
@@ -20,7 +21,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from python_etl_spark import get_spark  # noqa: E402
 from python_etl_spark.functions.text import stopword_count, ws_tokens  # noqa: E402
 from python_etl_spark.operators.components import dedup_keepers  # noqa: E402
-from python_etl_spark.operators.dedup import near_dup  # noqa: E402
+from python_etl_spark.operators.dedup import near_dup, shingles  # noqa: E402
+from python_etl_spark.operators.ranking import global_cumsum  # noqa: E402
 from python_etl_spark.operators.quality import validate  # noqa: E402
 from python_etl_spark.sinks.writers import write_parquet  # noqa: E402
 from python_etl_spark.sources.tables import load_table  # noqa: E402
@@ -63,15 +65,66 @@ def main() -> None:
     curated = dedup_keepers(deduped, pairs)
     n3 = curated.count()
 
-    # 4. write curated set partitioned by language
+    # 4. PII redaction (zero-shuffle regex projection)
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    curated = curated.withColumn(
+        "text", F.regexp_replace("text", email_re, "<EMAIL>")
+    )
+
+    # 5. benchmark decontamination: drop docs whose 3-gram overlap with
+    # the (broadcast) held-out benchmark shingle set exceeds 20%
+    bench_sh = (
+        shingles(curated.where(F.col("doc_id") % 97 == 0), k=3)
+        .select(F.xxhash64("shingle").alias("sid"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corp_sh = shingles(
+        curated.where(F.col("doc_id") % 97 != 0), k=3
+    ).select("id", F.xxhash64("shingle").alias("sid"))
+    frac = (
+        corp_sh.join(F.broadcast(bench_sh), "sid", "left")
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("overlap")
+        )
+    )
+    contaminated = frac.where(F.col("overlap") > 0.2).select(
+        F.col("id").alias("doc_id")
+    )
+    clean = curated.where(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    n4 = clean.count()
+
+    # 6. sequence packing: 2048-token micro-batches over a deterministic
+    # hash order (scale-safe global running total)
+    packed = global_cumsum(
+        clean.withColumn(
+            "h", F.md5(F.col("doc_id").cast("string"))
+        ),
+        ["h", "doc_id"],
+        "n_words",
+        "cum",
+    ).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_words")).cast("double") / 2048),
+    )
+
+    # 7. write curated set partitioned by language
     path = write_parquet(
-        curated.select("doc_id", "text", "lang", "source", "n_words"),
+        packed.select("doc_id", "text", "lang", "source", "n_words", "bin"),
         f"{out_dir}/curated.parquet",
         partition_by=["lang"],
     )
     print(
         f"ingested={n0} quality_pass={n1} exact_deduped={n2} "
-        f"near_deduped={n3} quarantined={quarantined.count()} -> {path}"
+        f"near_deduped={n3} decontaminated={n4} "
+        f"bins={packed.select('bin').distinct().count()} "
+        f"quarantined={quarantined.count()} -> {path}"
     )
     spark.stop()
 
