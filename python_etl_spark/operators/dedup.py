@@ -452,3 +452,35 @@ def near_dup(
         f"unknown method {method!r}; have "
         "exact/ngram/minhash/simhash/embedding/embedding_lsh"
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A ∩ B| / |A| — the quote /
+    subset-duplication detector (a short doc fully quoted inside a long
+    one has low Jaccard but containment ~1). Same inverted-index join
+    as ``ngram_jaccard_pairs``; ordered pairs (a != b), cost tracks
+    true overlap, never n^2."""
+    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("doc_a"), "sh")
+    b = sh.select(F.col("id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, ["sh"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cont = F.col("shared").cast("double") / F.col("na")
+    return (
+        shared.join(sa, ["doc_a"])
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )

@@ -1309,3 +1309,103 @@ def sim_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(davg("cos"), 6).alias("cohesion"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_NGRAM_SH_SQL},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(shared AS DOUBLE) / ca.n AS containment
+FROM pair JOIN cnt ca ON ca.doc_id = pair.doc_a
+WHERE CAST(shared AS DOUBLE) / ca.n >= 0.12
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| >= tau): catches short
+    docs quoted inside long ones, which Jaccard misses. Inverted-index
+    join on 8-byte shingle hashes — cost proportional to true overlap."""
+    from python_etl_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=3, threshold=0.12)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> concat_ws(' ', t[i], t[i+1]))) AS b
+  FROM toks WHERE len(t) >= 2),
+parts AS (
+  SELECT doc_id, b,
+    string_split(b, ' ')[1] AS w1
+  FROM bg),
+bc AS (SELECT b, COUNT(*) AS cb FROM parts GROUP BY b),
+uc AS (SELECT w1, SUM(cb) AS cu FROM
+       (SELECT string_split(b,' ')[1] AS w1, cb FROM bc) q GROUP BY w1),
+scored AS (
+  SELECT p.doc_id,
+    ROUND(ln(CAST(bc.cb AS DOUBLE) / uc.cu), 6) AS lp
+  FROM parts p
+  JOIN bc ON bc.b = p.b
+  JOIN uc ON uc.w1 = p.w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring: MLE p(w2|w1) from corpus
+    counts, per-doc mean log-probability — the classic perplexity-proxy
+    quality filter (low = unusual/garbled text). Bigram and unigram
+    count tables are corpus-wide aggregates joined back to the per-doc
+    bigram stream; per-bigram log-probs are rounded to 6 decimals
+    before the exact decimal-sum mean, so both engines aggregate
+    identical values. Every join key is a token string; at 100 TB the
+    count tables partial-aggregate before their shuffles and the score
+    join co-partitions on the bigram."""
+    from python_etl_spark.operators.dedup import _word_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    bg = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select("doc_id", F.explode(_word_grams(F.col("t"), 2)).alias("b"))
+    )
+    parts = bg.select(
+        "doc_id", "b", F.split(F.col("b"), " ", 2)[0].alias("w1")
+    )
+    bc = parts.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    uc = (
+        bc.select(F.split(F.col("b"), " ", 2)[0].alias("w1"), "cb")
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cu"))
+    )
+    scored = (
+        parts.join(bc, "b")
+        .join(uc, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cb").cast("double") / F.col("cu")), 6
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
