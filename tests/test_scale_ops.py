@@ -220,3 +220,33 @@ def test_conform_schema(spark):
     assert out.first() == (1, 5, None)
     with pytest.raises(ValueError, match="unexpected columns"):
         conform_schema(df, "id int, qty int", strict=True)
+
+
+def test_global_cumsum_matches_window(spark, sf_dir):
+    """Scale-safe running total == SUM OVER the same total order, for
+    several partition counts (sum offsets must compose correctly)."""
+    from pyspark.sql import Window
+
+    from python_etl_spark.operators.ranking import global_cumsum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("v")
+    )
+    w = (
+        Window.orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.c_custkey: r.cs
+        for r in cust.select(
+            "c_custkey", F.sum("v").over(w).alias("cs")
+        ).collect()
+    }
+    for n_parts in (1, 7, 32):
+        got = {
+            r.c_custkey: r.cum
+            for r in global_cumsum(
+                cust, ["c_custkey"], "v", "cum", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
