@@ -29,8 +29,10 @@ from python_etl_spark.sinks.writers import (
     write_orc,
     write_parquet,
 )
+from python_etl_spark.sources.avro import read_avro, write_avro
 from python_etl_spark.sources.readers import (
     read_csv,
+    read_fixed_width,
     read_json,
     read_orc,
     read_parquet,
@@ -43,12 +45,15 @@ _READERS = {
     "json": read_json,
     "xml": read_xml,
     "orc": read_orc,
+    "avro": read_avro,
+    "fixed_width": read_fixed_width,
 }
 _WRITERS = {
     "parquet": write_parquet,
     "csv": write_csv,
     "json": write_json,
     "orc": write_orc,
+    "avro": write_avro,
 }
 
 

@@ -77,3 +77,29 @@ def test_example_pipeline_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
     mod.main()
     out = capsys.readouterr().out
     assert "ingested=" in out and "near_deduped=" in out
+
+
+def test_pipeline_fixed_width_to_avro(spark, tmp_path):
+    from python_etl_spark.pipeline import Pipeline
+    from python_etl_spark.sources.avro import read_avro
+
+    fw = tmp_path / "ledger.txt"
+    fw.write_text("00001alpha     0001.50\n00002beta      0002.25\n")
+    out = str(tmp_path / "out.avro")
+    (
+        Pipeline(spark)
+        .extract(
+            "ledger", "fixed_width", str(fw),
+            colspecs=[
+                ("id", 1, 5, "long"),
+                ("name", 6, 10, "string"),
+                ("amount", 16, 7, "double"),
+            ],
+        )
+        .transform("big", lambda t: t["ledger"].where(t["ledger"].amount > 2))
+        .load("big", "avro", out)
+        .run()
+    )
+    assert sorted(tuple(r) for r in read_avro(spark, out).collect()) == [
+        (2, "beta", 2.25)
+    ]
