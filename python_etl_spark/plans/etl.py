@@ -2078,3 +2078,52 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register("etl_approx_quantiles")  # approximate: rows-only + pytest bound
+def etl_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch path for 100 TB: approx_percentile
+    (Greenwald-Khanna, mergeable partials — one combiner-friendly
+    shuffle) at accuracy 10000. The exact twin is win_percentiles;
+    tests/test_scale_ops.py bounds the sketch's rank error against the
+    exact per-group percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+        F.lit(10000),
+    )
+    return li.groupBy("l_returnflag").agg(
+        q[0].alias("p25"), q[1].alias("p50"),
+        q[2].alias("p75"), q[3].alias("p95"),
+    )
+
+
+@register(
+    "etl_sql_interface",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderstatus <> 'F'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def etl_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL facade: tables registered as temp views, the query is a
+    plain ANSI SQL string through spark.sql — same Catalyst plan as the
+    DataFrame API (joins broadcast, decimal-exact sums), proving SQL
+    users get the engine unchanged."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n
+        FROM lineitem_v JOIN orders_v ON o_orderkey = l_orderkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -250,3 +250,29 @@ def test_global_cumsum_matches_window(spark, sf_dir):
             ).collect()
         }
         assert got == want, n_parts
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    """Sketch quantiles must sit within a tight value band of the exact
+    per-group percentiles (GK accuracy 10000 => rank error <= 1e-4)."""
+    from python_etl_spark.plans.etl import etl_approx_quantiles
+
+    approx = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+        for r in etl_approx_quantiles(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.qs
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice",
+                F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]),
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for flag, got in approx.items():
+        for g, e in zip(got, exact[flag]):
+            assert abs(g - e) / max(abs(e), 1.0) < 0.02, (flag, got, exact[flag])
