@@ -558,3 +558,149 @@ def lsh_bucketed_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ----------------------- product quantization (PQ) ANN ---------------------
+#
+# The memory-bound 100 TB ANN: vectors are compressed to n_sub codebook
+# codes (8 bytes/vector here vs 512 raw), scanned with asymmetric
+# distance (query x codebook lookup tables), then the top candidates
+# are exactly re-ranked. Codebooks are DRIVER-HELD model state like the
+# IVF centroids (n_sub x k_sub x sub_dim doubles — kilobytes); codes
+# live with the data, so the scan reads a tiny fraction of the raw
+# bytes and never shuffles the corpus.
+
+
+def _pq_train(
+    v: DataFrame, n_sub: int, k_sub: int, sample_rows: int = 4096
+) -> np.ndarray:
+    """Per-subspace k-means codebooks -> (n_sub, k_sub, sub_dim).
+    Trained driver-side on a deterministic hash sample (PQ training is
+    a tiny-model fit, same posture as MLlib: sample to the driver,
+    broadcast the model)."""
+    sample = (
+        v.select("vec", F.xxhash64(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(sample_rows)
+        .collect()
+    )
+    m = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in sample])
+    norms = np.sqrt((m * m).sum(axis=1))
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]  # train on normalized vectors (cosine PQ)
+    dim = m.shape[1]
+    sub_dim = dim // n_sub
+    books = np.empty((n_sub, k_sub, sub_dim))
+    for s in range(n_sub):
+        x = m[:, s * sub_dim : (s + 1) * sub_dim]
+        # deterministic init: spread by hash order, then Lloyd
+        c = x[:: max(1, len(x) // k_sub)][:k_sub].copy()
+        if len(c) < k_sub:
+            c = np.vstack([c] * (k_sub // len(c) + 1))[:k_sub]
+        for _ in range(8):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for j in range(k_sub):
+                if (a == j).any():
+                    c[j] = x[a == j].mean(axis=0)
+        books[s] = c
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    rerank: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN top-k: encode the corpus to per-subspace codes, scan with
+    asymmetric distance (query-specific lookup tables), keep ``rerank``
+    candidates per query, exactly re-rank those by true cosine. One
+    narrow Arrow pass over the corpus (codebooks + queries broadcast),
+    one tiny shuffle of rerank*|queries| candidate rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    books = _pq_train(v, n_sub, k_sub)
+    sub_dim = books.shape[2]
+
+    qrows = v.where(F.col("id").isin(query_ids)).collect()
+    q_ids = np.array([r["id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = 1.0
+    qmn = qm / qn[:, None]
+    # lookup tables: for each query, subspace, code -> partial dot
+    # (queries x n_sub x k_sub)
+    tables = np.einsum(
+        "qsd,skd->qsk",
+        qmn.reshape(len(qmn), n_sub, sub_dim),
+        books,
+    )
+
+    def scan(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in b["vec"]])
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0] = 1.0
+            mn = (m / norms[:, None]).reshape(len(m), n_sub, sub_dim)
+            # encode: per subspace nearest codebook row
+            codes = np.empty((len(m), n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                d = (
+                    (mn[:, s, None, :] - books[None, s, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            # ADC: approx cosine = sum of table lookups over subspaces
+            approx = np.zeros((len(q_ids), len(m)))
+            for s in range(n_sub):
+                approx += tables[:, s, :][:, codes[:, s]]
+            out_q, out_n, out_s = [], [], []
+            top = min(rerank, len(m))
+            for qi, qid in enumerate(q_ids):
+                sims = approx[qi]
+                mask = ids != qid
+                idx = np.lexsort((ids[mask], -sims[mask]))[:top]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(ids[mask][idx].tolist())
+                out_s.extend(sims[mask][idx].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx": out_s}
+            )
+
+    cands = v.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double"
+    )
+    # exact re-rank of the candidate union
+    exact = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        norm_sq_exact("vec").alias("cnsq"),
+    )
+    qdf = v.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        norm_sq_exact("vec").alias("qnsq"),
+    )
+    cos = cosine_from_parts(dot_exact("qvec", "cvec"), F.col("qnsq"), F.col("cnsq"))
+    scored = (
+        cands.select("query_id", "neighbor_id").distinct()
+        .join(exact, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
