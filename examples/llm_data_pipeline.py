@@ -66,7 +66,7 @@ def main() -> None:
     n3 = curated.count()
 
     # 4. PII redaction (zero-shuffle regex projection)
-    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    email_re = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+"
     curated = curated.withColumn(
         "text", F.regexp_replace("text", email_re, "<EMAIL>")
     )

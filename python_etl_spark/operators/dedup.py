@@ -140,8 +140,14 @@ def ngram_jaccard_pairs(
     With ``max_doc_freq``, Jaccard is computed over the RETAINED
     shingle sets (stop shingles removed from both numerator and
     denominator) — the standard boilerplate-robust variant.
+
+    The shingle frame feeds three consumers (sizes + both join sides):
+    localCheckpoint materializes it once and, unlike .cache(), is
+    reclaimed by the ContextCleaner when the result drops out of scope.
     """
-    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).cache()
+    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("doc_a"), "sh")
     b = sh.select(F.col("id").alias("doc_b"), "sh")
@@ -258,10 +264,14 @@ def minhash_lsh_pairs(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates filtered by the signature
-    Jaccard estimate (fraction of agreeing min-hashes)."""
+    Jaccard estimate (fraction of agreeing min-hashes).
+
+    Signatures feed the band explode and both sides of the estimate
+    join; localCheckpoint materializes them once, leak-free (see
+    ngram_jaccard_pairs)."""
     sigs = minhash_signatures(
         docs, text_col, id_col, num_hashes, k, max_doc_freq
-    ).cache()
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     sa = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -332,8 +342,10 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidates via the
-    4x16-bit chunk pigeonhole (d<=3 implies one identical chunk)."""
-    sh = simhash(docs, text_col, id_col).cache()
+    4x16-bit chunk pigeonhole (d<=3 implies one identical chunk).
+    Sketches materialized once via localCheckpoint, leak-free (see
+    ngram_jaccard_pairs)."""
+    sh = simhash(docs, text_col, id_col).localCheckpoint(eager=True)
     chunks = sh.select(
         "id",
         "simhash",
@@ -466,8 +478,15 @@ def containment_pairs(
     subset-duplication detector (a short doc fully quoted inside a long
     one has low Jaccard but containment ~1). Same inverted-index join
     as ``ngram_jaccard_pairs``; ordered pairs (a != b), cost tracks
-    true overlap, never n^2."""
-    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).cache()
+    true overlap, never n^2.
+
+    The shared shingle frame is materialized via localCheckpoint (not
+    .cache()) so the ContextCleaner reclaims it once the result is out
+    of scope — repeated calls no longer accumulate cached partitions
+    for the session lifetime."""
+    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("doc_a"), "sh")
     b = sh.select(F.col("id").alias("doc_b"), "sh")

@@ -31,15 +31,19 @@ def global_rank(
 ) -> tuple[DataFrame, int]:
     """Return (df + 1-based ``rank_col`` over the total order, total row
     count). Two passes over the range-partitioned input (count, then
-    rank); the frame is persisted so both passes see identical partition
-    boundaries and the scan runs once."""
+    rank); the frame is materialized once via localCheckpoint so both
+    passes see identical partition boundaries and the scan runs once.
+    (localCheckpoint, not persist: the checkpointed RDD is reclaimed by
+    the ContextCleaner when the result goes out of scope, so repeated
+    calls don't accumulate cached partitions for the session lifetime —
+    an explicit .persist() here leaked until session shutdown.)"""
     spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     part = (
         df.repartitionByRange(n_parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = {
         r["__pid"]: r["n"]
@@ -122,7 +126,11 @@ def global_cumsum(
     single-partition window: range-partition on the order keys,
     per-partition prefix sums (parallel windows), then add each
     partition's broadcast starting offset (the sum of all preceding
-    partitions). Only O(num_partitions) partial sums reach the driver."""
+    partitions). Only O(num_partitions) partial sums reach the driver.
+    Materialized via localCheckpoint (not persist) for the same
+    leak-free stable-boundary reasons as global_rank; an all-NULL
+    partition's sum coalesces to 0 so the offset accumulation never
+    sees None."""
     spark = df.sparkSession
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     v = F.col(val_col) if isinstance(val_col, str) else val_col
@@ -131,11 +139,13 @@ def global_cumsum(
         df.repartitionByRange(n_parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__v", v)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sums = {
         r["__pid"]: r["s"]
-        for r in part.groupBy("__pid").agg(F.sum("__v").alias("s")).collect()
+        for r in part.groupBy("__pid")
+        .agg(F.coalesce(F.sum("__v"), F.lit(0)).alias("s"))
+        .collect()
     }
     offsets, acc = [], 0
     for pid in sorted(sums):

@@ -901,7 +901,7 @@ def stream_sliding_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_array_funcs",
     oracle="""
 SELECT p_partkey,
-  string_split(p_name, ' ') AS words,
+  array_to_string(string_split(p_name, ' '), '|') AS words_joined,
   CAST(LEN(string_split(p_name, ' ')) AS INT) AS n_words,
   list_contains(string_split(p_name, ' '), 'small') AS has_small,
   string_split(p_name, ' ')[1] AS first_word,
@@ -910,11 +910,15 @@ FROM part
 """,
 )
 def etl_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over split tokens. The array itself is emitted as a
+    deterministic '|'-joined string mirror (not a raw array column) so the
+    driver's pandas-based canonicalizer can sort/hash the result; the array
+    ops (size/contains/element_at/sort_array) are still exercised in-plan."""
     part = _t(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ", -1)
     return part.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, "|").alias("words_joined"),
         F.size(words).alias("n_words"),
         F.array_contains(words, "small").alias("has_small"),
         F.element_at(words, 1).alias("first_word"),

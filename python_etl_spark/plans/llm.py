@@ -765,10 +765,11 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # sig feeds the band explode AND both sides of the estimate join —
-    # cache it or the shingle+groupBy pipeline recomputes up to 3x
+    # materialize once (localCheckpoint: leak-free vs .cache(), the
+    # ContextCleaner reclaims it when the result drops out of scope)
     sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
         *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     def band_bucket(b):
         parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]

@@ -253,8 +253,11 @@ def test_global_cumsum_matches_window(spark, sf_dir):
 
 
 def test_approx_quantiles_rank_error_bound(spark, sf_dir):
-    """Sketch quantiles must sit within a tight value band of the exact
-    per-group percentiles (GK accuracy 10000 => rank error <= 1e-4)."""
+    """Sketch quantiles must sit within a 2% RELATIVE-VALUE band of the
+    exact per-group percentiles. (The GK sketch at accuracy 10000 gives
+    a rank-error bound of 1e-4; on this distribution that translates to
+    well under 2% value error, which is the tolerance enforced here —
+    a value band, not a rank bound.)"""
     from python_etl_spark.plans.etl import etl_approx_quantiles
 
     approx = {
