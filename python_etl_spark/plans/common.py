@@ -45,6 +45,57 @@ from python_etl_spark.functions.exact import (  # noqa: F401
 )
 
 
+# ------------------- planted near-duplicate embeddings --------------------
+#
+# The embeddings test table has no true near-duplicate pairs at cosine
+# >= 0.9, so the near-dup queries were vacuously green (hash of an empty
+# set). Every embedding near-dup plan therefore runs over an AUGMENTED
+# corpus: every 20th vector gets a planted twin (vec_id + 1_000_000,
+# first coordinate perturbed by +0.01 — cosine ~1 with its source, ~0
+# with everything else), so the oracles attest real pairs at any SF.
+# The perturbation happens in DOUBLE on both engines (float32 -> float64
+# upcast is exact; + 0.01 is then the identical double op).
+
+PLANT_STRIDE = 20
+PLANT_OFFSET = 1_000_000
+
+# DuckDB CTE fragment: augmented explode (ve) + norms (nrm), dim 64.
+AUG_VE_SQL = f"""
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {PLANT_STRIDE} = 0),
+ve AS (
+  SELECT vec_id, r.i AS i,
+    CAST(embedding[r.i + 1] AS DOUBLE)
+      + CASE WHEN vec_id >= {PLANT_OFFSET} AND r.i = 0
+             THEN 0.01 ELSE 0.0 END AS x
+  FROM aug, range(64) r(i)),
+nrm AS (
+  SELECT vec_id, SUM(x * x) AS nsq
+  FROM ve GROUP BY vec_id)
+"""
+
+
+def augmented_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding array<double>) — the corpus plus planted
+    near-dup twins, the Spark mirror of AUG_VE_SQL."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") % PLANT_STRIDE == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def REVENUE() -> Column:
     """Lazy: building a Column requires an active SparkContext, and the
     driver imports this module before creating its session."""

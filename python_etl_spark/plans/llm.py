@@ -26,7 +26,12 @@ from python_etl_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_topk,
 )
-from python_etl_spark.plans.common import davg_sql, register
+from python_etl_spark.plans.common import (
+    AUG_VE_SQL,
+    augmented_embeddings,
+    davg_sql,
+    register,
+)
 from python_etl_spark.sources.tables import load_table
 
 
@@ -128,8 +133,8 @@ nrm AS (
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-WITH {_VE_SQL},
+    oracle="""
+WITH {aug},
 dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
   FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -140,14 +145,17 @@ FROM dots
 JOIN nrm na ON na.vec_id = dots.vec_a
 JOIN nrm nb ON nb.vec_id = dots.vec_b
 WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= 0.9
-""",
+""".format(aug=AUG_VE_SQL),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs baseline, distributed chunked block matmul (no
-    driver collect); dedup_embedding_lsh is the sub-quadratic twin."""
+    driver collect); dedup_embedding_lsh is the sub-quadratic twin.
+    Runs over the planted-twin augmented corpus (plans/common.py) so
+    the oracle attests real pairs at every SF instead of hashing an
+    empty set."""
     from python_etl_spark.operators.similarity import near_dup_pairs_blocked
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = augmented_embeddings(_t(spark, sf_dir, "embeddings"))
     return near_dup_pairs_blocked(emb, threshold=0.9)
 
 
@@ -155,10 +163,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup — the 100 TB path: hyperplane
     candidates (4 tables x 8 planes), exact cosine verify on candidates
-    only; precision is exact, recall is pytest-checked vs the exact op."""
+    only; precision is exact, recall is pytest-checked vs the exact op.
+    Augmented corpus (planted twins) so the result is non-vacuous."""
     from python_etl_spark.operators.similarity import lsh_bucketed_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = augmented_embeddings(_t(spark, sf_dir, "embeddings"))
     return lsh_bucketed_pairs(
         emb, threshold=0.9, n_planes=8, n_tables=4, dim=64
     )
