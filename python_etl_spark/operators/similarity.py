@@ -589,6 +589,11 @@ def _pq_train(
     norms[norms == 0] = 1.0
     m = m / norms[:, None]  # train on normalized vectors (cosine PQ)
     dim = m.shape[1]
+    if dim % n_sub != 0:
+        raise ValueError(
+            f"PQ requires dim % n_sub == 0; got dim={dim}, n_sub={n_sub}"
+            " — pick an n_sub that divides the embedding dimension"
+        )
     sub_dim = dim // n_sub
     books = np.empty((n_sub, k_sub, sub_dim))
     for s in range(n_sub):
@@ -622,8 +627,6 @@ def pq_topk(
     candidates per query, exactly re-rank those by true cosine. One
     narrow Arrow pass over the corpus (codebooks + queries broadcast),
     one tiny shuffle of rerank*|queries| candidate rows."""
-    from pyspark.sql.functions import pandas_udf
-
     v = embeddings.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     )

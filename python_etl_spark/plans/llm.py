@@ -710,6 +710,20 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_topk_pq")  # approximate: rows-only + pytest recall oracle
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bound 100 TB path: 8-byte
+    codes per vector, asymmetric-distance scan against broadcast
+    codebooks, exact re-rank of the per-query candidate pool. Recall
+    vs brute force is pytest-checked (tests/test_similarity.py)."""
+    from python_etl_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, query_ids=list(range(10)), k=5, n_sub=8, k_sub=16, rerank=64
+    )
+
+
 _MH_K = 16   # md5-based hash functions (checked variant)
 _MH_BANDS = 4
 _MH_ROWS = _MH_K // _MH_BANDS
