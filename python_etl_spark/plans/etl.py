@@ -2103,6 +2103,33 @@ def etl_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_quantiles_checked",
+    oracle="""
+SELECT l_returnflag,
+  CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS p25,
+  CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS p50,
+  CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) AS p75,
+  CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS p95
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def etl_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked twin of etl_approx_quantiles: the same per-group
+    p25/p50/p75/p95 shape computed EXACTLY (F.percentile, linear
+    interpolation — the same definition as DuckDB quantile_cont), so
+    the driver gets a full rows+schema+hash row for the quantile
+    family while the GK-sketch variant stays [R] for the 100 TB path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(p)).alias(n)
+            for p, n in [(0.25, "p25"), (0.50, "p50"),
+                         (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@register(
     "etl_sql_interface",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
