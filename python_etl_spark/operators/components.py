@@ -66,9 +66,13 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # lazy checkpoint + full changed-count as the materializing
+        # action: ONE job per iteration (the count touches every
+        # partition, so every partition lands in the checkpoint) where
+        # eager-checkpoint + separate limit(1) count was two
+        updated = updated.localCheckpoint(eager=False)
         changed = (
-            updated.where(F.col("component") != F.col("__prev")).limit(1).count()
+            updated.where(F.col("component") != F.col("__prev")).count()
         )
         labels = updated.select("id", "component")
         if changed == 0:
