@@ -1433,3 +1433,167 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+# -------------------- corpus curation (round 3 additions) -----------------
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+wc AS (
+  SELECT doc_id, tok, COUNT(*) AS n, LENGTH(tok) AS wlen,
+    CASE WHEN tok IN ({_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks GROUP BY doc_id, tok),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(n) AS BIGINT) AS n_words,
+    ROUND(SUM(wlen * n) * 1.0 / SUM(n), 6) AS mean_word_len,
+    ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS type_token_ratio,
+    ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top_word_frac,
+    ROUND(SUM(is_stop * n) * 1.0 / SUM(n), 6) AS stopword_frac
+  FROM wc GROUP BY doc_id)
+SELECT doc_id, n_words, mean_word_len, type_token_ratio, top_word_frac,
+  stopword_frac,
+  CAST(n_words >= 10 AND mean_word_len BETWEEN 2 AND 10
+       AND type_token_ratio >= 0.2 AND top_word_frac <= 0.2
+       AND stopword_frac >= 0.01 AS BOOLEAN) AS keep
+FROM sig
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, table A1
+    re-expressed for this corpus): word count, mean word length,
+    type-token ratio, top-word dominance, stopword density, and the
+    conjunctive keep flag. One explode + two partial-agg shuffles, all
+    ratios exact integer arithmetic rounded to 6 — hash-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.length("tok").alias("wlen"),
+            F.col("tok").isin(*STOPWORDS).cast("int").alias("is_stop"),
+        )
+    )
+    sig = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.round(F.sum(F.col("wlen") * F.col("n")) / F.sum("n"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 6).alias("type_token_ratio"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_word_frac"),
+        F.round(F.sum(F.col("is_stop") * F.col("n")) / F.sum("n"), 6).alias(
+            "stopword_frac"
+        ),
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & F.col("mean_word_len").between(2, 10)
+        & (F.col("type_token_ratio") >= 0.2)
+        & (F.col("top_word_frac") <= 0.2)
+        & (F.col("stopword_frac") >= 0.01)
+    )
+    return sig.select("*", keep.alias("keep"))
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+u AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+  FROM t),
+g AS (
+  SELECT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+    AS ngram
+  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+c AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY ngram)
+SELECT ngram, n, rnk FROM (
+  SELECT ngram, n,
+    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, ngram) AS INT) AS rnk
+  FROM c) ranked
+WHERE rnk <= 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 trigrams: in-plan gram construction (slice
+    over a sequence — no Python), partial-agg count shuffle, then a
+    DISTRIBUTED top-k (sort+limit compiles to TakeOrderedAndProject:
+    per-partition heaps, no single-partition exchange of the gram-count
+    frame — at 100 TB distinct trigrams are billions of rows); the rank
+    is assigned on the 20-row result. Deterministic n-then-ngram
+    tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ", -1).alias("t")).where(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                    F.element_at("t", i + 3),
+                ),
+            )
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("ngram")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("ngram"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "ngram", "n", "rnk"
+    )
+
+
+@register(
+    "etl_mixture_report",
+    oracle="""
+WITH d AS (
+  SELECT lang, source, LEN(string_split(text, ' ')) AS n_toks
+  FROM documents),
+g AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY lang, source)
+SELECT lang, source, n_docs, n_tokens,
+  ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share
+FROM g
+""",
+)
+def etl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture accounting: per (lang, source) document and
+    token counts plus each cell's share of corpus tokens. The unbounded
+    window runs over the aggregated mixture frame (|langs| x |sources|
+    rows), not the corpus — the corpus itself sees one partial-agg
+    shuffle; exact integer token counts, share rounded to 6."""
+    docs = _t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang", "source", F.size(F.split("text", " ", -1)).alias("n_toks")
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias(
+            "token_share"
+        ),
+    )

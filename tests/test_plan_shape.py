@@ -81,3 +81,11 @@ def test_no_cartesian_products(spark, sf_dir):
                  "q15_top_supplier"]:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_ngram_topk_distributed_topk(spark, sf_dir):
+    """Corpus top-k must be TakeOrderedAndProject (per-partition heaps)
+    — a global-order window over the full gram-count frame would
+    single-partition billions of distinct trigrams at 100 TB."""
+    plan = _plan(spark, sf_dir, "text_ngram_topk")
+    assert "TakeOrderedAndProject" in plan
