@@ -2158,3 +2158,106 @@ def etl_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# ------------------- reconciliation audits (round 3) ----------------------
+@register(
+    "etl_table_checksum",
+    oracle="""
+WITH rows_h AS (
+  SELECT o_orderstatus,
+    CAST(('0x' || substr(md5(
+      o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+        || o_orderpriority || '|' || strftime(o_orderdate, '%Y-%m-%d')
+    ), 1, 15)) AS BIGINT) AS h
+  FROM orders)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(h) % (CAST(1 AS HUGEINT) << 60) AS BIGINT) AS checksum
+FROM rows_h GROUP BY o_orderstatus
+""",
+)
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group table checksum — the ETL
+    reconciliation primitive (compare source vs target after a load
+    without moving rows): md5 each row's key/attribute rendering, take
+    60 bits as an integer, SUM per group (commutative => partition- and
+    order-insensitive, partial-agg-friendly). Float columns are
+    excluded by design — checksums need exact renderings, so doubles
+    must be quantized before they enter one (cf. etl_unit_conversion).
+    One combiner-friendly shuffle; hash-checked vs DuckDB."""
+    orders = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(F.encode(row_str, "UTF-8")), 1, 15), 16, 10)
+    return (
+        orders.select("o_orderstatus", h.cast("long").alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # decimal accumulate (no 64-bit wrap), fold to 60 bits so
+            # the published checksum is a plain BIGINT in any engine
+            F.pmod(
+                F.sum(F.col("h").cast("decimal(38,0)")), F.lit(1 << 60)
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+@register(
+    "etl_referential_integrity",
+    oracle="""
+SELECT 'lineitem.l_orderkey -> orders' AS fk,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey -> customer' AS fk,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+""",
+)
+def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema: for each declared
+    foreign key, total child rows and rows whose parent key is missing.
+    Each check is one join aggregated to a single row — the customer
+    side broadcasts, the orders side shuffles once; no orphan row set
+    is ever materialized (count-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def audit(child, ckey, parent, pkey, label):
+        return (
+            child.select(F.col(ckey))
+            .join(
+                parent.select(F.col(pkey)).distinct(),
+                child[ckey] == parent[pkey],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(pkey).isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(label).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return audit(
+        li, "l_orderkey", orders, "o_orderkey",
+        "lineitem.l_orderkey -> orders",
+    ).unionByName(
+        audit(
+            orders, "o_custkey", cust, "c_custkey",
+            "orders.o_custkey -> customer",
+        )
+    )
