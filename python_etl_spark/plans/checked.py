@@ -500,3 +500,90 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _SH_MAX_HAMMING)
         .distinct()
     )
+
+
+# ------------------------- dedup_semantic_cluster -------------------------
+# SemDeDup (Abbas et al., 2023): cluster the embedding space with a
+# cheap coarse quantizer, then drop any vector that has a semantic
+# near-duplicate (cosine >= tau) with a SMALLER id inside its own
+# cluster — the quadratic search is confined to clusters, never the
+# full corpus. Production would grow the cluster count ~O(sqrt(n))
+# (the IVF k-means quantizer, operators/similarity.py); this checked
+# twin fixes the md5-Rademacher sign quantizer (16 clusters) so the
+# ENTIRE keep/drop decision is DuckDB-hash-checkable. Runs over the
+# planted-twin augmented corpus, so it attests real drops at every SF.
+_SEM_PLANES = 4
+_SEM_TAU = 0.9
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+WITH {AUG_VE_SQL},
+{_w_sql(_SEM_PLANES, _DIM, "sem:", "w")},
+{_bucket_sql("w", "bkt")},
+cand AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND b.vec_id < a.vec_id),
+dots AS (
+  SELECT cand.va, cand.vb, SUM(a.x * b.x) AS dot
+  FROM cand
+  JOIN ve a ON a.vec_id = cand.va
+  JOIN ve b ON b.vec_id = cand.vb AND b.i = a.i
+  GROUP BY cand.va, cand.vb),
+keep AS (
+  SELECT va AS vec_id, MIN(vb) AS keeper_id
+  FROM dots
+  JOIN nrm na ON na.vec_id = dots.va
+  JOIN nrm nb ON nb.vec_id = dots.vb
+  WHERE ROUND(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) >= {_SEM_TAU}
+  GROUP BY va)
+SELECT bkt.vec_id AS vec_id, bkt.bucket AS cluster, keep.keeper_id,
+  keep.keeper_id IS NOT NULL AS is_dropped
+FROM bkt LEFT JOIN keep ON keep.vec_id = bkt.vec_id
+""",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop labels: every vector, its coarse cluster, and
+    (if dropped) the smaller-id cluster-mate that semantically covers
+    it. Cluster equijoin -> exact rounded cosine -> min-keeper
+    aggregate -> left join back; the only shuffles are on the cluster
+    id and vec_id, and verification touches within-cluster candidates
+    only."""
+    aug = augmented_embeddings(_t(spark, sf_dir, "embeddings"))
+    planes = _rademacher(_SEM_PLANES, _DIM, "sem:")
+    v = aug.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).select(
+        "id",
+        "vec",
+        norm_sq_exact("vec").alias("nsq"),
+        _bucket(F.col("vec"), planes).alias("cluster"),
+    )
+    a = v.select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("xa"),
+        F.col("nsq").alias("na"), "cluster",
+    )
+    b = v.select(
+        F.col("id").alias("vb"), F.col("vec").alias("xb"),
+        F.col("nsq").alias("nb"), "cluster",
+    )
+    cos = cosine_from_parts(dot_exact("xa", "xb"), F.col("na"), F.col("nb"))
+    keep = (
+        a.join(b, ["cluster"])
+        .where(F.col("vb") < F.col("vec_id"))
+        .select("vec_id", "vb", cos.alias("cosine"))
+        .where(F.col("cosine") >= _SEM_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("vb").alias("keeper_id"))
+    )
+    return (
+        v.select(F.col("id").alias("vec_id"), "cluster")
+        .join(keep, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "keeper_id",
+            F.col("keeper_id").isNotNull().alias("is_dropped"),
+        )
+    )

@@ -1,0 +1,311 @@
+"""Round-3 corpus-curation and time-series plans.
+
+* ``text_dsir_importance`` — DSIR-style (Xie et al., 2023, "Data
+  Selection for Language Models via Importance Resampling") hashed
+  bigram importance weights: per-doc mean log-ratio of a target
+  distribution vs the raw corpus over 64 feature-hashed bigram buckets.
+* ``events_hypertable_rollup`` — continuous-aggregate-style
+  multi-granularity rollup (hour + day buckets in one pass) via
+  GROUPING SETS, the batch shape of a Timescale hypertable rollup.
+* ``stream_session_window_batch_equiv`` — Spark's NATIVE
+  ``session_window`` aggregation (the Structured-Streaming session
+  operator run in batch mode), oracled against the gaps-and-islands
+  SQL formulation.
+* ``win_cume_dist`` / ``etl_grouping_sets`` — remaining window /
+  multi-level-aggregate surface.
+
+Cross-engine exactness follows plans/common.py: decimal sums, 6-decimal
+rounds before aggregation, md5-derived hashing that both engines can
+rebuild.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_spark.functions.exact import dsum, dsum_sql
+from python_etl_spark.operators.dedup import _word_grams
+from python_etl_spark.plans.common import register
+from python_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------- DSIR importance ------------------------------
+#
+# Feature-hash bigrams into _DSIR_BUCKETS via md5 (identical in both
+# engines: two hex chars -> small integer), estimate the target
+# (lang='en') and raw bucket distributions with add-1 smoothing, and
+# score every document by the mean log importance ratio of its bigrams.
+# Scale posture: the bucket table is 64 rows (broadcast); the only
+# data-sized shuffles are the bucket count aggregate (partial-agg
+# collapses to 64 rows per partition before the exchange) and the
+# per-doc mean.
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_bucket(col: F.Column) -> F.Column:
+    h = F.md5(F.encode(col, "UTF-8"))
+    return (
+        (F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)))
+        % _DSIR_BUCKETS
+    ).cast("int")
+
+
+_DSIR_BUCKET_SQL = (
+    "CAST((ASCII(SUBSTR(md5(b), 1, 1)) * 131 + ASCII(SUBSTR(md5(b), 2, 1)))"
+    f" % {_DSIR_BUCKETS} AS INT)"
+)
+
+
+@register(
+    "text_dsir_importance",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+              FROM documents),
+bg AS (
+  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                        i -> concat_ws(' ', t[i], t[i+1]))) AS b
+  FROM toks WHERE len(t) >= 2),
+bgb AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket FROM bg),
+ct AS (
+  SELECT bucket, COUNT(*) AS rb,
+    SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tb
+  FROM bgb GROUP BY bucket),
+tot AS (SELECT SUM(rb) AS rt, SUM(tb) AS tt FROM ct),
+lr AS (
+  SELECT bucket,
+    ROUND(LN(((tb + 1.0) / (tt + {_DSIR_BUCKETS}))
+           / ((rb + 1.0) / (rt + {_DSIR_BUCKETS}))), 6) AS lw
+  FROM ct, tot)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(CAST(SUM(CAST(lw AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+    AS dsir_logweight
+FROM bgb JOIN lr USING (bucket)
+GROUP BY doc_id
+""",
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-bigram log-ratio of the target
+    (lang='en') distribution vs the raw corpus, averaged per document —
+    the data-selection score used to resample a raw crawl toward a
+    target domain. The 64-bucket ratio table is broadcast; per-bigram
+    log-ratios are rounded to 6 decimals then decimal-summed so both
+    engines aggregate identical values."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    bgb = (
+        docs.select("doc_id", "lang", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(_word_grams(F.col("t"), 2)).alias("b"),
+        )
+        .select("doc_id", "lang", _dsir_bucket(F.col("b")).alias("bucket"))
+    )
+    ct = bgb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rb"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tb"),
+    )
+    tot = ct.agg(F.sum("rb").alias("rt"), F.sum("tb").alias("tt"))
+    k = F.lit(float(_DSIR_BUCKETS))
+    lr = ct.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tb") + 1.0) / (F.col("tt") + k))
+                / ((F.col("rb") + 1.0) / (F.col("rt") + k))
+            ),
+            6,
+        ).alias("lw"),
+    )
+    return bgb.join(F.broadcast(lr), "bucket").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(dsum("lw") / F.count(F.lit(1)), 6).alias("dsir_logweight"),
+    )
+
+
+# ----------------------- hypertable-style rollup --------------------------
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+  hour(ts) AS hr,
+  CASE WHEN GROUPING(hour(ts)) = 1 THEN 'day' ELSE 'hour' END
+    AS granularity,
+  COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, strftime(ts, '%Y-%m-%d')),
+  (event_type, strftime(ts, '%Y-%m-%d'), hour(ts)))
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time-bucket rollup (the batch shape of a
+    Timescale/Druid continuous aggregate): hour- and day-level sums for
+    every event type computed in ONE grouping-sets pass — partial
+    aggregation collapses each granularity before the single shuffle,
+    instead of two scans + a union. `granularity` comes from
+    grouping(), not NULL-testing, so a genuinely NULL bucket could
+    never masquerade as a day row."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    hr = F.hour("ts").alias("hr")
+    return (
+        ev.select("event_type", day, hr, "value")
+        .groupingSets(
+            [["event_type", "day"], ["event_type", "day", "hr"]],
+            "event_type",
+            "day",
+            "hr",
+        )
+        .agg(
+            F.when(F.grouping("hr") == 1, F.lit("day"))
+            .otherwise(F.lit("hour"))
+            .alias("granularity"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+# ----------------------- native session_window ----------------------------
+@register(
+    "stream_session_window_batch_equiv",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM numbered GROUP BY user_id, session_idx
+""",
+)
+def stream_session_window_batch_equiv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the operator
+    Structured Streaming uses for session analytics) run in batch mode.
+    Sessions merge while consecutive events are < 30 min apart; the
+    window end is last-event + gap, so the oracle's gaps-and-islands
+    split uses >= (Spark session windows are half-open [start, end)).
+    One shuffle on user_id; in streaming the same expression runs
+    incrementally with watermark-based state eviction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------ cume_dist ---------------------------------
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+  ROUND(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity),
+        6) AS qty_cume_dist
+FROM lineitem WHERE l_orderkey < 1000
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist window function: fraction of rows in the partition
+    with a sort key <= this row's — tie-stable by definition (every
+    tied row gets the same value), so no tiebreak column is needed."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.cume_dist().over(w), 6).alias("qty_cume_dist"),
+    )
+
+
+# ---------------------------- grouping sets -------------------------------
+@register(
+    "etl_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+  CASE WHEN GROUPING(o_orderstatus) = 0 AND GROUPING(o_orderpriority) = 0
+         THEN 'status_priority'
+       WHEN GROUPING(o_orderpriority) = 1 AND GROUPING(o_orderstatus) = 0
+         THEN 'status'
+       WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 0
+         THEN 'priority'
+       ELSE 'total' END AS level,
+  COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+""",
+)
+def etl_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup compile
+    to): four aggregation levels in one pass with grouping() flags
+    naming each level — one shuffle, partial-agg per level."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.when(
+                (F.grouping("o_orderstatus") == 0)
+                & (F.grouping("o_orderpriority") == 0),
+                F.lit("status_priority"),
+            )
+            .when(
+                (F.grouping("o_orderpriority") == 1)
+                & (F.grouping("o_orderstatus") == 0),
+                F.lit("status"),
+            )
+            .when(
+                (F.grouping("o_orderstatus") == 1)
+                & (F.grouping("o_orderpriority") == 0),
+                F.lit("priority"),
+            )
+            .otherwise(F.lit("total"))
+            .alias("level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

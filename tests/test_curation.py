@@ -1,0 +1,135 @@
+"""Semantic invariants for the round-3 curation / time-series plans
+(hash-parity vs DuckDB is covered by test_oracle_parity.py — these
+check the MEANING of the outputs)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from python_etl_spark.plans import QUERIES
+from python_etl_spark.plans.common import PLANT_OFFSET
+from python_etl_spark.sources.tables import load_table
+
+
+def test_dsir_targets_score_higher(spark, sf_dir):
+    """Importance weights must rank the target language (en) above the
+    rest on average — the resampling signal DSIR exists to produce."""
+    scored = QUERIES["text_dsir_importance"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    by_lang = (
+        scored.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in by_lang}
+    assert means[True] > means[False]
+    # every doc with >= 2 tokens is scored
+    n_docs = docs.count()
+    assert scored.count() == n_docs
+
+
+def test_semantic_cluster_drops_planted_twins(spark, sf_dir):
+    """Every planted twin's only cosine>=0.9 neighbor is its source
+    vector; whenever the quantizer co-clusters them the twin must be
+    dropped with keeper == source. The sign quantizer can split a pair
+    across clusters (that's the SemDeDup recall trade), so assert a
+    high hit rate, and exact keeper identity for every hit."""
+    out = QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    twins = [r for r in out if r.vec_id >= PLANT_OFFSET]
+    assert twins, "augmented corpus must contain planted twins"
+    dropped = [r for r in twins if r.is_dropped]
+    assert len(dropped) >= 0.8 * len(twins)
+    for r in dropped:
+        assert r.keeper_id == r.vec_id - PLANT_OFFSET
+    # keep/drop labels cover the full augmented corpus exactly once
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))
+    # a dropped vector's keeper always has a smaller id (keep-first rule)
+    for r in out:
+        if r.is_dropped:
+            assert r.keeper_id < r.vec_id
+
+
+def test_hypertable_rollup_hour_rows_sum_to_day(spark, sf_dir):
+    out = QUERIES["events_hypertable_rollup"](spark, sf_dir)
+    day = out.where(F.col("granularity") == "day").select(
+        "event_type", "day", "n_events", "sum_value"
+    )
+    hour_sums = (
+        out.where(F.col("granularity") == "hour")
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("h_events"),
+            F.round(F.sum("sum_value"), 4).alias("h_value"),
+        )
+    )
+    joined = day.join(hour_sums, ["event_type", "day"]).collect()
+    assert joined
+    for r in joined:
+        assert r.n_events == r.h_events
+        assert abs(r.sum_value - r.h_value) < 1e-6
+
+
+def test_session_window_matches_event_totals(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sess = QUERIES["stream_session_window_batch_equiv"](spark, sf_dir)
+    agg = sess.agg(
+        F.sum("n_events").alias("n"), F.count(F.lit(1)).alias("s")
+    ).first()
+    assert agg["n"] == ev.count()
+    assert 0 < agg["s"] <= ev.count()
+    # session span = (last event - first event) + 30 min gap
+    bad = sess.where(
+        F.col("session_end")
+        < F.col("session_start") + F.expr("INTERVAL 30 MINUTES")
+    ).count()
+    assert bad == 0
+    # sessions of the same user never overlap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overl = (
+        sess.withColumn("prev_end", F.lag("session_end").over(w))
+        .where(F.col("prev_end") > F.col("session_start"))
+        .count()
+    )
+    assert overl == 0
+
+
+def test_cume_dist_bounds_and_monotonicity(spark, sf_dir):
+    out = QUERIES["win_cume_dist"](spark, sf_dir)
+    assert out.where(
+        (F.col("qty_cume_dist") <= 0) | (F.col("qty_cume_dist") > 1)
+    ).count() == 0
+    # max per partition is exactly 1
+    mx = out.groupBy("l_returnflag").agg(
+        F.max("qty_cume_dist").alias("m")
+    ).collect()
+    for r in mx:
+        assert r["m"] == pytest.approx(1.0)
+    # equal quantities share a value; higher quantity never has lower
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    viol = (
+        out.withColumn("prev", F.lag("qty_cume_dist").over(w))
+        .where(F.col("prev") > F.col("qty_cume_dist"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_grouping_sets_levels_reconcile(spark, sf_dir):
+    out = QUERIES["etl_grouping_sets"](spark, sf_dir).collect()
+    total = [r for r in out if r.level == "total"]
+    assert len(total) == 1
+    by_status = [r for r in out if r.level == "status"]
+    by_priority = [r for r in out if r.level == "priority"]
+    fine = [r for r in out if r.level == "status_priority"]
+    for rows in (by_status, by_priority, fine):
+        assert sum(r.n_orders for r in rows) == total[0].n_orders
+        assert sum(r.sum_price for r in rows) == pytest.approx(
+            total[0].sum_price, rel=1e-9
+        )
