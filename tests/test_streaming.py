@@ -333,3 +333,71 @@ def test_streaming_cdc_merge_into_versioned_table(spark, event_files, tmp_path):
     }
     assert got == truth
     assert len(table.history()) >= 1
+
+
+def test_native_session_window_stream_equals_batch(spark, event_files, tmp_path):
+    """Spark's built-in session_window aggregation, run as a real
+    Structured Streaming query (append mode + watermark): every session
+    the watermark has passed must be emitted, and nothing that is not a
+    true batch session may appear. Batch truth is the same expression on
+    the same input — the code path `stream_session_window_batch_equiv`
+    hash-checks against DuckDB."""
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    path, schema = event_files
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sess_native").collect()
+    }
+    assert got, "no sessions emitted — watermark never advanced"
+
+    batch_df = sessions(spark.read.schema(schema).parquet(path))
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch_df.collect()
+    }
+    assert got <= batch
+    # the no-data batch advances the watermark to max(ts) - 2h; every
+    # session that ended strictly before it must have been flushed
+    import datetime as dt
+
+    max_ts = spark.read.schema(schema).parquet(path).agg(
+        F.max("ts")
+    ).first()[0]
+    wm = max_ts - dt.timedelta(hours=2)
+    closed = {s for s in batch if s[2] < wm}
+    assert closed <= got
