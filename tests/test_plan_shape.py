@@ -89,3 +89,30 @@ def test_ngram_topk_distributed_topk(spark, sf_dir):
     single-partition billions of distinct trigrams at 100 TB."""
     plan = _plan(spark, sf_dir, "text_ngram_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """The 64-row DSIR ratio table must broadcast onto the per-doc
+    bigram stream — a sort-merge join there would shuffle the whole
+    exploded corpus on the bucket id."""
+    plan = _plan(spark, sf_dir, "text_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_cluster_no_cartesian(spark, sf_dir):
+    """SemDeDup candidates come from a cluster equijoin; the quadratic
+    work must stay inside clusters, never a corpus cross join."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir):
+    """Expand + partial HashAggregate BEFORE the exchange: each
+    granularity partial-aggregates map-side, then one shuffle carries
+    all levels."""
+    for name in ["events_hypertable_rollup", "etl_grouping_sets"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Expand" in plan, name
+        assert plan.count("Exchange") <= 2, (name, plan.count("Exchange"))
