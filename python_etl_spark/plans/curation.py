@@ -309,3 +309,82 @@ def etl_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+# ------------------------------ winsorize ---------------------------------
+@register(
+    "etl_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+    CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo,
+    CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+  l_extendedprice,
+  LEAST(GREATEST(l_extendedprice, lo), hi) AS price_winsorized,
+  CAST(l_extendedprice < lo OR l_extendedprice > hi AS BOOLEAN)
+    AS was_clipped
+FROM lineitem l JOIN bounds b ON b.l_returnflag = l.l_returnflag
+""",
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip a metric at its exact p05/p95
+    (F.percentile == quantile_cont bit-for-bit, proven by
+    etl_quantiles_checked). The bounds table is one row per group —
+    broadcast back onto the scan, so the big side never shuffles; at
+    100 TB the only wide op is the tiny percentile aggregate (or swap
+    in the GK sketch for a single-pass approximate clip)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        )
+        .join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.least(
+                F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                F.col("hi"),
+            ).alias("price_winsorized"),
+            (
+                (F.col("l_extendedprice") < F.col("lo"))
+                | (F.col("l_extendedprice") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
+# ----------------------- dup-cluster size histogram -----------------------
+@register(
+    "dedup_cluster_size_dist",
+    oracle="""
+WITH clusters AS (
+  SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY md5(text))
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY sz
+""",
+)
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the curation report
+    that tells you HOW duplicated a crawl is (how many singletons,
+    pairs, 100x boilerplate clusters). Two partial-agg-friendly
+    shuffles, both collapsing: corpus -> clusters -> size counts."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return clusters.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
