@@ -388,3 +388,42 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs"),
     )
+
+
+# ------------------------------ map funcs ---------------------------------
+@register(
+    "etl_map_funcs",
+    oracle="""
+WITH w AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS words,
+    list_distinct(string_split(p_name, ' ')) AS dwords
+  FROM part)
+SELECT p_partkey,
+  CAST(LEN(dwords) AS INT) AS n_keys,
+  array_to_string(list_sort(dwords), '|') AS keys_sorted,
+  CAST(LENGTH(words[1]) AS INT) AS first_word_len,
+  CAST(list_sum(list_transform(dwords, x -> LENGTH(x))) AS INT)
+    AS total_key_len
+FROM w
+""",
+)
+def etl_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build word->length maps in-plan
+    (map_from_arrays), then read them back through map_keys /
+    element_at / map_values + higher-order aggregate. The map never
+    leaves the plan — outputs are scalar/string mirrors the driver's
+    canonicalizer (and DuckDB, which derives the same values straight
+    from the word list) can hash. Zero shuffles: pure projection."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ", -1)
+    dwords = F.array_distinct(words)
+    m = F.map_from_arrays(dwords, F.transform(dwords, F.length))
+    return part.select(
+        "p_partkey",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.element_at(m, F.element_at(words, 1)).alias("first_word_len"),
+        F.aggregate(
+            F.map_values(m), F.lit(0), lambda acc, x: acc + x
+        ).alias("total_key_len"),
+    )
