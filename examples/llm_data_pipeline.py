@@ -52,6 +52,22 @@ def main() -> None:
     )
     n1 = valid.count()
 
+    # 1b. DSIR importance resampling toward the en target: drop the
+    # bottom-quartile least-target-like documents. The ratio table is
+    # 64 broadcast rows; the threshold is a single driver scalar.
+    from python_etl_spark.operators.importance import dsir_logweights
+
+    scores = dsir_logweights(valid, F.col("lang") == "en")
+    thr = scores.agg(
+        F.percentile("dsir_logweight", F.lit(0.25)).alias("t")
+    ).first()["t"]
+    valid = valid.join(
+        scores.where(F.col("dsir_logweight") >= thr).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n1b = valid.count()
+
     # 2. exact dedup: keep lowest doc_id per identical text
     keep = valid.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
@@ -121,7 +137,7 @@ def main() -> None:
         partition_by=["lang"],
     )
     print(
-        f"ingested={n0} quality_pass={n1} exact_deduped={n2} "
+        f"ingested={n0} quality_pass={n1} dsir_kept={n1b} exact_deduped={n2} "
         f"near_deduped={n3} decontaminated={n4} "
         f"bins={packed.select('bin').distinct().count()} "
         f"quarantined={quarantined.count()} -> {path}"

@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.functions.exact import dsum, dsum_sql
-from python_etl_spark.operators.dedup import _word_grams
 from python_etl_spark.plans.common import register
 from python_etl_spark.sources.tables import load_table
 
@@ -47,14 +46,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _DSIR_BUCKETS = 64
 _DSIR_TARGET_LANG = "en"
-
-
-def _dsir_bucket(col: F.Column) -> F.Column:
-    h = F.md5(F.encode(col, "UTF-8"))
-    return (
-        (F.ascii(F.substring(h, 1, 1)) * 131 + F.ascii(F.substring(h, 2, 1)))
-        % _DSIR_BUCKETS
-    ).cast("int")
 
 
 _DSIR_BUCKET_SQL = (
@@ -96,40 +87,15 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data-selection score used to resample a raw crawl toward a
     target domain. The 64-bucket ratio table is broadcast; per-bigram
     log-ratios are rounded to 6 decimals then decimal-summed so both
-    engines aggregate identical values."""
+    engines aggregate identical values. Logic lives in
+    operators/importance.py (the reusable pipeline stage)."""
+    from python_etl_spark.operators.importance import dsir_logweights
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    bgb = (
-        docs.select("doc_id", "lang", toks.alias("t"))
-        .where(F.size("t") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(_word_grams(F.col("t"), 2)).alias("b"),
-        )
-        .select("doc_id", "lang", _dsir_bucket(F.col("b")).alias("bucket"))
-    )
-    ct = bgb.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rb"),
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("tb"),
-    )
-    tot = ct.agg(F.sum("rb").alias("rt"), F.sum("tb").alias("tt"))
-    k = F.lit(float(_DSIR_BUCKETS))
-    lr = ct.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log(
-                ((F.col("tb") + 1.0) / (F.col("tt") + k))
-                / ((F.col("rb") + 1.0) / (F.col("rt") + k))
-            ),
-            6,
-        ).alias("lw"),
-    )
-    return bgb.join(F.broadcast(lr), "bucket").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(dsum("lw") / F.count(F.lit(1)), 6).alias("dsir_logweight"),
+    return dsir_logweights(
+        docs,
+        F.col("lang") == _DSIR_TARGET_LANG,
+        n_buckets=_DSIR_BUCKETS,
     )
 
 
