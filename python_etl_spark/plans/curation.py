@@ -393,3 +393,47 @@ def etl_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0), lambda acc, x: acc + x
         ).alias("total_key_len"),
     )
+
+
+# ----------------------- incremental aggregate merge ----------------------
+@register(
+    "etl_partial_agg_merge",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  {dsum_sql('o_totalprice')} AS sum_price,
+  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def etl_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base partition (orders
+    before 1995-01-01) and the delta batch (the rest) are aggregated
+    SEPARATELY into mergeable partials (count / decimal sum / min /
+    max), then merged — and the merge provably equals the direct
+    aggregate, which is exactly what the oracle computes. Decimal
+    partial sums stay decimal until the final cast, so associativity
+    is exact. This is how a continuous aggregate absorbs a micro-batch
+    at 100 TB without rescanning history."""
+    o = _t(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    cut = "1995-01-01"
+    base = partial(o.where(F.col("o_orderdate") < cut))
+    delta = partial(o.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_price"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
