@@ -401,3 +401,44 @@ def test_native_session_window_stream_equals_batch(spark, event_files, tmp_path)
     wm = max_ts - dt.timedelta(hours=2)
     closed = {s for s in batch if s[2] < wm}
     assert closed <= got
+
+
+def test_rocksdb_state_store_windowed_agg(spark, event_files, tmp_path):
+    """The windowed aggregation runs unchanged on the RocksDB state
+    store provider — the backend that keeps 100 TB-scale streaming
+    state off-heap and spillable instead of in executor memory. Results
+    must equal the default-provider/batch ones."""
+    path, schema = event_files
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = hourly_event_stats(stream, watermark="2 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hourly_rocks")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM hourly_rocks").collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    batch = hourly_event_stats(
+        spark.read.schema(schema).parquet(path)
+    ).collect()
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    assert {key(r): (r.n, r.total_value) for r in got} == {
+        key(r): (r.n, r.total_value) for r in batch
+    }
