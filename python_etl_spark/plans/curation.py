@@ -437,3 +437,75 @@ def etl_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_price"),
         )
     )
+
+
+# --------------------------- count-min sketch -----------------------------
+#
+# The frequency-sketch family member (alongside HLL distinct counts and
+# GK quantiles): d x w counter matrix, each occurrence votes in one
+# bucket per row, point estimate = min over rows. The sketch is d*w
+# cells (KBs) — built by ONE collapsing aggregate and broadcast back to
+# score candidates, so the corpus never shuffles by gram. Approximate
+# ([R]): estimates overestimate by at most eps*N with eps ~ e/w
+# (pytest-bounded vs exact counts); not SQL-expressible bit-for-bit
+# because xxhash64 seeds differ per row.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+@register("text_cms_topk")
+def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus top-20 trigrams via a count-min sketch:
+    build the 4x1024 counter matrix in one partial-agg shuffle,
+    broadcast it, score each DISTINCT trigram with a min-over-rows
+    lookup, TakeOrdered the top 20. At 100 TB the sketch stays 4 KB
+    of cells and the heavy-hitter scan is one distinct + broadcast
+    join — no gram-keyed count shuffle of the full stream."""
+    from python_etl_spark.operators.dedup import _word_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = docs.select(toks.alias("t")).where(F.size("t") >= 3).select(
+        F.explode(_word_grams(F.col("t"), 3)).alias("g")
+    )
+
+    def bucket(r: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.lit(r), F.col("g")), F.lit(_CMS_W))
+
+    cells = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r).alias("b")
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("e")
+        )
+        .groupBy("e.r", "e.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = grams.distinct()
+    est = (
+        cand.select(
+            "g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), bucket(r).alias("b")
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("g", "e.r", "e.b")
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("g")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("g")).limit(20)

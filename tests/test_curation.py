@@ -133,3 +133,35 @@ def test_grouping_sets_levels_reconcile(spark, sf_dir):
         assert sum(r.sum_price for r in rows) == pytest.approx(
             total[0].sum_price, rel=1e-9
         )
+
+
+def test_cms_estimates_bounded(spark, sf_dir):
+    """Count-min guarantees: never underestimates, and overestimates by
+    at most ~e/w * N (checked with 3x slack against the exact counts)."""
+    import math
+
+    from python_etl_spark.operators.dedup import _word_grams
+
+    est = {
+        r.g: r.est_count
+        for r in QUERIES["text_cms_topk"](spark, sf_dir).collect()
+    }
+    assert len(est) == 20
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    grams = docs.select(toks.alias("t")).where(F.size("t") >= 3).select(
+        F.explode(_word_grams(F.col("t"), 3)).alias("g")
+    )
+    exact = {
+        r.g: r.c
+        for r in grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(exact.values())
+    slack = 3 * math.e / 1024 * n_total
+    for g, e in est.items():
+        assert e >= exact[g], g
+        assert e - exact[g] <= slack, (g, e, exact[g], slack)
+    # the heaviest estimated hitter is the true heaviest hitter
+    top_est = max(est, key=lambda g: (est[g], g))
+    top_true = max(exact, key=lambda g: (exact[g], g))
+    assert est[top_est] >= exact[top_true]
