@@ -509,3 +509,89 @@ def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), F.asc("g")).limit(20)
+
+
+# ------------------------ as-of join directions ---------------------------
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return purchases, clicks
+
+
+@register(
+    "etl_asof_join_forward",
+    oracle="""
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+       p.value AS value, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+""",
+)
+def etl_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the NEXT click at
+    or after it (the 'what did the user do next' direction). Same
+    single-shuffle union-sort-fill as backward, with the fill window
+    flipped (operators/asof.py)."""
+    from python_etl_spark.operators.asof import asof_join
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+        direction="forward",
+    )
+
+
+@register(
+    "etl_asof_join_nearest",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT p.event_id, c.ts AS bts, c.value AS bval
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+f AS (
+  SELECT p.event_id, c.ts AS fts, c.value AS fval
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+  p.value AS value,
+  CASE WHEN bts IS NULL THEN fts
+       WHEN fts IS NULL THEN bts
+       WHEN (p.ts - bts) <= (fts - p.ts) THEN bts ELSE fts END
+    AS click_ts,
+  CASE WHEN bts IS NULL THEN fval
+       WHEN fts IS NULL THEN bval
+       WHEN (p.ts - bts) <= (fts - p.ts) THEN bval ELSE fval END
+    AS click_value
+FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+""",
+)
+def etl_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase matched to the click closest
+    in time on either side (ties prefer backward, like pandas
+    merge_asof). Both fills run over ONE sorted partition — still a
+    single shuffle."""
+    from python_etl_spark.operators.asof import asof_join
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+        direction="nearest",
+    )

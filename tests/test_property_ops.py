@@ -80,3 +80,50 @@ def test_upsert_invariants(spark, base_rows, upd_rows):
     got = {r.k: r.v for r in upsert(bdf, udf_, ["k"]).collect()}
     want = {**base, **upd}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(EVENTS, EVENTS, st.sampled_from(["forward", "nearest"]))
+def test_asof_directions_match_pandas(spark, lrows, rrows, direction):
+    """forward / nearest as-of must agree with pandas merge_asof on
+    randomized inputs, including equal-timestamp and equal-distance
+    ties (both prefer backward on nearest ties)."""
+    from python_etl_spark.operators.asof import asof_join
+
+    rrows = list({(k, t): None for k, t in rrows})
+    left = spark.createDataFrame(
+        [(k, t) for k, t in lrows], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, k * 100 + t) for k, t in rrows], "k long, rts long, val long"
+    )
+    got = {
+        (r.k, r.lts, i): r.val
+        for i, r in enumerate(
+            sorted(
+                asof_join(
+                    left, right, "k", "lts", "rts", direction=direction
+                ).collect(),
+                key=lambda r: (r.k, r.lts),
+            )
+        )
+    }
+
+    lp = pd.DataFrame(sorted(lrows), columns=["k", "lts"])
+    rp = pd.DataFrame(
+        sorted((k, t, k * 100 + t) for k, t in rrows),
+        columns=["k", "rts", "val"],
+    ).sort_values("rts", kind="stable")
+    want_df = pd.merge_asof(
+        lp.sort_values("lts", kind="stable"),
+        rp,
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+    ).sort_values(["k", "lts"], kind="stable")
+    want = {
+        (r.k, r.lts, i): None if pd.isna(r.val) else int(r.val)
+        for i, r in enumerate(want_df.itertuples(index=False))
+    }
+    assert got == want
