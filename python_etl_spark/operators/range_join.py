@@ -57,3 +57,62 @@ def range_join(
         )
         .drop("__b")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width_s: int = 1800,
+) -> DataFrame:
+    """Inner-join two INTERVAL sets on true overlap
+    (``a_start < b_end AND b_start < a_end``, half-open) without a
+    cartesian product: both sides explode onto a coarse time grid and
+    equijoin on (keys, bucket). A pair that shares several buckets
+    would duplicate, so each pair is emitted ONLY from the bucket
+    containing ``max(a_start, b_start)`` — no DISTINCT shuffle needed.
+    Cost scales with true overlap density per grid cell, never |a|x|b|.
+    """
+    wus = int(bucket_width_s) * 1_000_000
+
+    def micros(c: str):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    ae = a.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(micros(a_start) / wus),
+                F.floor((micros(a_end) - F.lit(1)) / wus),
+            )
+        ),
+    )
+    be = b.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(micros(b_start) / wus),
+                F.floor((micros(b_end) - F.lit(1)) / wus),
+            )
+        ),
+    )
+    first_shared = F.floor(
+        F.greatest(
+            F.unix_micros(F.col(a_start).cast("timestamp")),
+            F.unix_micros(F.col(b_start).cast("timestamp")),
+        )
+        / wus
+    )
+    return (
+        ae.join(be, [*keys, "__b"])
+        .where(
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(b_start) < F.col(a_end))
+            & (F.col("__b") == first_shared)
+        )
+        .drop("__b")
+    )

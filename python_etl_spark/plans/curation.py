@@ -595,3 +595,59 @@ def etl_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_ts", "click_value"],
         direction="nearest",
     )
+
+
+# ------------------------ interval overlap join ---------------------------
+@register(
+    "etl_interval_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_start,
+    ts + INTERVAL 1 HOUR AS p_end
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_start,
+    ts + INTERVAL 1 HOUR AS c_end
+  FROM events WHERE event_type = 'click')
+SELECT purchase_id, click_id, p.user_id AS user_id,
+  CAST(date_diff('microsecond', GREATEST(p_start, c_start),
+                 LEAST(p_end, c_end)) AS BIGINT) AS overlap_us
+FROM p JOIN c ON p.user_id = c.user_id
+  AND p_start < c_end AND c_start < p_end
+""",
+)
+def etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: 1-hour activity windows around purchases
+    vs clicks of the same user; output the overlapping pairs + overlap
+    length. Grid-bucketed equijoin (operators/range_join.py) — each
+    pair emits exactly once from its first shared bucket, so no
+    DISTINCT pass; never |a| x |b|."""
+    from python_etl_spark.operators.range_join import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + hour).alias("p_end"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + hour).alias("c_end"),
+    )
+    joined = interval_overlap_join(
+        p, c, ["user_id"], "p_start", "p_end", "c_start", "c_end"
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.least(us("p_end"), us("c_end"))
+            - F.greatest(us("p_start"), us("c_start"))
+        ).alias("overlap_us"),
+    )

@@ -116,3 +116,13 @@ def test_grouping_sets_single_shuffle(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Expand" in plan, name
         assert plan.count("Exchange") <= 2, (name, plan.count("Exchange"))
+
+
+def test_interval_join_no_cartesian_no_distinct(spark, sf_dir):
+    """Interval overlap join must be a bucket equijoin with
+    first-shared-bucket emission: no cartesian, and no dedup
+    aggregate anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "etl_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" not in plan  # no DISTINCT pass
