@@ -442,3 +442,81 @@ def test_rocksdb_state_store_windowed_agg(spark, event_files, tmp_path):
     assert {key(r): (r.n, r.total_value) for r in got} == {
         key(r): (r.n, r.total_value) for r in batch
     }
+
+
+def test_transform_with_state_running_count(spark, event_files, tmp_path):
+    """Spark 4's transformWithStateInPandas (arbitrary stateful
+    processing v2, RocksDB-backed): a per-event-type running count
+    whose final emitted value must equal the batch count.
+
+    The operator's state-server protocol needs protobuf, which this
+    environment does not ship — skip cleanly when absent (same gating
+    convention as the Excel/JDBC connectors)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    path, schema = event_files
+    state_schema = StructType([StructField("n", LongType())])
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + n
+            self._count.update((total,))
+            yield pd.DataFrame({"event_type": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = spark.readStream.schema(schema).parquet(path)
+        out = stream.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=Counter(),
+            outputStructType="event_type string, n long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT event_type, MAX(n) AS n FROM tws_counts GROUP BY event_type"
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    batch = (
+        spark.read.schema(schema)
+        .parquet(path)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert {r.event_type: r.n for r in got} == {
+        r.event_type: r["count"] for r in batch
+    }
