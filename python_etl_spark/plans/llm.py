@@ -1523,8 +1523,9 @@ WHERE rnk <= 20
 """,
 )
 def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-20 trigrams: in-plan gram construction (slice
-    over a sequence — no Python), partial-agg count shuffle, then a
+    """Corpus-level top-20 trigrams: in-plan gram construction
+    (chained zip_with passes, linear in token count — no Python),
+    partial-agg count shuffle, then a
     DISTRIBUTED top-k (sort+limit compiles to TakeOrderedAndProject:
     per-partition heaps, no single-partition exchange of the gram-count
     frame — at 100 TB distinct trigrams are billions of rows); the rank
@@ -1534,18 +1535,10 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.split("text", " ", -1).alias("t")).where(
         F.size("t") >= 3
     )
+    from python_etl_spark.operators.dedup import _word_grams
+
     grams = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("t", i + 1),
-                    F.element_at("t", i + 2),
-                    F.element_at("t", i + 3),
-                ),
-            )
-        ).alias("ngram")
+        F.explode(_word_grams(F.col("t"), 3)).alias("ngram")
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("ngram")).limit(20)
