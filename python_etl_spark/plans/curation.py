@@ -651,3 +651,63 @@ def etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(us("p_start"), us("c_start"))
         ).alias("overlap_us"),
     )
+
+
+# ------------------------------ posexplode --------------------------------
+@register(
+    "etl_posexplode",
+    oracle="""
+WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+SELECT p_partkey, CAST(unnest(range(len(w))) AS INT) AS pos,
+  unnest(w) AS word
+FROM w
+""",
+)
+def etl_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: element + 0-based position in one generator —
+    the order-preserving explode (token position features, windowed
+    token contexts). Pure narrow projection, zero shuffles."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ", -1)).alias("pos", "word"),
+    )
+
+
+# ---------------------------- try_ arithmetic -----------------------------
+@register(
+    "etl_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  CAST(l_extendedprice / NULLIF(l_discount, 0.0) AS DOUBLE)
+    AS price_per_discount,
+  TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                ELSE l_returnflag END AS DOUBLE) AS mixed_as_number,
+  CAST(NULL AS BIGINT) AS overflow_guard
+FROM lineitem WHERE l_orderkey < 500
+""",
+)
+def etl_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on /0 instead of
+    ANSI failure), try_cast on a non-numeric column, try_multiply at
+    guaranteed-overflow magnitudes — the ingestion-hardening functions
+    a pipeline uses on untrusted columns. Zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    big = F.lit(9_000_000_000_000_000_000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.nullif(F.col("l_discount"), F.lit(0.0)),
+        ).alias("price_per_discount"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.col("l_quantity").cast("bigint").cast("string"),
+        )
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("double")
+        .alias("mixed_as_number"),
+        F.try_multiply(big, big).alias("overflow_guard"),
+    )

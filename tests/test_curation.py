@@ -165,3 +165,35 @@ def test_cms_estimates_bounded(spark, sf_dir):
     top_est = max(est, key=lambda g: (est[g], g))
     top_true = max(exact, key=lambda g: (exact[g], g))
     assert est[top_est] >= exact[top_true]
+
+
+def test_interval_join_partition_invariance(spark, sf_dir):
+    """The grid-bucketed interval join must return the identical pair
+    set regardless of input partitioning (the dedup-free emission rule
+    is a per-row predicate, not a partition-local one)."""
+    from python_etl_spark.operators.range_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("ps"), (F.col("ts") + hour).alias("pe"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id",
+        F.col("ts").alias("cs"), (F.col("ts") + hour).alias("ce"),
+    )
+    results = []
+    for nparts in (1, 7, 32):
+        out = interval_overlap_join(
+            p.repartition(nparts), c.repartition(nparts),
+            ["user_id"], "ps", "pe", "cs", "ce",
+        )
+        results.append({(r.pid, r.cid) for r in out.collect()})
+    assert results[0] == results[1] == results[2]
+    assert results[0], "expected at least one overlapping pair"
+    # no pair may appear twice (first-shared-bucket emission)
+    rows = interval_overlap_join(
+        p, c, ["user_id"], "ps", "pe", "cs", "ce"
+    ).collect()
+    assert len(rows) == len({(r.pid, r.cid) for r in rows})
