@@ -711,3 +711,97 @@ def etl_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mixed_as_number"),
         F.try_multiply(big, big).alias("overflow_guard"),
     )
+
+
+# ---------------------------- rolling median ------------------------------
+@register(
+    "win_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+    COUNT(*) AS n_events
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d'))
+SELECT event_type, day, n_events,
+  CAST(quantile_cont(n_events, 0.5) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+FROM daily
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event volume — the robust trend
+    line (moving averages chase outliers, medians don't). percentile
+    as a WINDOW aggregate == DuckDB quantile_cont over the same frame;
+    the window runs over the tiny post-aggregation daily frame, never
+    the raw event stream."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.percentile("n_events", F.lit(0.5)).over(w).alias("med7"),
+    )
+
+
+# ------------------------------- DAU / WAU --------------------------------
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u
+    ON u.day <= d.day
+   AND u.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+  GROUP BY d.day)
+SELECT day, dau, wau,
+  ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day)
+""",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness: daily and trailing-7-day distinct
+    actives per day. The raw stream collapses FIRST to distinct
+    (day, user) pairs — one partial-agg shuffle, after which every
+    join touches only days x users rows. The WAU range join is a
+    7-day window self-join on that collapsed frame (windowed count
+    distinct isn't a thing in any engine; this is the standard
+    formulation). Stickiness = DAU/WAU."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct()
+    window_lo = F.date_format(
+        F.date_sub(F.to_date(F.col("d.day")), 6), "yyyy-MM-dd"
+    )
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (F.col("u.day") >= window_lo),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
