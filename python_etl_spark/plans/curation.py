@@ -805,3 +805,75 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# ----------------------------- variant JSON -------------------------------
+@register(
+    "etl_variant_json",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+  CAST(json_extract(props, '$.k') AS VARCHAR) IS NOT NULL AS has_k,
+  json_extract_string(props, '$.missing') AS missing_field
+FROM events WHERE event_id < 2000
+""",
+)
+def etl_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType ingestion: parse_json once into the binary
+    variant encoding, then typed variant_get paths — the
+    schema-on-read path for semi-structured columns (vs per-access
+    string re-parsing with get_json_object). Zero shuffles."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_field"),
+    )
+
+
+# ----------------------------- robust scaler ------------------------------
+@register(
+    "etl_robust_scale",
+    oracle="""
+WITH st AS (
+  SELECT l_returnflag,
+    CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS med,
+    CAST(quantile_cont(l_extendedprice, 0.75)
+       - quantile_cont(l_extendedprice, 0.25) AS DOUBLE) AS iqr
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+  ROUND((l_extendedprice - med) / iqr, 6) AS price_robust
+FROM lineitem l JOIN st USING (l_returnflag)
+WHERE l_orderkey < 2000
+""",
+)
+def etl_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling: (x - median) / IQR per group — the
+    outlier-immune cousin of z-score normalization (etl_zscore uses
+    mean/stddev, which heavy tails corrupt). Exact percentiles
+    (F.percentile == quantile_cont bit-for-bit), tiny bounds table
+    broadcast onto an unshuffled scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    st = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("med"),
+        (
+            F.percentile("l_extendedprice", F.lit(0.75))
+            - F.percentile("l_extendedprice", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    return (
+        li.where(F.col("l_orderkey") < 2000)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_extendedprice")
+        .join(F.broadcast(st), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("med")) / F.col("iqr"), 6
+            ).alias("price_robust"),
+        )
+    )
