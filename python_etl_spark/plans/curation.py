@@ -877,3 +877,47 @@ def etl_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_robust"),
         )
     )
+
+
+# ----------------------- LSH bucket-skew diagnostics ----------------------
+from python_etl_spark.plans.llm import MH_BUCKETS_SQL  # noqa: E402
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+WITH {MH_BUCKETS_SQL},
+bs AS (SELECT band, bucket, COUNT(*) AS sz FROM buckets
+       GROUP BY band, bucket)
+SELECT band, sz AS bucket_size, COUNT(*) AS n_buckets,
+  CAST(sz * (sz - 1) / 2 * COUNT(*) AS BIGINT) AS candidate_pairs
+FROM bs GROUP BY band, sz
+""",
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size distribution of the MinHash-LSH banding — the
+    pre-flight skew check for the candidate join: a hot bucket of size
+    s contributes s*(s-1)/2 pairs, so this histogram IS the join's
+    cost model (run it before a 100 TB dedup to catch degenerate
+    banding / boilerplate floods and pick df-caps). Two collapsing
+    aggregates over the bucket frame; identical md5 banding to
+    dedup_minhash_lsh_checked (shared code + shared SQL prefix), so
+    it's hash-checked end to end."""
+    from python_etl_spark.plans.llm import mh_sig_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    _, buckets = mh_sig_buckets(docs)
+    bs = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return bs.groupBy("band", F.col("sz").alias("bucket_size")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.col("bucket_size")
+            * (F.col("bucket_size") - 1)
+            / 2
+            * F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("candidate_pairs"),
+    )

@@ -728,11 +728,10 @@ _MH_K = 16   # md5-based hash functions (checked variant)
 _MH_BANDS = 4
 _MH_ROWS = _MH_K // _MH_BANDS
 
-
-@register(
-    "dedup_minhash_lsh_checked",
-    oracle=f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# shared CTE prefix (shingles -> md5 signatures -> band buckets) used by
+# the checked near-dup pipeline AND the bucket-skew diagnostics
+MH_BUCKETS_SQL = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sl AS (
   SELECT doc_id,
     CASE WHEN len(t) >= 3
@@ -753,7 +752,52 @@ buckets AS (
       + "md5(" + " || '|' || ".join(f"h{b * 4 + r}" for r in range(4)) + ")"
       + " AS bucket FROM sig"
       for b in range(4))}
-),
+)"""
+
+
+def mh_sig_buckets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sig, buckets) of the md5 MinHash pipeline — the Spark mirror of
+    MH_BUCKETS_SQL, shared by the checked near-dup twin and the
+    bucket-skew diagnostics. sig is localCheckpoint-materialized: it
+    feeds the band explode AND both sides of the estimate join
+    (leak-free vs .cache(); the ContextCleaner reclaims it)."""
+    from python_etl_spark.operators.dedup import shingles
+
+    sh = shingles(docs, k=3)
+
+    def h(i):
+        return F.substring(
+            F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("shingle")), "UTF-8")),
+            1,
+            16,
+        )
+
+    sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
+    ).localCheckpoint(eager=True)
+
+    def band_bucket(b):
+        parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+        concat = parts[0]
+        for p in parts[1:]:
+            concat = F.concat(concat, F.lit("|"), p)
+        return F.struct(
+            F.lit(b).alias("band"), F.md5(F.encode(concat, "UTF-8")).alias("bucket")
+        )
+
+    # one pass over sig (explode of the 4 band structs), not a
+    # 4-branch union that re-reads sig per band
+    buckets = sig.select(
+        "doc_id",
+        F.explode(F.array(*[band_bucket(b) for b in range(_MH_BANDS)])).alias("e"),
+    ).select("doc_id", "e.band", "e.bucket")
+    return sig, buckets
+
+
+@register(
+    "dedup_minhash_lsh_checked",
+    oracle=f"""
+WITH {MH_BUCKETS_SQL},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM buckets a JOIN buckets b
@@ -775,40 +819,8 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join, estimate filter — is hash-checked end to end.
     min over fixed-length lowercase-hex strings == min over the
     unsigned 64-bit values they encode."""
-    from python_etl_spark.operators.dedup import shingles
-
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, k=3)
-
-    def h(i):
-        return F.substring(
-            F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("shingle")), "UTF-8")),
-            1,
-            16,
-        )
-
-    # sig feeds the band explode AND both sides of the estimate join —
-    # materialize once (localCheckpoint: leak-free vs .cache(), the
-    # ContextCleaner reclaims it when the result drops out of scope)
-    sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
-        *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
-    ).localCheckpoint(eager=True)
-
-    def band_bucket(b):
-        parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-        concat = parts[0]
-        for p in parts[1:]:
-            concat = F.concat(concat, F.lit("|"), p)
-        return F.struct(
-            F.lit(b).alias("band"), F.md5(F.encode(concat, "UTF-8")).alias("bucket")
-        )
-
-    # one pass over sig (posexplode of the 4 band structs), not a
-    # 4-branch union that re-reads sig per band
-    buckets = sig.select(
-        "doc_id",
-        F.explode(F.array(*[band_bucket(b) for b in range(_MH_BANDS)])).alias("e"),
-    ).select("doc_id", "e.band", "e.bucket")
+    sig, buckets = mh_sig_buckets(docs)
     a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b2 = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (

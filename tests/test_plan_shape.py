@@ -126,3 +126,24 @@ def test_interval_join_no_cartesian_no_distinct(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" not in plan  # no DISTINCT pass
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """A lang= partitioned layout must prune at the DIRECTORY level:
+    the filter shows up as a PartitionFilter on the scan (zero I/O for
+    other langs), not a post-scan Filter over all files."""
+    from python_etl_spark.sinks.writers import write_parquet
+    from python_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+
+    from pyspark.sql import functions as F
+
+    q = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    head = plan.split("PartitionFilters")[1][:120]
+    assert "lang" in head, head
+    assert q.count() == docs.where(F.col("lang") == "en").count()
