@@ -75,9 +75,25 @@ _DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED
 
 def _registry_order() -> list[str]:
     names = list(QUERIES)
-    return [n for n in names if n not in _DRIVER_CHECKED] + [
-        n for n in names if n in _DRIVER_CHECKED
+    # The driver samples the registry HEAD, so order unchecked entries
+    # by how much a driver-side check would add: (1) the one row that
+    # was red in r2 (driver-canon fix needs re-attesting), (2) oracled
+    # never-sampled queries, newest first (this round's additions earn
+    # full rows+schema+hash checks), (3) rows-only queries (they can
+    # only earn a weaker check), then everything already green.
+    unchecked = [n for n in names if n not in _DRIVER_CHECKED]
+    red = [n for n in unchecked if n == "etl_array_funcs"]
+    oracled = [
+        n for n in reversed(unchecked)
+        if n in ORACLES and n != "etl_array_funcs"
     ]
+    rows_only = [n for n in unchecked if n not in ORACLES]
+    return (
+        red
+        + oracled
+        + rows_only
+        + [n for n in names if n in _DRIVER_CHECKED]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
