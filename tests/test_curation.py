@@ -197,3 +197,82 @@ def test_interval_join_partition_invariance(spark, sf_dir):
         p, c, ["user_id"], "ps", "pe", "cs", "ce"
     ).collect()
     assert len(rows) == len({(r.pid, r.cid) for r in rows})
+
+
+def test_winsorize_bounds_respected(spark, sf_dir):
+    out = QUERIES["etl_winsorize"](spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+        )
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.l_returnflag]
+        assert lo <= r.price_winsorized <= hi
+        if r.was_clipped:
+            assert r.price_winsorized in (lo, hi)
+        else:
+            assert r.price_winsorized == r.l_extendedprice
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    rows = QUERIES["events_dau_wau"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau > 0
+        assert 0 < r.stickiness <= 1
+    ev = load_table(spark, sf_dir, "events")
+    total_days = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).distinct().count()
+    assert len(rows) == total_days
+
+
+def test_partial_agg_merge_equals_direct(spark, sf_dir):
+    merged = {
+        r.o_orderstatus: (r.n_orders, r.sum_price, r.min_price, r.max_price)
+        for r in QUERIES["etl_partial_agg_merge"](spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    direct = {
+        r.o_orderstatus: (r.n, r.s, r.mn, r.mx)
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_cluster_size_dist_reconciles(spark, sf_dir):
+    rows = QUERIES["dedup_cluster_size_dist"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == docs.count()
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+
+
+def test_lsh_bucket_stats_reconcile(spark, sf_dir):
+    """Bucket histogram must account for every (doc, band) assignment:
+    sum(bucket_size * n_buckets) per band == number of docs."""
+    rows = QUERIES["dedup_lsh_bucket_stats"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band, 0)
+        by_band[r.band] += r.bucket_size * r.n_buckets
+    assert set(by_band) == {0, 1, 2, 3}
+    assert all(v == n for v in by_band.values())
