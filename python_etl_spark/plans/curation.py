@@ -921,3 +921,46 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("candidate_pairs"),
     )
+
+
+# ---------------------- df-capped containment pairs -----------------------
+from python_etl_spark.plans.llm import _NGRAM_SH_SQL  # noqa: E402
+
+_CONT_CAP = 20
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=f"""
+WITH {_NGRAM_SH_SQL},
+capped AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING COUNT(*) <= {_CONT_CAP})),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(shared AS DOUBLE) / ca.n AS containment
+FROM pair JOIN cnt ca ON ca.doc_id = pair.doc_a
+WHERE CAST(shared AS DOUBLE) / ca.n >= 0.12
+""",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs with the document-frequency cap engaged
+    (max_doc_freq=20): 'stop shingles' that appear in more docs than
+    the cap are dropped BEFORE the inverted-index join — the knob that
+    keeps boilerplate-heavy corpora from going quadratic at 100 TB.
+    Containment denominators count only surviving shingles, exactly as
+    the oracle's HAVING filter does; the cap's hot set broadcasts as a
+    left-anti join (operators/dedup.py:_cap_doc_freq)."""
+    from python_etl_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, k=3, threshold=0.12, max_doc_freq=_CONT_CAP
+    )
