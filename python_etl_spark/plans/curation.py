@@ -964,3 +964,40 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, k=3, threshold=0.12, max_doc_freq=_CONT_CAP
     )
+
+
+# ------------------------------ Python UDTF -------------------------------
+@register(
+    "etl_udtf_expand",
+    oracle="""
+WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+           WHERE p_partkey <= 200)
+SELECT p_partkey, CAST(unnest(range(len(w))) AS INT) AS pos,
+  unnest(w) AS word,
+  CAST(LENGTH(unnest(w)) AS INT) AS word_len
+FROM w
+""",
+)
+def etl_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function): one input
+    row fans out to one row per token with position and length. This
+    is the API-surface demo — row-at-a-time Python is the slow path,
+    and etl_posexplode is the native equivalent you'd run at 100 TB;
+    a real UDTF earns its cost only when the expansion logic can't be
+    expressed with generators (API calls, parsers, samplers). Applied
+    to a pruned 200-part slice for exactly that reason."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="p_partkey bigint, pos int, word string, word_len int")
+    class ExpandWords:
+        def eval(self, p_partkey: int, p_name: str):
+            for pos, word in enumerate(p_name.split(" ")):
+                yield p_partkey, pos, word, len(word)
+
+    spark.udtf.register("expand_words", ExpandWords)
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    part.createOrReplaceTempView("_udtf_part")
+    return spark.sql(
+        "SELECT f.p_partkey, f.pos, f.word, f.word_len "
+        "FROM _udtf_part, LATERAL expand_words(p_partkey, p_name) f"
+    )
