@@ -503,3 +503,57 @@ def containment_pairs(
         .select("doc_a", "doc_b", cont.alias("containment"))
         .where(F.col("containment") >= threshold)
     )
+
+
+def char_gram_jaccard_pairs(
+    df: DataFrame,
+    col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Fuzzy STRING matching (entity resolution on names/titles):
+    character k-gram Jaccard over the DISTINCT values of ``col``,
+    via the same inverted-index join the document dedup uses — cost
+    tracks shared grams, never |values|². Ordered pairs
+    (val_a < val_b) with jaccard >= threshold.
+
+    Word-gram Jaccard can't see "Jonh Smith" ~ "John Smith"; char
+    grams can. Dedup the value domain FIRST (names repeat massively
+    in fact tables), match on the tiny distinct set, then join labels
+    back to rows."""
+    vals = df.select(F.col(col).alias("val")).distinct()
+    n = F.length("val") - (k - 1)
+    # substring(col, pos, len) needs a column pos — SQL expr form
+    grams = vals.where(n >= 1).select(
+        "val",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(val) - {k - 1}), "
+                    f"i -> substring(val, i, {k}))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("val").agg(F.count(F.lit(1)).alias("ng"))
+    a = grams.select(F.col("val").alias("val_a"), "g")
+    b = grams.select(F.col("val").alias("val_b"), "g")
+    shared = (
+        a.join(b, ["g"])
+        .where(F.col("val_a") < F.col("val_b"))
+        .groupBy("val_a", "val_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("val").alias("val_a"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col("val").alias("val_b"), F.col("ng").alias("nb"))
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("shared")),
+        6,
+    )
+    return (
+        shared.join(F.broadcast(sa), ["val_a"])
+        .join(F.broadcast(sb), ["val_b"])
+        .select("val_a", "val_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

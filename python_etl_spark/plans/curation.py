@@ -1001,3 +1001,38 @@ def etl_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT f.p_partkey, f.pos, f.word, f.word_len "
         "FROM _udtf_part, LATERAL expand_words(p_partkey, p_name) f"
     )
+
+
+# ------------------------- fuzzy name matching ----------------------------
+@register(
+    "etl_fuzzy_match_names",
+    oracle="""
+WITH vals AS (SELECT DISTINCT p_name AS val FROM part),
+grams AS (
+  SELECT val, unnest(list_distinct(list_transform(
+    range(1, LENGTH(val) - 1), i -> val[i:i+2]))) AS g
+  FROM vals WHERE LENGTH(val) >= 3),
+sizes AS (SELECT val, COUNT(*) AS ng FROM grams GROUP BY val),
+shared AS (
+  SELECT a.val AS val_a, b.val AS val_b, COUNT(*) AS shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.val < b.val
+  GROUP BY a.val, b.val)
+SELECT val_a, val_b,
+  ROUND(CAST(shared AS DOUBLE) / (sa.ng + sb.ng - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.val = shared.val_a
+JOIN sizes sb ON sb.val = shared.val_b
+WHERE ROUND(CAST(shared AS DOUBLE) / (sa.ng + sb.ng - shared), 6) >= 0.4
+""",
+)
+def etl_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching for entity resolution: char-3-gram
+    Jaccard pairs over the DISTINCT product names (typo-tolerant,
+    unlike word grams). The match runs on the deduped value domain —
+    64 names here, and still only the distinct set at 100 TB — via
+    the inverted-index join (operators/dedup.py:
+    char_gram_jaccard_pairs)."""
+    from python_etl_spark.operators.dedup import char_gram_jaccard_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return char_gram_jaccard_pairs(part, "p_name", k=3, threshold=0.4)
