@@ -1036,3 +1036,83 @@ def etl_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part")
     return char_gram_jaccard_pairs(part, "p_name", k=3, threshold=0.4)
+
+
+# --------------------------- edit distance --------------------------------
+@register(
+    "etl_edit_distance",
+    oracle="""
+WITH vals AS (SELECT DISTINCT p_name AS val FROM part),
+pairs AS (
+  SELECT a.val AS val_a, b.val AS val_b
+  FROM vals a JOIN vals b
+    ON a.val < b.val
+   AND string_split(a.val, ' ')[2] = string_split(b.val, ' ')[2])
+SELECT val_a, val_b,
+  CAST(levenshtein(val_a, val_b) AS INT) AS edit_dist,
+  ROUND(1.0 - CAST(levenshtein(val_a, val_b) AS DOUBLE)
+        / GREATEST(LENGTH(val_a), LENGTH(val_b)), 6) AS similarity
+FROM pairs
+""",
+)
+def etl_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein re-rank for entity resolution: same-noun product
+    name pairs scored by edit distance + normalized similarity. The
+    blocking key (shared last word) keeps candidates linear — the
+    standard block-then-score shape; the quadratic scorer only ever
+    sees within-block pairs."""
+    part = _t(spark, sf_dir, "part")
+    vals = part.select(F.col("p_name").alias("val")).distinct()
+    noun = F.element_at(F.split(F.col("val"), " ", -1), 2)
+    a = vals.select(F.col("val").alias("val_a"), noun.alias("blk"))
+    b = vals.select(F.col("val").alias("val_b"), noun.alias("blk"))
+    lev = F.levenshtein(F.col("val_a"), F.col("val_b"))
+    return (
+        a.join(b, ["blk"])
+        .where(F.col("val_a") < F.col("val_b"))
+        .select(
+            "val_a",
+            "val_b",
+            lev.cast("int").alias("edit_dist"),
+            F.round(
+                1.0
+                - lev.cast("double")
+                / F.greatest(F.length("val_a"), F.length("val_b")),
+                6,
+            ).alias("similarity"),
+        )
+    )
+
+
+# ----------------------- schema-evolution union ---------------------------
+@register(
+    "etl_union_schema_evolution",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS amount,
+  o_orderpriority AS priority, CAST(NULL AS VARCHAR) AS flag
+FROM orders WHERE o_orderkey < 300
+UNION ALL
+SELECT l_orderkey AS id, l_extendedprice AS amount,
+  CAST(NULL AS VARCHAR) AS priority, l_returnflag AS flag
+FROM lineitem WHERE l_orderkey < 300
+""",
+)
+def etl_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with overlapping but
+    different columns merged via unionByName(allowMissingColumns) —
+    the ingestion pattern when a feed adds fields mid-stream. Missing
+    columns become typed NULLs; no reordering surprises (by-name, not
+    positional)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    left = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    right = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
