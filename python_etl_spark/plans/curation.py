@@ -1116,3 +1116,123 @@ def etl_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("flag"),
     )
     return left.unionByName(right, allowMissingColumns=True)
+
+
+# --------------------------- hour x dow heatmap ---------------------------
+@register(
+    "events_heatmap_hour_dow",
+    oracle=f"""
+SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+  COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events GROUP BY dayofweek(ts), hour(ts)
+""",
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event volume by (day-of-week, hour) — the
+    24x7 operational dashboard grid. One partial-agg shuffle to at
+    most 168 rows. DuckDB dayofweek is 0=Sunday; Spark's dayofweek is
+    1=Sunday, so the Spark side subtracts 1 to match."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# ----------------------------- market basket ------------------------------
+@register(
+    "q23_market_basket",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    COUNT(*) AS together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+freq AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey)
+SELECT part_a, part_b, together,
+  ROUND(CAST(together AS DOUBLE) * n.n / (fa.cnt * fb.cnt), 6) AS lift
+FROM pair
+JOIN freq fa ON fa.l_partkey = pair.part_a
+JOIN freq fb ON fb.l_partkey = pair.part_b
+CROSS JOIN n_orders n
+WHERE together >= 3
+""",
+)
+def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair analysis: parts bought together in the same
+    order, with lift = P(a,b) / (P(a)P(b)). The self-join is keyed on
+    the order (baskets are small, so within-basket pairs stay linear
+    in order count); the part-frequency table broadcasts and the order
+    count is a broadcast scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, ["l_orderkey"])
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .where(F.col("together") >= 3)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("ca"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cb"))
+    return (
+        pair.join(F.broadcast(fa), ["part_a"])
+        .join(F.broadcast(fb), ["part_b"])
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(
+                F.col("together").cast("double")
+                * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------- percent of total -----------------------------
+@register(
+    "win_percent_of_total",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+    OVER (PARTITION BY o_orderstatus) AS DOUBLE), 9) AS pct_of_status
+FROM orders WHERE o_orderkey < 2000
+""",
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its status group — the
+    BI staple. Window sum per partition, no global exchange. The
+    denominator is a DECIMAL window sum (package convention:
+    summation-order-independent, so both engines divide identical
+    doubles)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus")
+    denom = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") / denom, 9).alias("pct_of_status"),
+    )
