@@ -276,3 +276,29 @@ def test_lsh_bucket_stats_reconcile(spark, sf_dir):
         by_band[r.band] += r.bucket_size * r.n_buckets
     assert set(by_band) == {0, 1, 2, 3}
     assert all(v == n for v in by_band.values())
+
+
+def test_heatmap_reconciles_to_total(spark, sf_dir):
+    rows = QUERIES["events_heatmap_hour_dow"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hr <= 23
+
+
+def test_market_basket_lift_consistency(spark, sf_dir):
+    rows = QUERIES["q23_market_basket"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.together >= 3
+        assert r.lift > 0
+
+
+def test_percent_of_total_sums_to_one(spark, sf_dir):
+    out = QUERIES["win_percent_of_total"](spark, sf_dir)
+    sums = out.groupBy("o_orderstatus").agg(
+        F.sum("pct_of_status").alias("s")
+    ).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-6
