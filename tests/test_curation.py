@@ -302,3 +302,29 @@ def test_percent_of_total_sums_to_one(spark, sf_dir):
     ).collect()
     for r in sums:
         assert abs(r.s - 1.0) < 1e-6
+
+
+def test_rows_only_queries_all_have_exactness_tests():
+    """Registry invariant: a query may skip the DuckDB oracle ONLY if
+    it is an approximate operator with an exact pytest reference. This
+    guard fails when someone registers a new no-oracle query without
+    adding it here (and without a corresponding exactness test)."""
+    from python_etl_spark.plans import ORACLES, QUERIES
+
+    ROWS_ONLY_WITH_PYTEST_ORACLE = {
+        # approximate op               -> exactness test
+        "dedup_minhash_lsh",     # test_dedup: vs exact Jaccard
+        "dedup_simhash",         # test_dedup: hamming vs exact
+        "dedup_embedding_lsh",   # test_similarity: recall/precision
+        "sim_topk_lsh",          # test_similarity: recall >= 0.8
+        "sim_topk_ivf",          # test_similarity: recall >= 0.8
+        "sim_topk_pq",           # test_similarity: recall >= 0.8
+        "etl_approx_distinct",   # test_scale_ops: HLL error bound
+        "etl_approx_quantiles",  # test_scale_ops: value-band vs exact
+        "text_cms_topk",         # test_curation: CMS over/under bounds
+    }
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == ROWS_ONLY_WITH_PYTEST_ORACLE, (
+        "no-oracle queries changed; update the exactness-test map "
+        f"(diff: {rows_only ^ ROWS_ONLY_WITH_PYTEST_ORACLE})"
+    )
