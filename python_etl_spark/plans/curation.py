@@ -1,18 +1,27 @@
-"""Round-3 corpus-curation and time-series plans.
+"""Round-3 plans: corpus curation, time-series, entity resolution,
+and the remaining relational/API surface.
 
-* ``text_dsir_importance`` — DSIR-style (Xie et al., 2023, "Data
-  Selection for Language Models via Importance Resampling") hashed
-  bigram importance weights: per-doc mean log-ratio of a target
-  distribution vs the raw corpus over 64 feature-hashed bigram buckets.
-* ``events_hypertable_rollup`` — continuous-aggregate-style
-  multi-granularity rollup (hour + day buckets in one pass) via
-  GROUPING SETS, the batch shape of a Timescale hypertable rollup.
-* ``stream_session_window_batch_equiv`` — Spark's NATIVE
-  ``session_window`` aggregation (the Structured-Streaming session
-  operator run in batch mode), oracled against the gaps-and-islands
-  SQL formulation.
-* ``win_cume_dist`` / ``etl_grouping_sets`` — remaining window /
-  multi-level-aggregate surface.
+Families in this module (each query's docstring carries its own scale
+posture):
+
+* LLM curation — ``text_dsir_importance`` (DSIR importance weights;
+  Xie et al., 2023), ``text_cms_topk`` (count-min heavy hitters),
+  ``dedup_cluster_size_dist`` / ``dedup_lsh_bucket_stats`` (dup and
+  banding diagnostics), ``dedup_containment_capped`` (df-cap knob).
+* Time-series / product analytics — ``events_hypertable_rollup``,
+  ``stream_session_window_batch_equiv`` (native session_window),
+  ``events_dau_wau``, ``events_heatmap_hour_dow``,
+  ``win_rolling_median``, ``win_percent_of_total``,
+  ``q23_market_basket``, ``etl_partial_agg_merge``.
+* Joins — ``etl_asof_join_forward`` / ``_nearest`` (directional
+  as-of), ``etl_interval_join`` (grid-bucketed overlap join).
+* Entity resolution — ``etl_fuzzy_match_names`` (char-gram Jaccard),
+  ``etl_edit_distance`` (blocked Levenshtein re-rank).
+* Feature prep — ``etl_winsorize``, ``etl_robust_scale``.
+* Remaining surface — ``win_cume_dist``, ``etl_grouping_sets``,
+  ``etl_map_funcs``, ``etl_posexplode``, ``etl_try_arithmetic``,
+  ``etl_variant_json`` (VariantType), ``etl_udtf_expand`` (Python
+  UDTF via LATERAL), ``etl_union_schema_evolution``.
 
 Cross-engine exactness follows plans/common.py: decimal sums, 6-decimal
 rounds before aggregation, md5-derived hashing that both engines can
