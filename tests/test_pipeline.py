@@ -103,3 +103,29 @@ def test_pipeline_fixed_width_to_avro(spark, tmp_path):
     assert sorted(tuple(r) for r in read_avro(spark, out).collect()) == [
         (2, "beta", 2.25)
     ]
+
+
+def test_analytics_dashboard_example_runs(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The analytics example must materialize all four dashboard
+    tables with sane contents."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "dash_example", "examples/analytics_dashboard.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "dash")
+    monkeypatch.setattr(_sys, "argv", ["x", sf_dir, out])
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    mod.main()
+    printed = capsys.readouterr().out
+    assert "revenue_region_month=" in printed
+    from pyspark.sql import functions as F
+
+    rev = spark.read.parquet(f"{out}/revenue_region_month.parquet")
+    assert rev.count() > 0
+    assert rev.where(F.col("revenue") <= 0).count() == 0
+    assert set(rev.columns) == {"region", "month", "revenue", "n_orders"}
+    assert spark.read.parquet(f"{out}/engagement_daily.parquet").count() > 0
