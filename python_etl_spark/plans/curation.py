@@ -1245,3 +1245,54 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.col("o_totalprice") / denom, 9).alias("pct_of_status"),
     )
+
+
+# --------------------------- trending event types -------------------------
+@register(
+    "events_trending_types",
+    oracle=f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+    COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+  FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type),
+ranked AS (
+  SELECT day, event_type, n_events, sum_value,
+    CAST(RANK() OVER (PARTITION BY day
+                      ORDER BY n_events DESC, event_type) AS INT) AS rnk
+  FROM daily)
+SELECT day, event_type, n_events, rnk,
+  CAST(LAG(rnk) OVER (PARTITION BY event_type ORDER BY day) AS INT)
+    AS prev_rank,
+  CAST(COALESCE(LAG(rnk) OVER (PARTITION BY event_type ORDER BY day)
+                - rnk, 0) AS INT) AS rank_gain
+FROM ranked
+""",
+)
+def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detector: per-day volume rank of each event type plus
+    its day-over-day rank movement (positive = climbing). Two window
+    passes over the tiny post-aggregation daily frame — the raw stream
+    is touched once by the collapsing count shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    w_day = Window.partitionBy("day").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    ranked = daily.withColumn("rnk", F.rank().over(w_day).cast("int"))
+    w_type = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("rnk").over(w_type).cast("int")
+    return ranked.select(
+        "day",
+        "event_type",
+        "n_events",
+        "rnk",
+        prev.alias("prev_rank"),
+        F.coalesce(prev - F.col("rnk"), F.lit(0)).cast("int").alias(
+            "rank_gain"
+        ),
+    )

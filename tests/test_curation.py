@@ -328,3 +328,33 @@ def test_rows_only_queries_all_have_exactness_tests():
         "no-oracle queries changed; update the exactness-test map "
         f"(diff: {rows_only ^ ROWS_ONLY_WITH_PYTEST_ORACLE})"
     )
+
+
+def test_decimal_sums_partition_invariant(spark, sf_dir):
+    """The package-wide exactness claim, exercised: float-aggregating
+    queries must produce IDENTICAL results under different shuffle
+    partition counts (decimal addition is associative; double addition
+    is not — a raw-double sum would flake here)."""
+    names = [
+        "q01_pricing_summary",
+        "text_dsir_importance",
+        "win_percent_of_total",
+        "events_hypertable_rollup",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for nparts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for n in names:
+                pdf = QUERIES[n](spark, sf_dir).toPandas()
+                key = tuple(sorted(pdf.columns))
+                canon = sorted(
+                    tuple(str(v) for v in row)
+                    for row in pdf[sorted(pdf.columns)].itertuples(index=False)
+                )
+                results.setdefault(n, []).append((key, canon))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n, runs in results.items():
+        assert runs[0] == runs[1], f"{n} differs across partition counts"
