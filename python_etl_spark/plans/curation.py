@@ -1296,3 +1296,48 @@ def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_gain"
         ),
     )
+
+
+# ------------------------------ CDC apply ---------------------------------
+@register(
+    "etl_cdc_apply",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey AS key, o_totalprice AS amount,
+    CAST(o_orderkey % 10 AS BIGINT) AS seq,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+         WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op
+  FROM orders WHERE o_orderkey < 5000),
+latest AS (
+  SELECT key, amount, op,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC, op DESC)
+      AS rn
+  FROM changes)
+SELECT key, amount, op AS last_op
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY: replay an insert/update/delete change stream in
+    sequence order and materialize the surviving state — keep each
+    key's LAST operation, drop keys whose last op is a delete. One
+    shuffle on the key; at 100 TB this is the per-micro-batch MERGE
+    the streaming CDC sink runs (tests/test_streaming.py), here as
+    the batch query. The change stream is derived deterministically
+    from orders so both engines replay identical input."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    changes = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+        (F.col("o_orderkey") % 10).alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"), F.desc("op"))
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "amount", F.col("op").alias("last_op"))
+    )
