@@ -1341,3 +1341,48 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("key", "amount", F.col("op").alias("last_op"))
     )
+
+
+# --------------------------- column profiler ------------------------------
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@register(
+    "etl_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value,
+  CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: long-format per-column stats (rows, nulls,
+    distincts, min/max as strings) — the data-discovery report a
+    catalog runs on every new table. One aggregate per column over a
+    single cached-free scan each; at 100 TB run the distincts as HLL
+    (etl_approx_distinct) instead of exact COUNT(DISTINCT)."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
