@@ -1386,3 +1386,158 @@ def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------ power users -------------------------------
+@register(
+    "events_power_users",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS user_value
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE)
+          AS total_value FROM per_user),
+dec AS (
+  SELECT user_id, n_events, user_value,
+    CAST(NTILE(10) OVER (ORDER BY user_value DESC, user_id) AS INT)
+      AS decile
+  FROM per_user)
+SELECT decile, COUNT(*) AS n_users,
+  CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE) AS decile_value,
+  ROUND(CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE)
+        / t.total_value, 6) AS value_share
+FROM dec, tot t
+GROUP BY decile, t.total_value
+""",
+)
+def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale curve: users bucketed into value deciles, each decile's
+    share of total value — the concentration report behind 'top 10%
+    of users drive X%'. The NTILE runs over the per-user AGGREGATE
+    frame (users << events); the raw stream is touched once by the
+    collapsing per-user shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("user_value"),
+    )
+    tot = per_user.agg(
+        F.sum(F.col("user_value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))
+    dec = per_user.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("user_value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("decile_value"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "decile_value",
+            F.round(F.col("decile_value") / F.col("total_value"), 6).alias(
+                "value_share"
+            ),
+        )
+    )
+
+
+# ------------------------------ Benford audit -----------------------------
+@register(
+    "etl_benford_check",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice >= 1),
+obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT d AS first_digit, n AS observed,
+  ROUND(CAST(n AS DOUBLE) / t.t, 6) AS observed_freq,
+  ROUND(LOG10(1.0 + 1.0 / d), 6) AS benford_freq,
+  ROUND(ABS(CAST(n AS DOUBLE) / t.t - LOG10(1.0 + 1.0 / d)), 6)
+    AS abs_deviation
+FROM obs, tot t
+""",
+)
+def etl_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: first-digit distribution of order amounts
+    vs the log10(1 + 1/d) expectation — the classic anomaly/fraud
+    screen for financial columns. One collapsing digit-count shuffle;
+    the 9-row expectation is computed in-plan."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("d")), 6)
+    freq = F.round(F.col("n").cast("double") / F.col("t"), 6)
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").alias("observed"),
+            freq.alias("observed_freq"),
+            benford.alias("benford_freq"),
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("t")
+                    - F.log10(1.0 + 1.0 / F.col("d"))
+                ),
+                6,
+            ).alias("abs_deviation"),
+        )
+    )
+
+
+# --------------------------- inter-event times ----------------------------
+@register(
+    "events_inter_event_time",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+    CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, COUNT(gap_s) AS n_gaps,
+  MIN(gap_s) AS min_gap_s,
+  CAST(quantile_cont(gap_s, 0.5) AS DOUBLE) AS median_gap_s,
+  CAST(quantile_cont(gap_s, 0.95) AS DOUBLE) AS p95_gap_s,
+  MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per user: min/median/p95/max gap
+    between consecutive events — the cadence signal behind session-gap
+    tuning and bot detection. One shuffle on user_id (window + agg
+    share the partitioning); exact percentiles over integer-second
+    gaps are engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # DuckDB date_diff('second') counts SECOND-BOUNDARY crossings
+    # (floor(ts) - floor(prev)), not floor(ts - prev) — mirror that.
+    sec = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+    gaps = ev.select(
+        "user_id",
+        (sec - F.lag(sec).over(w)).cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+        F.percentile("gap_s", F.lit(0.95)).alias("p95_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
