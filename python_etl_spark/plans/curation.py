@@ -1413,9 +1413,16 @@ GROUP BY decile, t.total_value
 def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whale curve: users bucketed into value deciles, each decile's
     share of total value — the concentration report behind 'top 10%
-    of users drive X%'. The NTILE runs over the per-user AGGREGATE
-    frame (users << events); the raw stream is touched once by the
-    collapsing per-user shuffle."""
+    of users drive X%'. Deciles come from the SCALE-SAFE global rank
+    (range partition + broadcast offsets, operators/ranking.py), not a
+    single-partition NTILE window, then NTILE's exact closed form:
+    with q = n div 10 and rem = n mod 10, ranks <= (q+1)*rem fall in
+    bucket ceil(r/(q+1)), the rest in rem + ceil((r-(q+1)*rem)/q) —
+    the first rem buckets take the extra row, exactly like NTILE, so
+    the oracle can still say NTILE. Billions of users rank in
+    parallel."""
+    from python_etl_spark.operators.ranking import global_rank
+
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1426,8 +1433,21 @@ def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value")
     )
-    w = Window.orderBy(F.desc("user_value"), F.asc("user_id"))
-    dec = per_user.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    ranked, n_users = global_rank(
+        per_user,
+        [F.desc("user_value"), F.asc("user_id")],
+        rank_col="__rank",
+    )
+    q, rem = divmod(n_users, 10)
+    r = F.col("__rank")
+    if q == 0:
+        decile = r  # fewer rows than tiles: one row per leading bucket
+    else:
+        big = (q + 1) * rem
+        decile = F.when(r <= big, F.ceil(r / (q + 1))).otherwise(
+            rem + F.ceil((r - big) / q)
+        )
+    dec = ranked.withColumn("decile", decile.cast("int"))
     return (
         dec.crossJoin(F.broadcast(tot))
         .groupBy("decile", "total_value")
