@@ -358,3 +358,35 @@ def test_decimal_sums_partition_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n, runs in results.items():
         assert runs[0] == runs[1], f"{n} differs across partition counts"
+
+
+def test_power_user_deciles_reconcile(spark, sf_dir):
+    rows = QUERIES["events_power_users"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert abs(sum(r.value_share for r in rows) - 1.0) < 1e-4
+    # deciles are value-ordered: share never increases down the curve
+    ordered = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(ordered, ordered[1:]):
+        if a.n_users == b.n_users:  # equal-size buckets must be sorted
+            assert a.decile_value >= b.decile_value
+
+
+def test_benford_frequencies_reconcile(spark, sf_dir):
+    rows = QUERIES["etl_benford_check"](spark, sf_dir).collect()
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_freq for r in rows) - 1.0) < 1e-3
+
+
+def test_inter_event_gaps_reconcile(spark, sf_dir):
+    rows = QUERIES["events_inter_event_time"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    per_user = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for r in rows:
+        assert r.n_gaps == per_user[r.user_id] - 1
+        assert r.min_gap_s <= r.median_gap_s <= r.p95_gap_s <= r.max_gap_s
