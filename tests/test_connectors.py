@@ -203,3 +203,31 @@ def test_fixed_width_reader(spark, tmp_path):
         (2, "beta", 2.25),
         (3, "gamma", -3.75),
     ]
+
+
+def test_parquet_codec_round_trips(spark, sf_dir, tmp_path):
+    """zstd / snappy / gzip parquet codecs all round-trip identical
+    data — zstd is the default worth pinning for a 100 TB lake (best
+    ratio at comparable scan speed)."""
+    from python_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = docs.count()
+    for codec in ("zstd", "snappy", "gzip"):
+        path = str(tmp_path / f"docs_{codec}")
+        docs.write.option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == truth, codec
+        assert set(back.columns) == set(docs.columns), codec
+    # identical logical content across codecs (hash of sorted rows)
+    from pyspark.sql import functions as SF
+
+    def content_hash(path):
+        df = spark.read.parquet(path)
+        return (
+            df.select(SF.md5(SF.to_json(SF.struct(*sorted(df.columns)))).alias("h"))
+            .agg(SF.sum(SF.conv(SF.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+            .first()[0]
+        )
+    hashes = {c: content_hash(str(tmp_path / f"docs_{c}")) for c in ("zstd", "snappy", "gzip")}
+    assert len(set(hashes.values())) == 1, hashes

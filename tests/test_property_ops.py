@@ -127,3 +127,51 @@ def test_asof_directions_match_pandas(spark, lrows, rrows, direction):
         for i, r in enumerate(want_df.itertuples(index=False))
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 80),
+                       st.integers(1, 40)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 80),
+                       st.integers(1, 40)), min_size=1, max_size=10),
+)
+def test_interval_overlap_join_matches_naive(spark, arows, brows):
+    """Grid-bucketed interval join == the naive theta join on
+    randomized half-open intervals (keys, arbitrary spans crossing
+    many buckets, duplicates)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from python_etl_spark.operators.range_join import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(rows, prefix):
+        data = [
+            (i, k, base + dt.timedelta(minutes=s),
+             base + dt.timedelta(minutes=s + d))
+            for i, (k, s, d) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data, f"{prefix}id long, k long, {prefix}s timestamp, {prefix}e timestamp"
+        )
+
+    a = frame(arows, "a")
+    b = frame(brows, "b")
+    got = {
+        (r.aid, r.bid)
+        for r in interval_overlap_join(
+            a, b, ["k"], "as", "ae", "bs", "be", bucket_width_s=600
+        ).collect()
+    }
+    naive = {
+        (r.aid, r.bid)
+        for r in a.join(
+            b,
+            (a.k == b.k) & (SF.col("as") < SF.col("be"))
+            & (SF.col("bs") < SF.col("ae")),
+        ).collect()
+    }
+    assert got == naive
