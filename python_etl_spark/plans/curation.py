@@ -1561,3 +1561,57 @@ def events_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_s", F.lit(0.95)).alias("p95_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# ------------------------------ data masking ------------------------------
+@register(
+    "etl_mask_pii",
+    oracle="""
+SELECT c_custkey,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+    AS name_masked,
+  CAST(LENGTH(c_name) AS INT) AS name_len
+FROM customer WHERE c_custkey < 1000
+""",
+)
+def etl_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking: Spark's built-in mask() (upper->X, lower->x,
+    digit->n, punctuation kept) — the column-level PII masking
+    primitive for lower-trust zones; format-preserving, so downstream
+    LIKE/length logic still works. Zero shuffles."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1000)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+# --------------------------- bitmap aggregates ----------------------------
+@register(
+    "etl_bitmap_distinct",
+    oracle="""
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def etl_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate distinct counting (Spark 4 bitmap_* family):
+    keys bucket into 32k-bit bitmaps (bitmap_bucket_number +
+    bitmap_construct_agg), per-bucket bitmaps OR together map-side,
+    and bitmap_count sums set bits. Same result as COUNT(DISTINCT) —
+    but the shuffle carries fixed-size bitmaps instead of raw keys,
+    the pattern warehouses use for fast exact distinct at scale."""
+    o = _t(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )
