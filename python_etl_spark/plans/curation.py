@@ -1615,3 +1615,84 @@ def etl_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+# ------------------------------ xpath funcs -------------------------------
+@register(
+    "etl_xpath_funcs",
+    oracle="""
+WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+           WHERE p_partkey < 500)
+SELECT p_partkey,
+  w[1] AS first_word,
+  CAST(LEN(w) AS INT) AS n_words,
+  array_to_string(w, '|') AS all_words
+FROM w
+""",
+)
+def etl_xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath over an XML column: the document is built in-plan from
+    p_name, then xpath_string / xpath(...) extract nodes — the
+    untrusted-XML-field extraction path (the XML SOURCE is
+    sources/readers.py, pytest-verified; this is the per-column
+    function surface). The oracle derives identical values straight
+    from the words, proving the XML round-trip is lossless. Zero
+    shuffles."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    words = F.split("p_name", " ", -1)
+    xml = F.concat(
+        F.lit("<r>"),
+        F.array_join(
+            F.transform(
+                words, lambda t: F.concat(F.lit("<w>"), t, F.lit("</w>"))
+            ),
+            "",
+        ),
+        F.lit("</r>"),
+    )
+    doc = part.select("p_partkey", xml.alias("xml"))
+    return doc.select(
+        "p_partkey",
+        F.xpath_string("xml", F.lit("/r/w[1]")).alias("first_word"),
+        F.xpath_int("xml", F.lit("count(/r/w)")).alias("n_words"),
+        F.array_join(
+            F.xpath("xml", F.lit("/r/w/text()")), "|"
+        ).alias("all_words"),
+    )
+
+
+# ------------------------------- URL funcs --------------------------------
+@register(
+    "etl_url_funcs",
+    oracle="""
+SELECT p_partkey,
+  'https' AS protocol,
+  'shop.example.com' AS host,
+  '/parts/' || replace(p_name, ' ', '-') AS path,
+  CAST(p_partkey AS VARCHAR) AS part_id_param
+FROM part WHERE p_partkey < 500
+""",
+)
+def etl_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: parse_url over URLs constructed in-plan (protocol,
+    host, path, and a query parameter) — the clickstream/referrer
+    decomposition every web-log ETL needs. The oracle recomputes the
+    components from the raw inputs, proving the build+parse round-trip
+    exact. Zero shuffles."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    url = F.concat(
+        F.lit("https://shop.example.com/parts/"),
+        F.regexp_replace("p_name", " ", "-"),
+        F.lit("?part_id="),
+        F.col("p_partkey").cast("string"),
+    )
+    u = part.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("part_id")).alias(
+            "part_id_param"
+        ),
+    )
