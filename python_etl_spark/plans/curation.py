@@ -1696,3 +1696,65 @@ def etl_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_id_param"
         ),
     )
+
+
+# -------------------------- higher-order funcs ----------------------------
+@register(
+    "etl_higher_order_funcs",
+    oracle="""
+WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+           WHERE p_partkey < 500)
+SELECT p_partkey,
+  COALESCE(array_to_string(list_filter(w, x -> LENGTH(x) > 4), '|'),
+           '') AS long_words,
+  CAST(list_aggregate(list_transform(w, x -> CASE WHEN x LIKE '%a%'
+       THEN 1 ELSE 0 END), 'max') = 1 AS BOOLEAN) AS any_has_a,
+  CAST(list_aggregate(list_transform(w, x -> CASE WHEN LENGTH(x) >= 3
+       THEN 1 ELSE 0 END), 'min') = 1 AS BOOLEAN) AS all_len3,
+  CAST(list_aggregate(list_transform(w, x -> LENGTH(x)), 'sum')
+       AS INT) AS total_chars
+FROM w
+""",
+)
+def etl_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — filter / exists / forall /
+    aggregate — the Catalyst-native way to process nested collections
+    without exploding or leaving the JVM. All four stay inside
+    whole-stage codegen; zero shuffles."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    w = F.split("p_name", " ", -1)
+    return part.select(
+        "p_partkey",
+        F.array_join(
+            F.filter(w, lambda x: F.length(x) > 4), "|"
+        ).alias("long_words"),
+        F.exists(w, lambda x: x.contains("a")).alias("any_has_a"),
+        F.forall(w, lambda x: F.length(x) >= 3).alias("all_len3"),
+        F.aggregate(
+            w, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+
+# ------------------------------- hash funcs -------------------------------
+@register(
+    "etl_hash_funcs",
+    oracle="""
+SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+  CAST(LENGTH(text) AS INT) AS n_chars
+FROM documents
+""",
+)
+def etl_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash surface: md5 + sha2-256 per document — fingerprint
+    columns for integrity checks, change detection, and content-hash
+    partitioning keys. Pure projection, zero shuffles; xxhash64 (the
+    shuffle-key workhorse) is exercised throughout the dedup family
+    but isn't SQL-portable, so the oracle pins the portable pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("md5_hex"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256_hex"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
