@@ -1758,3 +1758,64 @@ def etl_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.encode("text", "UTF-8"), 256).alias("sha256_hex"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+# ----------------------------- collect_set --------------------------------
+@register(
+    "etl_collect_set_agg",
+    oracle="""
+SELECT o_orderstatus,
+  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+    AS priorities,
+  CAST(LEN(list_distinct(list(o_orderpriority))) AS INT) AS n_distinct
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def etl_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation with a deterministic mirror: the set is
+    sorted then joined (collection order is partition-dependent, so
+    raw collect_set output is never hashable — the sort makes it
+    engine- and partitioning-invariant). Partial aggregation merges
+    sets map-side."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.collect_set("o_orderpriority")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(s), "|").alias("priorities"),
+        F.size(s).alias("n_distinct"),
+    )
+
+
+# ------------------------ first/last-touch journeys -----------------------
+@register(
+    "events_touch_attribution",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS rn_first,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                       event_id DESC) AS rn_last
+  FROM events),
+touch AS (
+  SELECT user_id,
+    MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch,
+    MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch
+  FROM ranked GROUP BY user_id)
+SELECT first_touch, last_touch, COUNT(*) AS n_users
+FROM touch GROUP BY first_touch, last_touch
+""",
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch x last-touch journey matrix: each user's entry and
+    exit event types, counted — the attribution crosstab. min_by /
+    max_by collapse each user in ONE aggregate pass (no window, no
+    self-join); ties break on event_id via the struct order."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    touch = ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_touch"),
+        F.max_by("event_type", key).alias("last_touch"),
+    )
+    return touch.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
