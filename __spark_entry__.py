@@ -70,27 +70,46 @@ _R02_CHECKED = frozenset(
     ]
 )
 
-_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED
+_R03_CHECKED = frozenset(
+    [
+        "dedup_cluster_size_dist", "dedup_containment_capped",
+        "dedup_embedding_lsh_checked", "dedup_lsh_bucket_stats",
+        "dedup_semantic_cluster", "dedup_simhash_checked", "etl_array_funcs",
+        "etl_asof_join_forward", "etl_asof_join_nearest", "etl_benford_check",
+        "etl_bitmap_distinct", "etl_cdc_apply", "etl_collect_set_agg",
+        "etl_edit_distance", "etl_fuzzy_match_names", "etl_grouping_sets",
+        "etl_hash_funcs", "etl_higher_order_funcs", "etl_interval_join",
+        "etl_map_funcs", "etl_mask_pii", "etl_mixture_report",
+        "etl_partial_agg_merge", "etl_posexplode", "etl_profile_columns",
+        "etl_robust_scale", "etl_try_arithmetic", "etl_udtf_expand",
+        "etl_union_schema_evolution", "etl_url_funcs", "etl_variant_json",
+        "etl_winsorize", "etl_xpath_funcs", "events_dau_wau",
+        "events_heatmap_hour_dow", "events_hypertable_rollup",
+        "events_inter_event_time", "events_power_users",
+        "events_touch_attribution", "events_trending_types",
+        "q23_market_basket", "sim_topk_ivf_checked", "sim_topk_lsh_checked",
+        "stream_session_window_batch_equiv", "text_dsir_importance",
+        "text_gopher_rules", "text_ngram_topk", "win_cume_dist",
+        "win_percent_of_total", "win_rolling_median",
+    ]
+)
+
+_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _R03_CHECKED
 
 
 def _registry_order() -> list[str]:
     names = list(QUERIES)
     # The driver samples the registry HEAD, so order unchecked entries
-    # by how much a driver-side check would add: (1) the one row that
-    # was red in r2 (driver-canon fix needs re-attesting), (2) oracled
-    # never-sampled queries, newest first (this round's additions earn
-    # full rows+schema+hash checks), (3) rows-only queries (they can
-    # only earn a weaker check), then everything already green.
+    # by how much a driver-side check would add: (1) oracled
+    # never-sampled queries (they earn full rows+schema+hash checks;
+    # after r1-r3 these are the 32 repo-parity-only entries plus this
+    # round's additions), (2) rows-only queries (they can only earn a
+    # weaker check), then everything already green.
     unchecked = [n for n in names if n not in _DRIVER_CHECKED]
-    red = [n for n in unchecked if n == "etl_array_funcs"]
-    oracled = [
-        n for n in reversed(unchecked)
-        if n in ORACLES and n != "etl_array_funcs"
-    ]
+    oracled = [n for n in unchecked if n in ORACLES]
     rows_only = [n for n in unchecked if n not in ORACLES]
     return (
-        red
-        + oracled
+        oracled
         + rows_only
         + [n for n in names if n in _DRIVER_CHECKED]
     )
