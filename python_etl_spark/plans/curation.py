@@ -1179,8 +1179,9 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair analysis: parts bought together in the same
     order, with lift = P(a,b) / (P(a)P(b)). The self-join is keyed on
     the order (baskets are small, so within-basket pairs stay linear
-    in order count); the part-frequency table broadcasts and the order
-    count is a broadcast scalar."""
+    in order count). The part-frequency table grows with the part
+    dimension (~20M rows at 100 TB), so it attaches via plain shuffle
+    joins — only the 1-row order count broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = items.agg(
@@ -1199,8 +1200,8 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("ca"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cb"))
     return (
-        pair.join(F.broadcast(fa), ["part_a"])
-        .join(F.broadcast(fb), ["part_b"])
+        pair.join(fa, ["part_a"])
+        .join(fb, ["part_b"])
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",

@@ -128,6 +128,23 @@ def test_interval_join_no_cartesian_no_distinct(spark, sf_dir):
     assert "HashAggregate" not in plan  # no DISTINCT pass
 
 
+def test_market_basket_no_fact_broadcast(spark, sf_dir):
+    """q23's part-frequency table is fact-derived (one row per distinct
+    part — ~20M rows at 100 TB), so it must not carry an explicit
+    broadcast HINT; the only forced broadcast is the 1-row n_orders
+    scalar. Auto-broadcast is disabled while planning so any
+    BroadcastHashJoin left can only come from a hint."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "q23_market_basket")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan, plan
+    # the n_orders scalar cross join is the one permitted broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     """A lang= partitioned layout must prune at the DIRECTORY level:
     the filter shows up as a PartitionFilter on the scan (zero I/O for
