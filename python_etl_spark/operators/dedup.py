@@ -61,9 +61,11 @@ def shingles(
     grams = F.when(n_sh >= 1, _word_grams(toks, k)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
+    # array_distinct dedupes row-locally: each output row is already a
+    # distinct (id, shingle) pair, so no shuffle-backed DISTINCT needed.
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -89,6 +91,109 @@ def _cap_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
     return sh.join(F.broadcast(hot), ["sh"], "left_anti")
 
 
+# One cached hashed-shingle frame, shared across the containment /
+# jaccard / boilerplate family within a session. Single slot: a new
+# key (different session, source plan, or shingling params) unpersists
+# the previous frame, so cache usage is bounded to one frame no matter
+# how many queries run. The frame is repartitioned by `sh` BEFORE the
+# distinct, so (a) the distinct needs no extra exchange (sh-hash
+# clustering satisfies the (id, sh) grouping), and (b) the cached
+# InMemoryRelation advertises hashpartitioning(sh) — inverted-index
+# self-joins and per-shingle df aggregations over it plan with ZERO
+# additional exchanges.
+_SHARED_SH: dict = {}
+
+
+def shared_shingle_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Session-memoized, sh-partitioned, cached (id, na, sh) frame.
+
+    The containment / jaccard / df-cap / boilerplate queries all start
+    from the same uncapped hashed-shingle frame; within a sweep each
+    used to re-shingle and re-materialize it. This memo computes it
+    once per (session, source-plan, params) and hands every consumer
+    the same cached, hash-partitioned frame.
+
+    ``na`` is the doc's distinct-shingle count, computed from the gram
+    array BEFORE the explode — so uncapped consumers never need a
+    per-doc sizes aggregation or its join: Jaccard / containment
+    denominators ride along the pair join as first() aggregates."""
+    spark = docs.sparkSession
+    try:
+        key = (
+            id(spark._jsparkSession),
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            text_col,
+            id_col,
+            k,
+        )
+    except Exception:  # pragma: no cover - py4j surface drift
+        key = None
+    if key is not None and _SHARED_SH.get("key") == key:
+        return _SHARED_SH["df"]
+    sc = spark.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    toks = F.split(F.col(text_col), " ", -1)
+    n_sh = F.size(toks) - F.lit(k - 1)
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(_word_grams(toks, k), lambda g: F.xxhash64(g)),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    # array_distinct dedupes per doc BEFORE the explode, so every
+    # exploded row is already a distinct (id, sh) pair — the only
+    # shuffle left is the repartition that gives consumers their
+    # exchange-free hashpartitioning(sh).
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(grams).alias("arr"),
+        )
+        .select(
+            "id",
+            F.size("arr").alias("na"),
+            F.explode("arr").alias("sh"),
+        )
+        .repartition("sh")
+        .cache()
+    )
+    sh.count()  # eager: materialize once, not per consumer
+    if key is not None:
+        old = _SHARED_SH.get("df")
+        if old is not None:
+            old.unpersist(blocking=False)
+        _SHARED_SH.update(key=key, df=sh)
+    return sh
+
+
+def _shingles_with_sizes(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Returns (shingle_frame, sizes_or_None) from the shared cache.
+
+    Uncapped: the frame carries ``na`` (the doc's distinct-shingle
+    count) as a column, so denominators ride the pair aggregation as
+    first() — sizes is None. Capped: stop shingles are dropped and the
+    retained-shingle counts must be rebuilt; they come back as a small
+    separate (id, n_sh) frame for the caller to join onto the
+    AGGREGATED pair frame (far fewer rows than the shingle frame),
+    because capped denominators count only surviving shingles."""
+    sh = shared_shingle_hashes(docs, text_col, id_col, k)
+    if max_doc_freq is None:
+        return sh, None
+    capped = _cap_doc_freq(sh.drop("na"), max_doc_freq)
+    sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return capped, sizes
+
+
 def shingle_hashes(
     docs: DataFrame,
     text_col: str = "text",
@@ -100,8 +205,10 @@ def shingle_hashes(
     downstream shuffle/join vs. raw shingle strings; collision odds are
     ~n²/2⁶⁴ — negligible against the corpus sizes this targets.
 
-    Hashes BEFORE the distinct so the dedup shuffle moves 16-byte
-    (id, long) rows instead of strings (~1.5s saved at sf0.1).
+    array_distinct dedupes each doc's gram array row-locally before
+    the explode, so the frame is distinct (id, sh) with ZERO shuffles
+    — consumers (minhash groupBy(id), df-cap groupBy(sh)) add only the
+    exchange their own grouping needs.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
     documents (see _cap_doc_freq) — the robustness knob against
@@ -115,9 +222,9 @@ def shingle_hashes(
         n_sh >= 1,
         F.transform(_word_grams(toks, k), lambda g: F.xxhash64(g)),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
-    sh = (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
-        .distinct()
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("sh"),
     )
     return _cap_doc_freq(sh, max_doc_freq)
 
@@ -141,31 +248,45 @@ def ngram_jaccard_pairs(
     shingle sets (stop shingles removed from both numerator and
     denominator) — the standard boilerplate-robust variant.
 
-    The shingle frame feeds three consumers (sizes + both join sides):
-    localCheckpoint materializes it once and, unlike .cache(), is
-    reclaimed by the ContextCleaner when the result drops out of scope.
+    The shingle frame comes from the session-shared sh-partitioned
+    cache (shared_shingle_hashes): materialized once per sweep, its
+    hashpartitioning(sh) makes the inverted-index self-join plan with
+    no join-side exchanges, and set sizes ride the pair aggregation as
+    first() — no sizes aggregation, no size joins (uncapped path).
     """
-    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).localCheckpoint(
-        eager=True
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("doc_a"), "sh")
-    b = sh.select(F.col("id").alias("doc_b"), "sh")
-    shared = (
-        a.join(b, ["sh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sh, sizes = _shingles_with_sizes(docs, text_col, id_col, k, max_doc_freq)
+    if sizes is None:
+        a = sh.select(F.col("id").alias("doc_a"), "na", "sh")
+        b = sh.select(
+            F.col("id").alias("doc_b"), F.col("na").alias("nb"), "sh"
+        )
+        shared = (
+            a.join(b, ["sh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
+        )
+    else:
+        a = sh.select(F.col("id").alias("doc_a"), "sh")
+        b = sh.select(F.col("id").alias("doc_b"), "sh")
+        pair = (
+            a.join(b, ["sh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        shared = pair.join(sa, ["doc_a"]).join(sb, ["doc_b"])
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
     )
     return (
-        shared.join(sa, ["doc_a"])
-        .join(sb, ["doc_b"])
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -480,27 +601,54 @@ def containment_pairs(
     as ``ngram_jaccard_pairs``; ordered pairs (a != b), cost tracks
     true overlap, never n^2.
 
-    The shared shingle frame is materialized via localCheckpoint (not
-    .cache()) so the ContextCleaner reclaims it once the result is out
-    of scope — repeated calls no longer accumulate cached partitions
-    for the session lifetime."""
-    sh = shingle_hashes(docs, text_col, id_col, k, max_doc_freq).localCheckpoint(
-        eager=True
+    The shingle frame comes from the session-shared sh-partitioned
+    cache (shared_shingle_hashes, single slot — bounded storage), so
+    containment / capped-containment / jaccard / boilerplate within
+    one sweep shingle the corpus exactly once, the self-join needs no
+    join-side exchanges, and set sizes ride the pair aggregation as
+    first() — no sizes aggregation or join (uncapped path)."""
+    sh, sizes = _shingles_with_sizes(docs, text_col, id_col, k, max_doc_freq)
+    # |A∩B| is symmetric: count each unordered pair once (a < b) —
+    # halving the pair-aggregation shuffle, the dominant cost — then
+    # mirror the aggregated counts to recover ordered pairs.
+    if sizes is None:
+        a = sh.select(F.col("id").alias("doc_a"), "na", "sh")
+        b = sh.select(
+            F.col("id").alias("doc_b"), F.col("na").alias("nb"), "sh"
+        )
+        half = (
+            a.join(b, ["sh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
+        )
+    else:
+        a = sh.select(F.col("id").alias("doc_a"), "sh")
+        b = sh.select(F.col("id").alias("doc_b"), "sh")
+        pair = (
+            a.join(b, ["sh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        half = pair.join(sa, ["doc_a"]).join(sb, ["doc_b"])
+    shared = half.select("doc_a", "doc_b", "shared", "na").unionByName(
+        half.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "shared",
+            F.col("nb").alias("na"),
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("doc_a"), "sh")
-    b = sh.select(F.col("id").alias("doc_b"), "sh")
-    shared = (
-        a.join(b, ["sh"])
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"))
     cont = F.col("shared").cast("double") / F.col("na")
     return (
-        shared.join(sa, ["doc_a"])
-        .select("doc_a", "doc_b", cont.alias("containment"))
+        shared.select("doc_a", "doc_b", cont.alias("containment"))
         .where(F.col("containment") >= threshold)
     )
 

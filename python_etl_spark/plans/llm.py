@@ -940,11 +940,15 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANOTHER document — the boilerplate / contamination signal that
     drives the stop-shingle df-cap. Inverted-index shaped: one shingle
     df aggregation joined back to the per-doc shingle list; never
-    all-pairs."""
-    from python_etl_spark.operators.dedup import shingles
+    all-pairs. Runs on the session-shared sh-partitioned hashed
+    shingle frame (dedup.shared_shingle_hashes): df counts are
+    hash-invariant, the frame is shingled once per sweep, and both the
+    df aggregation and the df join are exchange-free on the cached
+    hashpartitioning(sh)."""
+    from python_etl_spark.operators.dedup import shared_shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, k=3)
+    sh = shared_shingle_hashes(docs, k=3).withColumnRenamed("sh", "shingle")
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df_, "shingle")
