@@ -83,16 +83,20 @@ def asof_join(
     w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
+    # Fill ONE struct of all right payload columns: for right-side rows
+    # the struct itself is non-null even when individual fields are
+    # null, so last/first(ignorenulls) always selects the MATCHED row's
+    # struct and every unpacked column comes from that same row —
+    # carrying that row's genuine NULLs (pandas merge_asof semantics) —
+    # instead of per-column fills stitching values from different
+    # right rows when the matched row holds a NULL.
+    rstruct = F.when(
+        F.col("__side") != 1, F.struct(*[F.col(c) for c in right_cols])
+    )
     if direction == "backward":
-        fills = [
-            F.last(c, ignorenulls=True).over(w_back).alias(c)
-            for c in right_cols
-        ]
+        filled_struct = F.last(rstruct, ignorenulls=True).over(w_back)
     elif direction == "forward":
-        fills = [
-            F.first(c, ignorenulls=True).over(w_fwd).alias(c)
-            for c in right_cols
-        ]
+        filled_struct = F.first(rstruct, ignorenulls=True).over(w_fwd)
     else:  # nearest
         # carry the matched right timestamp for the distance test; the
         # equal-ts case is the backward branch at delta zero, which
@@ -104,16 +108,19 @@ def asof_join(
         use_back = F.when(bts.isNull(), F.lit(False)).otherwise(
             fts.isNull() | ((F.col("__ts") - bts) <= (fts - F.col("__ts")))
         )
-        fills = [
-            F.when(use_back, F.last(c, ignorenulls=True).over(w_back))
-            .otherwise(F.first(c, ignorenulls=True).over(w_fwd))
-            .alias(c)
-            for c in right_cols
-        ]
+        filled_struct = F.when(
+            use_back, F.last(rstruct, ignorenulls=True).over(w_back)
+        ).otherwise(F.first(rstruct, ignorenulls=True).over(w_fwd))
 
     filled = both.select(
-        *keys, "__ts", "__side", *[F.col(c) for c in left_payload], *fills
+        *keys,
+        "__ts",
+        "__side",
+        *[F.col(c) for c in left_payload],
+        filled_struct.alias("__r"),
     )
     return filled.where(F.col("__side") == 1).select(
-        *keys, *left_payload, *right_cols
+        *keys,
+        *left_payload,
+        *[F.col("__r").getField(c).alias(c) for c in right_cols],
     )

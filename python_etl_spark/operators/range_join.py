@@ -28,6 +28,12 @@ def range_join(
     """Inner-join ``points`` to every interval with
     ``start <= point < end`` (end-exclusive). Column sets must be
     disjoint apart from none — both frames' columns are carried through.
+
+    Empty intervals (``end <= start``) contain no points under the
+    half-open predicate, so they are dropped before the explode — this
+    also keeps ``F.sequence`` from generating a DESCENDING bucket list
+    (Spark defaults the step to -1) for a ``[t, t)`` interval landing
+    on a bucket boundary.
     """
     wus = int(bucket_width_s) * 1_000_000
 
@@ -39,7 +45,7 @@ def range_join(
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     p = points.withColumn("__b", F.floor(micros(point_ts) / wus))
-    iv = intervals.withColumn(
+    iv = intervals.where(F.col(end_ts) > F.col(start_ts)).withColumn(
         "__b",
         F.explode(
             F.sequence(
@@ -76,12 +82,20 @@ def interval_overlap_join(
     would duplicate, so each pair is emitted ONLY from the bucket
     containing ``max(a_start, b_start)`` — no DISTINCT shuffle needed.
     Cost scales with true overlap density per grid cell, never |a|x|b|.
+
+    Empty intervals (``end <= start``) overlap nothing — the half-open
+    predicate alone would misclassify an empty interval strictly inside
+    another as overlapping, so both sides drop them before exploding
+    (which also avoids descending ``F.sequence`` bucket lists for
+    boundary-aligned ``[t, t)`` inputs).
     """
     wus = int(bucket_width_s) * 1_000_000
 
     def micros(c: str):
         return F.unix_micros(F.col(c).cast("timestamp"))
 
+    a = a.where(F.col(a_end) > F.col(a_start))
+    b = b.where(F.col(b_end) > F.col(b_start))
     ae = a.withColumn(
         "__b",
         F.explode(

@@ -915,7 +915,8 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_etl_spark.plans.llm import mh_sig_buckets
 
     docs = _t(spark, sf_dir, "documents")
-    _, buckets = mh_sig_buckets(docs)
+    # sig feeds only the band explode here: skip its checkpoint job
+    _, buckets = mh_sig_buckets(docs, materialize=False)
     bs = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("sz")
     )
@@ -1304,15 +1305,14 @@ def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_cdc_apply",
     oracle="""
 WITH changes AS (
-  SELECT o_orderkey AS key, o_totalprice AS amount,
-    CAST(o_orderkey % 10 AS BIGINT) AS seq,
+  SELECT o_orderkey % 1000 AS key, o_totalprice AS amount,
+    o_orderkey AS seq,
     CASE WHEN o_orderkey % 7 = 0 THEN 'D'
          WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op
   FROM orders WHERE o_orderkey < 5000),
 latest AS (
   SELECT key, amount, op,
-    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC, op DESC)
-      AS rn
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
   FROM changes)
 SELECT key, amount, op AS last_op
 FROM latest WHERE rn = 1 AND op <> 'D'
@@ -1325,18 +1325,21 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the key; at 100 TB this is the per-micro-batch MERGE
     the streaming CDC sink runs (tests/test_streaming.py), here as
     the batch query. The change stream is derived deterministically
-    from orders so both engines replay identical input."""
+    from orders — key = o_orderkey % 1000 folds ~5 sequenced changes
+    onto each key (seq = the full orderkey, unique within key), so the
+    last-op-wins replay genuinely resolves I/U/D chains rather than
+    degenerating to one change per key."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
     changes = o.select(
-        F.col("o_orderkey").alias("key"),
+        (F.col("o_orderkey") % 1000).alias("key"),
         F.col("o_totalprice").alias("amount"),
-        (F.col("o_orderkey") % 10).alias("seq"),
+        F.col("o_orderkey").alias("seq"),
         F.when(F.col("o_orderkey") % 7 == 0, "D")
         .when(F.col("o_orderkey") % 3 == 0, "U")
         .otherwise("I")
         .alias("op"),
     )
-    w = Window.partitionBy("key").orderBy(F.desc("seq"), F.desc("op"))
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
     return (
         changes.withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & (F.col("op") != "D"))

@@ -755,12 +755,17 @@ buckets AS (
 )"""
 
 
-def mh_sig_buckets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def mh_sig_buckets(
+    docs: DataFrame, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(sig, buckets) of the md5 MinHash pipeline — the Spark mirror of
     MH_BUCKETS_SQL, shared by the checked near-dup twin and the
-    bucket-skew diagnostics. sig is localCheckpoint-materialized: it
-    feeds the band explode AND both sides of the estimate join
-    (leak-free vs .cache(); the ContextCleaner reclaims it)."""
+    bucket-skew diagnostics. With ``materialize`` (default), sig is
+    localCheckpoint-materialized: it feeds the band explode AND both
+    sides of the estimate join (leak-free vs .cache(); the
+    ContextCleaner reclaims it). Callers that consume sig exactly once
+    (dedup_lsh_bucket_stats reads only the band explode) pass False to
+    skip the extra materialization job."""
     from python_etl_spark.operators.dedup import shingles
 
     sh = shingles(docs, k=3)
@@ -774,7 +779,9 @@ def mh_sig_buckets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     sig = sh.groupBy(F.col("id").alias("doc_id")).agg(
         *[F.min(h(i)).alias(f"h{i}") for i in range(_MH_K)]
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
 
     def band_bucket(b):
         parts = [F.col(f"h{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]

@@ -36,6 +36,34 @@ def test_asof_backward_inclusive(spark):
     }
 
 
+def test_asof_matched_row_nulls_not_stitched(spark):
+    """A NULL payload field on the MATCHED right row must surface as
+    NULL — not get stitched from an older right row's non-null value.
+    All payload columns come from the same matched row (pandas
+    merge_asof semantics)."""
+    left = spark.createDataFrame(
+        [(1, _ts(20), "L")], "k long, ts timestamp_ntz, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "old", 99), (1, _ts(15), None, 15)],
+        "k long, rts timestamp_ntz, rv string, rn long",
+    )
+    for direction in ["backward", "nearest"]:
+        row = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rv", "rn"], direction=direction,
+        ).collect()[0]
+        # matched row is rts=15 (rv NULL, rn 15); rv must NOT be "old"
+        assert row.rv is None, direction
+        assert row.rn == 15, direction
+    # forward: matched row is the next right row >= left_ts; none here
+    row = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rv", "rn"], direction="forward",
+    ).collect()[0]
+    assert row.rv is None and row.rn is None
+
+
 def test_asof_rejects_payload_collision(spark):
     import pytest
 

@@ -59,6 +59,43 @@ def test_range_join_interval_spanning_many_buckets(spark):
     assert got == [6, 7, 8]
 
 
+def test_empty_intervals_match_nothing(spark):
+    """[t, t) contains no points and overlaps no interval — even when t
+    sits exactly on a bucket boundary (where the unguarded explode
+    would generate a descending 2-bucket sequence)."""
+    from python_etl_spark.operators.range_join import interval_overlap_join
+
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "pid long, p_ts timestamp"
+    )
+    empty_on_boundary = spark.createDataFrame(
+        [(9, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"))],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    assert (
+        range_join(
+            points, empty_on_boundary, "p_ts", "w_start", "w_end",
+            bucket_width_s=600,
+        ).count()
+        == 0
+    )
+    enclosing = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        "k long, iid long, b_start timestamp, b_end timestamp",
+    )
+    empty_inside = spark.createDataFrame(
+        [(1, 9, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"))],
+        "k long, jid long, a_start timestamp, a_end timestamp",
+    )
+    assert (
+        interval_overlap_join(
+            empty_inside, enclosing, ["k"],
+            "a_start", "a_end", "b_start", "b_end",
+        ).count()
+        == 0
+    )
+
+
 def test_range_join_plan_is_equi_join(spark):
     points = spark.range(10).select(
         F.col("id").alias("pid"),
