@@ -21,13 +21,22 @@ def upsert(
 ) -> DataFrame:
     """updates override base on key collisions; schemas must match.
 
-    ``updates`` must be key-unique — if it can hold several rows per
-    key, pass ``version_col`` (highest wins) to make the surviving row
-    deterministic; without it ties are broken arbitrarily."""
+    Without ``version_col``: update rows win unconditionally (classic
+    MERGE). With ``version_col``: the HIGHEST version wins regardless
+    of side, updates winning version ties — so a stale or replayed
+    update can never regress a newer base row. That makes a CDC MERGE
+    both idempotent (replaying a batch is a no-op once a newer version
+    landed) and batch-order-robust (out-of-order micro-batches
+    converge to the true latest state). ``updates`` should be
+    key-unique; with several rows per key, ``version_col`` makes the
+    survivor deterministic."""
     tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
         base.withColumn("__pri", F.lit(1))
     )
-    order = [F.asc("__pri")] + ([F.desc(version_col)] if version_col else [])
+    order = (
+        [F.desc(version_col), F.asc("__pri")] if version_col
+        else [F.asc("__pri")]
+    )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))

@@ -90,6 +90,19 @@ def test_upsert_version_col_tiebreak(spark):
     assert got == {1: "v2"}  # highest version among colliding updates wins
 
 
+def test_upsert_stale_update_cannot_regress(spark):
+    """With version_col, a replayed/out-of-order update carrying an
+    OLDER version than base must lose — the property that makes the
+    CDC MERGE idempotent under mid-batch crash replay."""
+    base = spark.createDataFrame([(1, "newer", 5)], "k long, v string, ver int")
+    stale = spark.createDataFrame([(1, "stale", 3)], "k long, v string, ver int")
+    got = dict(
+        (r.k, r.v)
+        for r in upsert(base, stale, keys=["k"], version_col="ver").collect()
+    )
+    assert got == {1: "newer"}
+
+
 def test_upsert_semantics(spark):
     base = spark.createDataFrame(
         [(1, "old"), (2, "keep")], "k long, v string"

@@ -522,6 +522,82 @@ def test_transform_with_state_running_count(spark, event_files, tmp_path):
     }
 
 
+def test_restart_mid_batch_replays_merge_idempotently(
+    spark, event_files, tmp_path
+):
+    """Exactly-once CDC under a MID-BATCH crash: the driver dies AFTER
+    a micro-batch's MERGE side-effect has committed to the table but
+    BEFORE the streaming checkpoint records the batch. On restart the
+    batch REPLAYS — the same MERGE runs a second time — and the final
+    state must still equal batch truth, because upsert-MERGE of the
+    same compacted changelog is idempotent. The version history proves
+    the replay actually happened (more table commits than surviving
+    logical batches)."""
+    from python_etl_spark.operators.upsert import latest_by_key
+    from python_etl_spark.sinks.table import VersionedTable
+
+    path, schema = event_files
+    # re-lay the source as 4 files so maxFilesPerTrigger=1 yields 4
+    # micro-batches (the fixture may land as a single file = 1 batch)
+    src = str(tmp_path / "src4")
+    spark.read.schema(schema).parquet(path).repartition(4).write.parquet(src)
+    path = src
+    table = VersionedTable(str(tmp_path / "vt_crash"))
+    kill_marker = tmp_path / "killed_once"
+
+    def merge_batch(batch_df, batch_id):
+        compact = latest_by_key(
+            batch_df.select("user_id", "ts", "value"),
+            ["user_id"], "ts", tiebreak="value",
+        )
+        if table.exists():
+            table.merge(compact, ["user_id"], version_col="ts")
+        else:
+            table.create(compact)
+        # first pass over batch 1: die AFTER the side-effect landed,
+        # BEFORE foreachBatch returns (checkpoint not yet committed)
+        if batch_id == 1 and not kill_marker.exists():
+            kill_marker.write_text("x")
+            raise RuntimeError("simulated driver crash mid-batch")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_crash"))
+            .start()
+        )
+        q.awaitTermination(300)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="simulated driver crash"):
+        run()
+    assert kill_marker.exists()
+    n_commits_at_crash = len(table.history())
+    run()  # restart on the same checkpoint: batch 1 replays
+
+    got = {r.user_id: (r.ts, r.value) for r in table.read(spark).collect()}
+    full = spark.read.schema(schema).parquet(path)
+    truth = {
+        r.user_id: (r.ts, r.value)
+        for r in latest_by_key(
+            full.select("user_id", "ts", "value"), ["user_id"], "ts",
+            tiebreak="value",
+        ).collect()
+    }
+    assert got == truth
+    # the crashed batch's MERGE committed once pre-crash and once on
+    # replay: total commits exceed the crash-time count by MORE than
+    # the number of remaining unprocessed batches would alone explain
+    assert len(table.history()) >= n_commits_at_crash + 1
+
+
 def test_checkpoint_restart_processes_only_new_data(spark, event_files, tmp_path):
     """Durability contract: a query restarted on the same checkpoint
     must pick up exactly where it left off — appended input processed
