@@ -10,3 +10,4 @@ from python_etl_spark.plans import etl  # noqa: F401,E402
 from python_etl_spark.plans import llm  # noqa: F401,E402
 from python_etl_spark.plans import checked  # noqa: F401,E402
 from python_etl_spark.plans import curation  # noqa: F401,E402
+from python_etl_spark.plans import insights  # noqa: F401,E402

@@ -1,0 +1,116 @@
+"""Scale rehearsal: time a representative query set at sf0.1 and at the
+10x replica (scripts/make_scale_replica.py), print per-query scaling
+factors vs the 10x data ratio, and emit one JSON line for artifacts.
+
+Usage: python scripts/bench_scaling.py [small_dir] [big_dir] [factor]
+
+Methodology mirrors bench.py: one untimed warm pass over the set at the
+SMALL scale (JVM JIT, Python workers), then a timed pass per scale.
+A query is healthy when time_big / time_small <= factor (linear or
+better — fixed per-query overheads amortize); the exact all-pairs
+baselines are expected to approach factor^2 and are labeled as such.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+# (name, expected) — expected "linear" means ratio should track the
+# data factor; "quadratic" marks the documented exact all-pairs
+# baselines whose LSH/IVF twins are the production path.
+QUERIES_UNDER_TEST = [
+    ("q01_pricing_summary", "linear"),
+    ("q03_shipping_priority", "linear"),
+    ("q09_product_profit", "linear"),
+    ("q18_large_orders", "linear"),
+    ("q21_high_value_open_orders", "linear"),
+    ("q23_market_basket", "linear"),
+    ("etl_sessionize", "linear"),
+    ("etl_asof_join", "linear"),
+    ("etl_grouping_sets", "linear"),
+    ("events_hypertable_rollup", "linear"),
+    ("win_moving_avg", "linear"),
+    ("etl_stratified_sample", "linear"),
+    ("etl_sequence_pack", "linear"),
+    ("text_quality_score", "linear"),
+    ("text_dsir_importance", "linear"),
+    ("text_ngram_topk", "linear"),
+    ("dedup_exact", "linear"),
+    ("dedup_ngram_jaccard", "overlap"),
+    ("dedup_containment_capped", "overlap"),
+    ("dedup_minhash_lsh", "overlap"),
+    ("dedup_simhash", "overlap"),
+    ("dedup_groups", "overlap"),
+    ("dedup_embedding_lsh", "overlap"),
+    ("sim_topk_lsh", "overlap"),
+    ("sim_topk_ivf", "overlap"),
+    ("sim_topk_bruteforce", "quadratic"),
+    ("dedup_embedding_cosine", "quadratic"),
+]
+
+
+def timed_pass(spark, QUERIES, sf_dir):
+    times = {}
+    for name, _ in QUERIES_UNDER_TEST:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"#   {name}: {times[name]:.2f}s", file=sys.stderr)
+    return times
+
+
+def main():
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1x"
+    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    from python_etl_spark.plans import QUERIES
+    from python_etl_spark.session import get_spark
+
+    spark = get_spark("bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# warm pass (small)", file=sys.stderr)
+    for name, _ in QUERIES_UNDER_TEST:
+        QUERIES[name](spark, small).count()
+    print("# timed pass (small)", file=sys.stderr)
+    t_small = timed_pass(spark, QUERIES, small)
+    print("# timed pass (big)", file=sys.stderr)
+    t_big = timed_pass(spark, QUERIES, big)
+
+    rows = []
+    for name, expected in QUERIES_UNDER_TEST:
+        ratio = round(t_big[name] / max(t_small[name], 1e-9), 2)
+        rows.append(
+            {
+                "query": name,
+                "small_s": t_small[name],
+                "big_s": t_big[name],
+                "ratio": ratio,
+                "expected": expected,
+                "ok": (
+                    ratio <= factor * 1.5
+                    if expected != "quadratic"
+                    else ratio <= factor * factor * 1.5
+                ),
+            }
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_rehearsal",
+                "factor": factor,
+                "small": small,
+                "big": big,
+                "rows": rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
