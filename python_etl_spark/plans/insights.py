@@ -366,3 +366,358 @@ def q24_supplier_delivery_scorecard(
         )
         .where(F.col("n_shipments") >= 10)
     )
+
+
+# --------------------------- activity streaks -----------------------------
+@register(
+    "win_streak_detection",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+islands AS (
+  SELECT user_id, d,
+    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+             AS INTEGER) AS grp
+  FROM du),
+s AS (
+  SELECT user_id, grp, COUNT(*) AS len
+  FROM islands GROUP BY user_id, grp)
+SELECT user_id, MAX(len) AS longest_streak,
+  CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks
+FROM s GROUP BY user_id
+""",
+)
+def win_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user — the engagement-streak metric. The classic date-minus-
+    row_number island id; the stream collapses to distinct (user, day)
+    first, so the window runs over <=|users|x|days| rows with one
+    shuffle on user_id, and both aggregations are partial-agg
+    friendly."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = du.select(
+        "user_id",
+        F.date_sub("d", F.row_number().over(w)).alias("grp"),
+    )
+    s = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------- date dimension ------------------------------
+@register(
+    "etl_date_dim",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders),
+d AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+    AS day
+  FROM bounds)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  CAST(EXTRACT(year FROM day) AS INT) AS year,
+  CAST(EXTRACT(quarter FROM day) AS INT) AS quarter,
+  CAST(EXTRACT(month FROM day) AS INT) AS month,
+  CAST(EXTRACT(day FROM day) AS INT) AS day_of_month,
+  CAST(EXTRACT(isodow FROM day) AS INT) AS iso_dow,
+  CAST(CASE WHEN EXTRACT(day FROM day) = 1 THEN 1 ELSE 0 END AS INT)
+    AS is_month_start,
+  CAST(CASE WHEN day = last_day(day) THEN 1 ELSE 0 END AS INT)
+    AS is_month_end
+FROM d
+""",
+)
+def etl_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date dimension spanning the fact table's date range —
+    the ETL staple every calendar join starts from. A 1-row bounds
+    aggregate explodes into one row per day (sequence + explode, no
+    driver loop); attributes are pure column expressions. ISO weekday
+    (Mon=1..Sun=7) avoids the engines' differing default dow origins.
+    At any SF the dimension is O(days) — thousands of rows."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    d = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.year("day").alias("year"),
+        F.quarter("day").alias("quarter"),
+        F.month("day").alias("month"),
+        F.dayofmonth("day").alias("day_of_month"),
+        (F.weekday("day") + 1).cast("int").alias("iso_dow"),
+        F.when(F.dayofmonth("day") == 1, 1).otherwise(0).cast("int")
+        .alias("is_month_start"),
+        F.when(F.col("day") == F.last_day("day"), 1).otherwise(0)
+        .cast("int").alias("is_month_end"),
+    )
+
+
+# ---------------------------- null-safe join ------------------------------
+@register(
+    "etl_null_safe_join",
+    oracle="""
+WITH k AS (
+  SELECT o_orderkey, NULLIF(o_orderkey % 5, 0) AS grp
+  FROM orders WHERE o_orderkey < 2000)
+SELECT a.grp AS grp, COUNT(*) AS n_pairs
+FROM k a JOIN k b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY a.grp
+""",
+)
+def etl_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantic needed
+    when NULL is a real category (unknown segment, missing source).
+    Spark plans <=> as a proper hash join key (EqualNullSafe), so this
+    stays a shuffle equijoin, not a nested loop, at any scale."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("grp"),
+    )
+    a = k.select(F.col("grp").alias("grp"))
+    b = k.select(F.col("grp").alias("grp_b"))
+    return (
+        a.join(b, F.col("grp").eqNullSafe(F.col("grp_b")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ----------------------------- cohort LTV ---------------------------------
+@register(
+    "events_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+weekly AS (
+  SELECT f.cohort_week,
+    CAST(date_diff('day', f.cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+      AS weeks_since,
+    COUNT(DISTINCT e.user_id) AS active_users,
+    CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  GROUP BY 1, 2)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, weeks_since,
+  active_users, ROUND(revenue, 6) AS revenue,
+  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER (
+    PARTITION BY cohort_week ORDER BY weeks_since) AS DOUBLE), 6)
+    AS cum_revenue
+FROM weekly
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: revenue per (signup-week cohort, weeks
+    since signup) with the running cumulative — the LTV curve input.
+    Two shuffles: the per-user firsts aggregate, and the (cohort,
+    week) rollup after a broadcast-joinable firsts attach; the cumsum
+    window runs over the tiny cohort x week frame. Decimal sums keep
+    the running totals engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    weekly = (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("long").alias("weeks_since"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            dsum("value").alias("revenue"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "weeks_since",
+        "active_users",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(28,6)")).over(w)
+            .cast("double"),
+            6,
+        ).alias("cum_revenue"),
+    )
+
+
+# -------------------------- dedup cascade report --------------------------
+@register(
+    "text_dedup_cascade_report",
+    oracle=f"""
+WITH raw AS (SELECT doc_id, text FROM documents),
+exact_k AS (
+  SELECT MIN(doc_id) AS doc_id FROM raw GROUP BY md5(text)),
+exact_s AS (
+  SELECT r.doc_id, r.text FROM raw r
+  JOIN exact_k k ON r.doc_id = k.doc_id),
+prefix_k AS (
+  SELECT MIN(doc_id) AS doc_id FROM exact_s
+  GROUP BY md5(array_to_string(
+    string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' '))),
+stages AS (
+  SELECT 1 AS stage_no, 'raw' AS stage,
+    (SELECT COUNT(*) FROM raw) AS docs_out
+  UNION ALL
+  SELECT 2, 'exact_md5', (SELECT COUNT(*) FROM exact_k)
+  UNION ALL
+  SELECT 3, 'prefix_fp', (SELECT COUNT(*) FROM prefix_k))
+SELECT stage_no, stage, docs_out,
+  docs_out - LEAD(docs_out) OVER (ORDER BY stage_no) AS removed_next
+FROM stages
+""",
+)
+def text_dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade accounting: documents surviving each stage of the
+    production cascade (raw -> exact-hash -> prefix-fingerprint), with
+    per-stage removal counts — the report a curation run publishes.
+    Stages are keeper-count aggregates (min doc_id per fingerprint),
+    each one scan + one partial-agg shuffle; the cascade order mirrors
+    cost (cheapest filters first) exactly as a 100 TB pipeline runs
+    it. MinHash would be stage 4; its candidate volume is measured
+    separately by dedup_lsh_bucket_stats."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_k = docs.groupBy(F.md5(F.encode("text", "UTF-8"))).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact_s = docs.join(exact_k.select("doc_id"), "doc_id")
+    prefix_fp = F.md5(
+        F.encode(
+            F.concat_ws(
+                " ", F.slice(F.split("text", " ", -1), 1, _PREFIX_TOKENS)
+            ),
+            "UTF-8",
+        )
+    )
+    prefix_k = exact_s.groupBy(prefix_fp).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    spark_counts = [
+        (1, "raw", docs),
+        (2, "exact_md5", exact_k),
+        (3, "prefix_fp", prefix_k),
+    ]
+    stages = None
+    for no, name, frame in spark_counts:
+        row = frame.agg(F.count(F.lit(1)).alias("docs_out")).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "docs_out",
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    w = Window.orderBy("stage_no")
+    return stages.select(
+        "stage_no",
+        "stage",
+        "docs_out",
+        (F.col("docs_out") - F.lead("docs_out").over(w)).alias(
+            "removed_next"
+        ),
+    )
+
+
+# ------------------------- nation trade balance ---------------------------
+@register(
+    "q25_nation_trade_balance",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+    l_extendedprice * (1 - l_discount) AS amount
+  FROM lineitem),
+supply AS (
+  SELECT n_name,
+    {dsum_sql('amount')} AS supply_value
+  FROM rev
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name),
+purchase AS (
+  SELECT n_name,
+    {dsum_sql('amount')} AS purchase_value
+  FROM rev
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name,
+  ROUND(COALESCE(s.supply_value, 0), 2) AS supply_value,
+  ROUND(COALESCE(p.purchase_value, 0), 2) AS purchase_value,
+  ROUND(COALESCE(s.supply_value, 0) - COALESCE(p.purchase_value, 0), 2)
+    AS balance
+FROM supply s FULL OUTER JOIN purchase p USING (n_name)
+""",
+)
+def q25_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade balance: revenue supplied BY each nation's
+    suppliers vs revenue purchased BY its customers, and the balance —
+    a two-path star join over the same fact scan. Both paths broadcast
+    their dims (supplier/customer/nation are small at any SF relative
+    to lineitem) and partial-aggregate to 25 nation rows before the
+    full-outer stitch; the fact table shuffles only for the orders
+    attach on the purchase path."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "amount"
+        ),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supply = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("amount").alias("supply_value"))
+    )
+    purchase = (
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("amount").alias("purchase_value"))
+    )
+    return supply.join(purchase, ["n_name"], "full_outer").select(
+        "n_name",
+        F.round(F.coalesce("supply_value", F.lit(0.0)), 2).alias(
+            "supply_value"
+        ),
+        F.round(F.coalesce("purchase_value", F.lit(0.0)), 2).alias(
+            "purchase_value"
+        ),
+        F.round(
+            F.coalesce("supply_value", F.lit(0.0))
+            - F.coalesce("purchase_value", F.lit(0.0)),
+            2,
+        ).alias("balance"),
+    )
