@@ -145,6 +145,30 @@ def test_market_basket_no_fact_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """<=> must plan as a hash-join key (EqualNullSafe), never a
+    nested-loop over rows."""
+    plan = _plan(spark, sf_dir, "etl_null_safe_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scorecard_and_balance_broadcast_dims(spark, sf_dir):
+    """q24/q25 attach their dims via broadcast; the fact side shuffles
+    only for fact-fact joins."""
+    for name in ["q24_supplier_delivery_scorecard", "q25_nation_trade_balance"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_streak_and_cohort_partitioned_windows(spark, sf_dir):
+    """The streak islands window and cohort cumsum partition by their
+    keys — no single-partition funnel of the collapsed frames."""
+    for name in ["win_streak_detection", "events_cohort_ltv"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     """A lang= partitioned layout must prune at the DIRECTORY level:
     the filter shows up as a PartitionFilter on the scan (zero I/O for
