@@ -161,7 +161,10 @@ def shared_shingle_hashes(
         .repartition("sh")
         .cache()
     )
-    sh.count()  # eager: materialize once, not per consumer
+    # NOT eagerly counted: queries run sequentially, so the first
+    # consumer's action populates the cache inside its own job (racing
+    # readers of one partition serialize on the block lock) — an eager
+    # count() here just adds a scheduling round to the first query.
     if key is not None:
         old = _SHARED_SH.get("df")
         if old is not None:
