@@ -721,3 +721,142 @@ def q25_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("balance"),
     )
+
+
+# ------------------------- new vs returning users -------------------------
+@register(
+    "events_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+  FROM events GROUP BY user_id),
+du AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+daily AS (
+  SELECT du.day, COUNT(*) AS active_users,
+    CAST(SUM(CASE WHEN f.first_day = du.day THEN 1 ELSE 0 END)
+      AS BIGINT) AS new_users,
+    CAST(SUM(CASE WHEN f.first_day <> du.day THEN 1 ELSE 0 END)
+      AS BIGINT) AS returning_users
+  FROM du JOIN firsts f ON du.user_id = f.user_id
+  GROUP BY du.day)
+SELECT day, active_users, new_users, returning_users,
+  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+    AS cumulative_users
+FROM daily
+""",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning split per day plus the cumulative user count —
+    the growth-accounting report. The stream collapses to distinct
+    (day, user) and per-user first days (two partial-agg shuffles on
+    user_id); the cumsum window runs over the tiny per-day frame.
+    first_day attaches via a shuffle join on user_id — both sides are
+    already user-keyed, and at 100 TB the firsts frame is |users| rows
+    (broadcastable only for small products, so no hint)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    daily = (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(
+                F.when(F.col("first_day") != F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("returning_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+# ------------------------- month-over-month change ------------------------
+@register(
+    "etl_percent_change_mom",
+    oracle=f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    {dsum_sql('o_totalprice')} AS revenue, COUNT(*) AS n_orders
+  FROM orders GROUP BY month)
+SELECT month, ROUND(revenue, 2) AS revenue, n_orders,
+  ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
+        / LAG(revenue) OVER (ORDER BY month), 6) AS pct_change
+FROM monthly
+""",
+)
+def etl_percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change — the trend KPI every finance
+    dashboard leads with. One partial-agg shuffle collapses orders to
+    |months| rows; the LAG window runs over that tiny frame (its
+    single-partition exchange carries months, not orders). Decimal
+    revenue sums keep the percent change engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        "n_orders",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+# ----------------------- median absolute deviation ------------------------
+@register(
+    "win_median_abs_deviation",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+  ROUND(MIN(m.med), 6) AS median_price,
+  ROUND(quantile_cont(ABS(o.o_totalprice - m.med), 0.5), 6) AS mad
+FROM orders o JOIN med m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+)
+def win_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    companion to etl_robust_scale's IQR. Two grouped exact-percentile
+    passes: group medians (25 rows) broadcast back onto an unshuffled
+    scan, then one aggregation of the absolute deviations. At 100 TB
+    swap percentile for percentile_approx in both passes (documented
+    sketch path, single-digit-permille error)."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.min("med"), 6).alias("median_price"),
+            F.round(
+                F.expr(
+                    "percentile(abs(o_totalprice - med), 0.5)"
+                ),
+                6,
+            ).alias("mad"),
+        )
+    )

@@ -228,6 +228,72 @@ def test_stream_stream_join(spark, event_files, tmp_path):
     assert len(got) >= int(0.95 * len(batch)), (len(got), len(batch))
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(
+    spark, event_files, tmp_path
+):
+    """Stream-stream LEFT OUTER interval join: purchases with no click
+    in the preceding hour must STILL be emitted (with NULL click
+    columns) once the watermark passes — the semantics that make
+    outer-join streams usable for attribution gap analysis."""
+    from pyspark.sql import functions as SF
+
+    path, schema = event_files
+    stream = spark.readStream.schema(schema).parquet(path)
+    p = stream.where(SF.col("event_type") == "purchase").select(
+        SF.col("user_id").alias("p_user"),
+        SF.col("ts").alias("p_ts"),
+        SF.col("event_id").alias("p_id"),
+    )
+    c = stream.where(SF.col("event_type") == "click").select(
+        SF.col("user_id").alias("c_user"),
+        SF.col("ts").alias("c_ts"),
+        SF.col("event_id").alias("c_id"),
+    )
+    cond = (
+        (SF.col("p_user") == SF.col("c_user"))
+        & (SF.col("c_ts") <= SF.col("p_ts"))
+        & (SF.col("c_ts") >= SF.col("p_ts") - SF.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.withWatermark("p_ts", "2 hours").join(
+        c.withWatermark("c_ts", "2 hours"), cond, "left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssl"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM ss_left").collect()
+
+    ev = spark.read.schema(schema).parquet(path)
+    bp = ev.where(SF.col("event_type") == "purchase").select(
+        SF.col("user_id").alias("p_user"),
+        SF.col("ts").alias("p_ts"),
+        SF.col("event_id").alias("p_id"),
+    )
+    bc = ev.where(SF.col("event_type") == "click").select(
+        SF.col("user_id").alias("c_user"),
+        SF.col("ts").alias("c_ts"),
+        SF.col("event_id").alias("c_id"),
+    )
+    batch = bp.join(bc, cond, "left_outer").collect()
+    batch_matched = {(r.p_id, r.c_id) for r in batch if r.c_id is not None}
+    batch_unmatched = {r.p_id for r in batch if r.c_id is None}
+
+    got_matched = {(r.p_id, r.c_id) for r in rows if r.c_id is not None}
+    got_unmatched = {r.p_id for r in rows if r.c_id is None}
+    assert batch_unmatched, "fixture must contain clickless purchases"
+    # matched pairs only ever come from the batch-true pair set; the
+    # final watermark flush emits (nearly) every unmatched purchase
+    assert got_matched <= batch_matched
+    assert len(got_unmatched & batch_unmatched) >= int(
+        0.9 * len(batch_unmatched)
+    ), (len(got_unmatched), len(batch_unmatched))
+
+
 def test_streaming_dedup_within_watermark(spark, event_files, tmp_path):
     """Streaming exact dedup: duplicate events (same event_id) arriving
     within the watermark horizon are emitted once."""
