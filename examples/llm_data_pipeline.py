@@ -75,6 +75,20 @@ def main() -> None:
     deduped = valid.join(keep.select("doc_id"), "doc_id", "left_semi")
     n2 = deduped.count()
 
+    # 2b. prefix-fingerprint dedup: one cheap scan catches templated
+    # openings (boilerplate pages) before MinHash spends real money
+    prefix_fp = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.slice(F.split("text", " ", -1), 1, 16)),
+            "UTF-8",
+        )
+    )
+    pkeep = deduped.groupBy(prefix_fp.alias("pfp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = deduped.join(pkeep.select("doc_id"), "doc_id", "left_semi")
+    n2b = deduped.count()
+
     # 3. near-dedup: MinHash-LSH pairs -> connected components -> keep
     # the lowest doc_id per duplicate cluster
     pairs = near_dup(deduped, method="minhash", threshold=0.6)
@@ -138,7 +152,7 @@ def main() -> None:
     )
     print(
         f"ingested={n0} quality_pass={n1} dsir_kept={n1b} exact_deduped={n2} "
-        f"near_deduped={n3} decontaminated={n4} "
+        f"prefix_deduped={n2b} near_deduped={n3} decontaminated={n4} "
         f"bins={packed.select('bin').distinct().count()} "
         f"quarantined={quarantined.count()} -> {path}"
     )
