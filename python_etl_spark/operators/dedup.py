@@ -168,7 +168,12 @@ def shared_shingle_hashes(
     if key is not None:
         old = _SHARED_SH.get("df")
         if old is not None:
-            old.unpersist(blocking=False)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                # the previous frame's session may be stopped —
+                # its cache died with the session; nothing to free
+                pass
         _SHARED_SH.update(key=key, df=sh)
     return sh
 
