@@ -860,3 +860,73 @@ def win_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+# ------------------------- weighted reservoir sample ----------------------
+def _hex4_sql() -> str:
+    def hv(pos):
+        a = f"ASCII(SUBSTR(md5(CAST(doc_id AS VARCHAR)), {pos}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+    return " + ".join(
+        f"{hv(p)} * {16 ** (3 - i)}" for i, p in enumerate(range(1, 5))
+    )
+
+
+@register(
+    "etl_weighted_reservoir",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, lang,
+    LN(CAST(({_hex4_sql()}) + 1 AS DOUBLE) / 65536.0)
+      / ((length(source) % 5 + 1) / 10.0) AS akey
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, lang,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY akey DESC, doc_id)
+      AS rn
+  FROM keyed)
+SELECT source, doc_id, lang FROM ranked WHERE rn <= 20
+""",
+)
+def etl_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-ES): keep a
+    FIXED-SIZE sample of 20 docs per source, inclusion probability
+    proportional to weight — the fixed-budget companion to
+    etl_weighted_sample's Bernoulli fractions. Key = ln(u)/w with u a
+    deterministic md5-uniform, so both engines rank bit-identical
+    doubles; one window shuffle on source. At 100 TB this is the
+    standard one-pass distributed reservoir: per-partition top-k heaps
+    then a k-per-group merge, here expressed as the equivalent
+    window + filter that Catalyst runs with per-source partitions."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def hexval(pos: int):
+        a = F.ascii(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
+                pos,
+                1,
+            )
+        )
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    v = sum(
+        (hexval(p) * (16 ** (3 - i)) for i, p in enumerate(range(1, 5))),
+        F.lit(0),
+    )
+    wt = (F.length("source") % 5 + 1).cast("double") / 10.0
+    akey = F.log((v + 1).cast("double") / 65536.0) / wt
+    return (
+        docs.select("doc_id", "source", "lang", akey.alias("akey"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("akey"), F.asc("doc_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= 20)
+        .select("source", "doc_id", "lang")
+    )

@@ -175,3 +175,98 @@ def test_interval_overlap_join_matches_naive(spark, arows, brows):
         ).collect()
     }
     assert got == naive
+
+
+CHANGES = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 30), st.integers(0, 99)),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda c: (c[0], c[1]),  # one change per (key, version)
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(CHANGES, st.randoms())
+def test_versioned_upsert_batch_order_invariant(spark, changes, rnd):
+    """Version-aware upsert must converge to the same final state no
+    matter how the change stream is split into batches or in what
+    order the batches are merged — the property that makes the CDC
+    MERGE replay- and reorder-safe."""
+    from python_etl_spark.operators.upsert import upsert
+
+    # truth: highest version per key
+    truth = {}
+    for k, ver, v in changes:
+        if k not in truth or ver > truth[k][0]:
+            truth[k] = (ver, v)
+
+    shuffled = list(changes)
+    rnd.shuffle(shuffled)
+    cut = rnd.randrange(len(shuffled) + 1)
+    batches = [b for b in (shuffled[:cut], shuffled[cut:]) if b]
+    # replay one batch twice to model a crash-and-replay
+    if batches:
+        batches.append(batches[0])
+
+    state = None
+    for batch in batches:
+        bdf = spark.createDataFrame(
+            [(k, v, ver) for k, ver, v in batch], "k long, v long, ver long"
+        )
+        state = bdf if state is None else upsert(
+            state, bdf, ["k"], version_col="ver"
+        )
+    got = {r.k: (r.ver, r.v) for r in state.collect()}
+    assert got == truth
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_streak_islands_match_reference(spark, pairs):
+    """win_streak_detection's island logic vs a direct per-user scan
+    over the sorted distinct day list."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    rows = sorted({(u, base + dt.timedelta(days=d)) for u, d in pairs})
+    df = spark.createDataFrame(rows, "user_id long, d date")
+    w = Window.partitionBy("user_id").orderBy("d")
+    got = {
+        r.user_id: (r.longest, r.n_streaks)
+        for r in df.select(
+            "user_id", F.date_sub("d", F.row_number().over(w)).alias("g")
+        )
+        .groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .collect()
+    }
+
+    want = {}
+    bydays = {}
+    for u, d in rows:
+        bydays.setdefault(u, []).append(d)
+    for u, days in bydays.items():
+        longest, cur, streaks = 1, 1, 1
+        for a, b in zip(days, days[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks += 1
+                cur = 1
+            longest = max(longest, cur)
+        want[u] = (longest, streaks)
+    assert got == want
