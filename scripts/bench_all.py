@@ -30,6 +30,14 @@ def main() -> None:
         f.write(f"# BENCH_ALL — every registered query at `{sf_dir}`\n\n")
         f.write(f"{len(rows)} queries, total {total:.1f}s wall on local[32] "
                 "(sequential, includes per-query planning).\n\n")
+        f.write(
+            "Each query is timed COLD in alphabetical order (unlike "
+            "bench.py's warm-pass steady state), so one-time costs land "
+            "on the first query that pays them: dedup_containment's "
+            "time includes materializing the session-shared shingle "
+            "cache that containment_capped / ngram_jaccard / "
+            "boilerplate_coverage then reuse for free (warm-run "
+            "containment is ~1.6-2.5s).\n\n")
         f.write("| query | wall s | rows | check |\n|---|---|---|---|\n")
         for name, dt, n, kind in sorted(rows, key=lambda r: -r[1]):
             f.write(f"| {name} | {dt:.2f} | {n} | {kind} |\n")
