@@ -59,13 +59,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: quartile-bucket every user by recency,
     frequency, and monetary value, then profile the segments — the
     classic CRM cut. The raw stream collapses to one row per user
-    FIRST (one partial-agg shuffle); the three NTILE windows then run
-    over the small per-user frame, not the event stream. At 100 TB the
-    per-user frame is |users| rows — if even that is too big for a
-    global window, swap NTILE for percentile-bound buckets
-    (etl_decile_report shows the window form; operators/ranking.py has
-    the partition-parallel form). Deterministic via user_id
-    tie-breaks."""
+    FIRST (one partial-agg shuffle); each quartile is then assigned by
+    operators/ranking.with_ntile (range-partition + per-partition
+    row_number + broadcast offsets), so no pass ever funnels the
+    per-user frame — |users| rows, 10^8–10^9 at 100 TB — through a
+    single-partition window. Three with_ntile passes, each fully
+    parallel. Deterministic via user_id tie-breaks."""
+    from python_etl_spark.operators.ranking import with_ntile
+
     ev = _t(spark, sf_dir, "events")
     anchor = ev.agg(F.max("ts").alias("mx"))
     rfm = (
@@ -85,15 +86,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r_w = Window.orderBy("recency_days", "user_id")
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    q = rfm.select(
-        "monetary",
-        F.ntile(4).over(r_w).alias("r_q"),
-        F.ntile(4).over(f_w).alias("f_q"),
-        F.ntile(4).over(m_w).alias("m_q"),
+    q = with_ntile(rfm, ["recency_days", "user_id"], 4, out_col="r_q")
+    q = with_ntile(
+        q, [F.desc("frequency"), F.asc("user_id")], 4, out_col="f_q"
     )
+    q = with_ntile(
+        q, [F.desc("monetary"), F.asc("user_id")], 4, out_col="m_q"
+    )
+    q = q.select("monetary", "r_q", "f_q", "m_q")
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(dsum("monetary") / F.count(F.lit(1)), 6).alias(
@@ -119,17 +119,21 @@ FROM d GROUP BY decile
 )
 def etl_decile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile banding of order value — the distribution report every
-    revenue dashboard starts with. NTILE(10) over a global order: at
-    test scale a plain window; the deterministic o_orderkey tie-break
-    makes bucket edges engine-identical. At 100 TB use
-    operators/ranking.global_rank (range-partitioned, no single
-    partition) and derive the decile in closed form — same output,
-    documented swap."""
+    revenue dashboard starts with. NTILE(10) semantics via
+    operators/ranking.with_ntile: range-partition on (o_totalprice,
+    o_orderkey), per-partition row_number, broadcast offsets, decile in
+    closed form — the orders fact never funnels through one task. The
+    deterministic o_orderkey tie-break makes bucket edges
+    engine-identical to the oracle's windowed NTILE."""
+    from python_etl_spark.operators.ranking import with_ntile
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
-    )
+    d = with_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        10,
+        out_col="decile",
+    ).select("o_totalprice", "decile")
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("min_price"),

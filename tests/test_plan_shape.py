@@ -161,6 +161,16 @@ def test_scorecard_and_balance_broadcast_dims(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_decile_and_rfm_no_single_partition_window(spark, sf_dir):
+    """etl_decile_report (NTILE over the orders fact) and
+    events_rfm_segments (three NTILEs over the per-user frame) ride
+    operators/ranking.with_ntile — range-partition + broadcast offsets.
+    Neither plan may funnel a fact/user-sized frame through one task."""
+    for name in ["etl_decile_report", "events_rfm_segments"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
 def test_streak_and_cohort_partitioned_windows(spark, sf_dir):
     """The streak islands window and cohort cumsum partition by their
     keys — no single-partition funnel of the collapsed frames."""
