@@ -1,10 +1,15 @@
 """Analytic query suite — TPC-H shapes adapted to the test star schema.
 
-Spark-first plans: dimension tables are broadcast-hinted (region,
-nation, supplier, part, customer are tiny relative to the facts), fact
-joins shuffle on their keys under AQE, aggregates are declared so
-Catalyst does partial (map-side) aggregation. Each query has a DuckDB
-oracle built with the decimal-exact helpers in plans.common.
+Spark-first plans under the plans.common broadcast policy:
+fixed-cardinality frames (region, nation, one-row thresholds) are
+broadcast-hinted unconditionally via ``_bc``; SF-scaling dims
+(customer, part, supplier — linear in SF, ~10^9 rows at a true
+100 TB) go through ``_dim`` (= plans.common.bc_dim), which hints only
+while Catalyst's file-size estimate fits the autoBroadcastJoinThreshold
+and otherwise lets AQE choose. Fact joins shuffle on their keys under
+AQE; aggregates are declared so Catalyst does partial (map-side)
+aggregation. Each query has a DuckDB oracle built with the
+decimal-exact helpers in plans.common.
 """
 
 from __future__ import annotations
@@ -30,7 +35,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _bc(df: DataFrame) -> DataFrame:
+    """Unconditional hint — fixed-cardinality frames only (region,
+    nation, bounded aggregates); see the plans.common policy note."""
     return F.broadcast(df)
+
+
+from python_etl_spark.plans.common import bc_dim as _dim  # noqa: E402
 
 
 # --------------------------------------------------------------------------
@@ -103,7 +113,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(REVENUE()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -177,9 +187,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            _bc(supp),
+            _dim(supp),
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -266,8 +276,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
-        .join(_bc(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(supp), li.l_suppkey == supp.s_suppkey)
         .join(_bc(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
         .join(_bc(r1), F.col("n1.n_regionkey") == F.col("r1_key"))
         .join(_bc(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
@@ -322,9 +332,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     sales = (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
         .join(_bc(nation), cust.c_nationkey == nation.n_nationkey)
         .join(_bc(region), nation.n_regionkey == region.r_regionkey)
         .select(
@@ -373,8 +383,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     amount = REVENUE() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
-        .join(_bc(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
+        .join(_dim(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(_bc(nation), supp.s_nationkey == nation.n_nationkey)
         .select(
@@ -418,7 +428,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
         .join(_bc(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(REVENUE()).alias("revenue"))
@@ -551,7 +561,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_dec = F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(
         F.lit(0).cast("decimal(28,6)")
     )
-    return li.join(_bc(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(_dim(part), li.l_partkey == part.p_partkey).agg(
         (
             (F.lit(100.0) * F.sum(promo_dec).cast("double"))
             / F.sum(rev_dec).cast("double")
@@ -591,7 +601,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue0.join(_bc(max_rev))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(_bc(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(_dim(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -618,7 +628,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
     return (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -649,7 +659,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
@@ -689,7 +699,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(_bc(cust), orders.o_custkey == cust.c_custkey)
+        .join(_dim(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -727,7 +737,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((brand == "Brand#15") & size.between(1, 35) & qty.between(20, 30))
     )
     return (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(dsum(REVENUE()).alias("revenue"))
     )
@@ -760,7 +770,7 @@ def q20_parts_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     qualified = (
-        li.join(_bc(part), li.l_partkey == part.p_partkey)
+        li.join(_dim(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(dsum("l_quantity").alias("total_qty"))
         .where(F.col("total_qty") > 100)
@@ -810,7 +820,7 @@ def q21_high_value_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("d3"),
     ).alias("l3")
     base = l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey).join(
-        _bc(supp), F.col("l1.l_suppkey") == supp.s_suppkey
+        _dim(supp), F.col("l1.l_suppkey") == supp.s_suppkey
     )
     base = base.join(
         l2,

@@ -45,6 +45,63 @@ from python_etl_spark.functions.exact import (  # noqa: F401
 )
 
 
+# ----------------------- broadcast-hint policy ----------------------------
+#
+# Two classes of "dimension" frame, two rules:
+#
+# * FIXED-CARDINALITY frames — region (5 rows), nation (25 rows), and
+#   bounded aggregates (a one-row threshold, a per-nation rollup): their
+#   size is O(1) in the scale factor, so `F.broadcast` directly.
+# * SF-SCALING dims — customer, part, supplier: TPC-H grows these
+#   linearly with SF (~10^9 customer rows at a true 100 TB), so an
+#   unconditional hint would eventually OOM the driver. Route these
+#   through `bc_dim`, which gates the hint on Catalyst's free
+#   plan-statistics estimate.
+
+
+def _parse_size_bytes(s: str) -> int:
+    s = s.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    return int(float(s)) * mult
+
+
+def bc_dim(df: DataFrame) -> DataFrame:
+    """Size-honest broadcast hint for SF-scaling dimension tables.
+
+    Hints broadcast ONLY when Catalyst's plan-statistics size estimate
+    — derived from parquet file sizes at planning time, no job, no data
+    scan — is at or under the session's autoBroadcastJoinThreshold.
+    Over the threshold (or when stats are unavailable) the frame is
+    returned unhinted and AQE picks broadcast-vs-shuffle from observed
+    runtime sizes. At test SFs customer/part/supplier estimate in the
+    low MBs, so plans are unchanged; at 100 TB the same code degrades
+    to a shuffle join instead of a driver OOM."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+        thr = _parse_size_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760b"
+            )
+        )
+    except Exception:
+        return df
+    if 0 < est <= thr:
+        return F.broadcast(df)
+    return df
+
+
 # ------------------- planted near-duplicate embeddings --------------------
 #
 # The embeddings test table has no true near-duplicate pairs at cosine

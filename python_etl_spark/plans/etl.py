@@ -31,7 +31,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _bc(df: DataFrame) -> DataFrame:
+    """Unconditional hint — fixed-cardinality frames only; SF-scaling
+    dims (customer/part/supplier) go through ``_dim`` instead (the
+    size-gated plans.common.bc_dim policy)."""
     return F.broadcast(df)
+
+
+from python_etl_spark.plans.common import bc_dim as _dim  # noqa: E402
 
 
 # -------------------------- projection / casting --------------------------
@@ -89,7 +95,7 @@ WHERE o.o_orderstatus = 'O'
 def etl_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     cust = _t(spark, sf_dir, "customer")
-    return orders.join(_bc(cust), orders.o_custkey == cust.c_custkey).select(
+    return orders.join(_dim(cust), orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
     )
 
@@ -605,7 +611,7 @@ def win_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_rev = (
         li.groupBy("l_partkey")
         .agg(dsum(rev).alias("revenue"))
-        .join(_bc(part), F.col("l_partkey") == part.p_partkey)
+        .join(_dim(part), F.col("l_partkey") == part.p_partkey)
         .select("p_brand", "p_partkey", "revenue")
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))

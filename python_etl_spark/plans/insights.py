@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.functions.exact import davg_sql, dsum, dsum_sql
-from python_etl_spark.plans.common import register
+from python_etl_spark.plans.common import bc_dim, register
 from python_etl_spark.sources.tables import load_table
 
 
@@ -356,7 +356,7 @@ def q24_supplier_delivery_scorecard(
     )
     late_flag = F.when(F.col("lag_days") > _LATE_DAYS, 1).otherwise(0)
     return (
-        lag.join(F.broadcast(s), lag.l_suppkey == s.s_suppkey)
+        lag.join(bc_dim(s), lag.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_shipments"),
@@ -699,14 +699,14 @@ def q25_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supply = (
-        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        rev.join(bc_dim(sup), rev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(dsum("amount").alias("supply_value"))
     )
     purchase = (
         rev.join(o, rev.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(bc_dim(cust), o.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(dsum("amount").alias("purchase_value"))

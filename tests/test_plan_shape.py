@@ -161,6 +161,41 @@ def test_scorecard_and_balance_broadcast_dims(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_dim_broadcast_policy_size_gated(spark, sf_dir):
+    """SF-scaling dims (customer/part/supplier) are hinted through
+    plans.common.bc_dim: under the session autoBroadcastJoinThreshold
+    the hint fires (same plans as before — BroadcastHashJoin at test
+    SFs), over it the hint is withheld so AQE decides from runtime
+    sizes instead of the driver OOMing on a 10^9-row 'dimension'."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.plans.common import bc_dim
+    from python_etl_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def joined_plan():
+        q = orders.join(bc_dim(cust), orders.o_custkey == cust.c_custkey)
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(thr_key)
+    try:
+        # small SF: estimate fits the default threshold -> hint fires
+        assert "BroadcastHashJoin" in joined_plan()
+        # simulate 100 TB: customer no longer fits -> no hint. (AQE may
+        # still broadcast at runtime; assert on the HINT, not the join.)
+        spark.conf.set(thr_key, "1b")
+        hinted = bc_dim(cust)
+        assert "ResolvedHint" not in hinted._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.set(thr_key, saved)
+    # q25 (the VERDICT's representative) still broadcasts its dims at
+    # the test SF under the gated policy
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "q25_nation_trade_balance")
+
+
 def test_decile_and_rfm_no_single_partition_window(spark, sf_dir):
     """etl_decile_report (NTILE over the orders fact) and
     events_rfm_segments (three NTILEs over the per-user frame) ride
