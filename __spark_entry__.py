@@ -94,17 +94,45 @@ _R03_CHECKED = frozenset(
     ]
 )
 
-_DRIVER_CHECKED = _R01_CHECKED | _R02_CHECKED | _R03_CHECKED
+_R04_CHECKED = frozenset(
+    [
+        "dedup_cluster_rep", "dedup_containment", "dedup_contamination",
+        "dedup_embedding_cosine", "dedup_groups", "dedup_minhash_lsh_checked",
+        "etl_approx_distinct", "etl_date_dim", "etl_decile_report",
+        "etl_null_safe_join", "etl_percent_change_mom",
+        "etl_quantiles_checked", "etl_referential_integrity",
+        "etl_table_checksum", "etl_weighted_reservoir", "etl_weighted_sample",
+        "events_burst_minutes", "events_cohort_ltv",
+        "events_new_vs_returning", "events_rfm_segments",
+        "events_user_lifespan", "mm_frame_sample", "mm_header_probe",
+        "mm_metadata_extract", "q24_supplier_delivery_scorecard",
+        "q25_nation_trade_balance", "sim_cluster_centroids",
+        "sim_knn_join_exact", "sim_pairwise_label", "sim_range_search",
+        "sim_topk_bruteforce", "text_bigram_freq", "text_bigram_logprob",
+        "text_boilerplate_coverage", "text_byte_pair_stats",
+        "text_char_entropy", "text_dedup_cascade_report", "text_fingerprint",
+        "text_hashed_bow", "text_langid", "text_pii_redact",
+        "text_prefix_dedup", "text_quality_score", "text_repetition",
+        "text_reverse_pandas_udf", "text_tfidf_topk", "text_token_count",
+        "text_token_len_stats", "win_median_abs_deviation",
+        "win_streak_detection",
+    ]
+)
+
+_DRIVER_CHECKED = (
+    _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
+)
 
 
 def _registry_order() -> list[str]:
     names = list(QUERIES)
     # The driver samples the registry HEAD, so order unchecked entries
     # by how much a driver-side check would add: (1) oracled
-    # never-sampled queries (they earn full rows+schema+hash checks;
-    # after r1-r3 these are the 32 repo-parity-only entries plus this
-    # round's additions), (2) rows-only queries (they can only earn a
-    # weaker check), then everything already green.
+    # never-sampled queries (they earn full rows+schema+hash checks —
+    # after r1-r4 that is exactly this round's additions), (2) rows-only
+    # queries (after r1-r4: the 7 sketch/approx ops that have never had
+    # any driver row — they can only earn the weaker rows-only check,
+    # but it closes the sampling loop), then everything already green.
     unchecked = [n for n in names if n not in _DRIVER_CHECKED]
     oracled = [n for n in unchecked if n in ORACLES]
     rows_only = [n for n in unchecked if n not in ORACLES]
