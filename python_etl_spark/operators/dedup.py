@@ -104,6 +104,50 @@ def _cap_doc_freq(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
 _SHARED_SH: dict = {}
 
 
+def clear_shared_shingle_cache() -> None:
+    """Drop the shared-shingle memo (and unpersist its cached frame).
+
+    Call between benchmark passes (or after overwriting a source dir)
+    when the memo must not carry state across measurements."""
+    old = _SHARED_SH.pop("df", None)
+    _SHARED_SH.pop("key", None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def _source_fingerprint(docs: DataFrame) -> tuple:
+    """Best-effort fingerprint of the frame's backing files.
+
+    The memo key must change when the SAME paths are overwritten with
+    new data (plan semanticHash is stable across a rewrite — e.g.
+    scripts/make_scale_replica.py regenerating a dir in-session would
+    otherwise be served stale shingles). Local ``file:`` paths get
+    (size, mtime_ns) from a driver-side stat; other schemes contribute
+    path only (a remote in-place overwrite still needs an explicit
+    :func:`clear_shared_shingle_cache`). Cost is one driver-side stat
+    per file — metadata-only, no data motion."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    parts = []
+    for f in sorted(docs.inputFiles()):
+        ent = f
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            try:
+                st = os.stat(unquote(parsed.path) or f)
+                ent = f"{f}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                pass
+        parts.append(ent)
+    import hashlib
+
+    return (hashlib.md5("\n".join(parts).encode()).hexdigest(),)
+
+
 def shared_shingle_hashes(
     docs: DataFrame,
     text_col: str = "text",
@@ -124,9 +168,15 @@ def shared_shingle_hashes(
     denominators ride along the pair join as first() aggregates."""
     spark = docs.sparkSession
     try:
+        # applicationId (not id() of a py4j proxy) — CPython can reuse
+        # a GC'd proxy's id for a NEW session, which would hand the new
+        # session a frame bound to a stopped one. The source
+        # fingerprint invalidates on in-place overwrites of the same
+        # paths, which semanticHash alone cannot see.
         key = (
-            id(spark._jsparkSession),
+            spark.sparkContext.applicationId,
             docs._jdf.queryExecution().analyzed().semanticHash(),
+            _source_fingerprint(docs),
             text_col,
             id_col,
             k,

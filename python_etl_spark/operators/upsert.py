@@ -29,7 +29,15 @@ def upsert(
     landed) and batch-order-robust (out-of-order micro-batches
     converge to the true latest state). ``updates`` should be
     key-unique; with several rows per key, ``version_col`` makes the
-    survivor deterministic."""
+    survivor deterministic.
+
+    NULL-version semantics: ordering is ``desc`` with Spark's default
+    NULLS LAST, so a NULL version sorts below every non-null version
+    on either side — an update row with a missing version loses to any
+    versioned base row (no version ⇒ cannot prove it is newer). Two
+    NULL versions fall back to the update-wins tie-break. Changelogs
+    where null-versioned updates must still win should
+    ``coalesce(version, <max sentinel>)`` before calling."""
     tagged = updates.withColumn("__pri", F.lit(0)).unionByName(
         base.withColumn("__pri", F.lit(1))
     )

@@ -5,10 +5,17 @@ factors vs the 10x data ratio, and emit one JSON line for artifacts.
 Usage: python scripts/bench_scaling.py [small_dir] [big_dir] [factor]
 
 Methodology mirrors bench.py: one untimed warm pass over the set at the
-SMALL scale (JVM JIT, Python workers), then a timed pass per scale.
-A query is healthy when time_big / time_small <= factor (linear or
-better — fixed per-query overheads amortize); the exact all-pairs
-baselines are expected to approach factor^2 and are labeled as such.
+SMALL scale (JVM JIT, Python workers), then a timed pass per scale. The
+session-shared shingle memo is cleared before EACH timed pass so both
+scales pay the one-time cache materialization symmetrically (the warm
+pass would otherwise pre-populate it for the small pass only, inflating
+the first dedup-family ratio). A query is healthy when
+time_big / time_small <= factor * slack (linear or better — fixed
+per-query overheads amortize); the exact all-pairs baselines are
+expected to approach factor^2 and are labeled as such.
+
+``run_rehearsal`` is importable — tests/test_scaling.py asserts the
+same linear bounds in CI whenever the replica dir exists.
 """
 
 from __future__ import annotations
@@ -20,8 +27,10 @@ import time
 sys.path.insert(0, ".")
 
 # (name, expected) — expected "linear" means ratio should track the
-# data factor; "quadratic" marks the documented exact all-pairs
-# baselines whose LSH/IVF twins are the production path.
+# data factor; "overlap" marks dedup/ANN queries whose output scales
+# with true pair/candidate volume (still ~linear under the replica's
+# disjoint-copy construction); "quadratic" marks the documented exact
+# all-pairs baselines whose LSH/IVF twins are the production path.
 QUERIES_UNDER_TEST = [
     ("q01_pricing_summary", "linear"),
     ("q03_shipping_priority", "linear"),
@@ -32,6 +41,8 @@ QUERIES_UNDER_TEST = [
     ("etl_sessionize", "linear"),
     ("etl_asof_join", "linear"),
     ("etl_grouping_sets", "linear"),
+    ("etl_decile_report", "linear"),
+    ("events_rfm_segments", "linear"),
     ("events_hypertable_rollup", "linear"),
     ("win_moving_avg", "linear"),
     ("etl_stratified_sample", "linear"),
@@ -41,6 +52,7 @@ QUERIES_UNDER_TEST = [
     ("text_ngram_topk", "linear"),
     ("dedup_exact", "linear"),
     ("dedup_ngram_jaccard", "overlap"),
+    ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
     ("dedup_minhash_lsh", "overlap"),
     ("dedup_simhash", "overlap"),
@@ -53,37 +65,51 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-def timed_pass(spark, QUERIES, sf_dir):
+def timed_pass(spark, QUERIES, sf_dir, queries, verbose=True):
     times = {}
-    for name, _ in QUERIES_UNDER_TEST:
+    for name, _ in queries:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"#   {name}: {times[name]:.2f}s", file=sys.stderr)
+        if verbose:
+            print(f"#   {name}: {times[name]:.2f}s", file=sys.stderr)
     return times
 
 
-def main():
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1x"
-    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+def run_rehearsal(
+    spark,
+    small: str,
+    big: str,
+    factor: float = 10.0,
+    queries=None,
+    slack: float = 1.5,
+    verbose: bool = True,
+):
+    """Warm at small scale, time both scales, return per-query rows
+    with ratio and an ``ok`` linear-bound verdict."""
+    from python_etl_spark.operators import dedup
     from python_etl_spark.plans import QUERIES
-    from python_etl_spark.session import get_spark
 
-    spark = get_spark("bench-scaling")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    print("# warm pass (small)", file=sys.stderr)
-    for name, _ in QUERIES_UNDER_TEST:
+    queries = queries if queries is not None else QUERIES_UNDER_TEST
+    if verbose:
+        print("# warm pass (small)", file=sys.stderr)
+    for name, _ in queries:
         QUERIES[name](spark, small).count()
-    print("# timed pass (small)", file=sys.stderr)
-    t_small = timed_pass(spark, QUERIES, small)
-    print("# timed pass (big)", file=sys.stderr)
-    t_big = timed_pass(spark, QUERIES, big)
+    if verbose:
+        print("# timed pass (small)", file=sys.stderr)
+    dedup.clear_shared_shingle_cache()
+    t_small = timed_pass(spark, QUERIES, small, queries, verbose)
+    if verbose:
+        print("# timed pass (big)", file=sys.stderr)
+    dedup.clear_shared_shingle_cache()
+    t_big = timed_pass(spark, QUERIES, big, queries, verbose)
 
     rows = []
-    for name, expected in QUERIES_UNDER_TEST:
-        ratio = round(t_big[name] / max(t_small[name], 1e-9), 2)
+    for name, expected in queries:
+        # 0.1s floor on the denominator: sub-100ms small-scale timings
+        # are scheduler-noise-dominated and would turn a healthy 1s big
+        # run into a spurious 20x "ratio".
+        ratio = round(t_big[name] / max(t_small[name], 0.1), 2)
         rows.append(
             {
                 "query": name,
@@ -92,12 +118,24 @@ def main():
                 "ratio": ratio,
                 "expected": expected,
                 "ok": (
-                    ratio <= factor * 1.5
+                    ratio <= factor * slack
                     if expected != "quadratic"
-                    else ratio <= factor * factor * 1.5
+                    else ratio <= factor * factor * slack
                 ),
             }
         )
+    return rows
+
+
+def main():
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1x"
+    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    from python_etl_spark.session import get_spark
+
+    spark = get_spark("bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = run_rehearsal(spark, small, big, factor)
     print(
         json.dumps(
             {

@@ -211,3 +211,40 @@ def test_components_long_chain_converges(spark):
     )
     comp = connected_components(chain, max_iterations=40).collect()
     assert {r.component for r in comp} == {0}
+
+
+def test_shared_shingle_memo_invalidates_on_overwrite(spark, tmp_path):
+    """Overwriting the source files in place must MISS the memo: the
+    plan semanticHash is path-stable, so only the (size, mtime) source
+    fingerprint distinguishes old data from new (ADVICE r4)."""
+    from python_etl_spark.operators.dedup import (
+        _SHARED_SH,
+        clear_shared_shingle_cache,
+        shared_shingle_hashes,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "a b c d e"), (1, "f g h i j")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(path)
+    clear_shared_shingle_cache()
+    try:
+        first = shared_shingle_hashes(spark.read.parquet(path))
+        n_first = first.count()
+        # same files, same session -> HIT (identity, not just equality)
+        assert shared_shingle_hashes(spark.read.parquet(path)) is first
+
+        import time
+
+        time.sleep(0.05)  # ensure mtime_ns moves even on coarse clocks
+        spark.createDataFrame(
+            [(0, "a b c d e"), (1, "f g h i j"), (2, "k l m n o")],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(path)
+        second = shared_shingle_hashes(spark.read.parquet(path))
+        assert second is not first
+        assert second.count() > n_first  # fresh data, not the stale cache
+        assert _SHARED_SH.get("key")[0] == spark.sparkContext.applicationId
+    finally:
+        clear_shared_shingle_cache()
+        assert "df" not in _SHARED_SH and "key" not in _SHARED_SH
