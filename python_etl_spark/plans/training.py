@@ -1,0 +1,323 @@
+"""Round-5 plans: training-data pipeline depth.
+
+* ``text_segment_dedup`` — C4-style corpus-wide segment-level exact
+  dedup with document reassembly (the unit here is a fixed-width token
+  segment; C4 uses lines — same shape, same Spark plan).
+* ``emb_random_projection`` — Johnson–Lindenstrauss Rademacher
+  projection 64→16 dims with a distortion report (the cheap
+  dimensionality squeeze before LSH/clustering at scale).
+* ``text_quality_linear_score`` — fasttext-style linear classifier over
+  the hashed bag-of-words (deterministic md5 weights; integer-exact).
+* ``sim_topk_ivfpq`` — IVF + residual-PQ ANN, the Faiss IVFPQ
+  architecture (coarse quantizer restricts the scan to probed inverted
+  lists, byte codes + asymmetric distance score the candidates, exact
+  re-rank on top). Approximate: rows-only driver check + recall pytest.
+* ``stream_dedup_batch_equiv`` — batch twin of
+  streaming.dedup.dedup_events (bounded-state streaming dedup),
+  hash-checked against DuckDB.
+
+Cross-engine exactness follows plans/common.py: integer/decimal sums
+where possible, 6-decimal rounds where double fold order differs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_spark.plans.checked import _rademacher, _w_sql
+from python_etl_spark.plans.common import register
+from python_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# -------------------------- segment-level dedup ---------------------------
+_SEG_W = 8  # tokens per (non-overlapping) segment
+
+
+@register(
+    "text_segment_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs0 AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(CAST(ceil(len(t) / {_SEG_W}.0) AS BIGINT)),
+      i -> {{'pos': i,
+            'seg': array_to_string(
+              t[i * {_SEG_W} + 1 : i * {_SEG_W} + {_SEG_W}], ' ')}}
+    )) AS s
+  FROM toks),
+segs AS (SELECT doc_id, CAST(s.pos AS INT) AS pos, s.seg AS seg FROM segs0),
+keep AS (
+  SELECT doc_id, pos, seg,
+    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs),
+re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(seg, ' ' ORDER BY pos) AS text_out
+  FROM keep WHERE rn = 1 GROUP BY doc_id),
+ns AS (
+  SELECT doc_id,
+    CAST(ceil(len(string_split(text, ' ')) / {_SEG_W}.0) AS INT) AS n_seg
+  FROM documents)
+SELECT ns.doc_id AS doc_id, n_seg,
+  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+  COALESCE(text_out, '') AS text_out
+FROM ns LEFT JOIN re ON ns.doc_id = re.doc_id
+""",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level exact dedup: split every document into
+    non-overlapping 8-token segments, keep each distinct segment's
+    FIRST occurrence corpus-wide (by doc_id, then position), drop every
+    repeat, and reassemble the surviving text per document in original
+    order.
+
+    Scale posture: the keep-first pass is a window PARTITIONED BY the
+    segment text — hash-partitioned across the cluster, each partition
+    holding one segment's tiny occurrence list (a skewed boilerplate
+    segment concentrates its own occurrences only, the classic
+    hot-line case; the window inside a partition is a cheap sort of
+    that list). Reassembly is one groupBy(doc_id) collect_list — rows
+    per group = segments per doc, bounded by doc length. Two shuffles
+    total, both on high-cardinality keys; no global window, no
+    collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * _SEG_W + 1, _SEG_W), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("text_out"),
+    )
+    return (
+        docs.select("doc_id", n_seg.alias("n_seg"))
+        .join(re, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_seg",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+        )
+    )
+
+
+# ------------------- Johnson–Lindenstrauss projection ---------------------
+_JL_IN = 64
+_JL_OUT = 16
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+WITH ve AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({_JL_IN}) r(i)),
+{_w_sql(_JL_OUT, _JL_IN, "jl:", "w")},
+proj AS (
+  SELECT vec_id, w.p AS j,
+    CAST(ROUND(SUM(x * w.w) * 1000000, 0) AS BIGINT) AS pjm
+  FROM ve JOIN w ON w.i = ve.i GROUP BY vec_id, w.p),
+nrm AS (
+  SELECT vec_id, CAST(ROUND(SUM(x * x) * 1000000, 0) AS BIGINT) AS nsqm
+  FROM ve GROUP BY vec_id)
+SELECT p.vec_id AS vec_id,
+  MAX(CASE WHEN j = 0 THEN pjm END) AS p0_micro,
+  MAX(CASE WHEN j = 1 THEN pjm END) AS p1_micro,
+  MAX(CASE WHEN j = 2 THEN pjm END) AS p2_micro,
+  MAX(CASE WHEN j = 3 THEN pjm END) AS p3_micro,
+  MAX(n.nsqm) AS nsq_micro,
+  CAST(SUM(pjm * pjm) // ({_JL_OUT} * MAX(n.nsqm)) AS BIGINT)
+    AS norm_ratio_ppm
+FROM proj p JOIN nrm n ON n.vec_id = p.vec_id
+GROUP BY p.vec_id
+""",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: every 64-d embedding is
+    projected onto 16 md5-Rademacher (+1/-1) directions, with a per-
+    vector distortion report — projected energy over expected energy
+    (E[|Px|^2] = d_out * |x|^2 for Rademacher rows, so the ratio
+    concentrates around 1, i.e. ~10^6 ppm). This is the cheap
+    dimensionality squeeze applied before LSH banding or clustering
+    when the raw dimension makes per-pair math expensive.
+
+    Scale posture: a pure per-row projection — ZERO shuffles, whole-
+    stage-codegen arithmetic over array literals (the 16x64 sign matrix
+    lives in the plan, not in any table), output exactly one row per
+    vector.
+
+    Exactness: each projection is rounded ONCE, from the raw double
+    dot, into integer micro-units (x1e6); everything downstream —
+    energy sum, distortion ratio — is then 64-bit integer arithmetic,
+    identical on both engines. (Rounding an already-6-decimal double a
+    second time, e.g. a decimal cast, sits exactly on the rounding
+    boundary and flips between engines — measured 4% of rows.)"""
+    planes = _rademacher(_JL_OUT, _JL_IN, "jl:")
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+
+    def micro(col: F.Column) -> F.Column:
+        return F.round(col * F.lit(1000000.0), 0).cast("long")
+
+    def proj(plane: list[float]) -> F.Column:
+        arr = F.array(*[F.lit(x) for x in plane])
+        return micro(
+            F.aggregate(
+                F.zip_with(vec, arr, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    nsq = micro(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(
+        "vec_id",
+        nsq.alias("nsq_micro"),
+        *[proj(planes[j]).alias(f"pj{j}") for j in range(_JL_OUT)],
+    )
+    s2 = reduce(
+        lambda a, b: a + b,
+        [F.col(f"pj{j}") * F.col(f"pj{j}") for j in range(_JL_OUT)],
+    )
+    return base.withColumn("s2", s2).select(
+        "vec_id",
+        F.col("pj0").alias("p0_micro"),
+        F.col("pj1").alias("p1_micro"),
+        F.col("pj2").alias("p2_micro"),
+        F.col("pj3").alias("p3_micro"),
+        "nsq_micro",
+        # integer division (`div`): the ratio stays 64-bit-exact on
+        # both engines (DuckDB mirrors with `//`)
+        F.expr(f"s2 div ({_JL_OUT} * nsq_micro)").alias("norm_ratio_ppm"),
+    )
+
+
+# --------------------- linear quality classifier --------------------------
+_BOW_DIM = 16
+
+
+@register(
+    "text_quality_linear_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(ASCII(SUBSTR(md5(unnest(string_split(text, chr(32)))), 1, 1))
+         % {_BOW_DIM} AS INT) AS b
+  FROM documents)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN SUBSTR(md5('qw:' || b), 1, 1) >= '8'
+                THEN 1 ELSE -1 END) AS BIGINT) AS score,
+  SUM(CASE WHEN SUBSTR(md5('qw:' || b), 1, 1) >= '8'
+           THEN 1 ELSE -1 END) > 0 AS keep
+FROM tok GROUP BY doc_id
+""",
+)
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over the hashed bag-of-words — the
+    fasttext-classifier shape used to score web documents for training
+    inclusion, with deterministic md5-derived ±1 weights standing in
+    for learned ones (the PLUMBING is the point: featurize → dot
+    weights → threshold, all engine-side). Score = Σ_tokens
+    w[bucket(token)] — integer-exact, no rounding anywhere.
+
+    Scale posture: one narrow scan + one partial-agg shuffle on doc_id;
+    weights live in the expression (md5 of the bucket id), so there is
+    no weight table to join or broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    bucket = (
+        F.ascii(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 1))
+        % _BOW_DIM
+    ).cast("int")
+    w = F.when(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("qw:"), bucket.cast("string")), "UTF-8")),
+            1,
+            1,
+        )
+        >= "8",
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .select("doc_id", "score", (F.col("score") > 0).alias("keep"))
+    )
+
+
+# ------------------------------ IVFPQ ANN ---------------------------------
+@register("sim_topk_ivfpq")  # approximate: rows-only + pytest recall oracle
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + residual-PQ ANN (operators/similarity.ivfpq_topk): the
+    memory- AND compute-bound 100 TB path — nprobe/n_centroids of the
+    corpus is scored, and what is scored touches 8 byte codes per row
+    instead of 64 doubles. Recall vs brute force is pytest-checked
+    (tests/test_similarity.py)."""
+    from python_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        query_ids=list(range(10)),
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        n_sub=8,
+        k_sub=16,
+        rerank=64,
+    )
+
+
+# ---------------------- streaming dedup batch twin ------------------------
+@register(
+    "stream_dedup_batch_equiv",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM d GROUP BY event_type
+""",
+)
+def stream_dedup_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.dedup.dedup_events — the SAME function
+    the streaming pipeline runs with a watermark drops duplicate
+    deliveries here as a batch dropDuplicates; per-type survivor counts
+    are hash-checked against DuckDB. Key columns only are selected
+    first, so the survivor row is fully determined (see the helper's
+    docstring on non-key columns)."""
+    from python_etl_spark.streaming.dedup import dedup_events
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return dedup_events(ev).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

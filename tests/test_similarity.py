@@ -209,3 +209,38 @@ def test_pq_rejects_indivisible_dim(clustered):
 
     with pytest.raises(ValueError, match="dim % n_sub"):
         pq_topk(clustered, query_ids=[0], k=3, n_sub=5).collect()
+
+
+def test_ivfpq_recall_on_clustered(clustered):
+    from python_etl_spark.operators.similarity import ivfpq_topk
+
+    queries = [0, 40, 80, 120, 160]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(clustered, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            clustered, queries, k=5, n_centroids=8, nprobe=2,
+            n_sub=8, k_sub=16, rerank=32,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVFPQ recall {recall}"
+
+
+def test_ivfpq_runs_on_real_embeddings(spark, sf_dir):
+    from python_etl_spark.operators.similarity import ivfpq_topk
+    from python_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ivfpq_topk(
+        emb, query_ids=[0, 1], k=3, n_centroids=8, nprobe=2,
+        n_sub=8, k_sub=16, rerank=16,
+    ).collect()
+    assert len(got) == 6 and all(r.rnk <= 3 for r in got)
+    # exact re-rank means reported cosines are true cosines: top-1 of
+    # the brute-force ranking must appear when its list is probed OR
+    # the candidate pool is superset enough — assert sane score range
+    assert all(-1.0 <= r.cosine <= 1.0 for r in got)

@@ -304,9 +304,11 @@ def test_streaming_dedup_within_watermark(spark, event_files, tmp_path):
     base.unionAll(base).write.mode("overwrite").parquet(dup_path)
 
     stream = spark.readStream.schema(schema).parquet(dup_path)
-    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
+    # one definition for batch and streaming (streaming/dedup.py): on a
+    # streaming frame this is watermark + dropDuplicatesWithinWatermark
+    from python_etl_spark.streaming.dedup import dedup_events
+
+    deduped = dedup_events(stream, key_cols=["event_id"], watermark="2 hours")
     q = (
         deduped.writeStream.format("memory")
         .queryName("dedup_stream")

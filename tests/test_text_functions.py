@@ -31,3 +31,37 @@ def test_normalize_ws_idempotent(spark, words):
     twice = once.select(normalize_ws("t").alias("t"))
     assert once.first().t == twice.first().t
     assert "  " not in once.first().t
+
+
+def test_segment_dedup_keeps_first_occurrence_and_reassembles(spark, tmp_path):
+    """C4-style segment dedup on a crafted corpus: an 8-token segment
+    repeated across docs survives only in the earliest (doc_id, pos);
+    surviving text reassembles in original order; a fully-duplicated
+    doc comes back empty."""
+    seg_a = "a b c d e f g h"          # exactly one 8-token segment
+    seg_b = "p q r s t u v w"
+    seg_c = "one two three four five six seven eight"
+    rows = [
+        (0, f"{seg_a} {seg_b}"),       # doc 0: A at pos0, B at pos1
+        (1, f"{seg_b} {seg_c}"),       # doc 1: B dropped (doc0 has it), C kept
+        (2, seg_a),                    # doc 2: fully duplicated -> empty
+        (3, "tail only three"),        # doc 3: short doc, unique segment
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+
+    from python_etl_spark.plans.training import text_segment_dedup
+
+    got = {
+        r.doc_id: (r.n_seg, r.n_kept, r.text_out)
+        for r in text_segment_dedup(spark, sf).collect()
+    }
+    assert got[0] == (2, 2, f"{seg_a} {seg_b}")
+    assert got[1] == (2, 1, seg_c)
+    assert got[2] == (1, 0, "")
+    assert got[3] == (1, 1, "tail only three")
