@@ -233,3 +233,31 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     head = plan.split("PartitionFilters")[1][:120]
     assert "lang" in head, head
     assert q.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_segment_dedup_windowgrouplimit_and_hash_partition(spark, sf_dir):
+    """text_segment_dedup's keep-first window must be partitioned by the
+    segment (hash-distributed, never a global window), and Spark's
+    WindowGroupLimit must run map-side so the shuffle carries at most
+    one candidate winner per (segment, task) — the hot-boilerplate-
+    segment guard."""
+    plan = _plan(spark, sf_dir, "text_segment_dedup")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(seg" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_random_projection_zero_exchange(spark, sf_dir):
+    """emb_random_projection is a pure per-row map: any Exchange in the
+    plan means someone turned a projection into a shuffle."""
+    plan = _plan(spark, sf_dir, "emb_random_projection")
+    assert "Exchange" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_quality_linear_score_single_shuffle(spark, sf_dir):
+    """One partial-agg shuffle on doc_id; weights live in the
+    expression, so no second scan, no join, no broadcast."""
+    plan = _plan(spark, sf_dir, "text_quality_linear_score")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
