@@ -95,3 +95,58 @@ def dedup_keepers(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
+    first for undirected graphs). Returns (node, rank).
+
+    The curation use-case is link-graph quality scoring (Common-Crawl
+    style host ranking feeding a crawl-selection signal). Classic
+    Pregel shape, expressed as DataFrame ops: per iteration one join
+    (edges ⋈ ranks on src) and one grouped sum (shuffle on dst);
+    lineage is truncated with an eager localCheckpoint per iteration —
+    like connected_components, one materializing job each round, so
+    plans stay shallow at any iteration count. The edge frame (with
+    attached out-degrees) is cached for the loop and released after.
+
+    Exactness: contributions rank/outdeg are IEEE doubles (identical
+    cross-engine); each contribution is cast to DECIMAL(38,18) before
+    the grouped sum, so aggregation order cannot move the result; the
+    damped update returns to DOUBLE. Callers should round reported
+    ranks (~6 decimals) when hash-comparing.
+
+    Assumes every node has at least one outgoing edge (true for
+    symmetrized graphs); dangling-node mass redistribution is out of
+    scope."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ewd = e.join(deg, "src").persist()
+    n = deg.count()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+            ).alias("rank")
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    ewd.unpersist(blocking=False)
+    return ranks

@@ -321,3 +321,151 @@ def stream_dedup_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ----------------------------- link-graph ops -----------------------------
+#
+# The customer–supplier bipartite graph (distinct trade pairs from
+# orders ⋈ lineitem) stands in for the crawl link graph: PageRank over
+# it is the host-quality-scoring shape (Common-Crawl style) — an
+# ITERATIVE algorithm the relational suite otherwise lacks. Supplier
+# node ids are offset so the two key spaces cannot collide.
+
+_PR_SUPP_OFF = 10_000_000
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+_PR_EDGE_SQL = f"""
+pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT c AS src, s + {_PR_SUPP_OFF} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {_PR_SUPP_OFF} AS src, c AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)"""
+
+
+def _pr_iter_sql() -> str:
+    ctes = [
+        "pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+pr{i} AS (
+  SELECT e.dst AS node,
+    {1.0 - _PR_DAMP} / (SELECT n FROM nn)
+      + {_PR_DAMP} * CAST(SUM(CAST(p.r / d.outdeg AS DECIMAL(38,18)))
+                          AS DOUBLE) AS r
+  FROM pr{i - 1} p
+  JOIN edges e ON e.src = p.node
+  JOIN deg d ON d.src = p.node
+  GROUP BY e.dst)""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH {_PR_EDGE_SQL},
+{_pr_iter_sql()}
+SELECT CASE WHEN node >= {_PR_SUPP_OFF} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+  CASE WHEN node >= {_PR_SUPP_OFF} THEN node - {_PR_SUPP_OFF}
+       ELSE node END AS node_id,
+  ROUND(r * (SELECT n FROM nn), 6) AS nrank
+FROM pr{_PR_ITERS}
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped iterations) over the customer–supplier trade
+    graph; reported as nrank = rank x N (relative to uniform, so 1.0 =
+    average importance), rounded to 6 decimals.
+
+    Scale posture: operators/components.pagerank — per iteration one
+    co-partitioned edge⋈rank join plus one grouped-sum shuffle on the
+    destination node, eager localCheckpoint truncating lineage; the
+    edge list is the only persisted frame, hash-partitioned, never
+    collected. Node and edge counts scale linearly with SF (this is a
+    TRUE SF-scaling graph, not a fixed dimension)."""
+    from python_etl_spark.operators.components import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _PR_SUPP_OFF).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") + _PR_SUPP_OFF).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    tot = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        ranks.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("node") >= _PR_SUPP_OFF, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            F.when(
+                F.col("node") >= _PR_SUPP_OFF, F.col("node") - _PR_SUPP_OFF
+            )
+            .otherwise(F.col("node"))
+            .alias("node_id"),
+            F.round(F.col("rank") * F.col("n"), 6).alias("nrank"),
+        )
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+WITH {_PR_EDGE_SQL}
+SELECT CASE WHEN src >= {_PR_SUPP_OFF} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(MIN(outdeg) AS BIGINT) AS min_degree,
+  CAST(MAX(outdeg) AS BIGINT) AS max_degree,
+  CAST(SUM(outdeg) AS BIGINT) AS n_edges
+FROM deg GROUP BY 1
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the trade graph per node class — the pre-flight
+    skew check before any iterative graph job (a power-law hub inflates
+    one reducer in every PageRank iteration; its degree shows up here
+    first). Integer-exact; two collapsing shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _PR_SUPP_OFF).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") + _PR_SUPP_OFF).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") >= _PR_SUPP_OFF, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("outdeg").alias("min_degree"),
+            F.max("outdeg").alias("max_degree"),
+            F.sum("outdeg").alias("n_edges"),
+        )
+    )

@@ -248,3 +248,29 @@ def test_shared_shingle_memo_invalidates_on_overwrite(spark, tmp_path):
     finally:
         clear_shared_shingle_cache()
         assert "df" not in _SHARED_SH and "key" not in _SHARED_SH
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5-iteration damped PageRank on a small directed graph equals the
+    same fixed-iteration power method in numpy (atol 1e-9 — the
+    decimal-summed contributions keep engines/partitionings exact)."""
+    import numpy as np
+
+    from python_etl_spark.operators.components import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (0, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+
+    n = 4
+    out = {u: sum(1 for a, _ in edges if a == u) for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u, v in edges:
+            nxt[v] += 0.85 * r[u] / out[u]
+        r = nxt
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    # total rank mass is conserved (no dangling nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
