@@ -220,23 +220,59 @@ def _kmeans_centroids(
     )
     c = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
 
-    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["vec"]])
-        return pd.DataFrame(
-            {"cid": [int(pdf["cid"].iloc[0])], "cvec": [m.mean(axis=0).tolist()]}
-        )
-
+    # Each Lloyd round is ONE shuffle-free map job: every partition
+    # emits its per-cluster (count, vector-sum) partials — at most
+    # n_centroids tiny rows per partition — and the driver combines
+    # them into means. The earlier assign + groupBy(cid).applyInPandas
+    # form shuffled the full corpus every iteration; partial-sums is
+    # the map-side-combine the aggregation always wanted. Partials are
+    # combined in (cid, pid) order so the result does not depend on
+    # collect() arrival order.
     for _ in range(iterations):
-        assigned = v.withColumn("cid", _assign_udf(_normalize_rows(c))("vec"))
-        means = (
-            assigned.select("cid", "vec")
-            .groupBy("cid")
-            .applyInPandas(mean_vec, schema="cid int, cvec array<double>")
-            .collect()
-        )
+        cn = _normalize_rows(c)
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            acc_n: dict[int, int] = {}
+            acc_s: dict[int, np.ndarray] = {}
+            for b in batches:
+                if not len(b):
+                    continue
+                m = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in b["vec"]]
+                )
+                a = (m @ cn.T).argmax(axis=1)
+                for j in np.unique(a):
+                    sel = m[a == j]
+                    acc_n[j] = acc_n.get(j, 0) + len(sel)
+                    prev = acc_s.get(j)
+                    s = sel.sum(axis=0)
+                    acc_s[j] = s if prev is None else prev + s
+            if acc_n:
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid] * len(acc_n),
+                        "cid": [int(j) for j in sorted(acc_n)],
+                        "n": [acc_n[j] for j in sorted(acc_n)],
+                        "s": [acc_s[j].tolist() for j in sorted(acc_n)],
+                    }
+                )
+
+        rows = v.select("vec").mapInPandas(
+            partials, schema="pid int, cid int, n long, s array<double>"
+        ).collect()
+        tot_n: dict[int, int] = {}
+        tot_s: dict[int, np.ndarray] = {}
+        for r in sorted(rows, key=lambda r: (r["cid"], r["pid"])):
+            tot_n[r["cid"]] = tot_n.get(r["cid"], 0) + r["n"]
+            s = np.asarray(r["s"], dtype=np.float64)
+            prev = tot_s.get(r["cid"])
+            tot_s[r["cid"]] = s if prev is None else prev + s
         nxt = c.copy()
-        for r in means:
-            nxt[r["cid"]] = np.asarray(r["cvec"], dtype=np.float64)
+        for j, n in tot_n.items():
+            nxt[j] = tot_s[j] / n
         c = nxt
     v.unpersist(blocking=False)
     return c

@@ -469,3 +469,38 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("outdeg").alias("n_edges"),
         )
     )
+
+
+# ------------------------- bloom-prefiltered semi join --------------------
+@register(
+    "etl_bloom_semi_join",
+    oracle=f"""
+SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
+  l.l_quantity AS l_quantity
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000)
+""",
+)
+def etl_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join through a Bloom pre-filter (operators/bloom.py): the
+    urgent-high-value order keys build a 64 Kbit bitmap, a map-side
+    plan-literal predicate drops non-candidate lineitem rows BEFORE the
+    shuffle, and an exact left-semi join removes the false positives —
+    so the result is row-identical to the plain EXISTS (the oracle) but
+    the exchange carries only candidates. The explicit form of Spark's
+    runtime bloom filtering; at 100 TB the saved shuffle volume is
+    (1 - selectivity) of the fact table."""
+    from python_etl_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keys = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+    return bloom_semi_join(li, keys, "l_orderkey", "o_orderkey")

@@ -222,3 +222,28 @@ def test_multimodal_pil_decoder_when_available(spark):
         return
     got = decode_media(payloads, decoder="pil").collect()
     assert (got[0].width, got[0].height) == (8, 4)
+
+
+def test_bloom_semi_join_exact_and_selective(spark):
+    """Bloom prefilter must (a) never drop a true match — superset
+    property, (b) keep the false-positive rate near the 2-probe design
+    point, (c) compose with the exact semi join to the exact result."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 20000, 100).select(F.col("id").alias("k"))  # 200 keys
+    bm = build_bloom(keys, "k")
+    pre = set(r.k for r in bloom_prefilter(fact, "k", bm).collect())
+    truth = set(range(0, 20000, 100))
+    assert truth <= pre  # no false negatives, ever
+    fp = len(pre - truth) / (20000 - len(truth))
+    assert fp < 0.05, fp  # 64Kbit / 200 keys / 2 probes -> ~1e-4 expected
+
+    got = sorted(r.k for r in bloom_semi_join(fact, keys, "k").collect())
+    assert got == sorted(truth)
