@@ -160,11 +160,14 @@ def lsh_bucketed_topk(
 # doubles — a few MB even at 4096x1024), exactly like Spark MLlib's
 # KMeans. The corpus never leaves the executors: assignment is one
 # Arrow-batched argmax matmul per batch (no join, no window, no
-# shuffle), and each Lloyd iteration costs exactly ONE shuffle — the
-# groupBy(cid) grouped mean. The earlier DataFrame-only formulation
+# shuffle), and each Lloyd iteration is ONE shuffle-free map job —
+# per-partition per-cluster (count, vector-sum) partials, combined on
+# the driver. History: the original DataFrame-only formulation
 # (corpus x centroids broadcast join + per-row window row_number +
 # posexplode groupBy) shuffled corpus*k rows three times per iteration
-# and was the slowest query in the sweep (6.5s -> ~1.5s at sf0.1).
+# (6.5s at sf0.1); the round-3 assign + groupBy(cid).applyInPandas form
+# still shuffled the full corpus once per iteration (~1.5s); partials
+# shuffle nothing.
 
 
 def _normalize_rows(c: np.ndarray) -> np.ndarray:
@@ -900,3 +903,68 @@ def ivfpq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def covariance_eig(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed covariance -> driver eigendecomposition.
+
+    One shuffle-free map job: each partition emits (pid, n, Σx, Σxxᵀ
+    flattened) — O(d²) doubles per partition, KBs at d=64 — and the
+    driver combines partials in pid order (deterministic for a fixed
+    partitioning), forms the population covariance Σxxᵀ/n − μμᵀ, and
+    eigendecomposes the d×d matrix locally (the MLlib PCA posture: the
+    model is small, only the moments are distributed). Returns
+    (eigenvalues desc, eigenvectors by column, n_rows)."""
+    v = embeddings.select(as_double(vec_col).alias("vec"))
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = None
+        ss = None
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in b["vec"]])
+            n += len(m)
+            bs = m.sum(axis=0)
+            bss = m.T @ m
+            s = bs if s is None else s + bs
+            ss = bss if ss is None else ss + bss
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "ss": [ss.reshape(-1).tolist()],
+                }
+            )
+
+    rows = sorted(
+        v.mapInPandas(
+            partials,
+            schema="pid int, n long, s array<double>, ss array<double>",
+        ).collect(),
+        key=lambda r: r["pid"],
+    )
+    if not rows:
+        raise ValueError("covariance_eig: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.float64)
+        ss += np.asarray(r["ss"], dtype=np.float64).reshape(d, d)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order], n

@@ -504,3 +504,38 @@ def etl_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_totalprice") > 150000)
     ).select("o_orderkey")
     return bloom_semi_join(li, keys, "l_orderkey", "o_orderkey")
+
+
+# ------------------------ PCA explained variance --------------------------
+@register("emb_pca_variance")  # non-SQL-expressible (eigendecomposition):
+# rows-only driver check + exact numpy pytest oracle
+def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embedding corpus: eigenvalue,
+    explained-variance ratio, and cumulative ratio — the whitening /
+    dimensionality diagnostic run before SemDeDup-style clustering
+    (how many directions carry the corpus' variance decides the
+    projection budget).
+
+    Scale posture: operators/similarity.covariance_eig — ONE shuffle-
+    free map job emitting O(d²) moment partials per partition (KBs at
+    d=64), driver-side 64x64 eigendecomposition (the MLlib PCA
+    posture). The corpus is never collected, joined, or shuffled.
+    Eigenvalues are pinned to numpy.cov on the driver-collected corpus
+    in tests/test_similarity.py."""
+    from python_etl_spark.operators.similarity import covariance_eig
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vals, _vecs, n = covariance_eig(emb)
+    total = float(vals.sum())
+    rows = []
+    cum = 0.0
+    for i in range(8):
+        ratio = float(vals[i]) / total
+        cum += ratio
+        rows.append(
+            (i, round(float(vals[i]), 6), round(ratio, 6), round(cum, 6))
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, var_ratio double, cum_ratio double",
+    )

@@ -244,3 +244,27 @@ def test_ivfpq_runs_on_real_embeddings(spark, sf_dir):
     # the brute-force ranking must appear when its list is probed OR
     # the candidate pool is superset enough — assert sane score range
     assert all(-1.0 <= r.cosine <= 1.0 for r in got)
+
+
+def test_covariance_eig_matches_numpy(spark, sf_dir):
+    """Distributed moment partials -> driver eig must equal numpy.cov
+    (population) on the collected corpus: eigenvalues to 1e-9,
+    variance totals conserved."""
+    import numpy as np
+
+    from python_etl_spark.operators.similarity import covariance_eig
+    from python_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals, vecs, n = covariance_eig(emb)
+    m = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+    assert n == len(m)
+    ref = np.linalg.eigvalsh(np.cov(m, rowvar=False, bias=True))[::-1]
+    assert np.allclose(vals, ref, atol=1e-9)
+    # eigenvectors are orthonormal
+    assert np.allclose(vecs.T @ vecs, np.eye(m.shape[1]), atol=1e-9)
