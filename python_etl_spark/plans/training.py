@@ -539,3 +539,31 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "component int, eigenvalue double, var_ratio double, cum_ratio double",
     )
+
+
+# ----------------------------- Z-order layout -----------------------------
+from python_etl_spark.operators.layout import morton_code, morton_code_sql  # noqa: E402
+
+
+@register(
+    "etl_zorder_code",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+  {morton_code_sql('l_partkey', 'l_suppkey')} AS zcode
+FROM lineitem
+""",
+)
+def etl_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code of (l_partkey, l_suppkey) per lineitem row
+    — the clustering key behind OPTIMIZE ZORDER layouts. Writing the
+    fact table range-partitioned + sorted on this code gives every
+    parquet file a tight min/max bounding box on BOTH join keys, so
+    predicates on either key prune files (operators/layout.zorder_by;
+    skipping effectiveness measured in tests/test_bucketing.py).
+    Integer-exact constant-shift bit arithmetic, zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("zcode"),
+    )

@@ -63,3 +63,42 @@ def test_bucketed_agg_is_shuffle_free(spark, bucketed_tables):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert agg.count() > 0
+
+
+def test_zorder_layout_tightens_file_bounding_boxes(spark, tmp_path):
+    """Z-order clustering must shrink per-file (partkey, suppkey)
+    bounding boxes vs the unsorted layout: the sum over files of
+    (range_a * range_b) — the area a point predicate can hit — should
+    drop by a large factor, which is exactly what makes min/max file
+    skipping work on BOTH columns."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.layout import zorder_by
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+
+    base = str(tmp_path / "plain")
+    li.repartition(8).write.mode("overwrite").parquet(base)
+    zdir = str(tmp_path / "zorder")
+    zorder_by(li, "l_partkey", "l_suppkey", n_files=8).write.mode(
+        "overwrite"
+    ).parquet(zdir)
+
+    def area(path):
+        df = spark.read.parquet(path)
+        per_file = (
+            df.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("ra"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("rb"),
+            )
+            .collect()
+        )
+        return sum((r.ra + 1) * (r.rb + 1) for r in per_file)
+
+    plain, z = area(base), area(zdir)
+    assert spark.read.parquet(zdir).count() == li.count()  # lossless
+    assert z < plain / 3, (z, plain)  # >=3x tighter boxes
