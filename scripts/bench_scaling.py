@@ -51,6 +51,10 @@ QUERIES_UNDER_TEST = [
     ("text_dsir_importance", "linear"),
     ("text_ngram_topk", "linear"),
     ("dedup_exact", "linear"),
+    ("text_segment_dedup", "linear"),
+    ("etl_bloom_semi_join", "linear"),
+    ("graph_pagerank", "linear"),
+    ("emb_random_projection", "linear"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

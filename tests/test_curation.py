@@ -319,6 +319,8 @@ def test_rows_only_queries_all_have_exactness_tests():
         "sim_topk_lsh",          # test_similarity: recall >= 0.8
         "sim_topk_ivf",          # test_similarity: recall >= 0.8
         "sim_topk_pq",           # test_similarity: recall >= 0.8
+        "sim_topk_ivfpq",        # test_similarity: recall >= 0.8
+        "emb_pca_variance",      # test_similarity: eig vs numpy.cov
         "etl_approx_distinct",   # test_scale_ops: HLL error bound
         "etl_approx_quantiles",  # test_scale_ops: value-band vs exact
         "text_cms_topk",         # test_curation: CMS over/under bounds
