@@ -103,6 +103,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list (symmetrize
     first for undirected graphs). Returns (node, rank).
@@ -116,37 +117,56 @@ def pagerank(
     plans stay shallow at any iteration count. The edge frame (with
     attached out-degrees) is cached for the loop and released after.
 
-    Exactness: contributions rank/outdeg are IEEE doubles (identical
-    cross-engine); each contribution is cast to DECIMAL(38,18) before
-    the grouped sum, so aggregation order cannot move the result; the
-    damped update returns to DOUBLE. Callers should round reported
-    ranks (~6 decimals) when hash-comparing.
+    Exactness: per-source contributions rank/outdeg are IEEE doubles
+    (identical cross-engine), quantized ONCE into integer units of
+    1e-15 — the grouped sum is then 64-bit integer arithmetic, so
+    aggregation order cannot move the result (and it is far faster
+    than a Decimal128 sum). The damped update returns to DOUBLE.
+    Callers should round reported ranks (~6 decimals) when
+    hash-comparing.
+
+    Per iteration: one join of the cached, src-partitioned edge frame
+    against the O(nodes) per-source contribution frame (exchange-free
+    on the edge side; AQE broadcasts the small side at small scale),
+    plus one grouped-sum shuffle on the destination. The edge frame is
+    materialized once; a single eager localCheckpoint at the end
+    truncates the unrolled lineage so downstream consumers don't
+    recompute the loop.
 
     Assumes every node has at least one outgoing edge (true for
     symmetrized graphs); dangling-node mass redistribution is out of
     scope."""
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_distinct:
+        # duplicate edges would double-count contributions; pass
+        # assume_distinct=True to skip this shuffle when the caller
+        # already guarantees distinctness (e.g. symmetrized distinct
+        # pairs over disjoint key spaces)
+        e = e.distinct()
+    e = e.repartition("src").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ewd = e.join(deg, "src").persist()
-    n = deg.count()
+    n = deg.count()  # materializes the edge cache via the agg job
     ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+        F.col("src").alias("src"), F.lit(1.0 / n).alias("rank")
     )
     for _ in range(iterations):
-        contrib = ewd.join(ranks, ewd.src == ranks.node).select(
-            F.col("dst").alias("node"),
-            (F.col("rank") / F.col("outdeg")).alias("c"),
+        per_src = ranks.join(deg, "src").select(
+            "src",
+            F.round((F.col("rank") / F.col("outdeg")) * 1e15, 0)
+            .cast("long")
+            .alias("c"),
         )
-        ranks = contrib.groupBy("node").agg(
+        contrib = e.join(per_src, "src").select(F.col("dst"), F.col("c"))
+        ranks = contrib.groupBy(F.col("dst").alias("src")).agg(
             (
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+                + F.lit(damping) * (F.sum("c") / F.lit(1e15))
             ).alias("rank")
         )
-        ranks = ranks.localCheckpoint(eager=True)
-    ewd.unpersist(blocking=False)
+    ranks = ranks.select(
+        F.col("src").alias("node"), "rank"
+    ).localCheckpoint(eager=True)
+    e.unpersist(blocking=False)
     return ranks

@@ -351,13 +351,15 @@ def _pr_iter_sql() -> str:
     ctes = [
         "pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
     ]
+    # contributions quantized once to integer 1e-15 units, summed as
+    # BIGINT (order-free), exactly mirroring operators/components.pagerank
     for i in range(1, _PR_ITERS + 1):
         ctes.append(f"""
 pr{i} AS (
   SELECT e.dst AS node,
     {1.0 - _PR_DAMP} / (SELECT n FROM nn)
-      + {_PR_DAMP} * CAST(SUM(CAST(p.r / d.outdeg AS DECIMAL(38,18)))
-                          AS DOUBLE) AS r
+      + {_PR_DAMP} * (SUM(CAST(ROUND((p.r / d.outdeg) * 1e15, 0)
+                               AS BIGINT)) / 1e15) AS r
   FROM pr{i - 1} p
   JOIN edges e ON e.src = p.node
   JOIN deg d ON d.src = p.node
@@ -405,7 +407,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") + _PR_SUPP_OFF).alias("src"), F.col("c").alias("dst")
         )
     )
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP,
+        assume_distinct=True,  # symmetrized DISTINCT pairs, disjoint key spaces
+    )
     tot = ranks.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
         ranks.crossJoin(F.broadcast(tot))
