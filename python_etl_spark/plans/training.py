@@ -15,9 +15,23 @@
 * ``stream_dedup_batch_equiv`` — batch twin of
   streaming.dedup.dedup_events (bounded-state streaming dedup),
   hash-checked against DuckDB.
+* ``graph_pagerank`` / ``graph_degree_stats`` — fixed-iteration damped
+  PageRank over the SF-scaling customer–supplier trade graph (the
+  Common-Crawl link-quality shape; oracled against unrolled-iteration
+  SQL) and its degree-skew pre-flight.
+* ``etl_bloom_semi_join`` — Bloom-prefiltered semi join (map-side
+  bitmap predicate before the shuffle, exact semi join after; result
+  row-identical to plain EXISTS).
+* ``emb_pca_variance`` — top-8 principal components via distributed
+  moment partials + driver eig (rows-only; numpy-pinned pytest).
+* ``etl_zorder_code`` — Morton clustering key for OPTIMIZE ZORDER
+  layouts (integer-exact bit interleave; zorder_by measured to tighten
+  per-file bounding boxes ≥3x in tests/test_bucketing.py).
 
 Cross-engine exactness follows plans/common.py: integer/decimal sums
-where possible, 6-decimal rounds where double fold order differs.
+where possible, 6-decimal rounds where double fold order differs; this
+module leans on single-rounding into integer micro-units (projection,
+PageRank contributions) so everything downstream is 64-bit-exact.
 """
 
 from __future__ import annotations
