@@ -586,3 +586,70 @@ def etl_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         morton_code(F.col("l_partkey"), F.col("l_suppkey")).alias("zcode"),
     )
+
+
+# ---------------------- CCNet-style perplexity buckets --------------------
+@register(
+    "text_perplexity_buckets",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> concat_ws(' ', t[i], t[i+1]))) AS b
+  FROM toks WHERE len(t) >= 2),
+parts AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+bc AS (SELECT b, COUNT(*) AS cb FROM parts GROUP BY b),
+uc AS (SELECT w1, SUM(cb) AS cu FROM
+       (SELECT string_split(b,' ')[1] AS w1, cb FROM bc) q GROUP BY w1),
+scored AS (
+  SELECT p.doc_id, ROUND(ln(CAST(bc.cb AS DOUBLE) / uc.cu), 6) AS lp
+  FROM parts p JOIN bc ON bc.b = p.b JOIN uc ON uc.w1 = p.w1),
+per_doc AS (
+  SELECT doc_id,
+    ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      AS avg_logprob
+  FROM scored GROUP BY doc_id),
+bucketed AS (
+  SELECT doc_id, avg_logprob,
+    NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+  FROM per_doc)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(avg_logprob AS DECIMAL(28,6))) AS DOUBLE) AS sum_lp,
+  MIN(avg_logprob) AS min_lp, MAX(avg_logprob) AS max_lp
+FROM bucketed GROUP BY bucket
+""",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus bigram LM (text_bigram_logprob — composable query
+    functions), then split the corpus into head/middle/tail terciles of
+    LM fit and profile each bucket. The standard split used to keep
+    head+middle of a crawl and drop (or re-sample) the tail.
+
+    Scale posture: the tercile assignment uses
+    operators/ranking.with_ntile (range-partition + broadcast offsets)
+    — NO single-partition global window over the per-doc frame. Bucket
+    profiles report the exact decimal SUM of the (already 6-decimal)
+    scores rather than a mean: a mean's division lands on rounding
+    midpoints often enough to flip engines (same lesson as the JL
+    projection)."""
+    from python_etl_spark.operators.ranking import with_ntile
+    from python_etl_spark.plans.llm import text_bigram_logprob
+
+    per_doc = text_bigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    b = with_ntile(
+        per_doc,
+        [F.desc("avg_logprob"), F.asc("doc_id")],
+        3,
+        out_col="bucket",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("avg_logprob").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_lp"),
+        F.min("avg_logprob").alias("min_lp"),
+        F.max("avg_logprob").alias("max_lp"),
+    )
