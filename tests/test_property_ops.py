@@ -270,3 +270,50 @@ def test_streak_islands_match_reference(spark, pairs):
             longest = max(longest, cur)
         want[u] = (longest, streaks)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_segment_dedup_invariants(spark, token_lists):
+    """Randomized corpora: (1) kept segments are globally distinct,
+    (2) each doc's surviving text is its own segments in original order
+    with repeats removed, (3) the first corpus-wide occurrence of every
+    segment survives. Reference computed in plain python."""
+    import tempfile
+
+    from python_etl_spark.plans.training import _SEG_W, text_segment_dedup
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_seg, r.n_kept, r.text_out)
+            for r in text_segment_dedup(spark, d).collect()
+        }
+
+    # python reference
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        t = docs[i][1].split(" ")
+        segs = [
+            " ".join(t[j : j + _SEG_W]) for j in range(0, len(t), _SEG_W)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        n_seg, n_kept, text_out = got[i]
+        assert n_seg == len(segs)
+        assert n_kept == len(kept)
+        assert text_out == " ".join(kept)
