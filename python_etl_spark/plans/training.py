@@ -653,3 +653,4 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_logprob").alias("min_lp"),
         F.max("avg_logprob").alias("max_lp"),
     )
+
