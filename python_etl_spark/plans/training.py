@@ -654,3 +654,84 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("avg_logprob").alias("max_lp"),
     )
 
+
+# ---------------------- event-time disorder profile -----------------------
+#
+# The generated events table is perfectly time-ordered (ts monotone in
+# event_id), so a disorder profile over the raw stream would be
+# vacuously zero. Following the deterministic in-plan injection
+# precedent (text_pii_redact), the query first applies a reproducible
+# md5-derived jitter of up to ±30 minutes to each event's time — the
+# at-source shuffling a real ingest pipeline exhibits — and then
+# profiles the disorder that jitter creates. Both engines derive the
+# identical jitter from md5(event_id).
+
+_OOO_EPOCH_SPARK = (
+    "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " date_trunc('second', ts))"
+)
+_OOO_EPOCH_DUCK = (
+    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00',"
+    " date_trunc('second', ts))"
+)
+_OOO_JITTER = "((ASCII(SUBSTR(md5(CAST(event_id AS VARCHAR)), 1, 1)) % 7) - 3) * 600"
+
+
+@register(
+    "events_out_of_order_stats",
+    oracle=f"""
+WITH jittered AS (
+  SELECT user_id, event_id, event_type,
+    {_OOO_EPOCH_DUCK} + {_OOO_JITTER} AS es
+  FROM events),
+seq AS (
+  SELECT event_type, es,
+    MAX(es) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM jittered)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (prev_max IS NOT NULL AND es < prev_max)
+       AS BIGINT) AS n_out_of_order,
+  CAST(MAX(CASE WHEN prev_max IS NOT NULL AND es < prev_max
+               THEN prev_max - es END) AS BIGINT) AS max_late_s
+FROM seq GROUP BY event_type
+""",
+)
+def events_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: within each user's stream in
+    ARRIVAL order (event_id), how often does event time run backwards
+    and by how much — the empirical input for sizing a streaming
+    watermark (max_late_s bounds the horizon that loses no events; see
+    streaming/dedup.py). Event times carry a deterministic ±30-minute
+    md5 jitter standing in for real ingest disorder (in-plan injection,
+    reproduced identically by the oracle).
+
+    Scale posture: one window partitioned BY USER (bounded groups,
+    hash-distributed — never a global or per-type window), then one
+    collapsing partial-agg shuffle to |event_type| rows. All event-time
+    arithmetic is integer epoch-seconds — exact on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    jitter = F.expr(
+        "((ASCII(SUBSTR(md5(CAST(event_id AS STRING)), 1, 1)) % 7) - 3)"
+        " * 600"
+    )
+    es = F.expr(_OOO_EPOCH_SPARK) + jitter
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "event_id", "event_type", es.alias("es")
+    ).select("event_type", "es", F.max("es").over(w).alias("prev_max"))
+    late = F.col("prev_max").isNotNull() & (F.col("es") < F.col("prev_max"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias(
+            "n_out_of_order"
+        ),
+        F.max(F.when(late, F.col("prev_max") - F.col("es"))).alias(
+            "max_late_s"
+        ),
+    )
