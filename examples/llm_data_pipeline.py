@@ -89,6 +89,25 @@ def main() -> None:
     deduped = deduped.join(pkeep.select("doc_id"), "doc_id", "left_semi")
     n2b = deduped.count()
 
+    # 2c. C4-style segment-level dedup: remove boilerplate SEGMENTS
+    # repeated across the corpus (keep-first, reassemble in order),
+    # then drop docs whose text fully disappeared
+    from python_etl_spark.operators.dedup import segment_dedup
+
+    seg = segment_dedup(deduped, width=8).where(F.col("n_kept") > 0)
+    deduped = (
+        deduped.drop("text", "n_words")
+        .join(
+            seg.select(
+                F.col("id").alias("doc_id"),
+                F.col("text_out").alias("text"),
+            ),
+            "doc_id",
+        )
+        .withColumn("n_words", F.size(F.split("text", " ", -1)))
+    )
+    n2c = deduped.count()
+
     # 3. near-dedup: MinHash-LSH pairs -> connected components -> keep
     # the lowest doc_id per duplicate cluster
     pairs = near_dup(deduped, method="minhash", threshold=0.6)
@@ -152,7 +171,8 @@ def main() -> None:
     )
     print(
         f"ingested={n0} quality_pass={n1} dsir_kept={n1b} exact_deduped={n2} "
-        f"prefix_deduped={n2b} near_deduped={n3} decontaminated={n4} "
+        f"prefix_deduped={n2b} segment_deduped={n2c} near_deduped={n3} "
+        f"decontaminated={n4} "
         f"bins={packed.select('bin').distinct().count()} "
         f"quarantined={quarantined.count()} -> {path}"
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -762,4 +762,58 @@ def char_gram_jaccard_pairs(
         .join(F.broadcast(sb), ["val_b"])
         .select("val_a", "val_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """C4-style corpus-wide SEGMENT-level exact dedup with reassembly:
+    split each doc into non-overlapping ``width``-token segments, keep
+    each distinct segment's first occurrence (by doc id, then
+    position), drop repeats, and rebuild the surviving text in order.
+    Returns (id, n_seg, n_kept, text_out).
+
+    Scale posture: keep-first is a window partitioned by the segment
+    text (hash-distributed; Spark plans a map-side WindowGroupLimit so
+    the shuffle carries one candidate winner per (segment, task));
+    reassembly is a groupBy(id) whose group size is bounded by doc
+    length. Two shuffles, no global window, no collect."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("id", "pos")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    re = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("text_out"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), n_seg.alias("n_seg"))
+        .join(re, "id", "left")
+        .select(
+            "id",
+            "n_seg",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+        )
     )

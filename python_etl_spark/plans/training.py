@@ -103,41 +103,11 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group = segments per doc, bounded by doc length. Two shuffles
     total, both on high-cardinality keys; no global window, no
     collect."""
+    from python_etl_spark.operators.dedup import segment_dedup
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    n_seg = F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(toks, i * _SEG_W + 1, _SEG_W), " "),
-    )
-    exploded = docs.select(
-        "doc_id", F.posexplode(segs).alias("pos", "seg")
-    )
-    w = Window.partitionBy("seg").orderBy("doc_id", "pos")
-    kept = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    re = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                lambda s: s.seg,
-            ),
-        ).alias("text_out"),
-    )
-    return (
-        docs.select("doc_id", n_seg.alias("n_seg"))
-        .join(re, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_seg",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_out", F.lit("")).alias("text_out"),
-        )
+    return segment_dedup(docs, width=_SEG_W).withColumnRenamed(
+        "id", "doc_id"
     )
 
 
