@@ -705,3 +705,129 @@ def events_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_late_s"
         ),
     )
+
+# ------------------------- ANALYZE-style statistics -----------------------
+@register(
+    "etl_analyze_table",
+    oracle="""
+SELECT 'l_partkey' AS col, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv,
+  CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT) AS n_null,
+  CAST(MIN(l_partkey) AS VARCHAR) AS min_v,
+  CAST(MAX(l_partkey) AS VARCHAR) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_suppkey', CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_suppkey) AS BIGINT),
+  CAST(MIN(l_suppkey) AS VARCHAR), CAST(MAX(l_suppkey) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+  CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+  CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM lineitem
+""",
+)
+def etl_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per-column NDV, null count, and min/max — the statistics a
+    cost-based optimizer feeds on (and the repo's bc_dim size gate
+    reads from parquet footers). All four columns profile in ONE pass:
+    Spark plans multiple count(DISTINCT) via a single Expand +
+    two-level aggregate, so the fact table is scanned once, not four
+    times. Exact NDV here (the sketch-based etl_approx_distinct is the
+    100 TB default; exact is the calibration oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def stats(c: str):
+        return [
+            F.countDistinct(c).alias("ndv"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        ]
+
+    frames = [
+        li.agg(*stats(c)).select(F.lit(c).alias("col"), "*")
+        for c in ["l_partkey", "l_suppkey", "l_returnflag", "l_quantity"]
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ------------------------ peak session concurrency ------------------------
+_PC_EPOCH_DUCK = (
+    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)"
+)
+_PC_EPOCH_SPARK = (
+    "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " date_trunc('second', ts))"
+)
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH spans AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+    MIN({_PC_EPOCH_DUCK}) AS s, MAX({_PC_EPOCH_DUCK}) + 1 AS e
+  FROM events GROUP BY user_id, day),
+deltas AS (
+  SELECT day, s AS at_s, 1 AS d, user_id FROM spans
+  UNION ALL
+  SELECT day, e AS at_s, -1 AS d, user_id FROM spans),
+run AS (
+  SELECT day,
+    SUM(d) OVER (ORDER BY at_s, d, day, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS concurrent
+  FROM deltas)
+SELECT day, CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY day
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per day — the classic sweep-line:
+    each user's daily activity span [first event, last event] emits a
+    +1 at its start and a -1 just after its end; the running sum over
+    the GLOBAL time order is the concurrency curve, and its per-day max
+    is the capacity-planning number.
+
+    Scale posture: the global running sum uses
+    operators/ranking.global_cumsum (range-partition + parallel prefix
+    sums + broadcast offsets — no single-partition window; ends sort
+    before starts at the same instant via the delta tie-break, matching
+    the oracle's ORDER BY). Span collapse is one partial-agg shuffle to
+    |users × days| rows. Integer epoch-second arithmetic throughout."""
+    from python_etl_spark.operators.ranking import global_cumsum
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.expr(_PC_EPOCH_SPARK)
+    spans = (
+        ev.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            es.alias("es"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("es").alias("s"), (F.max("es") + 1).alias("e"))
+    )
+    deltas = spans.select(
+        "day", F.col("s").alias("at_s"), F.lit(1).alias("d"), "user_id"
+    ).unionByName(
+        spans.select(
+            "day", F.col("e").alias("at_s"), F.lit(-1).alias("d"), "user_id"
+        )
+    )
+    run = global_cumsum(
+        deltas, ["at_s", "d", "day", "user_id"], "d", out_col="concurrent"
+    )
+    return run.groupBy("day").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    )
