@@ -742,23 +742,24 @@ def etl_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     times. Exact NDV here (the sketch-based etl_approx_distinct is the
     100 TB default; exact is the calibration oracle)."""
     li = _t(spark, sf_dir, "lineitem")
-
-    def stats(c: str):
-        return [
-            F.countDistinct(c).alias("ndv"),
-            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
-            F.min(c).cast("string").alias("min_v"),
-            F.max(c).cast("string").alias("max_v"),
+    cols = ["l_partkey", "l_suppkey", "l_returnflag", "l_quantity"]
+    measures = []
+    for c in cols:
+        measures += [
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"nn_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
         ]
-
-    frames = [
-        li.agg(*stats(c)).select(F.lit(c).alias("col"), "*")
-        for c in ["l_partkey", "l_suppkey", "l_returnflag", "l_quantity"]
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    wide = li.agg(*measures)  # ONE scan for all 16 measures
+    # unpivot the 1-row wide frame to one row per column via stack()
+    stack_args = ", ".join(
+        f"'{c}', ndv_{c}, nn_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " as (col, ndv, n_null, min_v, max_v)"
+    )
 
 
 # ------------------------ peak session concurrency ------------------------

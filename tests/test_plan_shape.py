@@ -261,3 +261,12 @@ def test_quality_linear_score_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_quality_linear_score")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_analyze_table_single_scan(spark, sf_dir):
+    """All 16 column statistics (4 cols x NDV/null/min/max) must come
+    from ONE fact scan — Spark's Expand-based multi-count-distinct —
+    not one scan per column."""
+    plan = _plan(spark, sf_dir, "etl_analyze_table")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
