@@ -838,3 +838,65 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("concurrent").cast("long").alias("peak_concurrent")
     )
+
+# -------------------------- audience overlap ------------------------------
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  sa.n AS n_a, sb.n AS n_b,
+  CAST(COUNT(*) AS BIGINT) AS n_both,
+  CAST((COUNT(*) * 1000000) // (sa.n + sb.n - COUNT(*)) AS BIGINT)
+    AS jaccard_ppm
+FROM du a
+JOIN du b ON b.user_id = a.user_id AND a.event_type < b.event_type
+JOIN sz sa ON sa.event_type = a.event_type
+JOIN sz sb ON sb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type, sa.n, sb.n
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users(A) ∩
+    users(B)| for every unordered type pair, with set sizes and an
+    integer-ppm Jaccard — the segment-overlap matrix every event
+    platform reports (and the exact calibration twin for HLL
+    inclusion–exclusion at 100 TB, where the distinct collapse itself
+    would go through etl_approx_distinct's sketch).
+
+    Scale posture: the stream first collapses to DISTINCT (type, user)
+    — one partial-agg shuffle; the self-join keys on user_id, whose
+    per-user row count is bounded by |event types| (~20), so join
+    output is ≤ users x types² — linear in users. Output is
+    |types choose 2| rows. Jaccard stays integer (x1e6, `div`) — no
+    rounding-tie exposure."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                                  F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                                  F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.expr("(n_both * 1000000) div (n_a + n_b - n_both)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
