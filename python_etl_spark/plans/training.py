@@ -384,13 +384,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # both directions from ONE explode, so the expensive distinct-pairs
+    # subtree is computed once (a union of two projections re-executes
+    # it unless exchange reuse happens to fire)
     edges = pairs.select(
-        F.col("c").alias("src"), (F.col("s") + _PR_SUPP_OFF).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") + _PR_SUPP_OFF).alias("src"), F.col("c").alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"),
+                    (F.col("s") + _PR_SUPP_OFF).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("s") + _PR_SUPP_OFF).alias("src"),
+                    F.col("c").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank(
         edges, iterations=_PR_ITERS, damping=_PR_DAMP,
         assume_distinct=True,  # symmetrized DISTINCT pairs, disjoint key spaces
@@ -437,13 +447,23 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # both directions from ONE explode, so the expensive distinct-pairs
+    # subtree is computed once (a union of two projections re-executes
+    # it unless exchange reuse happens to fire)
     edges = pairs.select(
-        F.col("c").alias("src"), (F.col("s") + _PR_SUPP_OFF).alias("dst")
-    ).unionAll(
-        pairs.select(
-            (F.col("s") + _PR_SUPP_OFF).alias("src"), F.col("c").alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"),
+                    (F.col("s") + _PR_SUPP_OFF).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("s") + _PR_SUPP_OFF).alias("src"),
+                    F.col("c").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return (
         deg.groupBy(
