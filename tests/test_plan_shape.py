@@ -276,3 +276,18 @@ def test_analyze_table_scans_prune_to_one_column(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert len(schemas) == 4
     assert all(s.count(":") == 1 for s in schemas), schemas  # 1 col each
+
+
+def test_peak_concurrency_no_single_partition(spark, sf_dir):
+    """The sweep-line running sum must ride global_cumsum's
+    range-partition machinery — no Exchange SinglePartition anywhere."""
+    plan = _plan(spark, sf_dir, "events_peak_concurrency")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_audience_overlap_no_cartesian(spark, sf_dir):
+    """The pairwise overlap comes from a user-keyed equijoin (bounded
+    by types-per-user), never a type-pair cartesian of user sets."""
+    plan = _plan(spark, sf_dir, "events_audience_overlap")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
