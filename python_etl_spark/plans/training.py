@@ -920,3 +920,116 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ----------------------- right-to-be-forgotten ----------------------------
+@register(
+    "etl_gdpr_forget",
+    oracle="""
+WITH tomb AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 7)
+SELECT 'events' AS "table",
+  CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows_before,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT k FROM tomb))
+       AS BIGINT) AS rows_dropped,
+  CAST((SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT k FROM tomb))
+       AS BIGINT) AS rows_after
+UNION ALL
+SELECT 'orders',
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT k FROM tomb))
+       AS BIGINT),
+  CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM tomb))
+       AS BIGINT)
+""",
+)
+def etl_gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade (operators/compliance.forget_keys):
+    a deterministic tombstone list (account ids ≡ 7 mod 97) is deleted
+    across the events and orders tables, and the returned AUDIT frame —
+    rows before / dropped / after per table — is what gets
+    hash-checked; a deletion run must attest what it deleted. Each
+    table is scanned once (anti-join clean + flagged audit share the
+    tombstone join); the tombstone side is unhinted so AQE broadcasts
+    small deletion batches and shuffles mass backlogs."""
+    from python_etl_spark.operators.compliance import forget_keys
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    tomb = ev.where(F.col("user_id") % 97 == 7).select(
+        F.col("user_id").alias("k")
+    )
+    _cleaned, audit = forget_keys(
+        {"events": (ev, "user_id"), "orders": (orders, "o_custkey")},
+        tomb,
+    )
+    return audit
+
+# ------------------------ binary payload dedup ----------------------------
+@register(
+    "mm_payload_dedup",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 50 = 0),
+pay AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                    ELSE 'wav' END AS fmt,
+    md5(text) AS h
+  FROM aug),
+keep AS (
+  SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS copies FROM pay GROUP BY h)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+  CAST(COUNT(DISTINCT p.h) AS BIGINT) AS n_distinct,
+  CAST(SUM(CASE WHEN p.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM pay p JOIN keep k ON k.h = p.h
+GROUP BY fmt
+""",
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the BINARY payload column (byte-identical media
+    dedup — the first pass of any multimodal curation pipeline, before
+    perceptual hashing): md5 over raw payload bytes, keep the lowest
+    doc_id per digest, report per-format payload/distinct/dropped
+    counts. Hashing runs on the binary column itself (not the source
+    text), proving the binary plumbing end to end; the oracle mirrors
+    it because the synthetic payloads are UTF-8 text bytes, so
+    DuckDB's md5(text) reproduces md5(payload) exactly. Every 50th doc
+    gets a planted byte-identical twin (the raw corpus has no exact
+    duplicates at small SFs — non-vacuity by construction).
+
+    Scale posture: digest is a per-row projection; keeper selection is
+    one groupBy(digest) — hash-partitioned, the exact-dedup shape at
+    any scale. No payload bytes ever shuffle (only digests + ids)."""
+    from python_etl_spark.operators.multimodal import attach_payload
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted byte-identical twins (every 50th doc re-ingested under a
+    # new id) — the raw corpus has no exact duplicates at small SFs, so
+    # without them the dedup would be vacuously green (same pattern as
+    # the planted embedding twins in plans/common.py)
+    docs = base.unionByName(
+        base.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+    )
+    pay = attach_payload(docs).select(
+        "doc_id",
+        F.col("meta.fmt").alias("fmt"),
+        F.md5("payload").alias("h"),
+    )
+    keep = pay.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        pay.join(keep, "h")
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

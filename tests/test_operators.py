@@ -247,3 +247,29 @@ def test_bloom_semi_join_exact_and_selective(spark):
 
     got = sorted(r.k for r in bloom_semi_join(fact, keys, "k").collect())
     assert got == sorted(truth)
+
+
+def test_forget_keys_cascade_and_audit(spark):
+    """The cleaned frames contain no tombstoned keys; audit rows
+    reconcile exactly (before = dropped + after per table)."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.compliance import forget_keys
+
+    a = spark.range(0, 100).select(F.col("id").alias("uid"),
+                                   (F.col("id") * 2).alias("v"))
+    b = spark.range(0, 50).select(F.col("id").alias("acct"),
+                                  (F.col("id") + 7).alias("w"))
+    tomb = spark.createDataFrame([(3,), (10,), (48,), (999,)], "k long")
+    cleaned, audit = forget_keys(
+        {"a": (a, "uid"), "b": (b, "acct")}, tomb
+    )
+    assert cleaned["a"].where(F.col("uid").isin(3, 10, 48)).count() == 0
+    assert cleaned["b"].where(F.col("acct").isin(3, 10, 48)).count() == 0
+    rows = {r.table: r for r in audit.collect()}
+    assert rows["a"].rows_before == 100
+    assert rows["a"].rows_dropped == 3  # 999 matches nothing
+    assert rows["a"].rows_after == 97
+    assert rows["b"].rows_dropped == 3 and rows["b"].rows_after == 47
+    for r in rows.values():
+        assert r.rows_before == r.rows_dropped + r.rows_after
