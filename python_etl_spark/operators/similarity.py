@@ -968,3 +968,91 @@ def covariance_eig(
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1]
     return vals[order], vecs[:, order], n
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Materialize the IVF layout: assign every vector to its coarse
+    cluster and write parquet PARTITIONED BY list_id. This is the
+    at-rest form of the inverted lists — after it, a query's nprobe
+    probe set becomes a partition-pruning predicate (only the probed
+    list directories are read; see ivf_topk_partitioned), which is the
+    claim ivf_topk's docstring makes about cluster scale, made real.
+    Returns the normalized centroid matrix (driver-held model state —
+    persist it next to the index in production)."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    cn = _normalize_rows(_kmeans_centroids(v, n_centroids))
+    (
+        v.withColumn("list_id", _assign_udf(cn)("vec"))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return cn
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    cn: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over a materialized IVF index: per-query probe lists
+    become ONE disjunctive partition filter, so the scan touches only
+    the probed list directories (PartitionFilters in the plan — no
+    other partition's bytes are read). Queries are looked up from the
+    index itself; candidate scoring and the windowed top-k mirror
+    ivf_topk."""
+    idx = spark.read.parquet(path)
+    qrows = idx.where(F.col("id").isin(query_ids)).collect()
+    qm = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    probe = np.argsort(-(qm @ cn.T), axis=1, kind="stable")[:, :nprobe]
+    probed_lists = sorted({int(x) for row in probe for x in row})
+
+    lists = idx.where(F.col("list_id").isin(probed_lists)).select(
+        "id", "vec", "list_id", norm_sq_exact("vec").alias("nsq")
+    )
+    import pandas as _pd
+
+    probes_df = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "query_id": [int(r["id"]) for r in qrows for _ in range(nprobe)],
+                "list_id": [int(x) for row in probe for x in row],
+            }
+        )
+    )
+    qdf = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "query_id": [int(r["id"]) for r in qrows],
+                "qvec": [list(map(float, r["vec"])) for r in qrows],
+            }
+        )
+    ).withColumn("qnsq", norm_sq_exact("qvec"))
+    cos = cosine_from_parts(
+        dot_exact("qvec", "vec"), F.col("qnsq"), F.col("nsq")
+    )
+    scored = (
+        lists.join(F.broadcast(probes_df), "list_id")
+        .join(F.broadcast(qdf), "query_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

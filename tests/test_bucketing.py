@@ -102,3 +102,69 @@ def test_zorder_layout_tightens_file_bounding_boxes(spark, tmp_path):
     plain, z = area(base), area(zdir)
     assert spark.read.parquet(zdir).count() == li.count()  # lossless
     assert z < plain / 3, (z, plain)  # >=3x tighter boxes
+
+
+def test_ivf_partitioned_index_prunes_unprobed_lists(spark, tmp_path):
+    """The materialized IVF layout must turn probe sets into partition
+    pruning: the probed-lists scan reads ONLY the probed list_id
+    directories (checked via inputFiles), and results still hit
+    brute-force recall on a clustered corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_partitioned,
+        ivf_write_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((5, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "ivf_index")
+    cn = ivf_write_index(emb, path, n_centroids=8)
+
+    queries = [0, 40, 80, 120, 160]
+    got = ivf_topk_partitioned(
+        spark, path, cn, queries, k=5, nprobe=2
+    )
+    # recall vs brute force
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+    # pruning: the probed-list scan touches only probed directories
+    idx = spark.read.parquet(path)
+    qv = np.stack(
+        [
+            np.asarray(r["vec"], dtype=np.float64)
+            for r in idx.where(F.col("id").isin(queries)).collect()
+        ]
+    )
+    probe = np.argsort(-(qv @ cn.T), axis=1, kind="stable")[:, :2]
+    probed = sorted({int(x) for row in probe for x in row})
+    pruned = idx.where(F.col("list_id").isin(probed))
+    # files ACTUALLY read during execution (inputFiles() reports the
+    # pre-pushdown listing and would show every partition)
+    touched = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {str(p) for p in probed}, (touched, probed)
+    assert len(touched) < 8  # strictly fewer than all lists
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
