@@ -1033,3 +1033,94 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+# ----------------------- dedup method agreement ---------------------------
+@register(
+    "dedup_method_agreement",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      ELSE [array_to_string(t, ' ')] END AS shingle_list
+  FROM toks),
+sh AS (SELECT DISTINCT doc_id, shingle FROM
+       (SELECT doc_id, unnest(shingle_list) AS shingle FROM sl) q),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jac AS (
+  SELECT doc_a, doc_b FROM pair
+  JOIN cnt ca ON ca.doc_id = pair.doc_a
+  JOIN cnt cb ON cb.doc_id = pair.doc_b
+  WHERE doc_a < doc_b
+    AND CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2),
+con AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS doc_a,
+    GREATEST(doc_a, doc_b) AS doc_b
+  FROM pair JOIN cnt ca ON ca.doc_id = pair.doc_a
+  WHERE CAST(shared AS DOUBLE) / ca.n >= 0.12),
+u AS (
+  SELECT COALESCE(j.doc_a, c.doc_a) AS doc_a,
+    j.doc_a IS NOT NULL AS in_jac, c.doc_a IS NOT NULL AS in_con
+  FROM jac j FULL OUTER JOIN con c
+    ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b)
+SELECT CAST(SUM(CASE WHEN in_jac THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_jaccard,
+  CAST(SUM(CASE WHEN in_con THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_containment,
+  CAST(SUM(CASE WHEN in_jac AND in_con THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both,
+  CAST(SUM(CASE WHEN in_jac AND NOT in_con THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_jaccard_only,
+  CAST(SUM(CASE WHEN in_con AND NOT in_jac THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_containment_only
+FROM u
+""",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between the two exact near-dup detectors:
+    unordered pairs flagged by symmetric Jaccard (τ=0.2) vs asymmetric
+    containment (τ=0.12, either direction). The containment-only count
+    is the quote/subset duplication Jaccard structurally misses — this
+    single row is the evidence for running BOTH stages in a cascade,
+    and the calibration readout when tuning either threshold.
+
+    Scale posture: both pair sets reuse the session-shared
+    sh-partitioned shingle cache (one materialization serves both
+    detectors), each is an inverted-index join proportional to true
+    overlap, and the agreement join is pair-keyed. Integer-exact."""
+    from python_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.2).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_jac")
+    )
+    con = (
+        containment_pairs(docs, k=3, threshold=0.12)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("in_con", F.lit(True))
+    )
+    u = jac.join(con, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_jac", F.lit(False)).alias("in_jac"),
+        F.coalesce("in_con", F.lit(False)).alias("in_con"),
+    )
+    b2i = lambda c: F.sum(F.when(F.col(c) if isinstance(c, str) else c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return u.agg(
+        b2i("in_jac").alias("n_jaccard"),
+        b2i("in_con").alias("n_containment"),
+        b2i(F.col("in_jac") & F.col("in_con")).alias("n_both"),
+        b2i(F.col("in_jac") & ~F.col("in_con")).alias("n_jaccard_only"),
+        b2i(F.col("in_con") & ~F.col("in_jac")).alias("n_containment_only"),
+    )
