@@ -1124,3 +1124,39 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2i(F.col("in_jac") & ~F.col("in_con")).alias("n_jaccard_only"),
         b2i(F.col("in_con") & ~F.col("in_jac")).alias("n_containment_only"),
     )
+
+# ----------------------- language-ID confusion matrix ---------------------
+from python_etl_spark.plans.common import ORACLES as _ORACLES  # noqa: E402
+
+_LANGID_SQL = _ORACLES["text_langid"]
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH per_doc AS (
+{_LANGID_SQL}
+)
+SELECT lang AS true_lang, pred_lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY lang, pred_lang
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: true label x predicted label doc
+    counts — the full evaluation artifact behind text_langid_accuracy's
+    single number (which language pairs the marker heuristic confuses,
+    and how much lands in 'unknown'). Composes the per-doc text_langid
+    query; the oracle wraps the identical per-doc SQL, so the two stay
+    in lockstep by construction.
+
+    Scale posture: per-doc scoring is a zero-shuffle projection; the
+    matrix is one collapsing partial-agg shuffle to ≤ |langs|² rows."""
+    from python_etl_spark.plans.llm import text_langid
+
+    per_doc = text_langid(spark, sf_dir)
+    return (
+        per_doc.groupBy(
+            F.col("lang").alias("true_lang"), "pred_lang"
+        ).agg(F.count(F.lit(1)).alias("n_docs"))
+    )
