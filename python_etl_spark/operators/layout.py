@@ -69,3 +69,27 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+_UNSPREAD = (
+    (1, 0x33333333),
+    (2, 0x0F0F0F0F),
+    (4, 0x00FF00FF),
+    (8, 0x0000FFFF),
+)
+
+
+def _unspread(c: Column) -> Column:
+    """Inverse of _spread: collect the even bits of a 32-bit value back
+    into 16 contiguous bits (the mirror magic-mask sequence)."""
+    c = c.cast("long").bitwiseAND(F.lit(0x55555555))
+    for shift, mask in _UNSPREAD:
+        c = (c.bitwiseOR(F.shiftright(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def morton_decode(code: Column, bits: int = 16) -> tuple[Column, Column]:
+    """Invert morton_code: (a, b) from the interleaved code — the
+    round-trip makes the clustering key auditable (and is
+    property-tested in tests/test_bucketing.py)."""
+    return _unspread(code), _unspread(F.shiftright(code.cast("long"), 1))

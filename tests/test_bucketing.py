@@ -168,3 +168,30 @@ def test_ivf_partitioned_index_prunes_unprobed_lists(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "list_id" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_morton_code_roundtrip_property(spark):
+    """morton_decode(morton_code(a, b)) == (a, b) for the full 16-bit
+    corner set plus a pseudo-random sample — the clustering key is a
+    bijection, so no two (a, b) cells ever collide into one Z-value."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.layout import morton_code, morton_decode
+
+    corners = [0, 1, 2, 3, 255, 256, 32767, 32768, 65535]
+    rows = [(a, b) for a in corners for b in corners]
+    df = spark.createDataFrame(rows, "a long, b long").unionByName(
+        spark.range(0, 5000).select(
+            (F.col("id") * 7919 % 65536).alias("a"),
+            (F.col("id") * 104729 % 65536).alias("b"),
+        )
+    )
+    da, db = morton_decode(morton_code(F.col("a"), F.col("b")))
+    bad = df.where((da != F.col("a")) | (db != F.col("b"))).count()
+    assert bad == 0
+    # distinct inputs -> distinct codes (bijection over the domain)
+    n = df.distinct().count()
+    nc = df.select(
+        morton_code(F.col("a"), F.col("b")).alias("z")
+    ).distinct().count()
+    assert n == nc
