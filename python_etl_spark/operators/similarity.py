@@ -223,20 +223,28 @@ def _kmeans_centroids(
     )
     c = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in init])
 
-    # Each Lloyd round is ONE shuffle-free map job: every partition
-    # emits its per-cluster (count, vector-sum) partials — at most
-    # n_centroids tiny rows per partition — and the driver combines
-    # them into means. The earlier assign + groupBy(cid).applyInPandas
-    # form shuffled the full corpus every iteration; partial-sums is
-    # the map-side-combine the aggregation always wanted. Partials are
-    # combined in (cid, pid) order so the result does not depend on
-    # collect() arrival order.
+    # Each Lloyd round is ONE job: every partition emits its
+    # per-cluster (count, vector-sum) partials — at most n_centroids
+    # tiny rows per partition — and a groupBy(cid) reduces them to
+    # EXACTLY n_centroids rows before they reach the driver, so the
+    # driver-side work is O(k) regardless of partition count (at a
+    # production index — k in the tens of thousands, thousands of
+    # partitions — an O(k x partitions) collect would be the
+    # bottleneck). Vector-sums are reduced in ascending-pid order
+    # (array_sort on (pid, s) structs) so the float result does not
+    # depend on shuffle arrival order. The centroid matrix rides to
+    # executors as a broadcast variable, not a task-closure capture,
+    # so it is shipped once per executor per round.
+    sc = v.sparkSession.sparkContext
+    dim = c.shape[1]
+    zero_vec = F.array(*[F.lit(0.0) for _ in range(dim)])
     for _ in range(iterations):
-        cn = _normalize_rows(c)
+        bc_cn = sc.broadcast(_normalize_rows(c))
 
         def partials(batches):
             from pyspark import TaskContext
 
+            cn = bc_cn.value
             pid = TaskContext.get().partitionId()
             acc_n: dict[int, int] = {}
             acc_s: dict[int, np.ndarray] = {}
@@ -263,19 +271,28 @@ def _kmeans_centroids(
                     }
                 )
 
-        rows = v.select("vec").mapInPandas(
+        part_df = v.select("vec").mapInPandas(
             partials, schema="pid int, cid int, n long, s array<double>"
-        ).collect()
-        tot_n: dict[int, int] = {}
-        tot_s: dict[int, np.ndarray] = {}
-        for r in sorted(rows, key=lambda r: (r["cid"], r["pid"])):
-            tot_n[r["cid"]] = tot_n.get(r["cid"], 0) + r["n"]
-            s = np.asarray(r["s"], dtype=np.float64)
-            prev = tot_s.get(r["cid"])
-            tot_s[r["cid"]] = s if prev is None else prev + s
+        )
+        rows = (
+            part_df.groupBy("cid")
+            .agg(
+                F.sum("n").alias("n"),
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pid", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    zero_vec,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias("s"),
+            )
+            .collect()
+        )
+        bc_cn.destroy()
         nxt = c.copy()
-        for j, n in tot_n.items():
-            nxt[j] = tot_s[j] / n
+        for r in rows:
+            nxt[r["cid"]] = np.asarray(r["s"], dtype=np.float64) / r["n"]
         c = nxt
     v.unpersist(blocking=False)
     return c

@@ -268,3 +268,27 @@ def test_covariance_eig_matches_numpy(spark, sf_dir):
     assert np.allclose(vals, ref, atol=1e-9)
     # eigenvectors are orthonormal
     assert np.allclose(vecs.T @ vecs, np.eye(m.shape[1]), atol=1e-9)
+
+
+def test_kmeans_k256_smoke_and_determinism(spark, sf_dir):
+    """k=256 Lloyd smoke: the pre-reduced combine (groupBy(cid) ->
+    exactly k driver rows) must hold up when k exceeds the partition
+    count, return a finite (k, dim) matrix, and be bit-deterministic
+    across invocations (pid-ordered float reduction)."""
+    import numpy as np
+
+    from python_etl_spark.functions.vector import as_double
+    from python_etl_spark.operators.similarity import _kmeans_centroids
+    from python_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
+    )
+    c1 = _kmeans_centroids(v, 256, iterations=2)
+    c2 = _kmeans_centroids(v, 256, iterations=2)
+    dim = len(v.first()["vec"])
+    assert c1.shape == (256, dim)
+    assert np.isfinite(c1).all()
+    assert np.array_equal(c1, c2)  # bit-identical, not just close
