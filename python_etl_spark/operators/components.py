@@ -111,31 +111,31 @@ def pagerank(
     The curation use-case is link-graph quality scoring (Common-Crawl
     style host ranking feeding a crawl-selection signal). Classic
     Pregel shape, expressed as DataFrame ops: per iteration one join
-    (edges ⋈ ranks on src) and one grouped sum (shuffle on dst);
-    lineage is truncated with an eager localCheckpoint per iteration —
-    like connected_components, one materializing job each round, so
-    plans stay shallow at any iteration count. The edge frame (with
-    attached out-degrees) is cached for the loop and released after.
+    (edges ⋈ ranks on src), one grouped sum (shuffle on dst), and one
+    O(nodes) left join to re-attach rank-less nodes; lineage is
+    truncated with an eager localCheckpoint per iteration — like
+    connected_components, one materializing job each round, so plans
+    stay shallow at any iteration count. The edge frame is cached
+    src-partitioned for the loop and released after.
+
+    General directed semantics: the rank vector covers EVERY node in
+    src ∪ dst. Source-only nodes (out-edges, no in-edges) keep their
+    (1-d)/n base term and keep contributing each round; sink/dangling
+    nodes (no out-edges) have their mass redistributed uniformly — the
+    standard dangling-node treatment, so total rank mass stays 1.0.
+    The dangling term is a 1-row aggregate attached via broadcast
+    crossJoin, never a driver round-trip.
 
     Exactness: per-source contributions rank/outdeg are IEEE doubles
     (identical cross-engine), quantized ONCE into integer units of
     1e-15 — the grouped sum is then 64-bit integer arithmetic, so
     aggregation order cannot move the result (and it is far faster
-    than a Decimal128 sum). The damped update returns to DOUBLE.
-    Callers should round reported ranks (~6 decimals) when
-    hash-comparing.
-
-    Per iteration: one join of the cached, src-partitioned edge frame
-    against the O(nodes) per-source contribution frame (exchange-free
-    on the edge side; AQE broadcasts the small side at small scale),
-    plus one grouped-sum shuffle on the destination. The edge frame is
-    materialized once; a single eager localCheckpoint at the end
-    truncates the unrolled lineage so downstream consumers don't
-    recompute the loop.
-
-    Assumes every node has at least one outgoing edge (true for
-    symmetrized graphs); dangling-node mass redistribution is out of
-    scope."""
+    than a Decimal128 sum); dangling mass is quantized the same way.
+    The damped update returns to DOUBLE. Callers should round reported
+    ranks (~6 decimals) when hash-comparing. On a symmetrized graph
+    (no dangling nodes, every node in-linked) every added term is
+    exactly 0.0 / a no-op, so results are bit-identical to the
+    out-degree-only formulation the SQL oracle unrolls."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -146,10 +146,24 @@ def pagerank(
         # pairs over disjoint key spaces)
         e = e.distinct()
     e = e.repartition("src").persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    n = deg.count()  # materializes the edge cache via the agg job
-    ranks = deg.select(
-        F.col("src").alias("src"), F.lit(1.0 / n).alias("rank")
+    # deg is O(nodes) and consulted every iteration (contribution join
+    # + dangling anti-join) — persist it so the 1e6+-edge aggregation
+    # runs once, not per round
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    n_out = deg.count()  # materializes deg (and e underneath)
+    # one-time structural check: a graph where every node has out-edges
+    # (e.g. symmetrized) carries zero dangling mass — skip the
+    # per-iteration anti-join + broadcast attach entirely
+    has_dangling = n_out < n
+    ranks = nodes.select(
+        F.col("id").alias("src"), F.lit(1.0 / n).alias("rank")
     )
     for _ in range(iterations):
         per_src = ranks.join(deg, "src").select(
@@ -158,15 +172,37 @@ def pagerank(
             .cast("long")
             .alias("c"),
         )
-        contrib = e.join(per_src, "src").select(F.col("dst"), F.col("c"))
-        ranks = contrib.groupBy(F.col("dst").alias("src")).agg(
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.sum("c") / F.lit(1e15))
-            ).alias("rank")
+        contrib = (
+            e.join(per_src, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("in_c"))
         )
-    ranks = ranks.select(
-        F.col("src").alias("node"), "rank"
-    ).localCheckpoint(eager=True)
+        base = F.lit((1.0 - damping) / n)
+        in_term = (
+            F.coalesce(F.col("in_c"), F.lit(0).cast("long")) / F.lit(1e15)
+        )
+        nxt = nodes.join(contrib, "id", "left")
+        if has_dangling:
+            # dangling mass: total rank sitting on nodes with no
+            # out-edges, integer-quantized like the contributions;
+            # 1 row, attached via broadcast — never a driver round-trip
+            dang = ranks.join(deg, "src", "left_anti").agg(
+                F.coalesce(
+                    F.sum(F.round(F.col("rank") * 1e15, 0).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("dang_c")
+            )
+            rank_expr = base + F.lit(damping) * (
+                in_term + (F.col("dang_c") / F.lit(1e15)) / F.lit(float(n))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dang))
+        else:
+            rank_expr = base + F.lit(damping) * in_term
+        ranks = nxt.select(
+            F.col("id").alias("src"), rank_expr.alias("rank")
+        ).localCheckpoint(eager=True)
+    ranks = ranks.select(F.col("src").alias("node"), "rank")
     e.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
     return ranks

@@ -274,3 +274,34 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
     # total rank mass is conserved (no dangling nodes)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_source_only_nodes(spark):
+    """General directed semantics: a source-only node (out-edges, no
+    in-edges) keeps its (1-d)/n base rank and keeps contributing;
+    a dangling node (no out-edges) has its mass redistributed
+    uniformly. Oracle: numpy power iteration with the standard
+    dangling treatment. Mass stays 1.0 every round."""
+    import numpy as np
+
+    from python_etl_spark.operators.components import pagerank
+
+    # 0 is source-only (no in-edges); 3 is dangling (no out-edges)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert set(got) == {0, 1, 2, 3}  # every node present, incl. source-only
+
+    n = 4
+    out = {u: sum(1 for a, _ in edges if a == u) for u in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        dangling = sum(r[u] for u in range(n) if out.get(u, 0) == 0)
+        nxt += 0.85 * dangling / n
+        for u, v in edges:
+            nxt[v] += 0.85 * r[u] / out[u]
+        r = nxt
+    for u in range(n):
+        assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
