@@ -44,7 +44,10 @@ def build_bloom(
         "pos"
     )
     words = (
-        keys.select(pos)
+        # null keys can never match a semi join and would produce null
+        # probe positions — drop them before hashing
+        keys.where(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             # SQL shiftleft accepts a column shift amount (the PySpark
@@ -93,12 +96,17 @@ def bloom_semi_join(
     """`fact ⋉ keys` with a Bloom pre-filter: map-side bitmap predicate
     first (kills ~all non-matching rows before any shuffle), exact
     left-semi join second (kills the false positives). Result is
-    row-identical to `fact.join(keys, on, "left_semi")`."""
+    row-identical to `fact.join(keys, on, "left_semi")`.
+
+    xxhash64 is type-sensitive where SQL equality coerces: a bigint 5
+    and a string '5' are join-equal but hash differently, and a
+    mismatched build/probe type would silently DROP true matches
+    before the exact join could restore them. The key side is
+    therefore cast to the fact key's type before hashing (and before
+    the verifying join, so both phases see the same values)."""
     keys_key = keys_key or fact_key
-    bitmap = build_bloom(keys.select(keys_key), keys_key, n_bits)
+    fact_type = fact.schema[fact_key].dataType
+    k = keys.select(F.col(keys_key).cast(fact_type).alias(fact_key))
+    bitmap = build_bloom(k, fact_key, n_bits)
     pre = bloom_prefilter(fact, fact_key, bitmap)
-    return pre.join(
-        keys.select(F.col(keys_key).alias(fact_key)).distinct(),
-        fact_key,
-        "left_semi",
-    )
+    return pre.join(k.distinct(), fact_key, "left_semi")

@@ -6,12 +6,15 @@ cleaned frames and an audit frame (rows dropped / remaining per table),
 because a deletion run that cannot attest what it deleted is not a
 deletion run.
 
-Scale posture: each table is cleaned with a LEFT ANTI join against the
-tombstone set. The tombstone side is usually tiny relative to the
-facts (it is NOT hinted broadcast here — AQE broadcasts it when small,
-and a mass-deletion backlog of 10^8 keys degrades to a shuffle join
-instead of a driver OOM). Audit counts ride conditional aggregates on
-a semi-join flag, so each table is scanned once for clean + audit.
+Scale posture: each table is flagged with ONE left join against the
+tombstone set; the cleaned frame (filter hit=false) and the audit
+aggregate both derive from that single persisted flagged frame, so the
+table is scanned once and the two outputs cannot disagree about which
+rows were dropped — the property a deletion-attestation artifact must
+have. The tombstone side is usually tiny relative to the facts (it is
+NOT hinted broadcast here — AQE broadcasts it when small, and a
+mass-deletion backlog of 10^8 keys degrades to a shuffle join instead
+of a driver OOM).
 """
 
 from __future__ import annotations
@@ -30,27 +33,37 @@ def forget_keys(
     ``tables`` maps table name -> (frame, key column); ``tombstones``
     is a one-column frame of keys to forget (or pass ``tombstone_col``
     to pick one). Returns (cleaned frames by name, audit frame with
-    columns table/rows_before/rows_dropped/rows_after)."""
+    columns table/rows_before/rows_dropped/rows_after).
+
+    Both outputs for a table are views over one persisted flagged
+    frame: whichever is evaluated first materializes the cache, and
+    the other reads the same snapshot — a concurrently-mutating
+    source cannot make the audit attest counts the cleaned frame
+    didn't see. The caches are MEMORY_AND_DISK (spill-safe); callers
+    done with both outputs may ``.unpersist()`` the cleaned frames'
+    parent via ``cleaned[name]`` lineage or just let the session
+    evict them."""
     tcol = tombstone_col or tombstones.columns[0]
     tomb = tombstones.select(F.col(tcol).alias("__forget")).distinct()
 
     cleaned: dict[str, DataFrame] = {}
     audits = []
     for name, (df, key) in tables.items():
-        cleaned[name] = df.join(
-            tomb, df[key] == tomb["__forget"], "left_anti"
+        flagged = (
+            df.join(tomb, df[key] == tomb["__forget"], "left")
+            .withColumn("__hit", F.col("__forget").isNotNull())
+            .drop("__forget")
+            .persist()
         )
-        flagged = df.join(
-            tomb, df[key] == tomb["__forget"], "left"
-        ).select(F.col("__forget").isNotNull().alias("hit"))
+        cleaned[name] = flagged.where(~F.col("__hit")).drop("__hit")
         audits.append(
             flagged.agg(
                 F.lit(name).alias("table"),
                 F.count(F.lit(1)).alias("rows_before"),
-                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                F.sum(F.when(F.col("__hit"), 1).otherwise(0))
                 .cast("long")
                 .alias("rows_dropped"),
-                F.sum(F.when(F.col("hit"), 0).otherwise(1))
+                F.sum(F.when(F.col("__hit"), 0).otherwise(1))
                 .cast("long")
                 .alias("rows_after"),
             )

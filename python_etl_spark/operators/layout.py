@@ -34,9 +34,21 @@ def _spread(c: Column) -> Column:
     return c
 
 
+def _check_bits(bits: int) -> None:
+    """The magic-mask _spread sequence only spreads 16-bit values;
+    larger inputs would silently mangle high bits into colliding
+    Z-codes, so reject them loudly."""
+    if not 1 <= bits <= 16:
+        raise ValueError(
+            f"bits must be in [1, 16] (the magic-mask spread is 16-bit); "
+            f"got {bits}"
+        )
+
+
 def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` of two non-negative ints: a takes
     the even bit positions, b the odd ones."""
+    _check_bits(bits)
     lim = F.lit((1 << bits) - 1)
     return _spread(a.cast("long").bitwiseAND(lim)).bitwiseOR(
         F.shiftleft(_spread(b.cast("long").bitwiseAND(lim)), 1)
@@ -46,6 +58,7 @@ def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
 def morton_code_sql(a: str, b: str, bits: int = 16) -> str:
     """DuckDB expression computing the identical code (same constant
     shifts and masks; ``<<``/``&``/``|`` on BIGINT)."""
+    _check_bits(bits)
 
     def spread(x: str) -> str:
         e = f"CAST({x} AS BIGINT) & {(1 << bits) - 1}"
@@ -56,14 +69,78 @@ def morton_code_sql(a: str, b: str, bits: int = 16) -> str:
     return f"({spread(a)} | ({spread(b)} << 1))"
 
 
-def zorder_by(
-    df: DataFrame, col_a: str, col_b: str, n_files: int = 8
-) -> DataFrame:
+def _check_n(k: int, bits: int) -> None:
+    if k < 2:
+        raise ValueError(f"need at least 2 columns to interleave; got {k}")
+    if bits < 1 or k * bits > 62:
+        raise ValueError(
+            f"k*bits must fit a positive BIGINT (k*bits <= 62); "
+            f"got k={k}, bits={bits}"
+        )
+
+
+def morton_code_n(cols: list[Column], bits: int = 16) -> Column:
+    """k-way bit interleave: bit i of column j lands at position
+    i*k + j. For k=2 this dispatches to the magic-mask fast path
+    (identical values — column 0 even positions, column 1 odd); for
+    k>=3 it composes bits*k constant-shift terms, still integer-exact
+    whole-stage-codegen arithmetic (48 ORs for three 16-bit columns —
+    trivial next to a shuffle)."""
+    k = len(cols)
+    _check_n(k, bits)
+    if k == 2:
+        _check_bits(bits)
+        return morton_code(cols[0], cols[1], bits)
+    lim = F.lit((1 << bits) - 1)
+    masked = [c.cast("long").bitwiseAND(lim) for c in cols]
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, m in enumerate(masked):
+            bit = F.shiftright(m, i).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return code
+
+
+def morton_code_n_sql(names: list[str], bits: int = 16) -> str:
+    """DuckDB expression computing the identical k-way code (same
+    bit-placement rule; ``>>``/``&``/``<<``/``|`` on BIGINT)."""
+    k = len(names)
+    _check_n(k, bits)
+    if k == 2:
+        return morton_code_sql(names[0], names[1], bits)
+    terms = []
+    for i in range(bits):
+        for j, x in enumerate(names):
+            terms.append(
+                f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {i * k + j})"
+            )
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_decode_n(code: Column, k: int, bits: int = 16) -> list[Column]:
+    """Invert morton_code_n: the k original values from the interleaved
+    code (bit i of column j read back from position i*k + j)."""
+    _check_n(k, bits)
+    c = code.cast("long")
+    out = []
+    for j in range(k):
+        v = F.lit(0).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i * k + j).bitwiseAND(F.lit(1))
+            v = v.bitwiseOR(F.shiftleft(bit, i))
+        out.append(v)
+    return out
+
+
+def zorder_by(df: DataFrame, *cols: str, n_files: int = 8) -> DataFrame:
     """Cluster ``df`` for writing: range-partition on the Morton code of
-    (col_a, col_b) into ``n_files`` output partitions, sort within each
-    — one shuffle, and every output file covers a compact Z-curve
-    segment (tight min/max on BOTH columns)."""
-    coded = df.withColumn("__z", morton_code(F.col(col_a), F.col(col_b)))
+    the given columns (2 or more) into ``n_files`` output partitions,
+    sort within each — one shuffle, and every output file covers a
+    compact Z-curve segment (tight min/max on EVERY interleaved
+    column)."""
+    coded = df.withColumn(
+        "__z", morton_code_n([F.col(c) for c in cols])
+    )
     return (
         coded.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -92,4 +169,5 @@ def morton_decode(code: Column, bits: int = 16) -> tuple[Column, Column]:
     """Invert morton_code: (a, b) from the interleaved code — the
     round-trip makes the clustering key auditable (and is
     property-tested in tests/test_bucketing.py)."""
+    _check_bits(bits)
     return _unspread(code), _unspread(F.shiftright(code.cast("long"), 1))

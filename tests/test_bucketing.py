@@ -195,3 +195,115 @@ def test_morton_code_roundtrip_property(spark):
         morton_code(F.col("a"), F.col("b")).alias("z")
     ).distinct().count()
     assert n == nc
+
+
+def test_morton_bits_guard():
+    """bits outside [1,16] must fail loudly — the magic-mask spread
+    would silently mangle high bits into colliding codes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.layout import (
+        morton_code,
+        morton_code_n,
+        morton_code_sql,
+    )
+
+    with pytest.raises(ValueError):
+        morton_code(F.col("a"), F.col("b"), bits=17)
+    with pytest.raises(ValueError):
+        morton_code_sql("a", "b", bits=32)
+    with pytest.raises(ValueError):  # k*bits > 62 overflows BIGINT
+        morton_code_n([F.col(c) for c in "abcd"], bits=16)
+    with pytest.raises(ValueError):  # single column is not interleaving
+        morton_code_n([F.col("a")])
+
+
+def test_morton3_roundtrip_and_k2_equivalence(spark):
+    """3-way interleave is a bijection (decode inverts, distinct cells
+    -> distinct codes), matches the DuckDB SQL twin bit-for-bit, and
+    the k=2 path equals the magic-mask fast path."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.layout import (
+        morton_code,
+        morton_code_n,
+        morton_code_n_sql,
+        morton_decode_n,
+    )
+
+    corners = [0, 1, 2, 255, 256, 65535]
+    rows = [(a, b, c) for a in corners for b in corners for c in corners]
+    df = spark.createDataFrame(rows, "a long, b long, c long").unionByName(
+        spark.range(0, 3000).select(
+            (F.col("id") * 7919 % 65536).alias("a"),
+            (F.col("id") * 104729 % 65536).alias("b"),
+            (F.col("id") * 31337 % 65536).alias("c"),
+        )
+    )
+    cols = [F.col("a"), F.col("b"), F.col("c")]
+    da, db, dc = morton_decode_n(morton_code_n(cols), 3)
+    bad = df.where(
+        (da != F.col("a")) | (db != F.col("b")) | (dc != F.col("c"))
+    ).count()
+    assert bad == 0
+    n = df.distinct().count()
+    nc = df.select(morton_code_n(cols).alias("z")).distinct().count()
+    assert n == nc
+    # SQL twin: identical codes on the same rows
+    pdf = df.toPandas()
+    got = sorted(
+        r.z for r in df.select(morton_code_n(cols).alias("z")).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT {morton_code_n_sql(['a','b','c'])} AS z FROM pdf")
+        .fetchall()
+    )
+    assert got == want
+    # k=2 dispatch == magic-mask path
+    eq = df.select(
+        (morton_code_n([F.col("a"), F.col("b")])
+         == morton_code(F.col("a"), F.col("b"))).alias("ok")
+    ).where(~F.col("ok")).count()
+    assert eq == 0
+
+
+def test_zorder3_layout_tightens_file_bounding_boxes(spark, tmp_path):
+    """3-column Z-order must shrink the sum over files of the 3-D
+    bounding-box volume vs an unsorted layout — min/max skipping works
+    on ALL THREE columns at once."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.layout import zorder_by
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+
+    base = str(tmp_path / "plain3")
+    li.repartition(8).write.mode("overwrite").parquet(base)
+    zdir = str(tmp_path / "zorder3")
+    zorder_by(li, "l_partkey", "l_suppkey", "l_orderkey", n_files=8).write.mode(
+        "overwrite"
+    ).parquet(zdir)
+
+    def volume(path):
+        df = spark.read.parquet(path)
+        per_file = (
+            df.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("ra"),
+                (F.max("l_suppkey") - F.min("l_suppkey")).alias("rb"),
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("rc"),
+            )
+            .collect()
+        )
+        return sum((r.ra + 1) * (r.rb + 1) * (r.rc + 1) for r in per_file)
+
+    plain, z = volume(base), volume(zdir)
+    assert spark.read.parquet(zdir).count() == li.count()  # lossless
+    assert z < plain / 2, (z, plain)  # tighter 3-D boxes

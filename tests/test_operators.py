@@ -273,3 +273,21 @@ def test_forget_keys_cascade_and_audit(spark):
     assert rows["b"].rows_dropped == 3 and rows["b"].rows_after == 47
     for r in rows.values():
         assert r.rows_before == r.rows_dropped + r.rows_after
+
+
+def test_bloom_semi_join_coerces_key_types(spark):
+    """xxhash64 is type-sensitive where SQL equality coerces: a bigint
+    fact key probed against a bitmap built from string keys must NOT
+    silently drop true matches. The key side is cast to the fact key's
+    type before hashing, so the result equals a plain semi join."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"))
+    keys = spark.createDataFrame(
+        [(str(i),) for i in range(0, 1000, 7)] + [(None,)], "k string"
+    )
+    got = sorted(r.k for r in bloom_semi_join(fact, keys, "k").collect())
+    want = sorted(range(0, 1000, 7))
+    assert got == want
