@@ -70,6 +70,9 @@ class Pipeline:
         self.spark = spark
         self.frames: dict[str, DataFrame] = {}
         self._loads: list[_Load] = []
+        self._inc_loads: list[tuple[str, str, str, list[str] | None]] = []
+        #: per-frame result dicts of the last run()'s incremental loads
+        self.incremental_results: dict[str, dict] = {}
 
     def extract(self, name: str, fmt: str, path: str, **options) -> "Pipeline":
         if fmt not in _READERS:
@@ -101,13 +104,39 @@ class Pipeline:
         self._loads.append(_Load(name, fmt, path, options))
         return self
 
+    def load_incremental(
+        self,
+        name: str,
+        root: str,
+        watermark_col: str,
+        keys: list[str] | None = None,
+    ) -> "Pipeline":
+        """High-watermark incremental load into a versioned table at
+        ``root``: each run() extracts only rows with ``watermark_col``
+        past the bookmark committed by the previous run (the bookmark
+        rides in the table manifest — see incremental.incremental_load
+        for the crash-safety contract). ``keys`` upgrades append to
+        MERGE."""
+        if name not in self.frames:
+            raise KeyError(f"no frame named {name!r}; have {sorted(self.frames)}")
+        self._inc_loads.append((name, root, watermark_col, keys))
+        return self
+
     def run(self) -> dict[str, str]:
         """Execute all loads; returns {frame_name: output_path}."""
+        from python_etl_spark.incremental import incremental_load
+        from python_etl_spark.sinks.table import VersionedTable
+
         out = {}
         for load in self._loads:
             out[load.name] = _WRITERS[load.fmt](
                 self.frames[load.name], load.path, **load.options
             )
+        for name, root, wm_col, keys in self._inc_loads:
+            self.incremental_results[name] = incremental_load(
+                self.frames[name], VersionedTable(root), wm_col, keys
+            )
+            out[name] = root
         return out
 
     @classmethod

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.plans.checked import _rademacher, _w_sql
-from python_etl_spark.plans.common import register
+from python_etl_spark.plans.common import dsum, dsum_sql, register
 from python_etl_spark.sources.tables import load_table
 
 
@@ -1160,3 +1160,79 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("true_lang"), "pred_lang"
         ).agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ----------------------- incremental high-watermark load -------------------
+
+
+@register(
+    "etl_incremental_load",
+    oracle=f"""
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {dsum_sql('o_totalprice')} AS sum_price,
+  MAX(o_orderdate) AS max_date
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def etl_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-run incremental extract through the Pipeline API: run 1
+    bootstraps a versioned table with orders up to a cutoff date and
+    commits the high watermark (max o_orderdate loaded) inside the SAME
+    manifest rename as the data; run 2 is handed the FULL source and
+    extracts only rows strictly past the bookmark. The final snapshot
+    must equal a one-shot load of the whole table — which is exactly
+    what the oracle computes, so a skipped or double-loaded row breaks
+    the hash. Structural asserts: exactly 2 commits, run 2 loaded a
+    non-empty strict subset.
+
+    Scale posture: the bookmark filter is a plain pushdown predicate
+    (prunes files on a date-partitioned source before any read), and
+    the loaded batch is persisted once so the recorded watermark is
+    computed from the same snapshot that lands in the commit
+    (incremental.py has the crash-safety contract)."""
+    import shutil
+    import tempfile
+
+    from python_etl_spark.pipeline import Pipeline
+    from python_etl_spark.sinks.table import VersionedTable
+
+    orders = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="pyetl_inc_")
+    shutil.rmtree(root)  # VersionedTable creates its own layout
+    cutoff = "1995-06-01"
+
+    p1 = (
+        Pipeline(spark)
+        .extract_df("orders", orders.where(F.col("o_orderdate") <= F.lit(cutoff)))
+        .load_incremental("orders", root, "o_orderdate")
+    )
+    p1.run()
+    p2 = (
+        Pipeline(spark)
+        .extract_df("orders", orders)
+        .load_incremental("orders", root, "o_orderdate")
+    )
+    p2.run()
+
+    table = VersionedTable(root)
+    n1 = p1.incremental_results["orders"]["rows_loaded"]
+    n2 = p2.incremental_results["orders"]["rows_loaded"]
+    assert table.latest_version() == 1, "expected exactly 2 commits"
+    assert n1 > 0 and n2 > 0, (n1, n2)
+
+    out = (
+        table.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    )
+    # materialize before deleting the scratch table — the returned
+    # frame must not depend on the temp files
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

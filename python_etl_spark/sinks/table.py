@@ -63,8 +63,16 @@ class VersionedTable:
             os.fsync(f.fileno())
         os.rename(tmp, path)  # atomic on POSIX
 
-    def _commit(self, dirs: list[str], op: str, version: int) -> int:
+    def _commit(
+        self,
+        dirs: list[str],
+        op: str,
+        version: int,
+        meta: dict | None = None,
+    ) -> int:
         manifest = {"version": version, "op": op, "data_dirs": dirs}
+        if meta:
+            manifest["meta"] = meta
         os.makedirs(self._mdir, exist_ok=True)
         path = self._manifest_path(version)
         if os.path.exists(path):
@@ -84,6 +92,15 @@ class VersionedTable:
 
     def _write_data(self, df: DataFrame, version: int) -> str:
         out = os.path.join(self.root, "data", f"commit-{version:08d}")
+        if os.path.exists(out) and not os.path.exists(
+            self._manifest_path(version)
+        ):
+            # orphan from a writer that died between data write and
+            # manifest commit — the version was never visible, so the
+            # retry replaces it wholesale (crash-replay safety)
+            import shutil
+
+            shutil.rmtree(out)
         df.write.mode("errorifexists").parquet(out)
         return out
 
@@ -104,23 +121,32 @@ class VersionedTable:
             return []
         return [self._read_manifest(i) for i in range(v + 1)]
 
-    def create(self, df: DataFrame) -> int:
+    def meta(self, version: int | None = None) -> dict:
+        """Caller-attached metadata of a committed version (e.g. the
+        incremental-extract watermark) — rides in the manifest, so it
+        became visible in the SAME atomic rename as the data."""
+        if not self.exists():
+            return {}
+        return self._read_manifest(version).get("meta", {})
+
+    def create(self, df: DataFrame, meta: dict | None = None) -> int:
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
         d = self._write_data(df, 0)
-        return self._commit([d], "create", 0)
+        return self._commit([d], "create", 0, meta)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
         cur = self._read_manifest()
         v = cur["version"] + 1
         d = self._write_data(df, v)
-        return self._commit(cur["data_dirs"] + [d], "append", v)
+        return self._commit(cur["data_dirs"] + [d], "append", v, meta)
 
     def merge(
         self,
         updates: DataFrame,
         keys: list[str],
         version_col: str | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE: update rows win on key collision, new
         keys are inserted (upsert semantics; ``version_col`` breaks ties
@@ -133,7 +159,7 @@ class VersionedTable:
         merged = upsert(base, updates.select(*base.columns), keys, version_col)
         v = cur["version"] + 1
         d = self._write_data(merged, v)
-        return self._commit([d], "merge", v)
+        return self._commit([d], "merge", v, meta)
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the snapshot without matching

@@ -1,0 +1,122 @@
+"""Incremental high-watermark extract: bookmark correctness, no-op
+runs, MERGE mode, and the crash-safety contract (a writer dying
+between data write and manifest commit must not skip or double-load
+rows on the retry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_spark.incremental import incremental_load, last_watermark
+from python_etl_spark.sinks.table import VersionedTable
+
+
+def _src(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.col("id").alias("wm"),
+    )
+
+
+def test_incremental_loads_only_new_rows(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    r1 = incremental_load(_src(spark, 0, 100), t, "wm")
+    assert (r1["version"], r1["rows_loaded"], r1["watermark"]) == (0, 100, 99)
+    # second run sees overlapping source; only rows past the bookmark load
+    r2 = incremental_load(_src(spark, 0, 150), t, "wm")
+    assert (r2["version"], r2["rows_loaded"], r2["watermark"]) == (1, 50, 149)
+    got = t.read(spark)
+    assert got.count() == 150  # no dupes, no gaps
+    assert got.select("k").distinct().count() == 150
+    assert last_watermark(t) == 149
+    # nothing new -> NO commit (version unchanged, bookmark unchanged)
+    r3 = incremental_load(_src(spark, 0, 150), t, "wm")
+    assert (r3["version"], r3["rows_loaded"], r3["watermark"]) == (1, 0, 149)
+    assert t.latest_version() == 1
+
+
+def test_incremental_merge_mode_restated_rows(spark, tmp_path):
+    """keys=... upgrades append to MERGE: a restated row (same key,
+    newer watermark) replaces instead of duplicating."""
+    t = VersionedTable(str(tmp_path / "tm"))
+    incremental_load(_src(spark, 0, 10), t, "wm", keys=["k"])
+    # restate k=5 with a newer watermark and a changed value
+    upd = spark.createDataFrame([(5, 999, 100)], "k long, v long, wm long")
+    r = incremental_load(upd, t, "wm", keys=["k"])
+    assert r["rows_loaded"] == 1 and r["watermark"] == 100
+    got = t.read(spark)
+    assert got.count() == 10  # merged, not appended
+    assert got.where(F.col("k") == 5).first()["v"] == 999
+
+
+def test_incremental_crash_between_extract_and_commit(spark, tmp_path):
+    """Kill the writer AFTER the batch's parquet lands but BEFORE the
+    manifest rename. The bookmark must not have advanced; the retry
+    must load exactly the same rows once (orphan dir replaced, no
+    skip, no double)."""
+    t = VersionedTable(str(tmp_path / "tc"))
+    incremental_load(_src(spark, 0, 100), t, "wm")
+
+    orig_commit = VersionedTable._commit
+
+    def dying_commit(self, dirs, op, version, meta=None):
+        raise RuntimeError("simulated crash after data write, before commit")
+
+    VersionedTable._commit = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            incremental_load(_src(spark, 0, 180), t, "wm")
+    finally:
+        VersionedTable._commit = orig_commit
+
+    # crash left the table at v0 with the old bookmark; the orphaned
+    # commit-00000001 data dir exists on disk but is invisible
+    assert t.latest_version() == 0
+    assert last_watermark(t) == 99
+
+    # retry: same rows extracted again, orphan replaced wholesale
+    r = incremental_load(_src(spark, 0, 180), t, "wm")
+    assert (r["version"], r["rows_loaded"], r["watermark"]) == (1, 80, 179)
+    got = t.read(spark)
+    assert got.count() == 180
+    assert got.select("k").distinct().count() == 180  # exactly-once
+
+
+def test_incremental_date_watermark_roundtrip(spark, tmp_path):
+    """A date watermark survives the JSON manifest round-trip and
+    filters correctly on the next run (ISO string vs date column)."""
+    import datetime
+
+    rows = [(i, datetime.date(1995, 1, 1) + datetime.timedelta(days=i))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, d date")
+    t = VersionedTable(str(tmp_path / "td"))
+    r1 = incremental_load(df.where(F.col("k") < 10), t, "d")
+    assert r1["watermark"] == "1995-01-10"
+    r2 = incremental_load(df, t, "d")
+    assert r2["rows_loaded"] == 10
+    assert t.read(spark).count() == 20
+
+
+def test_pipeline_load_incremental_end_to_end(spark, tmp_path):
+    from python_etl_spark.pipeline import Pipeline
+
+    root = str(tmp_path / "pt")
+    p1 = (
+        Pipeline(spark)
+        .extract_df("ev", _src(spark, 0, 50))
+        .load_incremental("ev", root, "wm")
+    )
+    out = p1.run()
+    assert out["ev"] == root
+    assert p1.incremental_results["ev"]["rows_loaded"] == 50
+    p2 = (
+        Pipeline(spark)
+        .extract_df("ev", _src(spark, 0, 75))
+        .load_incremental("ev", root, "wm")
+    )
+    p2.run()
+    assert p2.incremental_results["ev"]["rows_loaded"] == 25
+    assert VersionedTable(root).read(spark).count() == 75
