@@ -1236,3 +1236,46 @@ def etl_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@register("events_audience_overlap_hll")  # approximate: rows-only + pytest error bound
+def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch twin of events_audience_overlap — the form a 100 TB
+    audience system actually runs. One pass builds a Datasketches HLL
+    per event type (mergeable partials: partial sketches combine
+    map-side, one collapsing shuffle to |types| rows); the pairwise
+    stage then works ONLY on sketches — |A∩B| ≈ |A| + |B| − |A∪B| via
+    hll_union over a |types|² self-join of 1 KB sketch blobs, never
+    re-touching the fact table. With lgK=12 (4096 buckets, ~1.6% std
+    error per estimate) the inclusion–exclusion error is bounded by a
+    few percent of the union size — tests/test_hll_overlap.py pins it
+    against the exact op at sf0.001 and sf0.01.
+
+    No SQL oracle by design: DuckDB's approx_distinct uses a different
+    sketch; the exact twin IS the calibration (rows-only driver check +
+    pytest error bound, same pattern as etl_approx_distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b",
+            F.hll_sketch_estimate("sk_a").alias("n_a_est"),
+            F.hll_sketch_estimate("sk_b").alias("n_b_est"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("n_union_est"),
+        )
+    )
+    return est.select(
+        "type_a", "type_b", "n_a_est", "n_b_est",
+        F.greatest(
+            F.col("n_a_est") + F.col("n_b_est") - F.col("n_union_est"),
+            F.lit(0),
+        ).alias("n_both_est"),
+        F.col("n_union_est").alias("n_union_est"),
+    )
