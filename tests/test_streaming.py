@@ -699,3 +699,92 @@ def test_checkpoint_restart_processes_only_new_data(spark, event_files, tmp_path
     out = spark.read.parquet(sink)
     assert out.count() == ev.count()  # nothing duplicated, nothing lost
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_kafka_source_gate_raises_descriptive_error(spark):
+    """No Kafka connector jar is bundled: read_stream_kafka must fail
+    fast with provisioning instructions, not a bare ClassNotFound."""
+    import pytest
+
+    from python_etl_spark.streaming.bus import read_stream_kafka
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_stream_kafka(spark, "localhost:9092", "events")
+
+
+def test_parse_kafka_records_wire_schema(spark):
+    """parse_kafka_records turns Kafka wire rows (binary JSON value +
+    broker metadata) into typed event rows; poison payloads survive
+    with null fields instead of vanishing."""
+    import datetime
+
+    from python_etl_spark.streaming.bus import parse_kafka_records
+
+    bts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("t", 0, 0, bts, b'{"user_id": 1, "event_type": "click", "value": 2.5, "ts": "2024-01-01 10:00:00"}'),
+        ("t", 0, 1, bts, b'{"user_id": 2, "event_type": "view", "value": 1.0, "ts": "2024-01-01 10:30:00"}'),
+        ("t", 1, 0, bts, b"not json at all"),
+    ]
+    raw = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, timestamp timestamp, value binary"
+    )
+    out = parse_kafka_records(
+        raw,
+        "user_id long, event_type string, value double, ts timestamp",
+        ts_from_payload="ts",
+    )
+    got = {r.offset: r for r in out.where(F.col("partition") == 0).collect()}
+    assert got[0].user_id == 1 and got[0].event_type == "click"
+    assert got[0].ts == datetime.datetime(2024, 1, 1, 10, 0, 0)
+    poison = out.where(F.col("partition") == 1).first()
+    assert poison.user_id is None  # kept, not dropped
+    assert poison.ts == bts  # falls back to broker timestamp
+
+def test_rate_source_through_dedup_window_pipeline(spark, tmp_path):
+    """End-to-end bus-shaped pipeline on the built-in rate source (the
+    broker stand-in): rate rows -> at-least-once duplicated event shape
+    -> streaming dedup -> hourly window -> memory sink. Every synthetic
+    event_id is emitted twice AND folded to <=100 distinct ids, so with
+    working dedup the windowed total is <=100; broken dedup would pass
+    2x the raw row count (hundreds+) straight through."""
+    import time
+
+    from python_etl_spark.streaming.bus import read_stream_rate
+    from python_etl_spark.streaming.dedup import dedup_events
+    from python_etl_spark.streaming.windows import hourly_event_stats
+
+    raw = read_stream_rate(spark, rows_per_second=500, num_partitions=2)
+    ev = (
+        raw.withColumn("dup", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(
+            (F.col("value") % 100).alias("event_id"),
+            (F.col("value") % 7).alias("user_id"),
+            F.lit("tick").alias("event_type"),
+            F.col("timestamp").alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    deduped = dedup_events(
+        ev, key_cols=("event_id",), watermark="10 minutes"
+    )
+    # dedup already stamped the watermark; restating it on the window
+    # stage is disallowed (multiple stateful operators share the one
+    # upstream watermark)
+    out = hourly_event_stats(deduped, watermark=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_bus_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        time.sleep(3)  # let the rate source emit a few hundred rows
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    total = (
+        spark.table("rate_bus_smoke").agg(F.sum("n").alias("s")).first()["s"]
+    )
+    assert total and 0 < total <= 100, total
