@@ -30,10 +30,18 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 
-def replicate(spark, src: str, out: str, factor: int = 10) -> None:
+def replicate(
+    spark, src: str, out: str, factor: int = 10, tables: list[str] | None = None
+) -> None:
+    """``tables`` restricts the build to a subset (e.g. ["documents"]
+    for the 100x documents-only rehearsal — a full 100x of lineitem
+    would not be worth the disk)."""
     from python_etl_spark.sources.tables import load_table
 
     OFF = 100_000_000
+
+    def wanted(name: str) -> bool:
+        return tables is None or name in tables
 
     def copies(df, transform):
         parts = [transform(df, i) for i in range(factor)]
@@ -65,13 +73,15 @@ def replicate(spark, src: str, out: str, factor: int = 10) -> None:
     }
 
     for name in ["region", "nation"]:
-        load_table(spark, src, name).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        if wanted(name):
+            load_table(spark, src, name).write.mode("overwrite").parquet(
+                f"{out}/{name}.parquet"
+            )
     for name, t in plan.items():
-        copies(load_table(spark, src, name), t).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/{name}.parquet")
+        if wanted(name):
+            copies(load_table(spark, src, name), t).repartition(8).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/{name}.parquet")
 
     def doc_copy(df, i):
         df = df.select(
@@ -91,9 +101,10 @@ def replicate(spark, src: str, out: str, factor: int = 10) -> None:
             )
         return df.withColumn("n_chars", F.length("text").cast("long"))
 
-    copies(load_table(spark, src, "documents"), doc_copy).repartition(
-        8
-    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    if wanted("documents"):
+        copies(load_table(spark, src, "documents"), doc_copy).repartition(
+            max(8, factor // 4)
+        ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     def emb_copy(df, i):
         d = F.size("embedding")
@@ -111,18 +122,20 @@ def replicate(spark, src: str, out: str, factor: int = 10) -> None:
             "label",
         )
 
-    copies(load_table(spark, src, "embeddings"), emb_copy).repartition(
-        8
-    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    if wanted("embeddings"):
+        copies(load_table(spark, src, "embeddings"), emb_copy).repartition(
+            8
+        ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1x"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     from python_etl_spark.session import get_spark
 
     spark = get_spark()
-    replicate(spark, src, out, factor)
-    for t in ["lineitem", "documents", "embeddings"]:
+    replicate(spark, src, out, factor, tables)
+    for t in tables or ["lineitem", "documents", "embeddings"]:
         print(t, spark.read.parquet(f"{out}/{t}.parquet").count())

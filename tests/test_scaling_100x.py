@@ -1,0 +1,82 @@
+"""CI-asserted 100x documents-only scale rehearsal (VERDICT r5
+instruction #8).
+
+The 10x rehearsal (tests/test_scaling.py) covers the full table set;
+this narrow slice pushes the TEXT family two orders of magnitude —
+500k documents built by
+
+    python scripts/make_scale_replica.py /root/testdata/sf0.1 \
+        .scratch/sf10x_docs 100 documents
+
+(~59 MB parquet, well inside the 128 GiB budget) — and asserts the
+dedup cascade and segment dedup keep scaling like their plans claim.
+Measured calibration (quiet host, 2026-08-14): every ratio landed
+<= 17x for 100x data (fixed overheads dominate at this absolute size;
+a quadratic plan would show ~10,000x). Skipped when the replica dir is
+absent or SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+SMALL = "/root/testdata/sf0.1"
+BIG = str(Path(__file__).resolve().parent.parent / ".scratch" / "sf10x_docs")
+
+DOC_QUERIES = [
+    ("dedup_exact", "linear"),
+    ("text_segment_dedup", "linear"),
+    ("text_quality_score", "linear"),
+    ("text_ngram_topk", "linear"),
+    ("text_dedup_cascade_report", "overlap"),
+    ("dedup_minhash_lsh", "overlap"),
+    ("dedup_simhash", "overlap"),
+    ("dedup_containment_capped", "overlap"),
+]
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(BIG),
+        reason="100x docs replica absent — run scripts/make_scale_replica.py "
+        "/root/testdata/sf0.1 .scratch/sf10x_docs 100 documents",
+    ),
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1",
+        reason="SPARK_GRAFT_SKIP_SCALING=1",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def rehearsal(spark):
+    from scripts.bench_scaling import run_rehearsal
+
+    return run_rehearsal(
+        spark, SMALL, BIG, factor=100.0, queries=DOC_QUERIES, verbose=False
+    )
+
+
+def test_every_doc_query_within_100x_bound(rehearsal):
+    bad = [r for r in rehearsal if not r["ok"]]
+    assert not bad, f"queries over their scaling bound: {bad}"
+
+
+def test_dedup_cascade_far_from_quadratic(rehearsal):
+    """The banded/capped candidate generation is the whole point: at
+    100x data a quadratic pair explosion would cost ~10,000x. Bound at
+    60x — ~3.5x the measured calibration (16.7x worst), so co-tenant
+    load can't flake it but a pair blowup trips it instantly."""
+    watch = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_containment_capped",
+        "text_dedup_cascade_report",
+        "text_segment_dedup",
+    }
+    rows = {r["query"]: r for r in rehearsal if r["query"] in watch}
+    assert set(rows) == watch
+    for name, r in rows.items():
+        assert r["ratio"] <= 60.0, (name, r)
