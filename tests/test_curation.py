@@ -315,6 +315,7 @@ def test_rows_only_queries_all_have_exactness_tests():
         # approximate op               -> exactness test
         "dedup_minhash_lsh",     # test_dedup: vs exact Jaccard
         "dedup_simhash",         # test_dedup: hamming vs exact
+        "events_audience_overlap_hll",  # test_hll_overlap: 8%-of-union bound
         "dedup_embedding_lsh",   # test_similarity: recall/precision
         "sim_topk_lsh",          # test_similarity: recall >= 0.8
         "sim_topk_ivf",          # test_similarity: recall >= 0.8

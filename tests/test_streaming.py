@@ -780,8 +780,17 @@ def test_rate_source_through_dedup_window_pipeline(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(3)  # let the rate source emit a few hundred rows
-        q.processAllAvailable()
+        # a rate source NEVER drains (new seconds keep arriving), so
+        # processAllAvailable() would spin forever; instead let a few
+        # micro-batches complete, then stop and assert on what landed
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            time.sleep(2)
+            prog = q.lastProgress
+            if prog and prog["batchId"] >= 2 and spark.table(
+                "rate_bus_smoke"
+            ).count() > 0:
+                break
     finally:
         q.stop()
     total = (
