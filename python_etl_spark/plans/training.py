@@ -551,7 +551,12 @@ def emb_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------- Z-order layout -----------------------------
-from python_etl_spark.operators.layout import morton_code, morton_code_sql  # noqa: E402
+from python_etl_spark.operators.layout import (  # noqa: E402
+    morton_code,
+    morton_code_n,
+    morton_code_n_sql,
+    morton_code_sql,
+)
 
 
 @register(
@@ -1278,4 +1283,35 @@ def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("n_both_est"),
         F.col("n_union_est").alias("n_union_est"),
+    )
+
+
+@register(
+    "etl_zorder3_code",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+  {morton_code_n_sql(['l_partkey', 'l_suppkey', 'l_orderkey % 65536'])}
+    AS zcode3
+FROM lineitem
+""",
+)
+def etl_zorder3_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-column Morton code (l_partkey, l_suppkey, l_orderkey mod 2^16)
+    — the k-way generalization of etl_zorder_code, hash-oracled against
+    the identical bit-placement expression in DuckDB so the cross-engine
+    exactness of the n-column interleave is a driver-checked fact, not
+    just a pytest. Same properties: integer-exact constant-shift bit
+    arithmetic (48 OR terms), zero shuffles, bijective over the 3x16-bit
+    cell domain (property-tested in tests/test_bucketing.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_code_n(
+            [
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_orderkey") % 65536,
+            ]
+        ).alias("zcode3"),
     )
