@@ -120,3 +120,23 @@ def test_pipeline_load_incremental_end_to_end(spark, tmp_path):
     p2.run()
     assert p2.incremental_results["ev"]["rows_loaded"] == 25
     assert VersionedTable(root).read(spark).count() == 75
+
+
+def test_incremental_filter_reaches_parquet_scan(spark, tmp_path):
+    """The 100 TB property: the bookmark filter must arrive at the
+    source as a pushed parquet predicate (PushedFilters on the scan),
+    so a nightly run reads only the new tail — never a full-history
+    scan followed by a post-filter."""
+    src_dir = str(tmp_path / "src")
+    _src(spark, 0, 1000).write.parquet(src_dir)
+    t = VersionedTable(str(tmp_path / "tp"))
+    incremental_load(spark.read.parquet(src_dir), t, "wm")
+
+    from python_etl_spark.incremental import last_watermark
+
+    wm = last_watermark(t)
+    batch = spark.read.parquet(src_dir).where(F.col("wm") > F.lit(wm))
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:120]
+    assert "GreaterThan(wm" in pushed, pushed
