@@ -1,4 +1,4 @@
-"""Round-5 plans: training-data pipeline depth.
+"""Round-5/6 plans: training-data pipeline depth.
 
 * ``text_segment_dedup`` — C4-style corpus-wide segment-level exact
   dedup with document reassembly (the unit here is a fixed-width token
@@ -24,9 +24,17 @@
   row-identical to plain EXISTS).
 * ``emb_pca_variance`` — top-8 principal components via distributed
   moment partials + driver eig (rows-only; numpy-pinned pytest).
-* ``etl_zorder_code`` — Morton clustering key for OPTIMIZE ZORDER
-  layouts (integer-exact bit interleave; zorder_by measured to tighten
-  per-file bounding boxes ≥3x in tests/test_bucketing.py).
+* ``etl_zorder_code`` / ``etl_zorder3_code`` — Morton clustering keys
+  for OPTIMIZE ZORDER layouts, 2-column magic-mask fast path and the
+  k-way generalization (integer-exact bit interleave; zorder_by
+  measured to tighten per-file bounding boxes ≥3x in
+  tests/test_bucketing.py for both 2 and 3 columns).
+
+Round-6 additions: ``etl_incremental_load`` (high-watermark extract
+through the Pipeline API — bookmark rides the versioned-table manifest,
+crash-safe, hash-oracled vs a one-shot load) and
+``events_audience_overlap_hll`` (Datasketches HLL inclusion–exclusion
+twin of the exact overlap matrix; rows-only + pytest error bound).
 
 Cross-engine exactness follows plans/common.py: integer/decimal sums
 where possible, 6-decimal rounds where double fold order differs; this
