@@ -66,14 +66,18 @@ def incremental_load(
     table: VersionedTable,
     watermark_col: str,
     keys: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Extract rows with ``watermark_col`` strictly past the committed
     bookmark and commit them with the advanced bookmark, atomically.
 
     ``keys`` switches the commit from plain append to MERGE (upsert on
     the keys — the belt-and-braces mode when the source may restate
-    rows). Returns ``{"version", "rows_loaded", "watermark"}``; a run
-    with nothing new commits NOTHING (version unchanged)."""
+    rows). ``partition_by`` (first run only — the layout is sticky)
+    hive-partitions every commit, so snapshot reads partition-prune on
+    those columns: the 100 TB shape is partitioning the nightly tail
+    by ingest date. Returns ``{"version", "rows_loaded", "watermark"}``;
+    a run with nothing new commits NOTHING (version unchanged)."""
     last = last_watermark(table)
     batch = source
     if last is not None:
@@ -93,7 +97,7 @@ def incremental_load(
         wm = _serialize(stats["wm"])
         meta = {_WM_KEY: {"col": watermark_col, "value": wm}}
         if not table.exists():
-            v = table.create(batch, meta=meta)
+            v = table.create(batch, meta=meta, partition_by=partition_by)
         elif keys:
             v = table.merge(batch, keys, meta=meta)
         else:

@@ -70,7 +70,9 @@ class Pipeline:
         self.spark = spark
         self.frames: dict[str, DataFrame] = {}
         self._loads: list[_Load] = []
-        self._inc_loads: list[tuple[str, str, str, list[str] | None]] = []
+        self._inc_loads: list[
+            tuple[str, str, str, list[str] | None, list[str] | None]
+        ] = []
         #: per-frame result dicts of the last run()'s incremental loads
         self.incremental_results: dict[str, dict] = {}
 
@@ -110,16 +112,18 @@ class Pipeline:
         root: str,
         watermark_col: str,
         keys: list[str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> "Pipeline":
         """High-watermark incremental load into a versioned table at
         ``root``: each run() extracts only rows with ``watermark_col``
         past the bookmark committed by the previous run (the bookmark
         rides in the table manifest — see incremental.incremental_load
         for the crash-safety contract). ``keys`` upgrades append to
-        MERGE."""
+        MERGE; ``partition_by`` hive-partitions the table (sticky from
+        the first run)."""
         if name not in self.frames:
             raise KeyError(f"no frame named {name!r}; have {sorted(self.frames)}")
-        self._inc_loads.append((name, root, watermark_col, keys))
+        self._inc_loads.append((name, root, watermark_col, keys, partition_by))
         return self
 
     def run(self) -> dict[str, str]:
@@ -132,9 +136,9 @@ class Pipeline:
             out[load.name] = _WRITERS[load.fmt](
                 self.frames[load.name], load.path, **load.options
             )
-        for name, root, wm_col, keys in self._inc_loads:
+        for name, root, wm_col, keys, part_by in self._inc_loads:
             self.incremental_results[name] = incremental_load(
-                self.frames[name], VersionedTable(root), wm_col, keys
+                self.frames[name], VersionedTable(root), wm_col, keys, part_by
             )
             out[name] = root
         return out

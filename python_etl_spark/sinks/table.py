@@ -90,7 +90,12 @@ class VersionedTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def _write_data(self, df: DataFrame, version: int) -> str:
+    def _write_data(
+        self,
+        df: DataFrame,
+        version: int,
+        partition_by: list[str] | None = None,
+    ) -> str:
         out = os.path.join(self.root, "data", f"commit-{version:08d}")
         if os.path.exists(out) and not os.path.exists(
             self._manifest_path(version)
@@ -101,7 +106,14 @@ class VersionedTable:
             import shutil
 
             shutil.rmtree(out)
-        df.write.mode("errorifexists").parquet(out)
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            # hive-partitioned commit dirs: snapshot reads get partition
+            # pruning on these columns for free (the 100 TB layout —
+            # e.g. partition the nightly increment by ingest date and a
+            # date predicate never opens old files)
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
         return out
 
     # ------------------------------- public --------------------------------
@@ -129,16 +141,31 @@ class VersionedTable:
             return {}
         return self._read_manifest(version).get("meta", {})
 
-    def create(self, df: DataFrame, meta: dict | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
-        d = self._write_data(df, 0)
-        return self._commit([d], "create", 0, meta)
+        d = self._write_data(df, 0, partition_by)
+        m = dict(meta or {})
+        if partition_by:
+            m["partition_by"] = list(partition_by)
+        return self._commit([d], "create", 0, m or None)
+
+    def partition_columns(self) -> list[str]:
+        """Partition layout recorded at create time (sticky: appends
+        reuse it so every commit dir shares one hive layout)."""
+        if not self.exists():
+            return []
+        return self._read_manifest(0).get("meta", {}).get("partition_by", [])
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         cur = self._read_manifest()
         v = cur["version"] + 1
-        d = self._write_data(df, v)
+        d = self._write_data(df, v, self.partition_columns() or None)
         return self._commit(cur["data_dirs"] + [d], "append", v, meta)
 
     def merge(
@@ -155,10 +182,10 @@ class VersionedTable:
 
         cur = self._read_manifest()
         spark = updates.sparkSession
-        base = spark.read.parquet(*cur["data_dirs"])
+        base = self.read(spark, cur["version"])
         merged = upsert(base, updates.select(*base.columns), keys, version_col)
         v = cur["version"] + 1
-        d = self._write_data(merged, v)
+        d = self._write_data(merged, v, self.partition_columns() or None)
         return self._commit([d], "merge", v, meta)
 
     def delete_where(self, condition) -> int:
@@ -166,14 +193,26 @@ class VersionedTable:
         rows. ``condition`` is a Column predicate."""
         cur = self._read_manifest()
         spark = SparkSession.getActiveSession()
-        base = spark.read.parquet(*cur["data_dirs"])
+        base = self.read(spark, cur["version"])
         v = cur["version"] + 1
-        d = self._write_data(base.where(~condition), v)
+        d = self._write_data(
+            base.where(~condition), v, self.partition_columns() or None
+        )
         return self._commit([d], "delete", v)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
-        return spark.read.parquet(*m["data_dirs"])
+        dirs = m["data_dirs"]
+        if len(dirs) == 1 or not self.partition_columns():
+            return spark.read.parquet(*dirs)
+        # hive-partitioned commit dirs are separate partition roots —
+        # Spark refuses one multi-path read (CONFLICTING_DIRECTORY_
+        # STRUCTURES), so union per-dir scans; a partition predicate
+        # still pushes into EVERY branch (pruning preserved)
+        out = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(spark.read.parquet(d))
+        return out
 
     def vacuum(self) -> list[str]:
         """Drop data dirs unreachable from the LATEST version (ends time

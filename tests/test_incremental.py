@@ -140,3 +140,30 @@ def test_incremental_filter_reaches_parquet_scan(spark, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:120]
     assert "GreaterThan(wm" in pushed, pushed
+
+
+def test_incremental_partitioned_layout_prunes(spark, tmp_path):
+    """partition_by gives every commit a hive layout (sticky across
+    appends/merges), and a snapshot read with a partition predicate
+    touches ONLY that partition's files — across ALL commit dirs."""
+    t = VersionedTable(str(tmp_path / "tpart"))
+    src = _src(spark, 0, 100).withColumn("ds", F.col("k") % 4)
+    incremental_load(src, t, "wm", partition_by=["ds"])
+    src2 = _src(spark, 0, 160).withColumn("ds", F.col("k") % 4)
+    incremental_load(src2, t, "wm")
+    assert t.partition_columns() == ["ds"]
+
+    snap = t.read(spark)
+    assert snap.count() == 160
+    q = snap.where(F.col("ds") == 2)
+    assert q.count() == 40
+    files = {r.f for r in q.select(F.input_file_name().alias("f")).distinct().collect()}
+    assert files and all("ds=2" in f for f in files), files
+    # merge keeps the layout
+    upd = spark.createDataFrame([(7, 70, 999, 3)], "k long, v long, wm long, ds long")
+    t.merge(upd, keys=["k"])
+    import os
+
+    d = t._read_manifest()["data_dirs"][0]
+    assert any(x.startswith("ds=") for x in os.listdir(d))
+    assert t.read(spark).count() == 160
