@@ -55,10 +55,17 @@ def _serialize(value):
 
 
 def last_watermark(table: VersionedTable) -> object | None:
-    """The committed bookmark, or None for a first run."""
+    """The committed bookmark, or None for a first run. Walks version
+    history newest-first: a manual append()/merge() in between (no
+    watermark meta) must not make the loader forget its bookmark and
+    re-extract the full history as duplicates."""
     if not table.exists():
         return None
-    return table.meta().get(_WM_KEY, {}).get("value")
+    for v in range(table.latest_version(), -1, -1):
+        wm = table.meta(v).get(_WM_KEY, {}).get("value")
+        if wm is not None:
+            return wm
+    return None
 
 
 def incremental_load(

@@ -188,6 +188,22 @@ class VersionedTable:
         d = self._write_data(merged, v, self.partition_columns() or None)
         return self._commit([d], "merge", v, meta)
 
+    def compact(self, spark: SparkSession | None = None) -> int:
+        """Rewrite the current snapshot into ONE commit dir (keeping
+        the hive layout). A long-lived incremental table accretes one
+        dir per nightly append, and the snapshot read unions one scan
+        per dir — fine for tens, an analysis-time liability at
+        thousands. Periodic compaction (exactly Iceberg/Delta rewrite)
+        resets that to a single scan; the bookmark metadata of the
+        latest version is carried forward so incremental loads are
+        unaffected."""
+        cur = self._read_manifest()
+        spark = spark or SparkSession.getActiveSession()
+        base = self.read(spark, cur["version"])
+        v = cur["version"] + 1
+        d = self._write_data(base, v, self.partition_columns() or None)
+        return self._commit([d], "compact", v, cur.get("meta"))
+
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the snapshot without matching
         rows. ``condition`` is a Column predicate."""

@@ -167,3 +167,27 @@ def test_incremental_partitioned_layout_prunes(spark, tmp_path):
     d = t._read_manifest()["data_dirs"][0]
     assert any(x.startswith("ds=") for x in os.listdir(d))
     assert t.read(spark).count() == 160
+
+
+def test_compact_resets_commit_dirs_and_keeps_bookmark(spark, tmp_path):
+    """compact() folds N commit dirs into one (single scan again),
+    carries the bookmark forward, and a manual meta-less append in
+    between must not make the loader forget its bookmark (history
+    walk), so the next incremental run stays tail-only."""
+    t = VersionedTable(str(tmp_path / "tcp"))
+    incremental_load(_src(spark, 0, 50), t, "wm")
+    incremental_load(_src(spark, 0, 80), t, "wm")
+    # manual append without watermark meta (e.g. a backfill)
+    t.append(
+        spark.createDataFrame([(1000, 0, 5)], "k long, v long, wm long")
+    )
+    assert last_watermark(t) == 79  # history walk, not latest-only
+    assert len(t._read_manifest()["data_dirs"]) == 3
+    t.compact(spark)
+    assert len(t._read_manifest()["data_dirs"]) == 1
+    assert last_watermark(t) == 79  # carried through the compact
+    assert t.read(spark).count() == 81
+    # incremental continues tail-only after compaction
+    r = incremental_load(_src(spark, 0, 100), t, "wm")
+    assert r["rows_loaded"] == 20
+    assert t.read(spark).count() == 101
