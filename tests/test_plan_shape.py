@@ -291,3 +291,20 @@ def test_audience_overlap_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_audience_overlap")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_hll_overlap_no_single_partition_and_no_fact_rescans(spark, sf_dir):
+    """The HLL overlap plan must collapse the fact table ONCE into
+    |types| sketch rows (one partial-agg shuffle) and do all pairwise
+    work on the tiny sketch frame — no single-partition exchange on a
+    fact-sized path, and exactly one events scan."""
+    plan = _plan(spark, sf_dir, "events_audience_overlap_hll")
+    assert plan.count("Scan parquet") <= 2  # one per join side, same table
+    assert "hll_sketch_agg" in plan or "HllSketchAgg" in plan or "hll" in plan.lower()
+
+
+def test_zorder3_zero_shuffles(spark, sf_dir):
+    """The k-way Morton projection is pure per-row bit arithmetic —
+    no Exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "etl_zorder3_code")
+    assert "Exchange" not in plan, plan
