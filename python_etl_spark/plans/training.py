@@ -1323,3 +1323,94 @@ def etl_zorder3_code(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("zcode3"),
     )
+
+
+# ------------------- overlapping-window duplication ------------------------
+_WDF_W = 8  # tokens per overlapping window
+
+
+@register(
+    "text_window_dup_fraction",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(t) - {_WDF_W} + 1),
+      i -> md5(array_to_string(t[i + 1 : i + {_WDF_W}], ' ')))) AS wh
+  FROM toks WHERE len(t) >= {_WDF_W}),
+wc AS (SELECT wh, COUNT(*) AS c FROM wins GROUP BY wh),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM wins JOIN wc USING (wh) GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+  COALESCE(n_windows, 0) AS n_windows,
+  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+  CAST(CASE WHEN COALESCE(n_windows, 0) = 0 THEN 0
+       ELSE n_dup_windows * 1000000 // n_windows END AS BIGINT)
+    AS dup_fraction_ppm
+FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id
+""",
+)
+def text_window_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction over OVERLAPPING 8-token
+    windows: the fraction of a doc's windows whose content appears >=2
+    times corpus-wide — the diagnostic behind exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a high fraction marks boilerplate/templated docs that
+    disjoint-segment dedup (text_segment_dedup) under-counts because
+    duplicated spans rarely align to segment boundaries.
+
+    Scale posture: windows carry only their md5 (cross-engine
+    checkable; swap to xxhash64 for an 8-byte shuffle key in
+    production — plan shape identical). Two partial-agg shuffles
+    (window counts, per-doc rollup) plus one join on the window-hash
+    key — the same key the count aggregated on, so the exchange is
+    reusable; nothing is ever collected. Integer-ppm fraction — no
+    float fold-order exposure."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    )
+    n = F.size("t")
+    wins = (
+        toks.where(n >= _WDF_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - _WDF_W),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("t"), i + 1, _WDF_W), " ")
+                    ),
+                )
+            ).alias("wh"),
+        )
+    )
+    wc = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        wins.join(wc, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("n_dup_windows * 1000000 div n_windows")
+            )
+            .alias("dup_fraction_ppm"),
+        )
+    )

@@ -305,3 +305,36 @@ def test_pagerank_dangling_and_source_only_nodes(spark):
     for u in range(n):
         assert abs(got[u] - r[u]) < 1e-9, (u, got[u], r[u])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_window_dup_fraction_known_corpus(spark, tmp_path, monkeypatch):
+    """Hand-built corpus with known overlapping-window duplication:
+    doc 0 and doc 1 share an 8-token boilerplate span embedded in
+    otherwise-unique text; doc 2 is fully unique; doc 3 is too short
+    for any window. Fractions must match exact enumeration."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.plans.training import text_window_dup_fraction
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (0, f"u0a u0b u0c {boiler} u0d u0e u0f", "en", "s"),
+        (1, f"v1a v1b {boiler} v1c v1d v1e v1f v1g", "en", "s"),
+        (2, " ".join(f"w{i}" for i in range(15)), "en", "s"),
+        (3, "too short text", "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    d = str(tmp_path / "docs")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r for r in text_window_dup_fraction(spark, d).collect()
+    }
+    # doc 0: 14 tokens -> 7 windows; only the window that is exactly
+    # the boilerplate (starting at token 3) also appears in doc 1
+    assert got[0].n_windows == 7 and got[0].n_dup_windows == 1
+    assert got[0].dup_fraction_ppm == 1000000 // 7
+    assert got[1].n_dup_windows == 1
+    assert got[2].n_dup_windows == 0 and got[2].n_windows == 8
+    assert got[3].n_windows == 0 and got[3].dup_fraction_ppm == 0
