@@ -76,7 +76,27 @@ SHOWCASE = {
     "graph_pagerank": "iterative Pregel shape: edges cached "
     "hash-partitioned on src (exchange-free join side every "
     "iteration), integer micro-unit contributions partial-aggregate "
-    "map-side before the one grouped-sum shuffle per iteration",
+    "map-side before the one grouped-sum shuffle per iteration; "
+    "lineage truncated per round (eager localCheckpoint), rank "
+    "vector spans src+dst with the dangling branch structurally "
+    "skipped on symmetrized graphs",
+    "events_audience_overlap_hll": "fact table collapses ONCE into "
+    "|types| 1KB HLL sketches (mergeable partials, map-side "
+    "combine); the pairwise inclusion-exclusion runs on the tiny "
+    "sketch frame — facts never rescanned",
+    "text_window_dup_fraction": "overlapping windows carry only "
+    "their md5; window counts and the per-doc rollup are two "
+    "partial-agg shuffles, and the count join reuses the same "
+    "hash key the aggregate produced",
+    "etl_incremental_load": "the registered query returns a "
+    "materialized checkpoint (its scratch table is deleted), so the "
+    "displayed plan is a single Scan ExistingRDD; the property that "
+    "matters — the bookmark filter arriving as a pushed parquet "
+    "predicate on the source scan — is CI-asserted in "
+    "tests/test_incremental.py",
+    "etl_zorder3_code": "k-way Morton interleave: 48 constant-shift "
+    "OR terms inside one whole-stage-codegen projection, zero "
+    "exchanges",
 }
 
 
