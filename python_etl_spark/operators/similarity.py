@@ -160,9 +160,10 @@ def lsh_bucketed_topk(
 # doubles — a few MB even at 4096x1024), exactly like Spark MLlib's
 # KMeans. The corpus never leaves the executors: assignment is one
 # Arrow-batched argmax matmul per batch (no join, no window, no
-# shuffle), and each Lloyd iteration is ONE shuffle-free map job —
-# per-partition per-cluster (count, vector-sum) partials, combined on
-# the driver. History: the original DataFrame-only formulation
+# shuffle), and each Lloyd iteration is ONE job — per-partition
+# per-cluster (count, vector-sum) partials, pre-reduced executor-side
+# to exactly k rows before the driver sees them.
+# History: the original DataFrame-only formulation
 # (corpus x centroids broadcast join + per-row window row_number +
 # posexplode groupBy) shuffled corpus*k rows three times per iteration
 # (6.5s at sf0.1); the round-3 assign + groupBy(cid).applyInPandas form
@@ -1072,4 +1073,41 @@ def ivf_topk_partitioned(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def ivf_append_index(
+    embeddings: DataFrame,
+    path: str,
+    cn: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a new vector batch into an existing materialized IVF
+    layout WITHOUT rebuilding: each new vector is assigned to its
+    nearest existing centroid and written into that list's partition
+    directory (parquet append under partitionBy — existing files are
+    untouched, only new files land in the affected list dirs). The
+    coarse quantizer stays frozen — standard IVF maintenance (the
+    Faiss add() shape); re-train when drift degrades recall, using
+    list-size skew from ivf_list_stats as the observable."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    (
+        v.withColumn("list_id", _assign_udf(cn)("vec"))
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivf_list_stats(spark, path: str) -> DataFrame:
+    """Per-list row counts of a materialized IVF index — the skew
+    pre-flight for probe cost (a hot list makes its probes expensive)
+    and the drift observable that schedules quantizer re-training."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
     )

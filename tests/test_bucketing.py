@@ -307,3 +307,73 @@ def test_zorder3_layout_tightens_file_bounding_boxes(spark, tmp_path):
     plain, z = volume(base), volume(zdir)
     assert spark.read.parquet(zdir).count() == li.count()  # lossless
     assert z < plain / 2, (z, plain)  # tighter 3-D boxes
+
+
+def test_ivf_append_maintains_index_without_rebuild(spark, tmp_path):
+    """Appending a batch into the materialized IVF layout must leave
+    existing files untouched (no rebuild), route each new vector into
+    its nearest list's directory, and make the appended vectors
+    immediately findable by the partition-pruned search."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_index,
+        ivf_list_stats,
+        ivf_topk_partitioned,
+        ivf_write_index,
+    )
+
+    rng = np.random.RandomState(23)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base, batch = full.where(F.col("vec_id") < 140), full.where(
+        F.col("vec_id") >= 140
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    cn = ivf_write_index(base, path, n_centroids=4)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    n_before = ivf_list_stats(spark, path).agg(F.sum("n_vectors")).first()[0]
+
+    ivf_append_index(batch, path, cn)
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after  # append-only: nothing rewritten
+    assert len(files_after) > len(files_before)
+    n_after = ivf_list_stats(spark, path).agg(F.sum("n_vectors")).first()[0]
+    assert (n_before, n_after) == (140, 160)
+
+    # appended vectors are findable and recall holds on the full corpus
+    queries = [150, 155, 159]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(full, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_partitioned(
+            spark, path, cn, queries, k=5, nprobe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
