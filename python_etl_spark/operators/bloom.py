@@ -40,6 +40,12 @@ def build_bloom(
     """Aggregate the key side into a bitmap: explode each key's probe
     positions, OR per 64-bit word (≤ n_bits/64 grouped rows — the only
     thing the driver ever holds)."""
+    if n_bits <= 0 or n_bits % 64 != 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 64 (the bitmap is "
+            f"stored as 64-bit words; a ragged tail would index past "
+            f"the last word); got {n_bits}"
+        )
     pos = F.explode(F.array(*_positions(F.col(key_col), n_bits))).alias(
         "pos"
     )

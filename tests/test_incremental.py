@@ -191,3 +191,20 @@ def test_compact_resets_commit_dirs_and_keeps_bookmark(spark, tmp_path):
     r = incremental_load(_src(spark, 0, 100), t, "wm")
     assert r["rows_loaded"] == 20
     assert t.read(spark).count() == 101
+
+
+def test_incremental_split_sequence_equals_one_shot(spark, tmp_path):
+    """Property: for ANY monotone sequence of source prefixes, chained
+    incremental loads produce exactly the one-shot table (no dupes, no
+    gaps) — checked over several randomized split sequences."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, 200), rng.randint(1, 5))) + [200]
+        t = VersionedTable(str(tmp_path / f"seq{trial}"))
+        for c in cuts:
+            incremental_load(_src(spark, 0, c), t, "wm")
+        got = t.read(spark)
+        assert got.count() == 200, cuts
+        assert got.select("k").distinct().count() == 200, cuts

@@ -291,3 +291,13 @@ def test_bloom_semi_join_coerces_key_types(spark):
     got = sorted(r.k for r in bloom_semi_join(fact, keys, "k").collect())
     want = sorted(range(0, 1000, 7))
     assert got == want
+
+
+def test_bloom_rejects_ragged_bitmap_sizes(spark):
+    import pytest
+
+    from python_etl_spark.operators.bloom import build_bloom
+
+    keys = spark.range(0, 10).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom(keys, "k", n_bits=1000)
