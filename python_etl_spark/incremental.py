@@ -88,7 +88,14 @@ def incremental_load(
     last = last_watermark(table)
     batch = source
     if last is not None:
-        batch = source.where(F.col(watermark_col) > F.lit(last))
+        # cast the stored (JSON-serialized) bookmark back to the
+        # column's own type: comparing a DECIMAL/TIMESTAMP column
+        # against a raw string literal would coerce through double and
+        # lose precision past 2^53
+        wm_type = source.schema[watermark_col].dataType
+        batch = source.where(
+            F.col(watermark_col) > F.lit(last).cast(wm_type)
+        )
     batch = batch.persist()
     try:
         stats = batch.agg(

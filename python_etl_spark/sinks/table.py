@@ -164,6 +164,19 @@ class VersionedTable:
 
     def append(self, df: DataFrame, meta: dict | None = None) -> int:
         cur = self._read_manifest()
+        # schema guard: an append with drifted columns would poison the
+        # snapshot read (parquet union mismatch) — fail at commit time
+        # with names, not at some later read with a cast error
+        have = set(
+            df.sparkSession.read.parquet(cur["data_dirs"][-1]).columns
+        )
+        got = set(df.columns)
+        if got != have:
+            raise ValueError(
+                f"append schema drift: table has {sorted(have)}, "
+                f"batch has {sorted(got)} "
+                f"(missing {sorted(have - got)}, extra {sorted(got - have)})"
+            )
         v = cur["version"] + 1
         d = self._write_data(df, v, self.partition_columns() or None)
         return self._commit(cur["data_dirs"] + [d], "append", v, meta)

@@ -208,3 +208,13 @@ def test_incremental_split_sequence_equals_one_shot(spark, tmp_path):
         got = t.read(spark)
         assert got.count() == 200, cuts
         assert got.select("k").distinct().count() == 200, cuts
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tsd"))
+    incremental_load(_src(spark, 0, 10), t, "wm")
+    bad = spark.createDataFrame([(1, 2)], "k long, wrong long")
+    import pytest
+
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(bad)
