@@ -69,11 +69,37 @@ def dsir_logweights(
             6,
         ).alias("lw"),
     )
+    # The mean is computed ENTIRELY in integer micro-units: the decimal
+    # sum of 6-decimal lw values is exact, and the division rounds
+    # half-away-from-zero on integers. ROUND(double_sum / n, 6) here
+    # would sit exactly on a decimal midpoint for ~1/10^4 docs (the
+    # 6-decimal sum over n bigrams makes x.xxxxxx5 quotients common),
+    # and binary doubles resolve that midpoint differently per engine —
+    # measured 3/5000 flipped rows at sf0.1.
     return (
         bgb.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(dsum("lw") / F.count(F.lit(1)), 6).alias("dsir_logweight"),
+            # stay DECIMAL until the integer cast: dsum's final
+            # double cast would re-introduce binary rounding, and
+            # double -> long truncates (251546.0 stored as
+            # 251545.999... drops a micro-unit)
+            (F.sum(F.col("lw").cast("decimal(28,6)")) * 1000000)
+            .cast("long")
+            .alias("__sm"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.expr(
+                    "CAST(CASE WHEN __sm < 0 THEN "
+                    "-((2 * -__sm + n_bigrams) div (2 * n_bigrams)) "
+                    "ELSE (2 * __sm + n_bigrams) div (2 * n_bigrams) "
+                    "END AS DOUBLE)"
+                )
+                / F.lit(1000000.0)
+            ).alias("dsir_logweight"),
         )
     )

@@ -82,12 +82,18 @@ lr AS (
   SELECT bucket,
     ROUND(LN(((tb + 1.0) / (tt + {_DSIR_BUCKETS}))
            / ((rb + 1.0) / (rt + {_DSIR_BUCKETS}))), 6) AS lw
-  FROM ct, tot)
-SELECT doc_id, COUNT(*) AS n_bigrams,
-  ROUND(CAST(SUM(CAST(lw AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-    AS dsir_logweight
-FROM bgb JOIN lr USING (bucket)
-GROUP BY doc_id
+  FROM ct, tot),
+sums AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+    CAST(SUM(CAST(lw AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS sm
+  FROM bgb JOIN lr USING (bucket)
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  CAST(CASE WHEN sm < 0
+       THEN -((2 * -sm + n_bigrams) // (2 * n_bigrams))
+       ELSE (2 * sm + n_bigrams) // (2 * n_bigrams)
+       END AS DOUBLE) / 1000000.0 AS dsir_logweight
+FROM sums
 """,
 )
 def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
