@@ -38,6 +38,8 @@ def register(name: str, oracle: str | None = None):
 from python_etl_spark.functions.exact import (  # noqa: F401
     davg,
     davg_sql,
+    dmean,
+    dmean_sql,
     dsum,
     dsum_sql,
     ts,

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_etl_spark.functions.exact import davg_sql, dsum, dsum_sql
+from python_etl_spark.functions.exact import (
+    davg_sql,
+    dmean,
+    dmean_sql,
+    dsum,
+    dsum_sql,
+)
 from python_etl_spark.plans.common import bc_dim, register
 from python_etl_spark.sources.tables import load_table
 
@@ -35,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ------------------------------ RFM segments ------------------------------
 @register(
     "events_rfm_segments",
-    oracle="""
+    oracle=f"""
 WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
 rfm AS (
   SELECT user_id,
@@ -50,8 +56,7 @@ q AS (
     NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
   FROM rfm)
 SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
-  ROUND(CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE)
-        / COUNT(*), 6) AS avg_monetary
+  {dmean_sql('monetary')} AS avg_monetary
 FROM q GROUP BY r_q, f_q, m_q
 """,
 )
@@ -96,9 +101,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q.select("monetary", "r_q", "f_q", "m_q")
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(dsum("monetary") / F.count(F.lit(1)), 6).alias(
-            "avg_monetary"
-        ),
+        dmean("monetary").alias("avg_monetary"),
     )
 
 
@@ -234,12 +237,11 @@ def text_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------- token length stats ---------------------------
 @register(
     "text_token_len_stats",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
-  ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(28,6))) AS DOUBLE)
-        / COUNT(*), 6) AS avg_tokens,
+  {dmean_sql('n_tokens')} AS avg_tokens,
   ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
   ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
   MAX(n_tokens) AS max_tokens
@@ -258,9 +260,7 @@ def text_token_len_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(dsum("n_tokens") / F.count(F.lit(1)), 6).alias(
-            "avg_tokens"
-        ),
+        dmean("n_tokens").alias("avg_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias(
             "p95_tokens"
@@ -326,9 +326,9 @@ WITH lag AS (
 SELECT s_suppkey, s_name, COUNT(*) AS n_shipments,
   CAST(SUM(CASE WHEN lag_days > {_LATE_DAYS} THEN 1 ELSE 0 END)
     AS BIGINT) AS n_late,
-  ROUND(CAST(SUM(CASE WHEN lag_days > {_LATE_DAYS} THEN 1 ELSE 0
-    END) AS DOUBLE) / COUNT(*), 6) AS late_rate,
-  ROUND({davg_sql("lag_days")}, 6) AS avg_lag_days
+  {dmean_sql(f"CASE WHEN lag_days > {_LATE_DAYS} THEN 1 ELSE 0 END")}
+    AS late_rate,
+  {dmean_sql("lag_days")} AS avg_lag_days
 FROM lag JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 HAVING COUNT(*) >= 10
@@ -361,12 +361,8 @@ def q24_supplier_delivery_scorecard(
         .agg(
             F.count(F.lit(1)).alias("n_shipments"),
             F.sum(late_flag).cast("long").alias("n_late"),
-            F.round(
-                F.sum(late_flag).cast("double") / F.count(F.lit(1)), 6
-            ).alias("late_rate"),
-            F.round(
-                dsum("lag_days") / F.count(F.lit(1)), 6
-            ).alias("avg_lag_days"),
+            dmean(late_flag).alias("late_rate"),
+            dmean("lag_days").alias("avg_lag_days"),
         )
         .where(F.col("n_shipments") >= 10)
     )

@@ -30,6 +30,8 @@ from python_etl_spark.plans.common import (
     AUG_VE_SQL,
     augmented_embeddings,
     davg_sql,
+    dmean,
+    dmean_sql,
     register,
 )
 from python_etl_spark.sources.tables import load_table
@@ -1325,7 +1327,7 @@ vd AS (
 cosv AS (
   SELECT vd.label, ROUND(dot / (sqrt(vnsq) * sqrt(cnsq)), 6) AS cos
   FROM vd JOIN cn ON cn.label = vd.label)
-SELECT label, COUNT(*) AS n_members, ROUND({davg_sql('cos')}, 6) AS cohesion
+SELECT label, COUNT(*) AS n_members, {dmean_sql('cos')} AS cohesion
 FROM cosv GROUP BY label
 """,
 )
@@ -1354,7 +1356,7 @@ def sim_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cosv.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(davg("cos"), 6).alias("cohesion"),
+        dmean("cos").alias("cohesion"),
     )
 
 
@@ -1385,7 +1387,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bigram_logprob",
-    oracle="""
+    oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
   SELECT doc_id, unnest(list_transform(range(1, len(t)),
@@ -1405,8 +1407,7 @@ scored AS (
   JOIN bc ON bc.b = p.b
   JOIN uc ON uc.w1 = p.w1)
 SELECT doc_id, COUNT(*) AS n_bigrams,
-  ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-    AS avg_logprob
+  {dmean_sql('lp')} AS avg_logprob
 FROM scored GROUP BY doc_id
 """,
 )
@@ -1450,11 +1451,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("lp").cast("decimal(28,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_logprob"),
+        dmean("lp").alias("avg_logprob"),
     )
 
 

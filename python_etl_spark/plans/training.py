@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.plans.checked import _rademacher, _w_sql
-from python_etl_spark.plans.common import dsum, dsum_sql, register
+from python_etl_spark.plans.common import dmean_sql, dsum, dsum_sql, register
 from python_etl_spark.sources.tables import load_table
 
 
@@ -594,7 +594,7 @@ def etl_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------- CCNet-style perplexity buckets --------------------
 @register(
     "text_perplexity_buckets",
-    oracle="""
+    oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
   SELECT doc_id, unnest(list_transform(range(1, len(t)),
@@ -609,7 +609,7 @@ scored AS (
   FROM parts p JOIN bc ON bc.b = p.b JOIN uc ON uc.w1 = p.w1),
 per_doc AS (
   SELECT doc_id,
-    ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+    {dmean_sql('lp')}
       AS avg_logprob
   FROM scored GROUP BY doc_id),
 bucketed AS (
