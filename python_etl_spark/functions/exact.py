@@ -84,3 +84,36 @@ def dmean_sql(expr: str, scale: int = 6, prec: int = 28) -> str:
         f"THEN -(({s} * -2 + {n}) // (2 * {n})) "
         f"ELSE (({s} * 2 + {n}) // (2 * {n})) END AS DOUBLE) / {unit}.0)"
     )
+
+
+def dround_div(
+    num: str | Column, den: str | Column, scale: int = 6, in_scale: int = 6
+) -> Column:
+    """Midpoint-free ROUND(num/den, scale) for two already
+    ``in_scale``-exact double columns (e.g. decimal-summed money):
+    both are lifted to exact integer units, and the rounded quotient
+    is computed with half-away-from-zero integer division — identical
+    doubles on both engines, where ROUND on the double quotient flips
+    at decimal midpoints. Requires den != 0. SQL twin: dround_div_sql.
+
+    The integer lift recovers value*10^in_scale via ROUND(x, 0) on the
+    double — exact while |value| < ~10^8 at in_scale 6 (the double's
+    ulp error stays below half an integer unit). For larger magnitudes
+    pass a smaller in_scale that still makes the inputs exact."""
+    u_in, u_out = 10**in_scale, 10**scale
+    p = F.round(_c(num) * u_in, 0).cast("decimal(38,0)") * u_out
+    q = F.round(_c(den) * u_in, 0).cast("decimal(38,0)")
+    mag = F.floor((F.abs(p) * 2 + F.abs(q)) / (F.abs(q) * 2))
+    sign = F.when((p < 0) != (q < 0), F.lit(-1)).otherwise(F.lit(1))
+    return (sign * mag).cast("double") / F.lit(float(u_out))
+
+
+def dround_div_sql(
+    num: str, den: str, scale: int = 6, in_scale: int = 6
+) -> str:
+    u_in, u_out = 10**in_scale, 10**scale
+    p = f"(CAST(ROUND(({num}) * {u_in}, 0) AS HUGEINT) * {u_out})"
+    q = f"CAST(ROUND(({den}) * {u_in}, 0) AS HUGEINT)"
+    mag = f"((ABS({p}) * 2 + ABS({q})) // (ABS({q}) * 2))"
+    sign = f"(CASE WHEN (({p}) < 0) != (({q}) < 0) THEN -1 ELSE 1 END)"
+    return f"(CAST({sign} * {mag} AS DOUBLE) / {u_out}.0)"

@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_etl_spark.functions.exact import dsum, dsum_sql
+from python_etl_spark.functions.exact import (
+    dround_div,
+    dround_div_sql,
+    dsum,
+    dsum_sql,
+)
 from python_etl_spark.plans.common import register
 from python_etl_spark.sources.tables import load_table
 
@@ -1414,8 +1419,8 @@ dec AS (
   FROM per_user)
 SELECT decile, COUNT(*) AS n_users,
   CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE) AS decile_value,
-  ROUND(CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE)
-        / t.total_value, 6) AS value_share
+  {dround_div_sql('CAST(SUM(CAST(user_value AS DECIMAL(28,6))) AS DOUBLE)',
+                  't.total_value')} AS value_share
 FROM dec, tot t
 GROUP BY decile, t.total_value
 """,
@@ -1471,9 +1476,7 @@ def events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_users",
             "decile_value",
-            F.round(F.col("decile_value") / F.col("total_value"), 6).alias(
-                "value_share"
-            ),
+            dround_div("decile_value", "total_value").alias("value_share"),
         )
     )
 

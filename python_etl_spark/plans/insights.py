@@ -27,6 +27,8 @@ from python_etl_spark.functions.exact import (
     davg_sql,
     dmean,
     dmean_sql,
+    dround_div,
+    dround_div_sql,
     dsum,
     dsum_sql,
 )
@@ -792,8 +794,8 @@ WITH monthly AS (
     {dsum_sql('o_totalprice')} AS revenue, COUNT(*) AS n_orders
   FROM orders GROUP BY month)
 SELECT month, ROUND(revenue, 2) AS revenue, n_orders,
-  ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))
-        / LAG(revenue) OVER (ORDER BY month), 6) AS pct_change
+  {dround_div_sql('100.0 * (revenue - LAG(revenue) OVER (ORDER BY month))',
+                  'LAG(revenue) OVER (ORDER BY month)')} AS pct_change
 FROM monthly
 """,
 )
@@ -816,7 +818,7 @@ def etl_percent_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.round("revenue", 2).alias("revenue"),
         "n_orders",
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias(
+        dround_div(100.0 * (F.col("revenue") - prev), prev).alias(
             "pct_change"
         ),
     )
