@@ -70,7 +70,18 @@ class VersionedTable:
         version: int,
         meta: dict | None = None,
     ) -> int:
-        manifest = {"version": version, "op": op, "data_dirs": dirs}
+        import time
+
+        manifest = {
+            "version": version,
+            "op": op,
+            "data_dirs": dirs,
+            # wall-clock commit stamp: powers read_as_of time travel.
+            # Taken immediately before the atomic rename, so stamps are
+            # monotone per table (single-writer, enforced by the
+            # version-exists check below).
+            "committed_at": time.time(),
+        }
         if meta:
             manifest["meta"] = meta
         os.makedirs(self._mdir, exist_ok=True)
@@ -162,24 +173,37 @@ class VersionedTable:
             return []
         return self._read_manifest(0).get("meta", {}).get("partition_by", [])
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        allow_evolution: bool = False,
+    ) -> int:
         cur = self._read_manifest()
         # schema guard: an append with drifted columns would poison the
         # snapshot read (parquet union mismatch) — fail at commit time
-        # with names, not at some later read with a cast error
+        # with names, not at some later read with a cast error.
+        # allow_evolution=True opts into additive drift instead: the
+        # batch is written as-is and snapshot reads switch to
+        # mergeSchema, so old rows surface the new columns as NULL
+        # (the unionByName(allowMissingColumns) lakehouse semantics).
         have = set(
             df.sparkSession.read.parquet(cur["data_dirs"][-1]).columns
         )
         got = set(df.columns)
+        m = dict(meta or {})
         if got != have:
-            raise ValueError(
-                f"append schema drift: table has {sorted(have)}, "
-                f"batch has {sorted(got)} "
-                f"(missing {sorted(have - got)}, extra {sorted(got - have)})"
-            )
+            if not allow_evolution:
+                raise ValueError(
+                    f"append schema drift: table has {sorted(have)}, "
+                    f"batch has {sorted(got)} "
+                    f"(missing {sorted(have - got)}, extra {sorted(got - have)}) "
+                    f"— pass allow_evolution=True for additive evolution"
+                )
+            m["schema_evolved"] = True
         v = cur["version"] + 1
         d = self._write_data(df, v, self.partition_columns() or None)
-        return self._commit(cur["data_dirs"] + [d], "append", v, meta)
+        return self._commit(cur["data_dirs"] + [d], "append", v, m or None)
 
     def merge(
         self,
@@ -229,18 +253,49 @@ class VersionedTable:
         )
         return self._commit([d], "delete", v)
 
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by wall clock: the snapshot of the LAST version
+        committed at or before ``ts`` (epoch seconds). Commit stamps
+        are monotone (single-writer), so this is a reverse scan over
+        the manifest history."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        for i in range(v, -1, -1):
+            if self._read_manifest(i).get("committed_at", 0.0) <= ts:
+                return self.read(spark, i)
+        raise LookupError(
+            f"no version committed at or before {ts} (earliest is "
+            f"{self._read_manifest(0).get('committed_at')})"
+        )
+
+    def _schema_evolved(self, upto: int) -> bool:
+        return any(
+            self._read_manifest(i).get("meta", {}).get("schema_evolved")
+            for i in range(upto + 1)
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._read_manifest(version)
         dirs = m["data_dirs"]
+        reader = spark.read
+        if self._schema_evolved(m["version"]):
+            # additive evolution happened somewhere in this snapshot's
+            # history: merge footer schemas so pre-evolution files
+            # surface the new columns as NULL
+            reader = reader.option("mergeSchema", "true")
         if len(dirs) == 1 or not self.partition_columns():
-            return spark.read.parquet(*dirs)
+            return reader.parquet(*dirs)
         # hive-partitioned commit dirs are separate partition roots —
         # Spark refuses one multi-path read (CONFLICTING_DIRECTORY_
         # STRUCTURES), so union per-dir scans; a partition predicate
         # still pushes into EVERY branch (pruning preserved)
-        out = spark.read.parquet(dirs[0])
+        allow_missing = self._schema_evolved(m["version"])
+        out = reader.parquet(dirs[0])
         for d in dirs[1:]:
-            out = out.unionByName(spark.read.parquet(d))
+            out = out.unionByName(
+                reader.parquet(d), allowMissingColumns=allow_missing
+            )
         return out
 
     def vacuum(self) -> list[str]:

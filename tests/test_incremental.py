@@ -218,3 +218,38 @@ def test_append_rejects_schema_drift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="schema drift"):
         t.append(bad)
+
+
+def test_append_schema_evolution_opt_in(spark, tmp_path):
+    """allow_evolution=True turns additive drift into lakehouse schema
+    evolution: the snapshot read merges footers and pre-evolution rows
+    surface the new column as NULL; the default still rejects."""
+    t = VersionedTable(str(tmp_path / "tev"))
+    incremental_load(_src(spark, 0, 10), t, "wm")
+    evolved = _src(spark, 10, 20).withColumn("extra", F.col("k") * 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(evolved)
+    t.append(evolved, allow_evolution=True)
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "v", "wm", "extra"}
+    assert got.count() == 20
+    assert got.where(F.col("extra").isNull()).count() == 10  # old rows
+    assert got.where(F.col("extra") == 30).count() == 1  # k=15
+
+
+def test_read_as_of_time_travel(spark, tmp_path):
+    import time
+
+    t = VersionedTable(str(tmp_path / "ttt"))
+    incremental_load(_src(spark, 0, 10), t, "wm")
+    mid = time.time()
+    time.sleep(0.05)
+    incremental_load(_src(spark, 0, 30), t, "wm")
+    assert t.read_as_of(spark, mid).count() == 10       # v0 snapshot
+    assert t.read_as_of(spark, time.time()).count() == 30  # latest
+    import pytest
+
+    with pytest.raises(LookupError):
+        t.read_as_of(spark, 0.0)  # before the first commit
