@@ -5,13 +5,15 @@ production ETL framework has.
 The bookmark is the max value of a monotone watermark column over the
 rows ALREADY LOADED, and it is persisted in the versioned table's
 manifest — i.e. the bookmark and the data it describes become visible
-in the SAME atomic ``os.rename`` (sinks/table.py). That gives the
-exactly-once property without any extra coordination:
+in the SAME atomic manifest publish (``os.link`` fail-on-exists;
+sinks/table.py). That gives the exactly-once property without any
+extra coordination:
 
 * crash BEFORE the commit: the manifest (and so the bookmark) is
-  unchanged; the next run re-extracts the same rows and the orphaned
-  data dir is replaced wholesale (``_write_data`` crash-replay) — no
-  rows skipped, none visible twice.
+  unchanged; the next run re-extracts the same rows into a FRESH data
+  dir (each attempt owns a uuid-suffixed dir; the orphan is
+  unreachable and swept by ``vacuum``) — no rows skipped, none
+  visible twice.
 * crash AFTER the commit: the bookmark has advanced with the data; the
   next run's ``watermark > bookmark`` filter excludes everything the
   committed version already holds — no double-load.

@@ -5,18 +5,37 @@ and CDC compaction land somewhere durable.
 Layout::
 
     <root>/
-      data/commit-00000000/   part-*.parquet   (one dir per commit)
-      data/commit-00000001/   ...
+      data/commit-00000000-<uuid8>/  part-*.parquet  (one dir per commit)
+      data/commit-00000001-<uuid8>/  ...
       _manifests/v00000000.json                (one manifest per version)
-      _manifests/_latest                       (current version number)
+      _manifests/_latest                       (version CACHE, advisory)
 
 A manifest lists the data DIRECTORIES visible in that version, so a
 snapshot read is ``spark.read.parquet(*dirs)`` — parquet pushdown,
-pruning, and partitioned layouts all still apply. Commits are atomic:
-the manifest is written to a temp name and ``os.rename``d into place
-(atomic on POSIX), and ``_latest`` is swapped the same way; readers see
-either the old or the new version, never a half-commit. Old versions
-stay readable (time travel) until ``vacuum``.
+pruning, and partitioned layouts all still apply.
+
+Commit protocol (safe under CONCURRENT writers):
+
+* data dirs carry a per-attempt uuid suffix, so two in-flight writers
+  can never write into (or orphan-clean) each other's directory;
+* the manifest for version N is published with ``os.link(tmp, path)``
+  — atomic fail-on-exists on POSIX — so exactly ONE writer wins each
+  version and every loser gets ``CommitConflictError`` (the
+  check-then-``os.rename`` it replaces would silently clobber the
+  winner: rename replaces an existing destination);
+* the true latest version is derived by LISTING ``_manifests/`` (the
+  ``_latest`` file is only a cache, refreshed best-effort after each
+  publish) — a crash between manifest publish and cache refresh
+  self-heals on the next read instead of wedging the table;
+* ``append``/``merge``/``delete_where``/``compact`` retry on conflict
+  against a RE-READ snapshot (append re-lists the winner's dirs;
+  the copy-on-write ops recompute from the new base), giving
+  serializable last-writer-wins semantics with bounded retries.
+
+Readers see either the old or the new version, never a half-commit.
+Old versions stay readable (time travel) until ``vacuum``; data dirs
+abandoned by a crashed or conflicted writer are unreachable (no
+manifest references them) and are swept by ``vacuum`` too.
 
 Operations:
 
@@ -31,37 +50,78 @@ Operations:
 At 100 TB the copy-on-write merge rewrites the table — that's the
 simplest correct strategy (real Iceberg/Delta add file-level pruning &
 merge-on-read); partition the table and merge per-partition slices to
-bound rewrite cost.
+bound rewrite cost. The commit protocol above is exactly the
+Delta/Iceberg "optimistic concurrency + atomic metadata swap" shape,
+restricted to a filesystem with atomic link (POSIX); on object stores
+the link step maps to a conditional PUT.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
+_MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
+_DEFAULT_RETRIES = 3
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first. The losing
+    attempt's data dir is unreachable (vacuum sweeps it); retry
+    against a re-read snapshot or abort."""
 
 
 class VersionedTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, max_retries: int = _DEFAULT_RETRIES):
         self.root = root
         self._mdir = os.path.join(root, _MANIFEST_DIR)
+        self.max_retries = max_retries
 
     # ------------------------------ internals -----------------------------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._mdir, f"v{version:08d}.json")
 
     def _atomic_write(self, path: str, payload: str) -> None:
+        """Replace-on-exists atomic write — for the _latest CACHE only
+        (losing a race here is harmless: readers re-derive from the
+        manifest listing)."""
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)  # atomic on POSIX
+        os.rename(tmp, path)
+
+    def _publish(self, path: str, payload: str) -> None:
+        """Atomic FAIL-on-exists publish for manifests: os.link raises
+        FileExistsError if the destination exists (atomic on POSIX),
+        so concurrent writers of the same version get exactly one
+        winner — unlike os.rename, which silently replaces."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version already committed by a concurrent writer: {path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # durability: fsync the directory so the link survives a crash
+        dfd = os.open(self._mdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _commit(
         self,
@@ -77,21 +137,28 @@ class VersionedTable:
             "op": op,
             "data_dirs": dirs,
             # wall-clock commit stamp: powers read_as_of time travel.
-            # Taken immediately before the atomic rename, so stamps are
-            # monotone per table (single-writer, enforced by the
-            # version-exists check below).
+            # Taken immediately before the atomic publish; monotone per
+            # table even with concurrent writers, because the committer
+            # of version N+1 re-reads the manifest of N (published
+            # after N's stamp) before stamping its own.
             "committed_at": time.time(),
         }
         if meta:
             manifest["meta"] = meta
         os.makedirs(self._mdir, exist_ok=True)
-        path = self._manifest_path(version)
-        if os.path.exists(path):
-            raise RuntimeError(
-                f"version {version} already committed (concurrent writer?)"
-            )
-        self._atomic_write(path, json.dumps(manifest, indent=1))
-        self._atomic_write(os.path.join(self._mdir, _LATEST), str(version))
+        self._publish(
+            self._manifest_path(version), json.dumps(manifest, indent=1)
+        )
+        # best-effort cache refresh; never regress it (a slow writer of
+        # an older version must not roll the hint backwards)
+        try:
+            cached = self._cached_latest()
+            if cached is None or cached < version:
+                self._atomic_write(
+                    os.path.join(self._mdir, _LATEST), str(version)
+                )
+        except OSError:
+            pass  # cache only — latest_version() re-derives from listing
         return version
 
     def _read_manifest(self, version: int | None = None) -> dict:
@@ -107,16 +174,15 @@ class VersionedTable:
         version: int,
         partition_by: list[str] | None = None,
     ) -> str:
-        out = os.path.join(self.root, "data", f"commit-{version:08d}")
-        if os.path.exists(out) and not os.path.exists(
-            self._manifest_path(version)
-        ):
-            # orphan from a writer that died between data write and
-            # manifest commit — the version was never visible, so the
-            # retry replaces it wholesale (crash-replay safety)
-            import shutil
-
-            shutil.rmtree(out)
+        # uuid suffix: each ATTEMPT owns a fresh directory, so a
+        # concurrent writer can neither collide with it nor mistake it
+        # for its own orphan. Dirs abandoned by a crash or a lost
+        # commit race stay unreachable until vacuum.
+        out = os.path.join(
+            self.root,
+            "data",
+            f"commit-{version:08d}-{uuid.uuid4().hex[:8]}",
+        )
         w = df.write.mode("errorifexists")
         if partition_by:
             # hive-partitioned commit dirs: snapshot reads get partition
@@ -131,12 +197,33 @@ class VersionedTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def latest_version(self) -> int | None:
+    def _cached_latest(self) -> int | None:
         try:
             with open(os.path.join(self._mdir, _LATEST)) as f:
                 return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def latest_version(self) -> int | None:
+        """Highest committed version, derived from the manifest LISTING
+        (source of truth — manifests appear atomically via link). The
+        ``_latest`` file is only a cache: a writer that crashed between
+        manifest publish and cache refresh, or a stale cache left by a
+        concurrent writer, self-heals here instead of wedging the
+        table (next version would be recomputed too low and every
+        commit would conflict forever)."""
+        try:
+            names = os.listdir(self._mdir)
         except FileNotFoundError:
             return None
+        best = None
+        for n in names:
+            m = _MANIFEST_RE.fullmatch(n)
+            if m:
+                v = int(m.group(1))
+                if best is None or v > best:
+                    best = v
+        return best
 
     def history(self) -> list[dict]:
         v = self.latest_version()
@@ -147,7 +234,7 @@ class VersionedTable:
     def meta(self, version: int | None = None) -> dict:
         """Caller-attached metadata of a committed version (e.g. the
         incremental-extract watermark) — rides in the manifest, so it
-        became visible in the SAME atomic rename as the data."""
+        became visible in the SAME atomic publish as the data."""
         if not self.exists():
             return {}
         return self._read_manifest(version).get("meta", {})
@@ -164,7 +251,16 @@ class VersionedTable:
         m = dict(meta or {})
         if partition_by:
             m["partition_by"] = list(partition_by)
-        return self._commit([d], "create", 0, m or None)
+        try:
+            return self._commit([d], "create", 0, m or None)
+        except CommitConflictError:
+            # two concurrent creates: exactly one table exists, the
+            # loser surfaces the same error a sequential second create
+            # would have seen
+            raise RuntimeError(
+                f"table already exists at {self.root} "
+                f"(lost create race to a concurrent writer)"
+            ) from None
 
     def partition_columns(self) -> list[str]:
         """Partition layout recorded at create time (sticky: appends
@@ -201,9 +297,23 @@ class VersionedTable:
                     f"— pass allow_evolution=True for additive evolution"
                 )
             m["schema_evolved"] = True
-        v = cur["version"] + 1
-        d = self._write_data(df, v, self.partition_columns() or None)
-        return self._commit(cur["data_dirs"] + [d], "append", v, m or None)
+        # the batch's data dir is written ONCE; only the manifest is
+        # retried. An append does not depend on the base's CONTENT,
+        # just its dir list, so a conflict retry re-reads the winner's
+        # manifest and re-lists — no data rewrite.
+        d = self._write_data(
+            df, cur["version"] + 1, self.partition_columns() or None
+        )
+        for attempt in range(self.max_retries + 1):
+            v = cur["version"] + 1
+            try:
+                return self._commit(
+                    cur["data_dirs"] + [d], "append", v, m or None
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+                cur = self._read_manifest()
 
     def merge(
         self,
@@ -214,16 +324,26 @@ class VersionedTable:
     ) -> int:
         """Copy-on-write MERGE: update rows win on key collision, new
         keys are inserted (upsert semantics; ``version_col`` breaks ties
-        inside a non-key-unique updates batch)."""
+        inside a non-key-unique updates batch). On commit conflict the
+        merge is RECOMPUTED against the winner's snapshot (unlike
+        append, the output depends on the base's content), so
+        concurrent merges serialize."""
         from python_etl_spark.operators.upsert import upsert
 
-        cur = self._read_manifest()
         spark = updates.sparkSession
-        base = self.read(spark, cur["version"])
-        merged = upsert(base, updates.select(*base.columns), keys, version_col)
-        v = cur["version"] + 1
-        d = self._write_data(merged, v, self.partition_columns() or None)
-        return self._commit([d], "merge", v, meta)
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            base = self.read(spark, cur["version"])
+            merged = upsert(
+                base, updates.select(*base.columns), keys, version_col
+            )
+            v = cur["version"] + 1
+            d = self._write_data(merged, v, self.partition_columns() or None)
+            try:
+                return self._commit([d], "merge", v, meta)
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     def compact(self, spark: SparkSession | None = None) -> int:
         """Rewrite the current snapshot into ONE commit dir (keeping
@@ -233,31 +353,44 @@ class VersionedTable:
         thousands. Periodic compaction (exactly Iceberg/Delta rewrite)
         resets that to a single scan; the bookmark metadata of the
         latest version is carried forward so incremental loads are
-        unaffected."""
-        cur = self._read_manifest()
+        unaffected. Conflict retry recomputes from the new snapshot
+        (the interleaved commit's rows must not be lost)."""
         spark = spark or SparkSession.getActiveSession()
-        base = self.read(spark, cur["version"])
-        v = cur["version"] + 1
-        d = self._write_data(base, v, self.partition_columns() or None)
-        return self._commit([d], "compact", v, cur.get("meta"))
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            base = self.read(spark, cur["version"])
+            v = cur["version"] + 1
+            d = self._write_data(base, v, self.partition_columns() or None)
+            try:
+                return self._commit([d], "compact", v, cur.get("meta"))
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the snapshot without matching
-        rows. ``condition`` is a Column predicate."""
-        cur = self._read_manifest()
+        rows. ``condition`` is a Column predicate. Conflict retry
+        recomputes against the winner's snapshot."""
         spark = SparkSession.getActiveSession()
-        base = self.read(spark, cur["version"])
-        v = cur["version"] + 1
-        d = self._write_data(
-            base.where(~condition), v, self.partition_columns() or None
-        )
-        return self._commit([d], "delete", v)
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            base = self.read(spark, cur["version"])
+            v = cur["version"] + 1
+            d = self._write_data(
+                base.where(~condition), v, self.partition_columns() or None
+            )
+            try:
+                return self._commit([d], "delete", v)
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time travel by wall clock: the snapshot of the LAST version
         committed at or before ``ts`` (epoch seconds). Commit stamps
-        are monotone (single-writer), so this is a reverse scan over
-        the manifest history."""
+        are monotone (each committer re-reads its predecessor before
+        stamping), so this is a reverse scan over the manifest
+        history."""
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -299,8 +432,11 @@ class VersionedTable:
         return out
 
     def vacuum(self) -> list[str]:
-        """Drop data dirs unreachable from the LATEST version (ends time
-        travel for older versions). Returns removed dirs."""
+        """Drop data dirs unreachable from the LATEST version: ends
+        time travel for older versions and sweeps dirs abandoned by
+        crashed or commit-losing writers. Offline maintenance — do not
+        run concurrently with in-flight writers (their not-yet-
+        committed dir looks unreachable). Returns removed dirs."""
         import shutil
 
         live = set(self._read_manifest()["data_dirs"])
