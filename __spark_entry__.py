@@ -119,8 +119,31 @@ _R04_CHECKED = frozenset(
     ]
 )
 
+_R05_CHECKED = frozenset(
+    [
+        "dedup_method_agreement", "emb_random_projection", "etl_analyze_table",
+        "etl_bloom_semi_join", "etl_gdpr_forget", "etl_zorder_code",
+        "events_audience_overlap", "events_out_of_order_stats",
+        "events_peak_concurrency", "graph_degree_stats", "graph_pagerank",
+        "mm_payload_dedup", "stream_dedup_batch_equiv", "text_langid_confusion",
+        "text_perplexity_buckets", "text_quality_linear_score",
+        "text_segment_dedup", "dedup_embedding_lsh", "dedup_minhash_lsh",
+        "dedup_simhash", "emb_pca_variance", "etl_approx_quantiles",
+        "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_pq",
+        "text_cms_topk",
+    ]
+)
+
+_R06_CHECKED = frozenset(
+    [
+        "etl_incremental_load", "etl_zorder3_code", "text_window_dup_fraction",
+        "events_audience_overlap_hll",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
+    | _R05_CHECKED | _R06_CHECKED
 )
 
 

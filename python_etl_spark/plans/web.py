@@ -1,0 +1,404 @@
+"""Web-crawl curation plans: URL canonicalization / host-level dedup /
+blocklist filtering, HTML→text extraction, and BPE token accounting —
+the round-7 additions closing the crawl-pipeline staples (the steps a
+real training-data pipeline runs BEFORE the text suite sees clean
+``documents.text``).
+
+URLs and HTML are constructed deterministically in-plan from doc_id /
+text (the same non-vacuous pattern as ``mm_header_probe``): the oracle
+recomputes the full build→canonicalize/extract round-trip in SQL, so a
+hash match proves the Spark-side arithmetic, not a fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_spark.operators.bpe import (
+    corpus_word_counts,
+    doc_token_counts,
+    train_bpe,
+)
+from python_etl_spark.operators.html import html_extract_col
+from python_etl_spark.plans.common import register
+from python_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------- URL construction -------------------------------
+#
+# Deterministic synthetic crawl URLs over the documents table: mixed
+# case (scheme+host are case-insensitive per RFC 3986, paths are not),
+# default ports, www prefixes, tracking queries, and fragments — the
+# canonicalizer must strip all of it. doc_id % 40 paths make true
+# duplicates across hosts' pages.
+
+_HOSTS = [
+    "WWW.Example.COM",
+    "news.example.com:443",
+    "Blog.example.org",
+    "cdn.example.net",
+]
+
+_URL_SQL = """
+  'HTTPS://' || CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'WWW.Example.COM'
+      WHEN 1 THEN 'news.example.com:443'
+      WHEN 2 THEN 'Blog.example.org'
+      ELSE 'cdn.example.net' END
+  || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END
+"""
+
+# canonicalization (identical string ops both engines):
+#   1. cut fragment, 2. cut tracking-only query, 3. host = lowered
+#   authority minus :443 default port minus www. prefix, 4. rebuild
+#   https://host/path
+_HOST_RE = "^[A-Za-z]+://([^/?#]+)"
+_PATH_RE = "^[A-Za-z]+://[^/?#]+([^?#]*)"
+
+_CANON_SQL = f"""
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(url, '{_HOST_RE}', 1)),
+                     ':443$', ''),
+      '^www\\.', '') AS host,
+    regexp_extract(url, '{_PATH_RE}', 1) AS path
+  FROM urls)
+"""
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HOSTS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_HOSTS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_HOSTS[2]))
+        .otherwise(F.lit(_HOSTS[3]))
+    )
+    url = F.concat(
+        F.lit("HTTPS://"),
+        host,
+        F.lit("/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _canonical(urls: DataFrame) -> DataFrame:
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", _HOST_RE, 1)), ":443$", ""
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_extract("url", _PATH_RE, 1)
+    return urls.select("doc_id", host.alias("host"), path.alias("path"))
+
+
+@register(
+    "etl_url_host_dedup",
+    oracle=f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+{_CANON_SQL}
+SELECT host, 'https://' || host || path AS canon_url,
+  MIN(doc_id) AS keep_doc_id,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM canon
+GROUP BY host, path
+""",
+)
+def etl_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/path-level keep-first dedup — the
+    crawl-frontier staple: scheme/host case, default :443 port, www.
+    prefix, tracking query, and fragment are all non-identity, so
+    'HTTPS://WWW.Example.COM/docs/7?utm_source=feed#sec2' and
+    'https://example.com/docs/7' are the same page. One shuffle (the
+    keep-first groupBy on the canonical key); canonicalization itself
+    is zero-shuffle codegen string ops. At 100 TB the canonical key is
+    the natural hash-partition key — the dedup is the same
+    hash-partitioned keep-first as dedup_exact."""
+    c = _canonical(_urls(spark, sf_dir))
+    return c.groupBy("host", "path").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+    ).select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias(
+            "canon_url"
+        ),
+        "keep_doc_id",
+        "n_dups",
+    )
+
+
+_BLOCKLIST = ["example.org", "cdn.example.net"]
+
+
+@register(
+    "etl_url_blocklist_filter",
+    oracle=f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+{_CANON_SQL},
+bl AS (SELECT * FROM (VALUES ('example.org'), ('cdn.example.net'))
+       AS t(domain))
+SELECT c.doc_id, c.host, 'https://' || c.host || c.path AS canon_url
+FROM canon c
+WHERE NOT EXISTS (
+  SELECT 1 FROM bl
+  WHERE c.host = bl.domain OR c.host LIKE '%.' || bl.domain)
+""",
+)
+def etl_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filter with registered-domain suffix matching:
+    blocking 'example.org' must drop 'blog.example.org' too (host
+    equality OR dot-boundary suffix — plain LIKE '%example.org' would
+    also kill 'notexample.org'). The blocklist rides as a broadcast
+    anti join, so the fact side streams through one
+    BroadcastNestedLoopJoin with zero shuffles — the correct shape for
+    a list of 10^4 domains against 10^10 URLs; beyond that, flip to an
+    equi anti join on the extracted registered domain."""
+    c = _canonical(_urls(spark, sf_dir))
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST], "domain string")
+    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
+        F.concat(F.lit("."), F.col("domain"))
+    )
+    return c.join(F.broadcast(bl), cond, "left_anti").select(
+        "doc_id",
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias(
+            "canon_url"
+        ),
+    )
+
+
+# --------------------------- HTML extraction ------------------------------
+#
+# Deterministic synthetic pages: head with style+script (must be
+# dropped), nav/footer made of links (boilerplate — link density ~0.9),
+# an h1 and a body paragraph (the real text), an ad block on every 3rd
+# doc (pure-link line) and an entity-bearing tail paragraph on every
+# 7th. The oracle predicts the full extraction arithmetic from `text`.
+
+_HTML_SQL = """
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+  || '</title><style>p{margin:0}</style><script>var x=1;</script></head>'
+  || '<body><nav><a href="/">home</a> <a href="/t">tags</a> '
+  || '<a href="/a">about</a></nav>'
+  || '<h1>' || upper(substr(text, 1, 10)) || '</h1>'
+  || '<p>' || text || '</p>'
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<div class="ad"><a href="/buy">buy now great offer</a></div>'
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN '<p>tail &amp; more</p>' ELSE '' END
+  || '<footer><a href="/p">privacy</a> <a href="/c">contact</a></footer>'
+  || '</body></html>'
+"""
+
+
+def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{margin:0}</style><script>var x=1;</script>"
+            "</head><body>"
+            '<nav><a href="/">home</a> <a href="/t">tags</a> '
+            '<a href="/a">about</a></nav>'
+            "<h1>"
+        ),
+        F.upper(F.substring("text", 1, 10)),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<div class="ad"><a href="/buy">buy now great offer</a>'
+                  "</div>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("<p>tail &amp; more</p>")
+        ).otherwise(F.lit("")),
+        F.lit(
+            '<footer><a href="/p">privacy</a> <a href="/c">contact</a>'
+            "</footer></body></html>"
+        ),
+    )
+    return docs.select("doc_id", "text", html.alias("html"))
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+SELECT doc_id,
+  -- trim: the extractor whitespace-normalizes each line, so an h1
+  -- whose 10-char prefix ends mid-space loses the trailing blank
+  trim(upper(substr(text, 1, 10))) || chr(10) || text
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'tail & more' ELSE '' END
+    AS extracted_text,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END AS INT) AS n_kept,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS INT) AS n_dropped,
+  CAST(strlen(trim(upper(substr(text, 1, 10))) || chr(10) || text
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'tail & more' ELSE '' END)
+    AS INT) AS n_extracted_chars
+FROM documents
+""",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators/html.py): stdlib-parser Arrow
+    UDF drops head/script/style, splits block-level lines, decodes
+    entities, and kills boilerplate lines by link density (nav, footer,
+    and the doc_id%3 ad block all exceed 0.5; the h1, the body
+    paragraph, and the doc_id%7 entity tail survive). The oracle
+    reconstructs the exact surviving text from `text` in SQL, so the
+    hash check proves the whole parse→filter pipeline. Zero shuffles —
+    a pure Arrow map stage, the 100 TB crawl-extraction shape."""
+    h = _html_docs(spark, sf_dir)
+    out = h.select(
+        "doc_id", html_extract_col("html", max_link_density=0.5).alias("e")
+    )
+    return out.select(
+        "doc_id",
+        F.col("e.extracted_text").alias("extracted_text"),
+        F.col("e.n_kept").alias("n_kept"),
+        F.col("e.n_dropped").alias("n_dropped"),
+        F.length("e.extracted_text").cast("int").alias("n_extracted_chars"),
+    )
+
+
+# ----------------------------- BPE tokens ---------------------------------
+
+_BPE_K = 24  # merges in the single-round checked twin
+_BPE_TRAIN_MERGES = 32  # merges in the fully-trained variant
+
+
+@register(
+    "text_bpe_tokens_checked",
+    oracle=f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+types AS (
+  SELECT w, SUM(n) AS c FROM per_doc GROUP BY w
+),
+syms AS (
+  SELECT w, c, list_append(string_split(w, ''), '</w>') AS cs FROM types
+),
+pairs AS (
+  SELECT cs[i] AS a, cs[i + 1] AS b, SUM(c) AS cnt
+  FROM syms,
+    (SELECT unnest(generate_series(1,
+        (SELECT MAX(len(cs)) FROM syms))) AS i)
+  WHERE i < len(cs)
+  GROUP BY cs[i], cs[i + 1]
+),
+merges AS (
+  SELECT a, b, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS mr
+  FROM pairs QUALIFY mr <= {_BPE_K}
+),
+apply AS (
+  SELECT w,
+    ' ' || array_to_string(list_append(string_split(w, ''), '</w>'), ' ')
+        || ' ' AS s,
+    1 AS r
+  FROM types
+  UNION ALL
+  SELECT apply.w,
+    CASE WHEN instr(s, ' ' || a || ' ' || b || ' ') > 0
+      THEN substr(s, 1, instr(s, ' ' || a || ' ' || b || ' ') - 1)
+           || ' ' || a || b || ' '
+           || substr(s, instr(s, ' ' || a || ' ' || b || ' ')
+                        + length(' ' || a || ' ' || b || ' '))
+      ELSE s END,
+    CASE WHEN instr(s, ' ' || a || ' ' || b || ' ') > 0
+      THEN apply.r ELSE apply.r + 1 END
+  FROM apply JOIN merges ON merges.mr = apply.r
+  WHERE apply.r <= {_BPE_K}
+),
+type_tokens AS (
+  SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS INT)
+    AS w_tokens
+  FROM apply WHERE r = {_BPE_K} + 1
+)
+SELECT p.doc_id,
+  CAST(SUM(p.n) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(p.n * t.w_tokens) AS BIGINT) AS n_bpe_tokens
+FROM per_doc p JOIN type_tokens t ON t.w = p.w
+GROUP BY p.doc_id
+""",
+)
+def text_bpe_tokens_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bpe_tokens' plan shape with the ITERATIVE merge training
+    (not SQL-expressible: each round's pair counts depend on the
+    previous merges) swapped for a single-round merge table — the top
+    K adjacent symbol pairs of the initial char representation by
+    corpus frequency, ties (count desc, pair lex) — which DuckDB CAN
+    compute, and whose APPLICATION the oracle replays exactly with a
+    recursive CTE (rank-order, exhaustive leftmost replacement — the
+    same spec operators/bpe.py implements). Same plan shape as the
+    trained variant: one corpus shuffle for (doc, word) counts, Arrow
+    tokenization over the tiny distinct-types frame, broadcast join
+    back, grouped sum — fully hash-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+", -1)).alias("w")
+    ).where(F.col("w") != "")
+    per_doc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    # single-round pair counts over word TYPES (weighted by frequency)
+    types = per_doc.groupBy("w").agg(F.sum("n").alias("c"))
+    cs = F.concat(F.split("w", "", -1), F.array(F.lit("</w>")))
+    pairs = (
+        types.select("c", cs.alias("cs"))
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1), "
+                    "i -> struct(cs[i - 1] AS a, cs[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(_BPE_K)
+        .collect()  # bounded model state: exactly K merge rows
+    )
+    merges = [(r["a"], r["b"]) for r in pairs]
+    out = doc_token_counts(docs, merges)
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register("text_bpe_tokens")  # rows-only: iterative training isn't SQL
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mini-BPE token accounting: train 32 merges with the full
+    iterative Sennrich loop (pair counts recomputed after every merge,
+    deterministic tie-break) over the aggregated (word, count) type
+    table, broadcast the merge table, tokenize distinct types with the
+    Arrow UDF, and roll token counts up per document. Rows-only at the
+    driver (the iterative training is not SQL-expressible); exactness
+    is pytest-pinned against a pure-Python reference and the
+    hash-checked `text_bpe_tokens_checked` twin covers the identical
+    apply/rollup plan. The corpus is touched by ONE shuffle; training
+    and tokenization run on the Zipf-bounded type table."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(corpus_word_counts(docs), _BPE_TRAIN_MERGES)
+    out = doc_token_counts(docs, merges)
+    return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")

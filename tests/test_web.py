@@ -1,0 +1,216 @@
+"""Round-7 web-curation operators: HTML extraction edge cases, BPE
+train/apply properties + the exact pytest oracle for the rows-only
+`text_bpe_tokens`, and URL canonicalization invariants."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from python_etl_spark.operators.bpe import (
+    EOW,
+    apply_bpe,
+    corpus_word_counts,
+    doc_token_counts,
+    train_bpe,
+)
+from python_etl_spark.operators.html import extract_text
+from python_etl_spark.plans import QUERIES
+from python_etl_spark.sources.tables import load_table
+
+
+# ----------------------------- HTML ---------------------------------------
+def test_html_extract_drops_head_script_style():
+    html = (
+        "<html><head><title>T</title><style>p{}</style>"
+        "<script>var x='<p>not text</p>';</script></head>"
+        "<body><p>real</p></body></html>"
+    )
+    assert extract_text(html) == ("real", 1, 0)
+
+
+def test_html_extract_link_density_boilerplate():
+    html = (
+        '<body><nav><a href="/">home</a> <a href="/x">about</a></nav>'
+        "<p>a long paragraph with one <a href='/l'>link</a> inside</p>"
+        '<footer><a href="/p">privacy</a></footer></body>'
+    )
+    text, kept, dropped = extract_text(html)
+    assert text == "a long paragraph with one link inside"
+    assert (kept, dropped) == (1, 2)
+
+
+def test_html_extract_inline_vs_block_and_entities():
+    html = (
+        "<body><p>a<b>b</b>c &amp; d&#39;e</p>"
+        "<div>x</div><h2>y</h2>z trailing</body>"
+    )
+    # inline <b> keeps the line together; entities decode; the data
+    # after the last block closes with </body>
+    assert extract_text(html) == ("abc & d'e\nx\ny\nz trailing", 4, 0)
+
+
+def test_html_extract_malformed_and_empty():
+    assert extract_text("") == ("", 0, 0)
+    assert extract_text(None) == ("", 0, 0)
+    # unclosed tags, stray close tags, comments, uppercase tag names
+    text, kept, dropped = extract_text(
+        "<body><!-- c --><P>one</stray><p>two<br>three"
+    )
+    assert text == "one\ntwo\nthree"
+    assert (kept, dropped) == (3, 0)
+
+
+def test_html_extract_whitespace_normalization():
+    assert extract_text("<body><p>  a   b\n\tc  </p></body>") == (
+        "a b c", 1, 0
+    )
+
+
+def test_html_extract_nested_skip_and_links():
+    html = (
+        "<body><div><script>a</script>kept <a href='x'>l</a></div>"
+        "<div><a href='y'>only link text here</a></div></body>"
+    )
+    text, kept, dropped = extract_text(html)
+    assert text == "kept l"
+    assert (kept, dropped) == (1, 1)
+
+
+# ------------------------------ BPE ----------------------------------------
+def _ref_tokenize(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent reference: classic lowest-rank-first application
+    (re-scan for the best-ranked applicable pair after every merge) —
+    must agree with the rank-order-exhaustive spec."""
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(word) + [EOW]
+    while True:
+        best, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            return syms
+        a, b = syms[best_i], syms[best_i + 1]
+        syms[best_i : best_i + 2] = [a + b]
+
+
+def test_bpe_train_deterministic_and_tiebreak():
+    wc = [("ab", 2), ("ba", 2), ("aa", 1)]
+    m1 = train_bpe(wc, 3)
+    m2 = train_bpe(list(reversed(wc)), 3)
+    assert m1 == m2
+    # four-way count tie -> lexicographic minimum pair must win
+    assert train_bpe([("ab", 2), ("cd", 2)], 1) == [("a", "b")]
+
+
+def test_bpe_apply_matches_lowest_rank_first_reference():
+    wc = [("the", 10), ("then", 4), ("thin", 3), ("tin", 2), ("aaa", 5)]
+    merges = train_bpe(wc, 8)
+    for w in ["the", "then", "thin", "tin", "aaa", "aaaa", "thethe", "x"]:
+        assert apply_bpe(w, merges) == _ref_tokenize(w, merges), w
+
+
+def test_bpe_roundtrip_detokenization():
+    merges = train_bpe([("hello", 3), ("help", 2), ("world", 4)], 10)
+    for w in ["hello", "help", "world", "held", "lphe"]:
+        assert "".join(apply_bpe(w, merges)).replace(EOW, "") == w
+
+
+def test_bpe_repeated_symbol_leftmost():
+    # ' a a a ' with merge (a,a): leftmost-first gives [aa, a</w>]
+    assert apply_bpe("aaa", [("a", "a")]) == ["aa", "a", EOW]
+    assert apply_bpe("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa", EOW]
+
+
+def test_bpe_tokens_exact_vs_python_reference(spark, sf_dir):
+    """The EXACT pytest oracle for the rows-only `text_bpe_tokens`:
+    replicate training + application + rollup in pure Python over the
+    same parquet and require identical (doc_id, counts) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in QUERIES["text_bpe_tokens"](spark, sf_dir).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+    types: Counter = Counter()
+    perdoc: dict[int, Counter] = {}
+    for r in rows:
+        ws = [w for w in re.split(r"\s+", r["text"]) if w]
+        perdoc[r["doc_id"]] = Counter(ws)
+        types.update(ws)
+    merges = train_bpe(sorted(types.items()), 32)
+    tok = {w: len(apply_bpe(w, merges)) for w in types}
+    want = {
+        did: (
+            sum(c.values()),
+            sum(n * tok[w] for w, n in c.items()),
+        )
+        for did, c in perdoc.items()
+    }
+    assert got == want
+
+
+def test_bpe_trained_compresses_more_than_single_round(spark, sf_dir):
+    """The iteratively-trained table (32 merges incl. multi-symbol)
+    must beat the single-round twin (24 first-order merges) on total
+    corpus tokens — the reason to train at all."""
+    trained = QUERIES["text_bpe_tokens"](spark, sf_dir).agg(
+        F.sum("n_bpe_tokens")
+    ).first()[0]
+    single = QUERIES["text_bpe_tokens_checked"](spark, sf_dir).agg(
+        F.sum("n_bpe_tokens")
+    ).first()[0]
+    assert trained < single
+
+
+def test_doc_token_counts_python_stage_is_type_bounded(spark):
+    """The Arrow UDF must run over distinct word TYPES, not the token
+    stream: with a 3-type corpus duplicated across many rows, the
+    tokenizer sees exactly 3 inputs."""
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa cc") for i in range(50)], "doc_id long, text string"
+    )
+    out = doc_token_counts(docs, [("a", "a")]).collect()
+    assert len(out) == 50
+    for r in out:
+        # aa -> [aa,</w>]=2, bb -> 3, cc -> 3; ws=4, bpe=2+3+2+3
+        assert (r["n_ws_tokens"], r["n_bpe_tokens"]) == (4, 10)
+
+
+def test_corpus_word_counts_sorted_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(0, "b a b"), (1, "a c")], "doc_id long, text string"
+    )
+    assert corpus_word_counts(docs) == [("a", 2), ("b", 2), ("c", 1)]
+
+
+# ------------------------------ URLs ---------------------------------------
+def test_url_host_dedup_invariants(spark, sf_dir):
+    rows = QUERIES["etl_url_host_dedup"](spark, sf_dir).collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    # canonical space: 4 hosts x 40 paths (sf-capped), all lowercase,
+    # no port, no www, no query/fragment residue
+    assert 0 < len(rows) <= 160
+    assert sum(r.n_dups + 1 for r in rows) == docs_n
+    for r in rows:
+        assert r.host == r.host.lower()
+        assert ":" not in r.host and not r.host.startswith("www.")
+        assert "?" not in r.canon_url and "#" not in r.canon_url
+        assert r.canon_url == f"https://{r.host}" + r.canon_url.removeprefix(
+            f"https://{r.host}"
+        )
+
+
+def test_url_blocklist_suffix_matching(spark, sf_dir):
+    kept = QUERIES["etl_url_blocklist_filter"](spark, sf_dir).collect()
+    hosts = {r.host for r in kept}
+    # example.org blocked incl. subdomain; cdn.example.net blocked
+    assert "blog.example.org" not in hosts
+    assert "cdn.example.net" not in hosts
+    # example.com survives (blocklist holds example.ORG, not .com)
+    assert hosts == {"example.com", "news.example.com"}
