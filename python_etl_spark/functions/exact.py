@@ -20,6 +20,17 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division a // b for NON-NEGATIVE decimal-integer
+    columns (b > 0): ``(a - a % b) / b``. Decimal remainder is exact,
+    so the division's numerator is exactly divisible and the quotient
+    an exactly-representable integer — no rounded-quotient-then-floor
+    divergence (Spark rounds decimal quotients to a finite scale; a
+    true quotient within half an ulp of an integer would flip
+    ``floor``). Matches DuckDB's native integral ``//``."""
+    return ((a - a % b) / b).cast("decimal(38,0)")
+
+
 def dsum(col: str | Column, scale: int = 6, prec: int = 28) -> Column:
     """Order-independent exact sum of a float column, returned as double."""
     return F.sum(_c(col).cast(f"decimal({prec},{scale})")).cast("double")
@@ -58,18 +69,21 @@ def dmean(col: str | Column, scale: int = 6, prec: int = 28) -> Column:
     DOUBLE, so both engines produce the identical double. SQL twin:
     dmean_sql.
 
-    Caveat: Spark evaluates the integer division as decimal division +
-    floor, whose quotient is itself rounded at scale >= 6 — exact while
-    the group has < 10^6 rows (the quotient then sits >= 1e-6 away from
-    any integer); beyond that the guarantee degrades to ±1 final unit."""
+    The integer division is computed EXACTLY via ``(a - a % b) / b``
+    (decimal remainder is exact, so the division's operand is exactly
+    divisible and its integer quotient representable) — unlike
+    ``floor(a / b)``, whose decimal quotient Spark first rounds to a
+    finite scale, flipping the floor when the true quotient sits within
+    half an ulp of an integer. No group-size bound needed; DuckDB's
+    ``//`` twin is integral division natively."""
     unit = 10**scale
     s = (F.sum(_c(col).cast(f"decimal({prec},{scale})")) * unit).cast(
         f"decimal({prec},0)"
     )
     n = F.count(_c(col)).cast(f"decimal({prec},0)")
     two_n = n * 2
-    pos = F.floor((s * 2 + n) / two_n)
-    neg = -F.floor((s * -2 + n) / two_n)
+    pos = _idiv(s * 2 + n, two_n)
+    neg = -_idiv(s * -2 + n, two_n)
     return (
         F.when(s < 0, neg).otherwise(pos).cast("double") / F.lit(float(unit))
     )
@@ -99,11 +113,13 @@ def dround_div(
     The integer lift recovers value*10^in_scale via ROUND(x, 0) on the
     double — exact while |value| < ~10^8 at in_scale 6 (the double's
     ulp error stays below half an integer unit). For larger magnitudes
-    pass a smaller in_scale that still makes the inputs exact."""
+    pass a smaller in_scale that still makes the inputs exact. The
+    integer division itself is exact (``_idiv``, not floor-of-rounded
+    -quotient), so no denominator-magnitude bound applies."""
     u_in, u_out = 10**in_scale, 10**scale
     p = F.round(_c(num) * u_in, 0).cast("decimal(38,0)") * u_out
     q = F.round(_c(den) * u_in, 0).cast("decimal(38,0)")
-    mag = F.floor((F.abs(p) * 2 + F.abs(q)) / (F.abs(q) * 2))
+    mag = _idiv(F.abs(p) * 2 + F.abs(q), F.abs(q) * 2)
     sign = F.when((p < 0) != (q < 0), F.lit(-1)).otherwise(F.lit(1))
     return (sign * mag).cast("double") / F.lit(float(u_out))
 

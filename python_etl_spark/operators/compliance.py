@@ -23,31 +23,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ForgetResult:
+    """(cleaned, audit) pair that still owns its persisted parents.
+
+    Unpacks like the historical 2-tuple (``cleaned, audit = ...``),
+    and exposes ``release()`` to unpersist the per-table flagged
+    caches once both outputs are consumed — without it, repeated
+    deletion runs in one session would accumulate MEMORY_AND_DISK
+    cache indefinitely (the parents are internal, so callers could
+    not unpersist them by hand)."""
+
+    def __init__(self, cleaned, audit, parents):
+        self.cleaned = cleaned
+        self.audit = audit
+        self._parents = parents
+
+    def __iter__(self):
+        return iter((self.cleaned, self.audit))
+
+    def release(self, blocking: bool = False) -> None:
+        for p in self._parents:
+            p.unpersist(blocking=blocking)
+
+
 def forget_keys(
     tables: dict[str, tuple[DataFrame, str]],
     tombstones: DataFrame,
     tombstone_col: str | None = None,
-) -> tuple[dict[str, DataFrame], DataFrame]:
+) -> ForgetResult:
     """Apply a deletion list across tables.
 
     ``tables`` maps table name -> (frame, key column); ``tombstones``
     is a one-column frame of keys to forget (or pass ``tombstone_col``
-    to pick one). Returns (cleaned frames by name, audit frame with
-    columns table/rows_before/rows_dropped/rows_after).
+    to pick one). Returns a ``ForgetResult`` — unpacks as (cleaned
+    frames by name, audit frame with columns table/rows_before/
+    rows_dropped/rows_after), and ``release()`` drops the internal
+    caches when done.
 
     Both outputs for a table are views over one persisted flagged
     frame: whichever is evaluated first materializes the cache, and
     the other reads the same snapshot — a concurrently-mutating
     source cannot make the audit attest counts the cleaned frame
-    didn't see. The caches are MEMORY_AND_DISK (spill-safe); callers
-    done with both outputs may ``.unpersist()`` the cleaned frames'
-    parent via ``cleaned[name]`` lineage or just let the session
-    evict them."""
+    didn't see. The caches are MEMORY_AND_DISK (spill-safe)."""
     tcol = tombstone_col or tombstones.columns[0]
+    clash = {"__forget", "__hit"}.intersection(
+        c for _, (df, _) in tables.items() for c in df.columns
+    )
+    if clash:
+        # the marker columns would silently collide (drop/filter the
+        # user's column instead of ours) — fail loudly with names
+        raise ValueError(
+            f"forget_keys reserves column names {sorted(clash)}; "
+            f"rename them in the input tables"
+        )
     tomb = tombstones.select(F.col(tcol).alias("__forget")).distinct()
 
     cleaned: dict[str, DataFrame] = {}
     audits = []
+    parents = []
     for name, (df, key) in tables.items():
         flagged = (
             df.join(tomb, df[key] == tomb["__forget"], "left")
@@ -55,6 +88,7 @@ def forget_keys(
             .drop("__forget")
             .persist()
         )
+        parents.append(flagged)
         cleaned[name] = flagged.where(~F.col("__hit")).drop("__hit")
         audits.append(
             flagged.agg(
@@ -71,4 +105,4 @@ def forget_keys(
     audit = audits[0]
     for a in audits[1:]:
         audit = audit.unionByName(a)
-    return cleaned, audit
+    return ForgetResult(cleaned, audit, parents)

@@ -96,11 +96,27 @@ def parse_kafka_records(
         F.col("timestamp").alias("broker_ts"),
         F.from_json(F.col("value").cast("string"), payload_schema).alias("p"),
     )
-    ts = (
-        F.coalesce(F.col(f"p.{ts_from_payload}"), F.col("broker_ts"))
-        if ts_from_payload
-        else F.col("broker_ts")
-    )
+    if ts_from_payload:
+        # the payload field must already BE a timestamp: coalescing a
+        # string/long against the broker timestamp would coerce both
+        # sides and silently emit a non-timestamp `ts`, breaking the
+        # advertised withWatermark readiness downstream
+        from pyspark.sql.types import TimestampType
+
+        ptype = dict(
+            (f.name, f.dataType)
+            for f in parsed.schema["p"].dataType.fields
+        ).get(ts_from_payload)
+        if not isinstance(ptype, TimestampType):
+            raise TypeError(
+                f"ts_from_payload column {ts_from_payload!r} is "
+                f"{ptype} — declare it TIMESTAMP in payload_schema "
+                f"(e.g. 'ts TIMESTAMP'), or convert epoch fields with "
+                f"timestamp_seconds/millis before watermarking"
+            )
+        ts = F.coalesce(F.col(f"p.{ts_from_payload}"), F.col("broker_ts"))
+    else:
+        ts = F.col("broker_ts")
     fields = parsed.schema["p"].dataType.names
     payload_cols = [
         F.col(f"p.{f}") for f in fields if f != ts_from_payload

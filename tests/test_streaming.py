@@ -741,6 +741,27 @@ def test_parse_kafka_records_wire_schema(spark):
     assert poison.user_id is None  # kept, not dropped
     assert poison.ts == bts  # falls back to broker timestamp
 
+
+def test_parse_kafka_records_rejects_non_timestamp_ts(spark):
+    """Declaring the payload event-time field as a non-timestamp type
+    must fail loudly: coalescing a string epoch against the broker
+    timestamp would silently emit a non-timestamp `ts` and break
+    withWatermark downstream."""
+    import datetime
+
+    import pytest
+
+    from python_etl_spark.streaming.bus import parse_kafka_records
+
+    raw = spark.createDataFrame(
+        [("t", 0, 0, datetime.datetime(2024, 1, 1), b'{"ts": "1704100000"}')],
+        "topic string, partition int, offset long, "
+        "timestamp timestamp, value binary",
+    )
+    with pytest.raises(TypeError, match="TIMESTAMP"):
+        parse_kafka_records(raw, "ts string", ts_from_payload="ts")
+
+
 def test_rate_source_through_dedup_window_pipeline(spark, tmp_path):
     """End-to-end bus-shaped pipeline on the built-in rate source (the
     broker stand-in): rate rows -> at-least-once duplicated event shape
