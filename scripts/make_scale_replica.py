@@ -128,7 +128,59 @@ def replicate(
         ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
+def skew_replicate(
+    spark, src: str, out: str, hot_copies: int = 8, hot_keys: int = 1
+) -> list[int]:
+    """Zipfian-head skew replica for the skew-join rehearsal: orders is
+    copied unchanged; lineitem gains ``hot_copies`` extra full copies,
+    copy j remapped ENTIRELY onto hot key ``j % hot_keys`` (the
+    smallest existing orderkeys) — so a handful of head keys each carry
+    multiples of |lineitem| rows while the tail keeps its natural ~4.
+    This is the shape that melts an unassisted sort-merge join (one
+    reducer owns a head key) and that AQE skew-split / salting exist
+    to fix. Returns the hot keys."""
+    from python_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, src, "lineitem")
+    orders = load_table(spark, src, "orders")
+    hot = [
+        r["l_orderkey"]
+        for r in li.select("l_orderkey").distinct().orderBy("l_orderkey")
+        .limit(hot_keys).collect()
+    ]
+    skewed = li
+    for j in range(hot_copies):
+        k = hot[j % len(hot)]
+        skewed = skewed.unionByName(
+            li.select(
+                *[
+                    F.lit(k).cast("long").alias(c)
+                    if c == "l_orderkey"
+                    else F.col(c)
+                    for c in li.columns
+                ]
+            )
+        )
+    skewed.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    orders.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    return hot
+
+
 if __name__ == "__main__":
+    if "--skew" in sys.argv:
+        argv = [a for a in sys.argv if a != "--skew"]
+        src = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+        out = argv[2] if len(argv) > 2 else ".scratch/sf_skew"
+        hot_copies = int(argv[3]) if len(argv) > 3 else 4
+        from python_etl_spark.session import get_spark
+
+        spark = get_spark()
+        hot = skew_replicate(spark, src, out, hot_copies)
+        print("hot keys:", hot)
+        print("lineitem", spark.read.parquet(f"{out}/lineitem.parquet").count())
+        sys.exit(0)
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1x"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
