@@ -12,7 +12,7 @@ hash match proves the Spark-side arithmetic, not a fixture.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.operators.bpe import (
@@ -283,11 +283,12 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 24  # merges in the single-round checked twin
 _BPE_TRAIN_MERGES = 32  # merges in the fully-trained variant
 
-
-@register(
-    "text_bpe_tokens_checked",
-    oracle=f"""
-WITH RECURSIVE
+# Shared recursive-CTE block: single-round merge TRAINING (top-K
+# adjacent symbol pairs of the initial char representation by corpus
+# frequency, ties (count desc, pair lex)) and the rank-order-exhaustive
+# leftmost APPLICATION — the same spec operators/bpe.py implements.
+# Yields CTEs: per_doc(doc_id, w, n) and type_tokens(w, w_tokens).
+_BPE_SQL_CTES = f"""
 toks AS (
   SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
   FROM documents
@@ -336,7 +337,44 @@ type_tokens AS (
   SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS INT)
     AS w_tokens
   FROM apply WHERE r = {_BPE_K} + 1
-)
+)"""
+
+
+def _single_round_merges(docs: DataFrame) -> list[tuple[str, str]]:
+    """Top-K adjacent symbol pairs of the initial char representation,
+    weighted by word-type frequency, ties (count desc, pair lex) — the
+    SQL-expressible merge table both checked BPE queries share. The
+    collect is bounded model state: exactly K rows."""
+    words = docs.select(
+        F.explode(F.split("text", r"\s+", -1)).alias("w")
+    ).where(F.col("w") != "")
+    types = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cs = F.concat(F.split("w", "", -1), F.array(F.lit("</w>")))
+    pairs = (
+        types.select("c", cs.alias("cs"))
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1), "
+                    "i -> struct(cs[i - 1] AS a, cs[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(_BPE_K)
+        .collect()
+    )
+    return [(r["a"], r["b"]) for r in pairs]
+
+
+@register(
+    "text_bpe_tokens_checked",
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_SQL_CTES}
 SELECT p.doc_id,
   CAST(SUM(p.n) AS BIGINT) AS n_ws_tokens,
   CAST(SUM(p.n * t.w_tokens) AS BIGINT) AS n_bpe_tokens
@@ -357,33 +395,64 @@ def text_bpe_tokens_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization over the tiny distinct-types frame, broadcast join
     back, grouped sum — fully hash-checkable."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+", -1)).alias("w")
-    ).where(F.col("w") != "")
-    per_doc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
-    # single-round pair counts over word TYPES (weighted by frequency)
-    types = per_doc.groupBy("w").agg(F.sum("n").alias("c"))
-    cs = F.concat(F.split("w", "", -1), F.array(F.lit("</w>")))
-    pairs = (
-        types.select("c", cs.alias("cs"))
-        .select(
-            "c",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(cs) - 1), "
-                    "i -> struct(cs[i - 1] AS a, cs[i] AS b))"
-                )
-            ).alias("p"),
-        )
-        .groupBy("p.a", "p.b")
-        .agg(F.sum("c").alias("cnt"))
-        .orderBy(F.desc("cnt"), "a", "b")
-        .limit(_BPE_K)
-        .collect()  # bounded model state: exactly K merge rows
-    )
-    merges = [(r["a"], r["b"]) for r in pairs]
+    merges = _single_round_merges(docs)
     out = doc_token_counts(docs, merges)
     return out.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register(
+    "etl_mixture_report_bpe",
+    oracle=f"""
+WITH RECURSIVE
+{_BPE_SQL_CTES},
+doc_tok AS (
+  SELECT p.doc_id, CAST(SUM(p.n * t.w_tokens) AS BIGINT) AS n_bpe
+  FROM per_doc p JOIN type_tokens t ON t.w = p.w
+  GROUP BY p.doc_id),
+g AS (
+  SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dt.n_bpe) AS BIGINT) AS n_bpe_tokens
+  FROM documents d JOIN doc_tok dt ON dt.doc_id = d.doc_id
+  GROUP BY d.lang, d.source)
+SELECT lang, source, n_docs, n_bpe_tokens,
+  ROUND(n_bpe_tokens * 1.0 / SUM(n_bpe_tokens) OVER (), 6)
+    AS token_share
+FROM g
+""",
+)
+def etl_mixture_report_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """etl_mixture_report with REAL tokenizer tokens: mixture budgets
+    per (lang, source) counted in BPE tokens (single-round merge table
+    so the whole thing stays hash-checkable) instead of whitespace
+    words — the unit a training-data mixture is actually specified in.
+    The unbounded share window runs over the |langs| x |sources|
+    aggregate, never the corpus; the corpus itself is touched by the
+    same single shuffle as text_bpe_tokens_checked plus one broadcast
+    join of per-doc counts back to the (lang, source) labels."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = _single_round_merges(docs)
+    per_doc = doc_token_counts(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_bpe")
+    )
+    g = (
+        docs.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens") / F.sum("n_bpe_tokens").over(w), 6
+        ).alias("token_share"),
+    )
 
 
 @register("text_bpe_tokens")  # rows-only: iterative training isn't SQL

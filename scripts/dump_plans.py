@@ -97,6 +97,19 @@ SHOWCASE = {
     "etl_zorder3_code": "k-way Morton interleave: 48 constant-shift "
     "OR terms inside one whole-stage-codegen projection, zero "
     "exchanges",
+    "text_html_extract": "HTML->text extraction as ONE ArrowEvalPython "
+    "map stage over the scan — zero exchanges; parser+boilerplate "
+    "filter batch through Arrow, throughput scales with cores",
+    "etl_url_blocklist_filter": "registered-domain suffix blocklist as "
+    "a BroadcastNestedLoopJoin LeftAnti (non-equi): the URL side "
+    "streams through with zero exchanges",
+    "etl_url_host_dedup": "canonicalization is codegen string ops; the "
+    "ONLY exchange is the keep-first partial agg on the canonical "
+    "(host, path) key",
+    "text_bpe_tokens_checked": "corpus touched by one (doc, word) "
+    "partial-agg shuffle; the Arrow tokenizer runs over the tiny "
+    "distinct-types frame whose counts BroadcastHashJoin back — "
+    "Python work is O(#types), not O(corpus)",
 }
 
 

@@ -394,3 +394,27 @@ def test_inter_event_gaps_reconcile(spark, sf_dir):
     for r in rows:
         assert r.n_gaps == per_user[r.user_id] - 1
         assert r.min_gap_s <= r.median_gap_s <= r.p95_gap_s <= r.max_gap_s
+
+
+def test_survey_section2_matches_registry():
+    """SURVEY.md §2 is the coverage contract: every [O]/[R] entry must
+    be a registered query and vice versa, [O] entries must carry a
+    DuckDB oracle, [R] entries must not. Locks the doc to the code so
+    count drift (the round-6 finding) cannot recur."""
+    import re
+    from pathlib import Path
+
+    from python_etl_spark.plans import ORACLES, QUERIES
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "SURVEY.md"
+    ).read_text()
+    sec2 = text.split("## §2")[1].split("## §3")[0]
+    tagged = re.findall(r"\[([OR])\]\s*`([a-z0-9_]+)`", sec2)
+    o_names = {n for t, n in tagged if t == "O"}
+    r_names = {n for t, n in tagged if t == "R"}
+    assert o_names | r_names == set(QUERIES), sorted(
+        (o_names | r_names) ^ set(QUERIES)
+    )
+    assert o_names == set(ORACLES), sorted(o_names ^ set(ORACLES))
+    assert not (r_names & set(ORACLES)), sorted(r_names & set(ORACLES))

@@ -308,3 +308,40 @@ def test_zorder3_zero_shuffles(spark, sf_dir):
     no Exchange anywhere in the plan."""
     plan = _plan(spark, sf_dir, "etl_zorder3_code")
     assert "Exchange" not in plan, plan
+
+
+def test_html_extract_pure_arrow_map(spark, sf_dir):
+    """HTML extraction is an embarrassingly-parallel map stage: Arrow
+    -batched Python, zero exchanges (the 100 TB crawl-extraction
+    shape — throughput scales with cores, nothing shuffles)."""
+    plan = _plan(spark, sf_dir, "text_html_extract")
+    assert "ArrowEvalPython" in plan  # batched, not row-at-a-time
+    assert "Exchange" not in plan, plan
+
+
+def test_url_blocklist_broadcast_no_shuffle(spark, sf_dir):
+    """The domain blocklist rides as a broadcast nested-loop anti join
+    (suffix match is non-equi): the URL side must stream through with
+    zero exchanges."""
+    plan = _plan(spark, sf_dir, "etl_url_blocklist_filter")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_url_host_dedup_single_shuffle(spark, sf_dir):
+    """Canonicalization is codegen string ops; the only shuffle is the
+    keep-first groupBy on the canonical key."""
+    plan = _plan(spark, sf_dir, "etl_url_host_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bpe_checked_type_bounded_python(spark, sf_dir):
+    """BPE tokenization: Arrow UDF over distinct word TYPES only, with
+    the per-type counts broadcast back to the corpus-side rollup — the
+    corpus never enters Python, and no cartesian/single-partition
+    exchanges appear."""
+    plan = _plan(spark, sf_dir, "text_bpe_tokens_checked")
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan  # type counts join back broadcast
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -35,6 +35,10 @@ DOC_QUERIES = [
     ("dedup_minhash_lsh", "overlap"),
     ("dedup_simhash", "overlap"),
     ("dedup_containment_capped", "overlap"),
+    # round-7 crawl-curation family (all documents-only):
+    ("text_html_extract", "linear"),       # pure Arrow map stage
+    ("etl_url_host_dedup", "linear"),      # one keep-first shuffle
+    ("text_bpe_tokens_checked", "linear"),  # type-bounded Python stage
 ]
 
 pytestmark = [
