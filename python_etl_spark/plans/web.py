@@ -21,7 +21,7 @@ from python_etl_spark.operators.bpe import (
     train_bpe,
 )
 from python_etl_spark.operators.html import html_extract_col
-from python_etl_spark.plans.common import register
+from python_etl_spark.plans.common import dmean, dmean_sql, register
 from python_etl_spark.sources.tables import load_table
 
 
@@ -181,6 +181,83 @@ def etl_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canon_url"
         ),
     )
+
+
+_QUALITY_DOC_SQL = """
+q AS (
+  SELECT doc_id,
+    LEAST(LEN(toks) / 200.0, 1.0) * 0.5
+      + CAST(LEN(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE)
+        / LEN(toks) * 0.3
+      + LEAST((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / LEN(toks))
+              / 10.0, 1.0) * 0.2 AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents))
+"""
+
+
+@register(
+    "etl_host_quality_filter",
+    oracle=None,  # assembled below (needs STOPWORDS + dmean twin)
+)
+def etl_host_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality curation — the crawl-pipeline step after
+    per-document scoring: aggregate the text_quality_score signal per
+    registered host and flag hosts whose midpoint-free mean falls
+    below the corpus mean (drop-the-spam-domain rule). The corpus
+    stat rides as a 1-row broadcast; the host aggregate is one
+    partial-agg shuffle over (host, quality) — at 100 TB this is the
+    same shape as any per-key rollup, and the quality expression is
+    whole-stage-codegen (no Python)."""
+    from python_etl_spark.functions.text import stopword_count, ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_words = F.size(toks)
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    quality = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * F.lit(0.5)
+        + stopword_count(toks).cast("double") / n_words * F.lit(0.3)
+        + F.least(awl / F.lit(10.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    scored = docs.select("doc_id", quality.alias("quality"))
+    hosts = _canonical(_urls(spark, sf_dir)).select("doc_id", "host")
+    per_host = (
+        hosts.join(scored, "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            dmean("quality").alias("mean_quality"),
+        )
+    )
+    corpus = scored.agg(dmean("quality").alias("__corpus_mean"))
+    return per_host.crossJoin(F.broadcast(corpus)).select(
+        "host",
+        "n_docs",
+        "mean_quality",
+        (F.col("mean_quality") >= F.col("__corpus_mean")).alias("is_kept"),
+    )
+
+
+from python_etl_spark.functions.text import STOPWORDS as _SW  # noqa: E402
+from python_etl_spark.plans.common import ORACLES as _OR  # noqa: E402
+
+_OR["etl_host_quality_filter"] = f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+{_CANON_SQL},
+{_QUALITY_DOC_SQL.format(stop=", ".join(f"'{w}'" for w in _SW))},
+h AS (
+  SELECT c.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    {dmean_sql('q.quality')} AS mean_quality
+  FROM canon c JOIN q ON q.doc_id = c.doc_id
+  GROUP BY c.host),
+corpus AS (SELECT {dmean_sql('quality')} AS m FROM q)
+SELECT h.host, h.n_docs, h.mean_quality,
+  h.mean_quality >= corpus.m AS is_kept
+FROM h, corpus
+"""
 
 
 # --------------------------- HTML extraction ------------------------------

@@ -431,20 +431,31 @@ class VersionedTable:
             )
         return out
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
         """Drop data dirs unreachable from the LATEST version: ends
         time travel for older versions and sweeps dirs abandoned by
-        crashed or commit-losing writers. Offline maintenance — do not
-        run concurrently with in-flight writers (their not-yet-
-        committed dir looks unreachable). Returns removed dirs."""
+        crashed or commit-losing writers. Returns removed dirs.
+
+        ``grace_seconds`` is the in-flight-writer guard (the Delta
+        VACUUM retention idea): dirs modified within the window are
+        kept even if unreachable, because an active writer's
+        not-yet-committed dir is indistinguishable from an orphan.
+        Default 0 keeps the historical offline-maintenance semantics;
+        pass e.g. 3600 when vacuuming a table other jobs may be
+        writing."""
         import shutil
+        import time
 
         live = set(self._read_manifest()["data_dirs"])
         data_root = os.path.join(self.root, "data")
+        cutoff = time.time() - grace_seconds
         removed = []
         for name in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, name)
-            if full not in live:
-                shutil.rmtree(full)
-                removed.append(full)
+            if full in live:
+                continue
+            if grace_seconds > 0 and os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight writer's dir
+            shutil.rmtree(full)
+            removed.append(full)
         return removed

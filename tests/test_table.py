@@ -321,3 +321,29 @@ def test_streaming_merge_vs_batch_append_soak(spark, tmp_path):
         for j in range(5):
             assert by_key[100 + b * 10 + j] == (f"a{b}", b)
     assert len(by_key) == 35
+
+
+def test_vacuum_grace_period_spares_inflight_dirs(spark, tmp_path):
+    """vacuum(grace_seconds=N) must keep a fresh unreachable dir (an
+    in-flight writer's uncommitted output) while still sweeping old
+    orphans; vacuum() keeps the historical remove-everything rule."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(spark.createDataFrame([(1, "b")], "k long, v string"), keys=["k"])
+    data_root = os.path.join(t.root, "data")
+    # age the old v0 dir past the grace window; the fake in-flight dir
+    # keeps its fresh mtime
+    old_dir = t._read_manifest(0)["data_dirs"][0]
+    aged = __import__("time").time() - 7200
+    os.utime(old_dir, (aged, aged))
+    inflight = os.path.join(data_root, "commit-00000002-deadbeef")
+    os.makedirs(inflight)
+
+    removed = t.vacuum(grace_seconds=3600)
+    assert old_dir in removed
+    assert inflight not in removed and os.path.isdir(inflight)
+    assert t.read(spark).count() == 1  # live snapshot untouched
+
+    assert t.vacuum() == [inflight]  # grace 0: everything unreachable goes
