@@ -112,6 +112,60 @@ def extract_text(
     return "\n".join(kept), len(kept), dropped
 
 
+class _LinkExtractor(HTMLParser):
+    """Collects <a href> targets from BODY content (skipping
+    script/style), in document order."""
+
+    def __init__(self):
+        super().__init__()
+        self._in_body = False
+        self._skip_depth = 0
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "body":
+            self._in_body = True
+            return
+        if tag == "a" and self._in_body and not self._skip_depth:
+            href = dict(attrs).get("href")
+            if href:
+                self.links.append(href)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "body":
+            self._in_body = False
+
+
+def extract_links(html: str) -> list[str]:
+    """All body <a href> values of one document, in order — the crawl
+    -frontier extraction step. Tolerates malformed markup."""
+    p = _LinkExtractor()
+    p.feed(html or "")
+    p.close()
+    return p.links
+
+
+def html_links_col(html_col: str | Column) -> Column:
+    """Arrow-batched link extraction: array<string> of body hrefs.
+    Explode + canonicalize downstream to build the frontier / link
+    graph; pure map stage, no shuffle."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def lk(s):
+        return s.map(extract_links)
+
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    return lk(col)
+
+
 def html_extract_col(
     html_col: str | Column, max_link_density: float = 0.5
 ) -> Column:

@@ -20,7 +20,7 @@ from python_etl_spark.operators.bpe import (
     doc_token_counts,
     train_bpe,
 )
-from python_etl_spark.operators.html import html_extract_col
+from python_etl_spark.operators.html import html_extract_col, html_links_col
 from python_etl_spark.plans.common import dmean, dmean_sql, register
 from python_etl_spark.sources.tables import load_table
 
@@ -352,6 +352,101 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_kept").alias("n_kept"),
         F.col("e.n_dropped").alias("n_dropped"),
         F.length("e.extracted_text").cast("int").alias("n_extracted_chars"),
+    )
+
+
+# ----------------------------- link graph ---------------------------------
+#
+# Link pages: each document links to two OTHER hosts with arithmetic-
+# determined paths — the deterministic stand-in for real outlinks, so
+# the oracle can predict the whole parse -> canonicalize -> aggregate
+# edge list.
+
+_LINKS_SQL = """
+links AS (
+  SELECT doc_id,
+    lower(CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.com'
+      WHEN 2 THEN 'blog.example.org' ELSE 'cdn.example.net' END)
+      AS src_host,
+    lower(CASE CAST((doc_id + 1) % 4 AS INT)
+      WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.com'
+      WHEN 2 THEN 'blog.example.org' ELSE 'cdn.example.net' END)
+      AS dst1,
+    lower(CASE CAST((doc_id + 2) % 4 AS INT)
+      WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.com'
+      WHEN 2 THEN 'blog.example.org' ELSE 'cdn.example.net' END)
+      AS dst2
+  FROM documents)
+"""
+
+_CANON_HOSTS = [
+    "example.com", "news.example.com", "blog.example.org", "cdn.example.net"
+]
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def pick(expr):
+        c = F.when(expr == 0, F.lit(_CANON_HOSTS[0]))
+        for i in (1, 2):
+            c = c.when(expr == i, F.lit(_CANON_HOSTS[i]))
+        return c.otherwise(F.lit(_CANON_HOSTS[3]))
+
+    # the CASE arithmetic must mirror _LINKS_SQL exactly
+    d1 = pick((F.col("doc_id") + 1) % 4)
+    d2 = pick((F.col("doc_id") + 2) % 4)
+    html = F.concat(
+        F.lit("<body><p>"),
+        F.substring("text", 1, 30),
+        F.lit('</p><div class="rel"><a href="https://'),
+        d1,
+        F.lit("/docs/"),
+        ((F.col("doc_id") * 7) % 40).cast("string"),
+        F.lit('">rel1</a> <a href="https://'),
+        d2,
+        F.lit("/docs/"),
+        ((F.col("doc_id") * 3) % 40).cast("string"),
+        F.lit('">rel2</a></div>'
+              '<script>var u="https://tracker.invalid/x";</script></body>'),
+    )
+    return docs.select("doc_id", pick(F.col("doc_id") % 4).alias("src_host"),
+                       html.alias("html"))
+
+
+@register(
+    "etl_link_graph",
+    oracle=f"""
+WITH {_LINKS_SQL},
+e AS (
+  SELECT src_host, dst1 AS dst_host FROM links
+  UNION ALL
+  SELECT src_host, dst2 FROM links)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
+""",
+)
+def etl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from HTML: Arrow-batched href extraction
+    (operators/html.extract_links — body links only, the script-embedded
+    URL must NOT leak in), host canonicalization via the same regexes as
+    the URL suite, then one grouped count to (src_host, dst_host)
+    edges. This is the crawl-frontier / PageRank input builder; at
+    100 TB it is a map stage plus a single partial-agg shuffle whose key
+    cardinality is |hosts|^2, not pages. The oracle predicts every edge
+    from the page-construction arithmetic."""
+    pages = _link_pages(spark, sf_dir)
+    edges = pages.select(
+        "src_host", F.explode(html_links_col("html")).alias("href")
+    )
+    dst = F.regexp_replace(
+        F.lower(F.regexp_extract("href", _HOST_RE, 1)), r"^www\.", ""
+    )
+    return (
+        edges.select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
 
 

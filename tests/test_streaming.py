@@ -818,3 +818,45 @@ def test_rate_source_through_dedup_window_pipeline(spark, tmp_path):
         spark.table("rate_bus_smoke").agg(F.sum("n").alias("s")).first()["s"]
     )
     assert total and 0 < total <= 100, total
+
+
+def test_html_extraction_in_streaming_pipeline(spark, tmp_path):
+    """The Arrow-batched HTML extractor must run unchanged inside a
+    Structured Streaming micro-batch (pandas UDFs are
+    streaming-compatible); stream output equals the batch run."""
+    from python_etl_spark.operators.html import html_extract_col
+
+    src = str(tmp_path / "pages")
+    rows = [
+        (i, f"<body><h1>t{i}</h1><p>body text {i}</p>"
+            f"<footer><a href='/p'>privacy</a></footer></body>")
+        for i in range(40)
+    ]
+    schema = "doc_id long, html string"
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(src)
+
+    def extract(df):
+        return df.select(
+            "doc_id", html_extract_col("html").alias("e")
+        ).select("doc_id", "e.extracted_text", "e.n_kept", "e.n_dropped")
+
+    q = (
+        extract(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("extracted_pages")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.extracted_text, r.n_kept, r.n_dropped)
+        for r in spark.sql("SELECT * FROM extracted_pages").collect()
+    }
+    want = {
+        r.doc_id: (r.extracted_text, r.n_kept, r.n_dropped)
+        for r in extract(spark.read.schema(schema).parquet(src)).collect()
+    }
+    assert got == want and len(got) == 40
+    assert got[3] == ("t3\nbody text 3", 2, 1)

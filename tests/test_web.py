@@ -214,3 +214,82 @@ def test_url_blocklist_suffix_matching(spark, sf_dir):
     assert "cdn.example.net" not in hosts
     # example.com survives (blocklist holds example.ORG, not .com)
     assert hosts == {"example.com", "news.example.com"}
+
+
+# --------------------- randomized property tests ---------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=8), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_WORDS, st.integers(0, 12))
+def test_bpe_apply_equals_reference_on_random_corpora(words, n_merges):
+    """Rank-order-exhaustive application must equal the classic
+    lowest-rank-first reference for merges TRAINED on the same corpus
+    (the equivalence the recursive-CTE oracle relies on)."""
+    wc = sorted(Counter(words).items())
+    merges = train_bpe(wc, n_merges)
+    for w in set(words):
+        assert apply_bpe(w, merges) == _ref_tokenize(w, merges), (w, merges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_WORDS, st.integers(0, 12))
+def test_bpe_roundtrip_and_token_bounds_random(words, n_merges):
+    merges = train_bpe(sorted(Counter(words).items()), n_merges)
+    for w in set(words):
+        syms = apply_bpe(w, merges)
+        assert "".join(syms).replace(EOW, "") == w
+        assert 1 <= len(syms) <= len(w) + 1  # never grows past chars+EOW
+
+
+_HTMLISH = st.text(
+    alphabet="abc <>/&;#='\"\n\tpdivnavscriptfooter!-", max_size=200
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_HTMLISH)
+def test_html_extractor_total_on_adversarial_soup(soup):
+    """The extractor must be TOTAL over arbitrary tag soup: never
+    raises, output invariants hold (no tags in output lines, counts
+    consistent, whitespace normalized)."""
+    text, kept, dropped = extract_text(soup)
+    assert kept >= 0 and dropped >= 0
+    lines = text.split("\n") if text else []
+    assert len(lines) == kept
+    for line in lines:
+        assert line == " ".join(line.split())  # normalized
+        assert line != ""
+
+
+def test_extract_links_body_only_and_malformed():
+    from python_etl_spark.operators.html import extract_links
+
+    assert extract_links(
+        '<head><a href="/inhead">h</a></head>'
+        '<body><a href="https://X.com/a">a</a>'
+        '<script>var u="https://bad.invalid/x";</script>'
+        "<a>no-href</a><a href='/rel'>r</a></body>"
+    ) == ["https://X.com/a", "/rel"]
+    assert extract_links("") == []
+    assert extract_links(None) == []
+    assert extract_links("<body><a href='x'>unclosed") == ["x"]
+
+
+def test_link_graph_feeds_degree_stats(spark, sf_dir):
+    """The extracted edge list is a valid graph input: no self-loops
+    by construction (doc links to OTHER hosts), every host appears as
+    both source and destination, and total edges = 2 per document."""
+    rows = QUERIES["etl_link_graph"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_links for r in rows) == 2 * n_docs
+    srcs = {r.src_host for r in rows}
+    dsts = {r.dst_host for r in rows}
+    assert srcs == dsts and len(srcs) == 4
+    for r in rows:
+        assert r.src_host != r.dst_host
