@@ -367,6 +367,20 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def compact_if_needed(
+        self, spark: SparkSession | None = None, max_dirs: int = 16
+    ) -> int | None:
+        """Compact only when the current snapshot unions more than
+        ``max_dirs`` commit dirs — the maintenance hook a nightly
+        incremental pipeline calls unconditionally after its append:
+        cheap no-op most nights, one rewrite when the union-scan cost
+        has actually accreted. Returns the new version, or None if no
+        compaction ran."""
+        cur = self._read_manifest()
+        if len(cur["data_dirs"]) <= max_dirs:
+            return None
+        return self.compact(spark)
+
     def delete_where(self, condition) -> int:
         """Copy-on-write DELETE: rewrite the snapshot without matching
         rows. ``condition`` is a Column predicate. Conflict retry

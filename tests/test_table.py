@@ -347,3 +347,20 @@ def test_vacuum_grace_period_spares_inflight_dirs(spark, tmp_path):
     assert t.read(spark).count() == 1  # live snapshot untouched
 
     assert t.vacuum() == [inflight]  # grace 0: everything unreachable goes
+
+
+def test_compact_if_needed_threshold(spark, tmp_path):
+    """The nightly maintenance hook: no-op below the dir threshold,
+    one rewrite (carrying rows and bookmark meta) above it."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(0, "x")], "k long, v string"))
+    for i in range(1, 4):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    assert t.compact_if_needed(spark, max_dirs=16) is None  # 4 dirs: no-op
+    assert t.latest_version() == 3
+    v = t.compact_if_needed(spark, max_dirs=2)
+    assert v == 4
+    assert len(t._read_manifest()["data_dirs"]) == 1
+    assert t.read(spark).count() == 4
+    # immediately after, the hook is a no-op again
+    assert t.compact_if_needed(spark, max_dirs=2) is None
