@@ -364,3 +364,55 @@ def test_compact_if_needed_threshold(spark, tmp_path):
     assert t.read(spark).count() == 4
     # immediately after, the hook is a no-op again
     assert t.compact_if_needed(spark, max_dirs=2) is None
+
+
+def _process_committer(args):
+    """Top-level worker (picklable): race _commit for versions 1..N
+    against sibling processes, retrying on conflict like append does."""
+    root, wid, n_commits = args
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from python_etl_spark.sinks.table import (
+        CommitConflictError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(root)
+    won = []
+    for _ in range(n_commits):
+        while True:
+            v = (t.latest_version() or 0) + 1
+            try:
+                t._commit([f"dir-w{wid}-v{v}"], "append", v)
+                won.append(v)
+                break
+            except CommitConflictError:
+                continue  # someone else took v: recompute and retry
+    return won
+
+
+def test_cross_process_commit_race(spark, tmp_path):
+    """The os.link fail-on-exists protocol must hold across PROCESSES
+    (separate page caches, no GIL serialization): 4 workers x 5
+    commits each race version numbers; every version 1..20 must be won
+    by exactly one worker and every manifest must name its winner."""
+    import json
+    import multiprocessing as mp
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(0, "base")], "k long, v string"))
+
+    with mp.get_context("spawn").Pool(4) as pool:
+        results = pool.map(
+            _process_committer, [(root, w, 5) for w in range(4)]
+        )
+    all_won = [v for worker in results for v in worker]
+    assert sorted(all_won) == list(range(1, 21))  # no double-win, no gap
+    assert t.latest_version() == 20
+    for worker_id, won in enumerate(results):
+        for v in won:
+            with open(t._manifest_path(v)) as f:
+                assert json.load(f)["data_dirs"] == [
+                    f"dir-w{worker_id}-v{v}"
+                ]
