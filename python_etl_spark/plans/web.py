@@ -34,8 +34,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Deterministic synthetic crawl URLs over the documents table: mixed
 # case (scheme+host are case-insensitive per RFC 3986, paths are not),
 # default ports, www prefixes, tracking queries, and fragments — the
-# canonicalizer must strip all of it. doc_id % 40 paths make true
-# duplicates across hosts' pages.
+# canonicalizer must strip all of it. Path = (doc_id // 4) % 40 is
+# INDEPENDENT of host = doc_id % 4, so every host sees every path
+# (true cross-host duplicates, and every robots rule shape fires).
 
 _HOSTS = [
     "WWW.Example.COM",
@@ -50,7 +51,7 @@ _URL_SQL = """
       WHEN 1 THEN 'news.example.com:443'
       WHEN 2 THEN 'Blog.example.org'
       ELSE 'cdn.example.net' END
-  || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+  || '/docs/' || CAST((doc_id // 4) % 40 AS VARCHAR)
   || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
   || CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END
 """
@@ -86,7 +87,7 @@ def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("HTTPS://"),
         host,
         F.lit("/docs/"),
-        (F.col("doc_id") % 40).cast("string"),
+        ((F.col("doc_id") / 4).cast("long") % 40).cast("string"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(
             F.lit("")
         ),
@@ -352,6 +353,80 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_kept").alias("n_kept"),
         F.col("e.n_dropped").alias("n_dropped"),
         F.length("e.extracted_text").cast("int").alias("n_extracted_chars"),
+    )
+
+
+# ---------------------------- robots filter -------------------------------
+#
+# Per-host robots.txt (deterministic), parsed with the STDLIB
+# urllib.robotparser — rule shapes: plain prefix Disallow, Allow
+# override, empty Disallow (allow-all), blanket "Disallow: /".
+
+_ROBOTS_TXT = {
+    "example.com": "User-agent: *\nDisallow: /docs/3\n",
+    "news.example.com": "User-agent: *\nAllow: /docs/12\nDisallow: /docs/1\n",
+    "blog.example.org": "User-agent: *\nDisallow:\n",
+    "cdn.example.net": "User-agent: *\nDisallow: /\n",
+}
+
+
+@register(
+    "etl_robots_filter",
+    oracle=f"""
+WITH urls AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+{_CANON_SQL}
+SELECT doc_id, host, path,
+  CASE host
+    WHEN 'example.com' THEN NOT path LIKE '/docs/3%'
+    WHEN 'news.example.com'
+      THEN (path LIKE '/docs/12%') OR NOT (path LIKE '/docs/1%')
+    WHEN 'blog.example.org' THEN TRUE
+    ELSE FALSE END AS allowed
+FROM canon
+""",
+)
+def etl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter — the crawl-politeness step: each
+    host's robots rules (prefix Disallow, Allow override, empty
+    Disallow, blanket block) are evaluated with the STDLIB
+    urllib.robotparser inside an Arrow UDF over the DISTINCT
+    (host, path) pairs (bounded by the URL space, not the corpus),
+    and the verdicts broadcast-join back to the documents. The oracle
+    re-derives every verdict from the rule semantics in SQL, so a
+    hash match proves the parser integration end-to-end. At 100 TB
+    the robots fetch+parse cost is O(#hosts) and the per-URL check is
+    a broadcast-joined lookup."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = _canonical(_urls(spark, sf_dir))
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("boolean", PandasUDFType.SCALAR)
+    def allowed(host, path):
+        from urllib.robotparser import RobotFileParser
+
+        import pandas as pd
+
+        parsers: dict[str, RobotFileParser] = {}
+
+        def check(h, p):
+            rp = parsers.get(h)
+            if rp is None:
+                rp = RobotFileParser()
+                rp.parse(_ROBOTS_TXT.get(h, "").splitlines())
+                parsers[h] = rp
+            return bool(rp.can_fetch("*", f"https://{h}{p}"))
+
+        return pd.Series(
+            [check(h, p) for h, p in zip(host, path)]
+        )
+
+    pairs = c.select("host", "path").distinct().select(
+        "host", "path", allowed("host", "path").alias("allowed")
+    )
+    return c.join(F.broadcast(pairs), ["host", "path"]).select(
+        "doc_id", "host", "path", "allowed"
     )
 
 

@@ -293,3 +293,22 @@ def test_link_graph_feeds_degree_stats(spark, sf_dir):
     assert srcs == dsts and len(srcs) == 4
     for r in rows:
         assert r.src_host != r.dst_host
+
+
+def test_robots_filter_rule_semantics(spark, sf_dir):
+    """The four robots rule shapes must land exactly: prefix Disallow,
+    Allow override beating a broader Disallow, empty Disallow
+    (allow-all), and blanket block."""
+    rows = QUERIES["etl_robots_filter"](spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.host, {})[r.path] = r.allowed
+    assert all(by["blog.example.org"].values())          # empty Disallow
+    assert not any(by["cdn.example.net"].values())       # Disallow: /
+    ex = by["example.com"]
+    assert ex.get("/docs/3") is False and ex.get("/docs/30") is False
+    assert ex.get("/docs/29", True) and ex.get("/docs/4", True)
+    news = by["news.example.com"]
+    assert news.get("/docs/12") is True                  # Allow override
+    assert news.get("/docs/1") is False
+    assert news.get("/docs/13", False) is False
