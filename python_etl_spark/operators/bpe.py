@@ -7,10 +7,13 @@ Training is the classic Sennrich et al. 2016 loop over AGGREGATED word
 word frequency, merge the most frequent pair everywhere, repeat. The
 corpus-scale work — aggregating the (word, count) table — is a single
 distributed groupBy; the loop itself runs driver-side over the type
-table, which is Zipf-bounded (millions of types for terabytes of text,
-same bounded-model-state class as the k-means/IVF codebooks) — this is
-also how production tokenizer trainers work (they train on aggregated
-counts, not the raw corpus).
+table, which ``corpus_word_counts`` hard-caps to a deterministic
+top-``MAX_TRAIN_TYPES`` head (count desc, word asc) BEFORE collecting
+— multilingual web text has unbounded distinct types (typos, URLs,
+unicode junk), so an uncapped collect is a driver OOM at scale, while
+the Zipf head the cap keeps is what determines the top-K merges
+anyway. Same bounded-model-state class as the k-means/IVF/PQ
+codebooks; production tokenizer trainers cap/sample the same way.
 
 Apply spec (mirrored EXACTLY by the ``text_bpe_tokens_checked`` DuckDB
 oracle, and by the recursive SQL there): a word becomes the symbol
@@ -137,19 +140,42 @@ def doc_token_counts(
     )
 
 
+#: Default driver-side cap on the collected type table. Trained merge
+#: tables converge on the HEAD of the Zipf curve; the tail (typos,
+#: URLs, numeric junk — billions of distinct types on multilingual web
+#: text) adds nothing to the top-K pair counts but would OOM the
+#: driver. Production tokenizer trainers cap/sample the same way.
+MAX_TRAIN_TYPES = 262_144
+
+
 def corpus_word_counts(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_types: int | None = MAX_TRAIN_TYPES,
 ) -> list[tuple[str, int]]:
     """Aggregated (word, count) type table for training — the single
-    corpus-scale pass (distributed groupBy with map-side combine); the
-    collect is O(#types), Zipf-bounded model state."""
-    rows = (
+    corpus-scale pass (distributed groupBy with map-side combine).
+
+    The collect is BOUNDED model state: a ``min_count`` floor plus a
+    deterministic top-``max_types`` cut (count desc, then word asc —
+    two runs and two engines keep the identical head) run distributed
+    BEFORE the collect, so the driver never pulls more than
+    ``max_types`` rows no matter how many distinct types the corpus
+    has. Same bounded-sample → driver-fit → broadcast posture as the
+    PQ codebooks (operators/similarity.py). ``max_types=None``
+    disables the cap (tests / tiny corpora only)."""
+    counts = (
         docs.select(
             F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("w")
         )
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    if max_types is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("w")).limit(max_types)
+    rows = counts.collect()
     return sorted((r["w"], r["n"]) for r in rows)

@@ -923,22 +923,39 @@ def ivfpq_topk(
     )
 
 
-def covariance_eig(
-    embeddings: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> tuple[np.ndarray, np.ndarray, int]:
-    """Distributed covariance -> driver eigendecomposition.
+def _ordered_vec_sum(order_col: str, val_col: str) -> Column:
+    """Aggregate expression: element-wise sum of array<double> columns
+    reduced in ascending ``order_col`` order (array_sort on (order,
+    vec) structs), so the float result is independent of shuffle
+    arrival order — the same determinism device as the Lloyd combine
+    above. Runs entirely executor-side inside the agg."""
+    arrs = F.transform(
+        F.array_sort(F.collect_list(F.struct(order_col, val_col))),
+        lambda x: x[val_col],
+    )
+    return F.aggregate(
+        F.slice(arrs, F.lit(2), F.greatest(F.size(arrs) - 1, F.lit(0))),
+        F.element_at(arrs, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
 
-    One shuffle-free map job: each partition emits (pid, n, Σx, Σxxᵀ
-    flattened) — O(d²) doubles per partition, KBs at d=64 — and the
-    driver combines partials in pid order (deterministic for a fixed
-    partitioning), forms the population covariance Σxxᵀ/n − μμᵀ, and
-    eigendecomposes the d×d matrix locally (the MLlib PCA posture: the
-    model is small, only the moments are distributed). Returns
-    (eigenvalues desc, eigenvectors by column, n_rows)."""
-    v = embeddings.select(as_double(vec_col).alias("vec"))
 
+#: Level-1 fan-in of the moment-combine tree: partitions are reduced in
+#: groups of pid % _MOMENT_FANIN before the single global combine, so
+#: no agg task ever gathers more than max(fan-in, n_partitions/fan-in)
+#: rows — at 800k input partitions that is ~800 rows per task, vs the
+#: 26 GB O(partitions) driver pull the flat collect had.
+_MOMENT_FANIN = 1024
+
+
+def _covariance_moments_df(v: DataFrame) -> DataFrame:
+    """(n, Σx, Σxxᵀ) reduced to EXACTLY ONE row, executor-side.
+
+    Map stage: each partition emits one (pid, n, Σx, Σxxᵀ flattened)
+    row — O(d²) doubles. Combine: a two-level pid-ordered tree
+    (groupBy pid % fan-in, then a global groupBy of the group results
+    in group-id order), both levels deterministic float reductions, so
+    the driver receives a single row regardless of partition count."""
     def partials(batches):
         from pyspark import TaskContext
 
@@ -965,22 +982,48 @@ def covariance_eig(
                 }
             )
 
-    rows = sorted(
-        v.mapInPandas(
-            partials,
-            schema="pid int, n long, s array<double>, ss array<double>",
-        ).collect(),
-        key=lambda r: r["pid"],
+    p = v.mapInPandas(
+        partials,
+        schema="pid int, n long, s array<double>, ss array<double>",
     )
-    if not rows:
+    lvl1 = p.groupBy((F.col("pid") % _MOMENT_FANIN).alias("g")).agg(
+        F.sum("n").alias("n"),
+        _ordered_vec_sum("pid", "s").alias("s"),
+        _ordered_vec_sum("pid", "ss").alias("ss"),
+    )
+    return lvl1.groupBy().agg(
+        F.sum("n").alias("n"),
+        _ordered_vec_sum("g", "s").alias("s"),
+        _ordered_vec_sum("g", "ss").alias("ss"),
+    )
+
+
+def covariance_eig(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed covariance -> driver eigendecomposition.
+
+    One map job emits per-partition (pid, n, Σx, Σxxᵀ) moment partials
+    (O(d²) doubles each); a two-level pid-ordered combine tree
+    (_covariance_moments_df) reduces them to ONE row executor-side —
+    the driver pull is O(d²), NOT O(partitions) (at 100 TB / 128 MB
+    splits the flat per-partition collect was a ~26 GB driver pull).
+    The driver then forms the population covariance Σxxᵀ/n − μμᵀ and
+    eigendecomposes the d×d matrix locally (the MLlib PCA posture: the
+    model is small, only the moments are distributed). Deterministic:
+    both combine levels reduce in ascending (pid | group) order.
+    Returns (eigenvalues desc, eigenvectors by column, n_rows)."""
+    v = embeddings.select(as_double(vec_col).alias("vec"))
+    rows = _covariance_moments_df(v).collect()
+    if not rows or not rows[0]["n"]:
         raise ValueError("covariance_eig: empty input")
-    n = sum(r["n"] for r in rows)
-    d = len(rows[0]["s"])
-    s = np.zeros(d)
-    ss = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r["s"], dtype=np.float64)
-        ss += np.asarray(r["ss"], dtype=np.float64).reshape(d, d)
+    assert len(rows) == 1  # the combine tree's contract: one driver row
+    n = rows[0]["n"]
+    s = np.asarray(rows[0]["s"], dtype=np.float64)
+    d = len(s)
+    ss = np.asarray(rows[0]["ss"], dtype=np.float64).reshape(d, d)
     mu = s / n
     cov = ss / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)

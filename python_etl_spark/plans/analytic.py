@@ -448,10 +448,15 @@ SELECT n.n_name AS n_name, {dsum_sql('s_acctbal')} AS total_bal
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY n.n_name
 HAVING {dsum_sql('s_acctbal')} > (
-  SELECT {dsum_sql('s_acctbal')} * 0.1 FROM supplier)
+  SELECT {dsum_sql('s_acctbal')} * 0.05 FROM supplier)
 """,
 )
 def q11_supplier_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted. Share threshold is 0.05 (not TPC-H's SF-scaled
+    0.0001) because the synthetic generator spreads balances evenly
+    over 25 nations (~4% each): 0.1 left the HAVING empty at sf0.1 —
+    a vacuous hash — while 0.05 keeps 4-9 nations at every gate scale,
+    so the grouped sum + scalar-subquery comparison is exercised."""
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     per_nation = (
@@ -459,7 +464,7 @@ def q11_supplier_balance_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum("s_acctbal").alias("total_bal"))
     )
-    threshold = supp.agg((dsum("s_acctbal") * F.lit(0.1)).alias("thr"))
+    threshold = supp.agg((dsum("s_acctbal") * F.lit(0.05)).alias("thr"))
     return (
         per_nation.join(_bc(threshold))
         .where(F.col("total_bal") > F.col("thr"))
@@ -857,15 +862,27 @@ WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
     SELECT {davg_sql('c_acctbal')}
     FROM customer
     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= {ts_sql('2000-01-01 00:00:00')})
 GROUP BY c.c_nationkey
 """,
 )
 def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 adapted: "inactive" = no orders since 2000-01-01 (the
+    anti-join is against RECENT orders, TPC-H Q22's actual intent).
+    The synthetic generator gives every customer at least one order
+    lifetime-wide, so the original orderless anti-join returned 0 rows
+    at every scale — a hash that proved nothing. The dated predicate
+    keeps 1/10/122 customers at sf0.001/0.01/0.1, so the anti-join,
+    scalar-subquery threshold and grouped sums are all exercised. The
+    date filter is pushed below the anti-join build side, so at scale
+    the right side is the recent slice, not the full orders table."""
     from python_etl_spark.plans.common import davg
 
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= ts("2000-01-01 00:00:00")
+    )
     in_set = cust.where(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
     threshold = in_set.where(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal").alias("thr")

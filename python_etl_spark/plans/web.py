@@ -578,13 +578,19 @@ apply AS (
     CASE WHEN instr(s, ' ' || a || ' ' || b || ' ') > 0
       THEN apply.r ELSE apply.r + 1 END
   FROM apply JOIN merges ON merges.mr = apply.r
-  WHERE apply.r <= {_BPE_K}
+  WHERE apply.r <= (SELECT MAX(mr) FROM merges)
 ),
 type_tokens AS (
   SELECT w, CAST(length(s) - length(replace(s, ' ', '')) - 1 AS INT)
     AS w_tokens
-  FROM apply WHERE r = {_BPE_K} + 1
+  FROM apply
+  WHERE r = (SELECT COALESCE(MAX(mr), 0) FROM merges) + 1
 )"""
+# ^ capped at the ACTUAL merge count, not _BPE_K: a corpus with fewer
+# than _BPE_K distinct adjacent pairs yields a short merge table
+# (ROW_NUMBER ranks are contiguous 1..#pairs), and a fixed K+1 exit
+# rank would never be reached — empty oracle vs populated Spark side.
+# MAX(mr) matches Spark's _single_round_merges limit exactly.
 
 
 def _single_round_merges(docs: DataFrame) -> list[tuple[str, str]]:

@@ -5,9 +5,23 @@ and CDC compaction land somewhere durable.
 Layout::
 
     <root>/
-      data/commit-00000000-<uuid8>/  part-*.parquet  (one dir per commit)
-      data/commit-00000001-<uuid8>/  ...
+      data/commit-<uuid12>/       part-*.parquet  (one dir per commit
+      data/commit-<uuid12>/       ...   ATTEMPT — no version in the
+                                  name: an append writes its dir before
+                                  the commit race is decided, so any
+                                  embedded version number could lie
+                                  about the owning manifest; manifests
+                                  are the only dir→version authority)
       _manifests/v00000000.json                (one manifest per version)
+      _manifests/ckpt-v00000010.json           (checkpoint: summary of
+                                  all manifests <= v, written every
+                                  checkpoint_interval commits — bounds
+                                  history/schema-evolution/as-of scans
+                                  to checkpoint + tail, and lets
+                                  clean_metadata() drop old manifests
+                                  so the metadata dir stays bounded on
+                                  a long-lived append-every-night
+                                  table, the Delta checkpoint idea)
       _manifests/_latest                       (version CACHE, advisory)
 
 A manifest lists the data DIRECTORIES visible in that version, so a
@@ -68,7 +82,9 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
+_CKPT_RE = re.compile(r"ckpt-v(\d{8})\.json$")
 _DEFAULT_RETRIES = 3
+_DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflictError(RuntimeError):
@@ -78,14 +94,23 @@ class CommitConflictError(RuntimeError):
 
 
 class VersionedTable:
-    def __init__(self, root: str, max_retries: int = _DEFAULT_RETRIES):
+    def __init__(
+        self,
+        root: str,
+        max_retries: int = _DEFAULT_RETRIES,
+        checkpoint_interval: int = _DEFAULT_CHECKPOINT_INTERVAL,
+    ):
         self.root = root
         self._mdir = os.path.join(root, _MANIFEST_DIR)
         self.max_retries = max_retries
+        self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------ internals -----------------------------
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._mdir, f"v{version:08d}.json")
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self._mdir, f"ckpt-v{version:08d}.json")
 
     def _atomic_write(self, path: str, payload: str) -> None:
         """Replace-on-exists atomic write — for the _latest CACHE only
@@ -159,29 +184,113 @@ class VersionedTable:
                 )
         except OSError:
             pass  # cache only — latest_version() re-derives from listing
+        # periodic checkpoint: only the (unique) winner of version N can
+        # reach this point for N, so there is no write race; best-effort
+        # because a missing checkpoint only costs scan length, never
+        # correctness (everything re-derives from the manifests).
+        if (
+            self.checkpoint_interval > 0
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            try:
+                self._write_checkpoint(version, manifest)
+            except OSError:
+                pass
         return version
+
+    def _write_checkpoint(self, version: int, manifest: dict) -> None:
+        """Summarize all manifests <= version into one file. Built from
+        the PREVIOUS checkpoint plus the manifest tail, so writing a
+        checkpoint is itself O(interval) reads, not O(commits)."""
+        prev = self._latest_checkpoint(version - 1)
+        commits: list[dict] = list(prev["commits"]) if prev else []
+        evolved = bool(prev["schema_evolved"]) if prev else False
+        start = commits[-1]["version"] + 1 if commits else 0
+        for i in range(start, version):
+            m = self._read_manifest(i)
+            commits.append(
+                {
+                    "version": i,
+                    "op": m.get("op"),
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+            evolved = evolved or bool(m.get("meta", {}).get("schema_evolved"))
+        commits.append(
+            {
+                "version": version,
+                "op": manifest.get("op"),
+                "committed_at": manifest.get("committed_at"),
+            }
+        )
+        evolved = evolved or bool(
+            manifest.get("meta", {}).get("schema_evolved")
+        )
+        ckpt = {
+            "version": version,
+            "manifest": manifest,
+            "schema_evolved": evolved,
+            "partition_by": self.partition_columns(),
+            "commits": commits,
+        }
+        self._atomic_write(self._ckpt_path(version), json.dumps(ckpt))
+
+    def _latest_checkpoint(self, upto: int | None = None) -> dict | None:
+        """Newest checkpoint at or below ``upto`` (None = any)."""
+        try:
+            names = os.listdir(self._mdir)
+        except FileNotFoundError:
+            return None
+        best = None
+        for n in names:
+            m = _CKPT_RE.fullmatch(n)
+            if m:
+                v = int(m.group(1))
+                if (upto is None or v <= upto) and (best is None or v > best):
+                    best = v
+        if best is None:
+            return None
+        try:
+            with open(self._ckpt_path(best)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     def _read_manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        try:
+            with open(self._manifest_path(v)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # manifest dropped by clean_metadata — a checkpoint AT this
+            # exact version still carries the full manifest
+            ckpt = self._latest_checkpoint(v)
+            if ckpt and ckpt["version"] == v:
+                return ckpt["manifest"]
+            raise FileNotFoundError(
+                f"manifest v{v} was removed by clean_metadata "
+                f"(time travel below the newest checkpoint has ended)"
+            ) from None
 
     def _write_data(
         self,
         df: DataFrame,
-        version: int,
         partition_by: list[str] | None = None,
     ) -> str:
-        # uuid suffix: each ATTEMPT owns a fresh directory, so a
+        # uuid-only name: each ATTEMPT owns a fresh directory, so a
         # concurrent writer can neither collide with it nor mistake it
-        # for its own orphan. Dirs abandoned by a crash or a lost
-        # commit race stay unreachable until vacuum.
+        # for its own orphan. Deliberately NO version component — an
+        # append's dir is written before its commit race is decided, so
+        # an embedded version number could disagree with the manifest
+        # that ends up owning the dir (confusing operators inspecting
+        # the layout); manifests are the only dir→version mapping.
+        # Dirs abandoned by a crash or a lost commit race stay
+        # unreachable until vacuum.
         out = os.path.join(
-            self.root,
-            "data",
-            f"commit-{version:08d}-{uuid.uuid4().hex[:8]}",
+            self.root, "data", f"commit-{uuid.uuid4().hex[:12]}"
         )
         w = df.write.mode("errorifexists")
         if partition_by:
@@ -226,10 +335,26 @@ class VersionedTable:
         return best
 
     def history(self) -> list[dict]:
+        """One entry per committed version. Versions whose manifest was
+        dropped by ``clean_metadata`` surface their checkpoint SUMMARY
+        (version/op/committed_at, no data_dirs) instead."""
         v = self.latest_version()
         if v is None:
             return []
-        return [self._read_manifest(i) for i in range(v + 1)]
+        ckpt = self._latest_checkpoint(v)
+        summaries = (
+            {c["version"]: c for c in ckpt["commits"]} if ckpt else {}
+        )
+        out = []
+        for i in range(v + 1):
+            try:
+                out.append(self._read_manifest(i))
+            except FileNotFoundError:
+                if i in summaries:
+                    out.append(dict(summaries[i]))
+                else:
+                    raise
+        return out
 
     def meta(self, version: int | None = None) -> dict:
         """Caller-attached metadata of a committed version (e.g. the
@@ -247,7 +372,7 @@ class VersionedTable:
     ) -> int:
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
-        d = self._write_data(df, 0, partition_by)
+        d = self._write_data(df, partition_by)
         m = dict(meta or {})
         if partition_by:
             m["partition_by"] = list(partition_by)
@@ -264,10 +389,20 @@ class VersionedTable:
 
     def partition_columns(self) -> list[str]:
         """Partition layout recorded at create time (sticky: appends
-        reuse it so every commit dir shares one hive layout)."""
+        reuse it so every commit dir shares one hive layout). Carried
+        forward by checkpoints so it survives clean_metadata dropping
+        the v0 manifest."""
         if not self.exists():
             return []
-        return self._read_manifest(0).get("meta", {}).get("partition_by", [])
+        try:
+            return (
+                self._read_manifest(0).get("meta", {}).get("partition_by", [])
+            )
+        except FileNotFoundError:
+            ckpt = self._latest_checkpoint()
+            if ckpt is not None:
+                return ckpt.get("partition_by", [])
+            raise
 
     def append(
         self,
@@ -301,9 +436,7 @@ class VersionedTable:
         # retried. An append does not depend on the base's CONTENT,
         # just its dir list, so a conflict retry re-reads the winner's
         # manifest and re-lists — no data rewrite.
-        d = self._write_data(
-            df, cur["version"] + 1, self.partition_columns() or None
-        )
+        d = self._write_data(df, self.partition_columns() or None)
         for attempt in range(self.max_retries + 1):
             v = cur["version"] + 1
             try:
@@ -338,7 +471,7 @@ class VersionedTable:
                 base, updates.select(*base.columns), keys, version_col
             )
             v = cur["version"] + 1
-            d = self._write_data(merged, v, self.partition_columns() or None)
+            d = self._write_data(merged, self.partition_columns() or None)
             try:
                 return self._commit([d], "merge", v, meta)
             except CommitConflictError:
@@ -360,7 +493,7 @@ class VersionedTable:
             cur = self._read_manifest()
             base = self.read(spark, cur["version"])
             v = cur["version"] + 1
-            d = self._write_data(base, v, self.partition_columns() or None)
+            d = self._write_data(base, self.partition_columns() or None)
             try:
                 return self._commit([d], "compact", v, cur.get("meta"))
             except CommitConflictError:
@@ -391,7 +524,7 @@ class VersionedTable:
             base = self.read(spark, cur["version"])
             v = cur["version"] + 1
             d = self._write_data(
-                base.where(~condition), v, self.partition_columns() or None
+                base.where(~condition), self.partition_columns() or None
             )
             try:
                 return self._commit([d], "delete", v)
@@ -403,23 +536,42 @@ class VersionedTable:
         """Time travel by wall clock: the snapshot of the LAST version
         committed at or before ``ts`` (epoch seconds). Commit stamps
         are monotone (each committer re-reads its predecessor before
-        stamping), so this is a reverse scan over the manifest
-        history."""
+        stamping). The reverse scan walks the manifest TAIL and then
+        the newest checkpoint's commit summary — bounded manifest
+        opens on a long history."""
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        for i in range(v, -1, -1):
-            if self._read_manifest(i).get("committed_at", 0.0) <= ts:
+        ckpt = self._latest_checkpoint(v)
+        start = ckpt["version"] + 1 if ckpt else 0
+        earliest = None
+        for i in range(v, start - 1, -1):
+            stamp = self._read_manifest(i).get("committed_at", 0.0)
+            earliest = stamp
+            if stamp <= ts:
                 return self.read(spark, i)
+        if ckpt:
+            for c in reversed(ckpt["commits"]):
+                stamp = c.get("committed_at", 0.0)
+                earliest = stamp
+                if stamp <= ts:
+                    return self.read(spark, c["version"])
         raise LookupError(
-            f"no version committed at or before {ts} (earliest is "
-            f"{self._read_manifest(0).get('committed_at')})"
+            f"no version committed at or before {ts} "
+            f"(earliest is {earliest})"
         )
 
     def _schema_evolved(self, upto: int) -> bool:
-        return any(
+        """Has any commit <= upto evolved the schema? Scans the newest
+        checkpoint at-or-below ``upto`` plus the manifest TAIL — so a
+        snapshot read on a 10k-commit table opens <= interval manifests
+        instead of all 10k."""
+        ckpt = self._latest_checkpoint(upto)
+        evolved = bool(ckpt and ckpt.get("schema_evolved"))
+        start = ckpt["version"] + 1 if ckpt else 0
+        return evolved or any(
             self._read_manifest(i).get("meta", {}).get("schema_evolved")
-            for i in range(upto + 1)
+            for i in range(start, upto + 1)
         )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -445,18 +597,45 @@ class VersionedTable:
             )
         return out
 
+    @staticmethod
+    def _tree_mtime(path: str) -> float:
+        """Newest mtime anywhere under ``path`` (the dir itself, every
+        subdir, every file). The in-flight-writer guard must use this,
+        not the top-level dir mtime: a hive-partitioned write lands
+        files in partition SUBDIRECTORIES (and Spark's _temporary
+        staging), so a long-running partitioned write leaves the top
+        dir's mtime stale while fresh activity continues below it."""
+        try:
+            newest = os.path.getmtime(path)
+        except OSError:
+            return 0.0
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, n))
+                    )
+                except OSError:
+                    pass  # racing writer moved/removed it — keep max
+        return newest
+
     def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
         """Drop data dirs unreachable from the LATEST version: ends
         time travel for older versions and sweeps dirs abandoned by
         crashed or commit-losing writers. Returns removed dirs.
 
         ``grace_seconds`` is the in-flight-writer guard (the Delta
-        VACUUM retention idea): dirs modified within the window are
-        kept even if unreachable, because an active writer's
-        not-yet-committed dir is indistinguishable from an orphan.
-        Default 0 keeps the historical offline-maintenance semantics;
-        pass e.g. 3600 when vacuuming a table other jobs may be
-        writing."""
+        VACUUM retention idea): dirs with write activity ANYWHERE in
+        their tree within the window are kept even if unreachable,
+        because an active writer's not-yet-committed dir is
+        indistinguishable from an orphan. Default 0 keeps the
+        historical offline-maintenance semantics; pass e.g. 3600 when
+        vacuuming a table other jobs may be writing.
+
+        Also sweeps ``*.tmp-*`` crash debris in ``_manifests`` older
+        than the grace window: a writer that died between writing the
+        manifest tmp file and os.link leaves the tmp behind (the
+        finally-unlink never ran), and nothing else ever removes it."""
         import shutil
         import time
 
@@ -468,8 +647,56 @@ class VersionedTable:
             full = os.path.join(data_root, name)
             if full in live:
                 continue
-            if grace_seconds > 0 and os.path.getmtime(full) > cutoff:
+            if grace_seconds > 0 and self._tree_mtime(full) > cutoff:
                 continue  # possibly an in-flight writer's dir
             shutil.rmtree(full)
             removed.append(full)
+        for name in sorted(os.listdir(self._mdir)):
+            if ".tmp-" not in name:
+                continue
+            full = os.path.join(self._mdir, name)
+            try:
+                if grace_seconds > 0 and os.path.getmtime(full) > cutoff:
+                    continue  # publisher may still be mid-link
+                os.unlink(full)
+                removed.append(full)
+            except OSError:
+                pass  # already gone (racing publisher's finally-unlink)
+        return removed
+
+    def checkpoint(self) -> int:
+        """Force-write a checkpoint at the current latest version (the
+        periodic one only lands on multiples of checkpoint_interval).
+        Returns the checkpointed version."""
+        cur = self._read_manifest()
+        self._write_checkpoint(cur["version"], cur)
+        return cur["version"]
+
+    def clean_metadata(self) -> list[str]:
+        """Bound the metadata directory: drop per-version manifests
+        STRICTLY BELOW the newest checkpoint (whose summary — op,
+        commit stamp, cumulative schema-evolution flag, and the full
+        manifest of the checkpoint version itself — keeps
+        history()/read_as_of()/snapshot reads working), plus all older
+        checkpoint files. Time travel to the dropped versions ends,
+        exactly like Delta log cleanup past a checkpoint; run vacuum()
+        first/alongside to drop their now-unreferenced data dirs.
+        Returns removed paths. No-op if no checkpoint exists."""
+        ckpt = self._latest_checkpoint()
+        if ckpt is None:
+            return []
+        keep = ckpt["version"]
+        removed = []
+        for name in sorted(os.listdir(self._mdir)):
+            m = _MANIFEST_RE.fullmatch(name)
+            c = _CKPT_RE.fullmatch(name)
+            v = int((m or c).group(1)) if (m or c) else None
+            if v is None or v >= keep or (c and v == keep):
+                continue
+            full = os.path.join(self._mdir, name)
+            try:
+                os.unlink(full)
+                removed.append(full)
+            except OSError:
+                pass
         return removed

@@ -257,6 +257,21 @@ def test_covariance_eig_matches_numpy(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     vals, vecs, n = covariance_eig(emb)
+    # scale contract: the combine tree hands the driver EXACTLY ONE
+    # row no matter the partition count (the flat per-partition collect
+    # was a ~26 GB driver pull at 800k partitions)
+    from python_etl_spark.functions.vector import as_double
+    from python_etl_spark.operators.similarity import _covariance_moments_df
+    from pyspark.sql import functions as F
+
+    v50 = emb.repartition(50).select(as_double("embedding").alias("vec"))
+    assert _covariance_moments_df(v50).count() == 1
+    # and the 50-partition result equals the default-partitioning one
+    vals50, _, n50 = covariance_eig(emb.repartition(50))
+    assert n50 == n
+    import numpy as _np
+
+    assert _np.allclose(vals50, vals, atol=1e-9)
     m = np.stack(
         [
             np.asarray(r.embedding, dtype=np.float64)

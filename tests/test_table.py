@@ -333,12 +333,16 @@ def test_vacuum_grace_period_spares_inflight_dirs(spark, tmp_path):
     t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
     t.merge(spark.createDataFrame([(1, "b")], "k long, v string"), keys=["k"])
     data_root = os.path.join(t.root, "data")
-    # age the old v0 dir past the grace window; the fake in-flight dir
-    # keeps its fresh mtime
+    # age the old v0 dir past the grace window — the WHOLE tree, since
+    # the guard now takes the max mtime over every contained file; the
+    # fake in-flight dir keeps its fresh mtime
     old_dir = t._read_manifest(0)["data_dirs"][0]
     aged = __import__("time").time() - 7200
+    for root, dirs, files in os.walk(old_dir):
+        for n in dirs + files:
+            os.utime(os.path.join(root, n), (aged, aged))
     os.utime(old_dir, (aged, aged))
-    inflight = os.path.join(data_root, "commit-00000002-deadbeef")
+    inflight = os.path.join(data_root, "commit-deadbeefcafe")
     os.makedirs(inflight)
 
     removed = t.vacuum(grace_seconds=3600)
@@ -416,3 +420,147 @@ def test_cross_process_commit_race(spark, tmp_path):
                 assert json.load(f)["data_dirs"] == [
                     f"dir-w{worker_id}-v{v}"
                 ]
+
+
+def test_checkpoint_bounds_manifest_reads_and_metadata(spark, tmp_path):
+    """105-commit table, checkpoint every 10: a snapshot read opens a
+    BOUNDED number of manifests (checkpoint + tail, never all 105),
+    clean_metadata drops everything below the newest checkpoint while
+    history/read/read_as_of/partition_columns keep working."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"), checkpoint_interval=10)
+    t.create(spark.createDataFrame([(0, "x")], "k long, v string"))
+    for i in range(1, 106):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    assert t.latest_version() == 105
+    names = os.listdir(t._mdir)
+    assert "ckpt-v00000100.json" in names and "ckpt-v00000010.json" in names
+
+    # bounded reads: count manifest opens during one snapshot read
+    opens = []
+    orig = VersionedTable._read_manifest
+
+    def counting(self, version=None):
+        opens.append(version)
+        return orig(self, version)
+
+    VersionedTable._read_manifest = counting
+    try:
+        n = t.read(spark).count()
+    finally:
+        VersionedTable._read_manifest = orig
+    assert n == 106
+    assert len(opens) <= 20, f"snapshot read opened {len(opens)} manifests"
+
+    # metadata cleanup: strictly-below-newest-checkpoint manifests go
+    removed = t.clean_metadata()
+    assert any(p.endswith("v00000099.json") for p in removed)
+    assert any(p.endswith("ckpt-v00000010.json") for p in removed)
+    left = os.listdir(t._mdir)
+    assert "v00000099.json" not in left
+    assert "v00000105.json" in left and "ckpt-v00000100.json" in left
+    assert len([x for x in left if x.endswith(".json")]) <= 7
+
+    # everything still works from checkpoint + tail
+    assert t.latest_version() == 105
+    assert t.read(spark).count() == 106
+    assert t.read(spark, version=100).count() == 101  # ckpt manifest
+    assert t.partition_columns() == []
+    h = t.history()
+    assert len(h) == 106 and h[50]["op"] == "append"  # summary entry
+    ts100 = t._read_manifest(100)["committed_at"]
+    assert t.read_as_of(spark, ts100).count() == 101
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=50)  # time travel below ckpt has ended
+
+
+def test_checkpoint_carries_schema_evolution_and_partitioning(
+    spark, tmp_path
+):
+    """Cumulative schema-evolved flag and the create-time partition
+    layout must survive clean_metadata (they ride in the checkpoint)."""
+    t = VersionedTable(str(tmp_path / "t"), checkpoint_interval=5)
+    t.create(
+        spark.createDataFrame([(0, "a", "p0")], "k long, v string, p string"),
+        partition_by=["p"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "b", "p1", 9.5)], "k long, v string, p string, w double"
+        ),
+        allow_evolution=True,
+    )
+    for i in range(2, 7):
+        t.append(
+            spark.createDataFrame(
+                [(i, "c", "p0", 1.0)], "k long, v string, p string, w double"
+            )
+        )
+    t.clean_metadata()
+    assert t.partition_columns() == ["p"]
+    got = t.read(spark)
+    assert got.count() == 7
+    # pre-evolution rows still surface the evolved column as NULL
+    assert got.where("w IS NULL").count() == 1
+
+
+def test_vacuum_tree_mtime_spares_partitioned_inflight_write(
+    spark, tmp_path
+):
+    """A partitioned in-flight write touches files in SUBDIRECTORIES
+    while the top-level dir mtime goes stale — the grace guard must
+    look at the whole tree, or a slow writer gets rmtree'd mid-write."""
+    import os
+    import time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    data_root = os.path.join(t.root, "data")
+    # fake in-flight partitioned write: stale top dir, fresh leaf file
+    inflight = os.path.join(data_root, "commit-feedfacecafe")
+    sub = os.path.join(inflight, "p=1")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "w") as f:
+        f.write("x")
+    aged = time.time() - 7200
+    os.utime(inflight, (aged, aged))  # only the top dir goes stale
+    removed = t.vacuum(grace_seconds=3600)
+    assert removed == [] and os.path.isdir(inflight)
+
+
+def test_vacuum_sweeps_manifest_tmp_debris(spark, tmp_path):
+    """A writer crashing between tmp write and os.link leaves
+    v*.json.tmp-<uuid> in _manifests forever; vacuum sweeps it (with
+    the same grace guard protecting a mid-publish writer)."""
+    import os
+    import time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    debris = os.path.join(t._mdir, "v00000042.json.tmp-deadbeef")
+    with open(debris, "w") as f:
+        f.write("{}")
+    fresh = os.path.join(t._mdir, "v00000043.json.tmp-cafebabe")
+    with open(fresh, "w") as f:
+        f.write("{}")
+    aged = time.time() - 7200
+    os.utime(debris, (aged, aged))
+    removed = t.vacuum(grace_seconds=3600)
+    assert debris in removed and not os.path.exists(debris)
+    assert os.path.exists(fresh)  # inside grace: may be mid-publish
+    assert fresh in t.vacuum()  # grace 0 (offline): everything goes
+
+
+def test_append_data_dirs_have_no_version_component(spark, tmp_path):
+    """Data dir names are uuid-only: an append writes its dir BEFORE
+    the commit race is decided, so an embedded version number could
+    disagree with the owning manifest."""
+    import os
+    import re
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    for name in os.listdir(os.path.join(t.root, "data")):
+        assert re.fullmatch(r"commit-[0-9a-f]{12}", name), name

@@ -189,6 +189,29 @@ def test_corpus_word_counts_sorted_deterministic(spark):
     assert corpus_word_counts(docs) == [("a", 2), ("b", 2), ("c", 1)]
 
 
+def test_corpus_word_counts_collect_is_capped(spark):
+    """The driver collect must be bounded by max_types even when the
+    corpus has more distinct types (the 100 TB multilingual-web case:
+    billions of tail types would OOM an uncapped collect), and the cap
+    keeps the deterministic Zipf HEAD (count desc, word asc)."""
+    rows = [(i, f"common{i % 5} rare{i:04d}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus_word_counts(docs, max_types=10)
+    assert len(got) == 10
+    by_word = dict(got)
+    for j in range(5):  # every 40-count head type survives the cut
+        assert by_word[f"common{j}"] == 40
+    assert all(c == 40 or w.startswith("rare") for w, c in got)
+    # tie-break inside the singleton tail is word-asc: the FIRST rare
+    # types lexicographically are kept, deterministically
+    rares = sorted(w for w in by_word if w.startswith("rare"))
+    assert rares == [f"rare{i:04d}" for i in range(5)]
+    # min_count floor drops the whole singleton tail
+    assert corpus_word_counts(docs, min_count=2) == sorted(
+        (f"common{j}", 40) for j in range(5)
+    )
+
+
 # ------------------------------ URLs ---------------------------------------
 def test_url_host_dedup_invariants(spark, sf_dir):
     rows = QUERIES["etl_url_host_dedup"](spark, sf_dir).collect()
