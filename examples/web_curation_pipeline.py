@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""End-to-end web-crawl curation pipeline (the round-7 family):
+"""End-to-end web-crawl curation pipeline, from the wire format in:
 
-1. Build deterministic synthetic crawl pages (URL + HTML per document).
+0. Pack deterministic synthetic crawl pages into REAL .warc.gz
+   containers (per-record gzip members, HTTP response framing — the
+   Common Crawl layout) and re-ingest them with sources/warc.read_warc
+   (one task per container, the production ingest shape).
+1. Recover URL + HTML per document from the WARC records.
 2. URL hygiene: canonicalize, drop blocklisted registered domains,
    keep-first dedup on the canonical (host, path).
 3. HTML -> text: Arrow-batched stdlib extraction with link-density
    boilerplate filtering.
 4. Token accounting: train a mini-BPE merge table on the surviving
-   corpus, report the (lang, source) training mixture in BPE tokens.
+   corpus, report the per-language training mixture in BPE tokens.
 
-Everything downstream of (1) is the real operator surface a crawl
-pipeline would run before the text-analysis suite ever sees clean
-documents.
+Everything downstream of (0) is the real operator surface a crawl
+pipeline runs before the text-analysis suite ever sees clean documents.
 
 Run: python examples/web_curation_pipeline.py [sf_dir]
 """
@@ -30,7 +33,7 @@ from python_etl_spark.operators.bpe import (
     train_bpe,
 )
 from python_etl_spark.operators.html import html_extract_col
-from python_etl_spark.plans.web import _BLOCKLIST, _canonical, _html_docs, _urls
+from python_etl_spark.plans.web import _BLOCKLIST, _canonical, _urls, _warc_docs
 from python_etl_spark.session import get_spark
 
 
@@ -38,6 +41,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("web-curation-example")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # -- 0: WARC ingest (packs the containers on first use) -----------------
+    warc = _warc_docs(spark, sf_dir)
+    n_rec = warc.count()
+    print(f"warc: {n_rec} response records ingested from .warc.gz")
 
     # -- 1+2: URL hygiene ---------------------------------------------------
     urls = _urls(spark, sf_dir)
@@ -61,8 +69,8 @@ def main() -> None:
         f"({n_allowed - n_frontier} dups collapsed)"
     )
 
-    # -- 3: HTML -> text for the surviving frontier -------------------------
-    pages = _html_docs(spark, sf_dir).join(
+    # -- 3: HTML -> text for the surviving frontier, FROM the WARC body -----
+    pages = warc.select("doc_id", "html").join(
         frontier.select("doc_id"), "doc_id"
     )
     extracted = pages.select(

@@ -1,0 +1,132 @@
+"""WARC connector: record codec, gzip member framing, distributed
+round-trip, truncation/corruption behavior, non-response records."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from python_etl_spark.sources.warc import (
+    WarcFormatError,
+    build_http_response_record,
+    build_record,
+    parse_warc,
+    parse_warc_bytes,
+    read_warc,
+    write_warc,
+)
+
+
+def _gz(b: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(b)
+    return buf.getvalue()
+
+
+def test_record_codec_round_trip_plain():
+    rec = build_http_response_record(
+        "https://example.com/a", b"<html>hi</html>"
+    )
+    rows = list(parse_warc(rec))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["warc_type"] == "response"
+    assert r["target_uri"] == "https://example.com/a"
+    assert r["http_status"] == 200
+    assert r["http_content_type"].startswith("text/html")
+    assert r["payload"] == b"<html>hi</html>"
+    assert not r["is_truncated"]
+
+
+def test_record_ids_deterministic():
+    a = build_http_response_record("https://e.com/x", b"b1")
+    b = build_http_response_record("https://e.com/x", b"b2")
+    ida = list(parse_warc(a))[0]["record_id"]
+    idb = list(parse_warc(b))[0]["record_id"]
+    assert ida == idb and ida.startswith("<urn:uuid:")
+    c = build_http_response_record("https://e.com/OTHER", b"b1")
+    assert list(parse_warc(c))[0]["record_id"] != ida
+
+
+def test_multi_record_gzip_members_and_non_response_records():
+    """warcinfo + request + response in one .warc.gz (one gzip member
+    per record, the Common Crawl framing): all three surface, only the
+    response gets HTTP parsing."""
+    info = build_record(
+        "warcinfo", b"software: x\r\n", content_type="application/warc-fields"
+    )
+    req = build_record(
+        "request",
+        b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        target_uri="https://example.com/a",
+        content_type="application/http;msgtype=request",
+    )
+    resp = build_http_response_record("https://example.com/a", b"BODY")
+    data = _gz(info) + _gz(req) + _gz(resp)
+    rows = list(parse_warc_bytes(data))
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "request", "response"]
+    assert rows[0]["http_status"] is None
+    assert rows[1]["payload"].startswith(b"GET /a")
+    assert rows[2]["http_status"] == 200 and rows[2]["payload"] == b"BODY"
+
+
+def test_truncated_payload_flagged_not_fatal():
+    rec = build_http_response_record("https://e.com/a", b"X" * 100)
+    cut = rec[: len(rec) - 60]  # cut inside the payload
+    rows = list(parse_warc(cut))
+    assert len(rows) == 1 and rows[0]["is_truncated"]
+    with pytest.raises(WarcFormatError, match="truncated payload"):
+        list(parse_warc(cut, strict=True))
+
+
+def test_corrupt_gzip_tail_ends_walk_not_task():
+    ok = _gz(build_http_response_record("https://e.com/a", b"GOOD"))
+    data = ok + b"\x1f\x8b\x08\x00garbage-not-a-member"
+    rows = list(parse_warc_bytes(data))
+    assert len(rows) == 1 and rows[0]["payload"] == b"GOOD"
+    with pytest.raises(WarcFormatError):
+        list(parse_warc_bytes(data, strict=True))
+
+
+def test_distributed_round_trip(spark, tmp_path):
+    """write_warc (one .warc.gz per partition) -> read_warc (one task
+    per file): every body survives byte-exact, warcinfo records ride
+    along, partition count == file count."""
+    import os
+
+    rows = [
+        (f"https://example.com/doc/{i}", f"<html>doc {i} é</html>")
+        for i in range(37)
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, body string"
+    ).repartition(4)
+    out = str(tmp_path / "warc")
+    write_warc(df, out)
+    files = [n for n in os.listdir(out) if n.endswith(".warc.gz")]
+    assert len(files) == 4
+
+    back = read_warc(spark, out)
+    resp = back.where("warc_type = 'response'")
+    got = {
+        r["target_uri"]: bytes(r["payload"]).decode("utf-8")
+        for r in resp.collect()
+    }
+    assert got == dict(rows)
+    assert back.where("warc_type = 'warcinfo'").count() == 4
+    assert resp.where("http_status = 200").count() == 37
+    assert resp.where("is_truncated").count() == 0
+
+
+def test_read_warc_plain_uncompressed_file(spark, tmp_path):
+    p = tmp_path / "w"
+    p.mkdir()
+    data = build_http_response_record(
+        "https://e.com/1", b"A"
+    ) + build_http_response_record("https://e.com/2", b"B")
+    (p / "f.warc").write_bytes(data)
+    got = read_warc(spark, str(p)).where("warc_type='response'").collect()
+    assert sorted(bytes(r["payload"]) for r in got) == [b"A", b"B"]
