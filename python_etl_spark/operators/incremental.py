@@ -1,0 +1,130 @@
+"""Incremental (cross-snapshot) dedup: new batches against the
+accepted corpus, without rescanning the corpus text.
+
+Every dedup op in operators/dedup.py dedups one corpus against
+itself. Production training-data pipelines ingest BATCHES (a nightly
+crawl slice) and must drop documents already accepted in ANY earlier
+batch — rescanning 100 TB of accepted text per night is not an
+option. The standard design, composed here from pieces this repo
+already has:
+
+* a persisted SIGNATURE STORE — a :class:`VersionedTable`
+  (sinks/table.py) holding ``(sig, doc id, batch id)`` rows, KBs per
+  million docs, never the text;
+* new batch -> compute signatures -> keep-first WITHIN the batch ->
+  ANTI-JOIN against the store (signature-only scan; at cluster scale
+  bucket the store by ``sig`` so the join is exchange-free on the
+  store side) -> the survivors are the accepted rows;
+* append the survivors' signatures to the store in ONE atomic
+  versioned commit stamped with the batch id (the bookmark pattern of
+  ``etl_incremental_load``).
+
+Crash contract (the two-phase gap): the store append is the atomic
+commit point.
+
+* Crash BEFORE the append: the store is unchanged; re-running the
+  batch recomputes the identical accepted set (pure function of
+  batch + store) and appends once. Nothing lost, nothing doubled.
+* Crash AFTER the append (caller lost the output): re-running with
+  the same ``batch_id`` still returns the same accepted rows —
+  the anti-join EXCLUDES store rows carrying this batch id, so the
+  batch's own signatures don't mark it as duplicate — and the
+  append is skipped (the store already has a commit for this batch
+  id). Idempotent at-least-once driver semantics, exactly-once
+  store effects.
+
+Signatures here are exact (md5 of optionally-normalized text) — the
+cross-snapshot NEAR-dup variant stores MinHash band keys instead of
+one hash and anti-joins on band membership; the store/commit/idempotency
+machinery is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_etl_spark.sinks.table import VersionedTable
+
+
+def text_signature(text_col, normalized: bool = True):
+    """md5 signature column; ``normalized`` folds case and collapses
+    whitespace runs first (the dedup_exact_normalized convention)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalized:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+class IncrementalDeduper:
+    """Signature store + batch filter. One instance per logical corpus."""
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        normalized: bool = True,
+    ):
+        self.table = VersionedTable(root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.normalized = normalized
+
+    def _sigs(self, batch: DataFrame) -> DataFrame:
+        return batch.withColumn(
+            "__sig", text_signature(self.text_col, self.normalized)
+        )
+
+    def _store(self, spark) -> DataFrame | None:
+        if not self.table.exists():
+            return None
+        return self.table.read(spark)
+
+    def batch_committed(self, spark, batch_id: str) -> bool:
+        """Has this batch id already been appended? (Signature-only
+        parquet scan with a pushed-down equality filter.)"""
+        store = self._store(spark)
+        if store is None:
+            return False
+        return (
+            store.where(F.col("batch_id") == batch_id).limit(1).count() > 0
+        )
+
+    def accept_batch(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        """Filter ``batch`` against the store and commit the survivors'
+        signatures. Returns the accepted rows (original columns).
+
+        Deterministic: within-batch keep-first is ordered by the id
+        column; the cross-snapshot filter is an anti-join on ``sig``
+        against every PRIOR batch's signatures. The returned frame is
+        computed before the append and re-derivable after a crash —
+        see the module docstring for the exact crash contract."""
+        spark = batch.sparkSession
+        sigs = self._sigs(batch)
+        # keep-first within the batch (dedup_exact shape: one window
+        # over the signature key, never all-pairs)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__sig").orderBy(F.col(self.id_col))
+        first = sigs.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") == 1
+        )
+        store = self._store(spark)
+        if store is not None:
+            prior = store.where(F.col("batch_id") != batch_id).select(
+                F.col("sig").alias("__sig")
+            )
+            first = first.join(prior, "__sig", "left_anti")
+        accepted = first.drop("__rn")
+
+        new_sigs = accepted.select(
+            F.col("__sig").alias("sig"),
+            F.col(self.id_col).cast("long").alias("id"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        if store is None:
+            self.table.create(new_sigs, meta={"batch_id": batch_id})
+        elif not self.batch_committed(spark, batch_id):
+            self.table.append(new_sigs, meta={"batch_id": batch_id})
+        return accepted.drop("__sig")

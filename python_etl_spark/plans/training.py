@@ -1414,3 +1414,109 @@ def text_window_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_fraction_ppm"),
         )
     )
+
+
+# ---------------------- exact-substring span removal -----------------------
+_ESD_W = 8  # tokens per overlapping window (Lee et al. use 50; 8 fires
+#             at synthetic scale — the plan shape is length-agnostic)
+
+
+@register(
+    "text_exact_substr_dedup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i + 1 : i + {_ESD_W}], ' ')) AS wh
+  FROM toks, (SELECT unnest(generate_series(0,
+      (SELECT COALESCE(MAX(len(t)), 0) FROM toks) - {_ESD_W})) AS i)
+  WHERE i <= len(t) - {_ESD_W}),
+wc AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.i + j AS p
+  FROM wins w JOIN wc USING (wh),
+       (SELECT unnest(generate_series(0, {_ESD_W} - 1)) AS j)),
+pos AS (
+  SELECT doc_id, p, t[p + 1] AS tok
+  FROM toks, (SELECT unnest(generate_series(0,
+      (SELECT COALESCE(MAX(len(t)), 1) FROM toks) - 1)) AS p)
+  WHERE p < len(t)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+  WHERE cov.p IS NULL),
+agg AS (
+  SELECT doc_id,
+    array_to_string(list(tok ORDER BY p), ' ') AS dedup_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+  COALESCE(a.dedup_text, '') AS dedup_text,
+  CAST(len(t.t) AS INT) AS n_tokens,
+  CAST(len(t.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed_tokens
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def text_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") — the operation behind the
+    text_window_dup_fraction diagnostic: every token covered by ANY
+    overlapping W=8-token window whose content occurs >=2 times
+    corpus-wide is dropped (both copies, the paper's behavior), and
+    the surviving tokens are reassembled in order. Exact twins erase
+    each other completely; partially-templated docs lose exactly the
+    shared spans; docs with no duplicated window come back
+    byte-identical.
+
+    Scale posture: window hashes (not window text) are the shuffle
+    currency; one groupBy(wh) for corpus counts, the wins->wc join
+    reuses that exchange, covered positions roll up per doc
+    (collect_set over a doc's covered positions — bounded by doc
+    length, never corpus), and reassembly is a zero-shuffle
+    higher-order filter over the token array using the covered-set
+    membership. No driver collect anywhere. The suffix-array
+    construction of the paper is replaced by the hashed-window
+    pigeonhole — same guarantees for spans >= W at 1/W the memory,
+    the standard distributed formulation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("t"))
+    n = F.size("t")
+    wins = toks.where(n >= _ESD_W).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - _ESD_W),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("t"), i + 1, _ESD_W), " ")
+                ),
+            )
+        ).alias("i", "wh"),
+    )
+    wc = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    cov = wins.join(wc, "wh").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(_ESD_W - 1))
+        ).alias("p"),
+    )
+    covarr = cov.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
+    joined = toks.join(covarr, "doc_id", "left")
+    kept = F.filter(
+        F.transform(
+            "t",
+            lambda x, i: F.when(
+                F.col("cov").isNull() | ~F.array_contains("cov", i), x
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.size("t").cast("int").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

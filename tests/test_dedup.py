@@ -338,3 +338,85 @@ def test_window_dup_fraction_known_corpus(spark, tmp_path, monkeypatch):
     assert got[1].n_dup_windows == 1
     assert got[2].n_dup_windows == 0 and got[2].n_windows == 8
     assert got[3].n_windows == 0 and got[3].dup_fraction_ppm == 0
+
+
+# ---------------------- exact-substring span removal -----------------------
+
+
+def _naive_exact_substr(texts: dict, w: int = 8) -> dict:
+    """Quadratic reference for the ExactSubstr spec: count every
+    w-token window corpus-wide, drop tokens covered by any window
+    occurring >= 2 times, reassemble."""
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    wc = Counter(
+        " ".join(t[i : i + w])
+        for t in toks.values()
+        for i in range(len(t) - w + 1)
+    )
+    out = {}
+    for d, t in toks.items():
+        cov = set()
+        for i in range(len(t) - w + 1):
+            if wc[" ".join(t[i : i + w])] >= 2:
+                cov.update(range(i, i + w))
+        out[d] = " ".join(x for p, x in enumerate(t) if p not in cov)
+    return out
+
+
+def test_exact_substr_dedup_matches_naive_reference(spark, sf_dir):
+    """Distributed hashed-window span removal == the quadratic pure-
+    Python spec, doc for doc, on the real sf0.001 corpus."""
+    from python_etl_spark.plans import QUERIES
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = _naive_exact_substr(texts)
+    got = {
+        r["doc_id"]: r["dedup_text"]
+        for r in QUERIES["text_exact_substr_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # non-vacuous: the corpus must actually contain duplicated spans
+    assert any(got[d] != texts[d] for d in texts)
+
+
+def test_exact_substr_dedup_properties(spark, sf_dir):
+    """The Lee-et-al. contract: (a) no window that was duplicated in
+    the ORIGINAL corpus survives anywhere in the deduped corpus;
+    (b) docs without any duplicated window come back byte-identical;
+    (c) exact twins erase each other completely."""
+    from collections import Counter
+
+    from python_etl_spark.plans import QUERIES
+    from pyspark.sql import functions as F
+
+    w = 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = QUERIES["text_exact_substr_dedup"](spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    wc = Counter(
+        " ".join(t.split(" ")[i : i + w])
+        for t in texts.values()
+        for i in range(len(t.split(" ")) - w + 1)
+    )
+    dup = {k for k, c in wc.items() if c >= 2}
+    for d, r in rows.items():
+        t = r["dedup_text"].split(" ") if r["dedup_text"] else []
+        # (a) removal is complete w.r.t. original duplicated windows
+        for i in range(len(t) - w + 1):
+            assert " ".join(t[i : i + w]) not in dup, (d, i)
+        # (b) untouched docs byte-identical
+        if r["n_removed_tokens"] == 0:
+            assert r["dedup_text"] == texts[d]
+    # (c) at least one doc pair shares spans -> both lose those spans
+    assert sum(r["n_removed_tokens"] for r in rows.values()) > 0

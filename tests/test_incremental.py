@@ -253,3 +253,97 @@ def test_read_as_of_time_travel(spark, tmp_path):
 
     with pytest.raises(LookupError):
         t.read_as_of(spark, 0.0)  # before the first commit
+
+
+# ------------------- cross-snapshot (batch) dedup --------------------------
+
+
+def test_incremental_dedup_two_batches(spark, tmp_path):
+    """Batch 2 docs duplicating batch 1 are dropped using ONLY the
+    persisted signature store (no text column ever stored, so batch-1
+    text is never rescanned); within-batch dups keep-first."""
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(str(tmp_path / "sigstore"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, "zeta")],
+        "doc_id long, text string",
+    )
+    a1 = d.accept_batch(b1, "b1")
+    assert sorted(r.doc_id for r in a1.collect()) == [1, 2, 3]
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA  beta gamma"),   # normalized dup of doc 1
+            (11, "eta theta"),           # new
+            (12, "eta theta"),           # within-batch dup of 11
+            (13, "zeta"),                # dup of doc 3
+        ],
+        "doc_id long, text string",
+    )
+    a2 = d.accept_batch(b2, "b2")
+    assert sorted(r.doc_id for r in a2.collect()) == [11]
+
+    store = d.table.read(spark)
+    assert store.columns == ["sig", "id", "batch_id"]  # no text stored
+    assert store.count() == 4
+    assert store.where("batch_id = 'b2'").count() == 1
+
+
+def test_incremental_dedup_crash_before_append_recovers(spark, tmp_path):
+    """Crash between filter and signature-append: the store is
+    unchanged, and re-running the batch accepts the same rows and
+    appends exactly once."""
+    import pytest
+
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+    from python_etl_spark.sinks.table import VersionedTable
+
+    d = IncrementalDeduper(str(tmp_path / "sigstore"))
+    d.accept_batch(
+        spark.createDataFrame([(1, "aa"), (2, "bb")], "doc_id long, text string"),
+        "b1",
+    )
+    v_before = d.table.latest_version()
+
+    b2 = spark.createDataFrame(
+        [(10, "aa"), (11, "cc")], "doc_id long, text string"
+    )
+    orig_append = VersionedTable.append
+
+    def boom(self, *a, **k):
+        raise OSError("simulated crash before signature append")
+
+    VersionedTable.append = boom
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            d.accept_batch(b2, "b2")
+    finally:
+        VersionedTable.append = orig_append
+    assert d.table.latest_version() == v_before  # nothing half-added
+
+    a2 = d.accept_batch(b2, "b2")  # clean re-run
+    assert sorted(r.doc_id for r in a2.collect()) == [11]
+    assert d.table.read(spark).where("batch_id = 'b2'").count() == 1
+
+
+def test_incremental_dedup_rerun_after_append_is_idempotent(spark, tmp_path):
+    """Crash AFTER the append (caller lost the output): re-running the
+    same batch_id returns the same accepted rows — the batch's own
+    stored signatures must not mark it duplicate — and does NOT
+    double-append."""
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(str(tmp_path / "sigstore"))
+    d.accept_batch(
+        spark.createDataFrame([(1, "aa")], "doc_id long, text string"), "b1"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "aa"), (11, "cc")], "doc_id long, text string"
+    )
+    first = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
+    v_after = d.table.latest_version()
+    rerun = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
+    assert first == rerun == [11]
+    assert d.table.latest_version() == v_after  # append skipped
+    assert d.table.read(spark).where("batch_id = 'b2'").count() == 1
