@@ -141,29 +141,48 @@ _R06_CHECKED = frozenset(
     ]
 )
 
+# r7 sample (CORRECTNESS_r07.json): the 8 round-7 crawl additions plus
+# carried-over re-checks; all hash-green (text_bpe_tokens rows-only by
+# design).
+_R07_CHECKED = frozenset(
+    [
+        "etl_host_quality_filter", "etl_link_graph",
+        "etl_mixture_report_bpe", "etl_robots_filter",
+        "etl_url_blocklist_filter", "etl_url_host_dedup",
+        "text_bpe_tokens", "text_bpe_tokens_checked", "text_html_extract",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
-    | _R05_CHECKED | _R06_CHECKED
+    | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED
 )
+
+# The 13 approximate/sketch ops whose driver row can only ever be the
+# weaker rows-only check (no oracle_sql by design; exact pytest oracles
+# in tests/). Re-queued right after this round's new queries so every
+# round's sample re-certifies them.
+_ROWS_ONLY_RECHECK = [
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
+    "emb_pca_variance", "etl_approx_quantiles", "etl_approx_distinct",
+    "events_audience_overlap_hll", "text_cms_topk", "text_bpe_tokens",
+]
 
 
 def _registry_order() -> list[str]:
     names = list(QUERIES)
-    # The driver samples the registry HEAD, so order unchecked entries
-    # by how much a driver-side check would add: (1) oracled
-    # never-sampled queries (they earn full rows+schema+hash checks —
-    # after r1-r4 that is exactly this round's additions), (2) rows-only
-    # queries (after r1-r4: the 7 sketch/approx ops that have never had
-    # any driver row — they can only earn the weaker rows-only check,
-    # but it closes the sampling loop), then everything already green.
+    # The driver samples the registry HEAD (~50): (1) this round's NEW
+    # oracled queries first (they earn full rows+schema+hash checks),
+    # (2) the rows-only approximate ops (their driver check is weaker,
+    # but re-certifying them every round keeps the sampling loop
+    # closed), (3) everything already green in some CORRECTNESS round.
     unchecked = [n for n in names if n not in _DRIVER_CHECKED]
     oracled = [n for n in unchecked if n in ORACLES]
     rows_only = [n for n in unchecked if n not in ORACLES]
-    return (
-        oracled
-        + rows_only
-        + [n for n in names if n in _DRIVER_CHECKED]
-    )
+    head = oracled + rows_only
+    head += [n for n in _ROWS_ONLY_RECHECK if n in names and n not in head]
+    return head + [n for n in names if n not in head]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

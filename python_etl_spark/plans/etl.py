@@ -140,14 +140,21 @@ def etl_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "etl_join_anti",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= {ts_sql('2000-01-01 00:00:00')})
 """,
 )
 def etl_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against RECENT orders (every customer in the
+    synthetic data has at least one lifetime order, so the undated
+    anti join returned 0 rows at every scale — a hash that exercised
+    nothing). The date filter sits below the anti-join build side."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= ts("2000-01-01 00:00:00")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

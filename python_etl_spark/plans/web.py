@@ -844,3 +844,69 @@ def text_html_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_kept").alias("n_kept"),
         F.col("e.n_dropped").alias("n_dropped"),
     )
+
+
+# --------------------------- encoding repair ------------------------------
+#
+# Deterministic synthetic mojibake over the (pure-ASCII) documents
+# text: every doc gets an accented prefix; doc_id%3 docs get it
+# utf-8→latin-1 DOUBLE-decoded once (cafÃ©), doc_id%9 docs twice
+# (cafÃƒÂ©). The repair operator must fix exactly those, in exactly
+# that many passes, and leave the clean accented prefix alone — the
+# oracle predicts everything from the construction arithmetic.
+
+_ENC_OK = "café "
+_ENC_BAD1 = _ENC_OK.encode("utf-8").decode("latin-1")      # 6 chars
+_ENC_BAD2 = _ENC_BAD1.encode("utf-8").decode("latin-1")    # 8 chars
+
+
+@register(
+    "text_encoding_repair",
+    oracle=f"""
+SELECT doc_id,
+  'café ' || text AS repaired_text,
+  CAST(CASE WHEN doc_id % 9 = 0 THEN 2
+            WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_passes,
+  doc_id % 3 = 0 AS was_mojibake,
+  CAST(strlen(text) + CASE WHEN doc_id % 9 = 0 THEN {len(_ENC_BAD2)}
+       WHEN doc_id % 3 = 0 THEN {len(_ENC_BAD1)}
+       ELSE {len(_ENC_OK)} END AS INT) AS n_chars_before,
+  CAST(strlen(text) + {len(_ENC_OK)} AS INT) AS n_chars_after
+FROM documents
+""",
+)
+def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style mojibake repair (operators/encoding.py): the
+    latin-1/cp1252⇄utf-8 round-trip test finds double-encoded text and
+    decodes it back, iterating to a fixpoint (the doc_id%9 rows need
+    TWO passes); genuinely-clean accented text fails the utf-8
+    round-trip and is untouched. The oracle predicts the repaired
+    string, pass counts, and before/after char lengths from the
+    corruption arithmetic — a hash match proves the operator undid
+    exactly the planted corruption and nothing else. Zero shuffles:
+    a pure Arrow map stage, the standard first step on raw web text
+    (run before language ID — mojibake wrecks n-gram profiles)."""
+    from python_etl_spark.operators.encoding import repair_mojibake_col
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(_ENC_BAD2))
+        .when(F.col("doc_id") % 3 == 0, F.lit(_ENC_BAD1))
+        .otherwise(F.lit(_ENC_OK))
+    )
+    raw = docs.select(
+        "doc_id", F.concat(prefix, F.col("text")).alias("raw_text")
+    )
+    fixed = raw.select(
+        "doc_id",
+        F.length("raw_text").cast("int").alias("n_chars_before"),
+        repair_mojibake_col("raw_text").alias("r"),
+    )
+    return fixed.select(
+        "doc_id",
+        F.col("r.repaired").alias("repaired_text"),
+        F.col("r.n_passes").alias("n_passes"),
+        (F.col("r.n_passes") >= 1).alias("was_mojibake"),
+        "n_chars_before",
+        F.length("r.repaired").cast("int").alias("n_chars_after"),
+    )

@@ -124,7 +124,12 @@ def run_parity(
         try:
             spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
             oracle_pdf = con.execute(ORACLES[name]).df()
-            results.append(compare_frames(name, spark_pdf, oracle_pdf))
+            r = compare_frames(name, spark_pdf, oracle_pdf)
+            if r.ok and len(spark_pdf) == 0:
+                # still ok (values match), but surface it: an empty
+                # match proves nothing about the query's arithmetic
+                r.detail = "WARNING: 0 rows both sides (vacuous hash)"
+            results.append(r)
         except Exception as e:  # noqa: BLE001 — report, keep going
             results.append(
                 ParityResult(name, False, detail=f"{type(e).__name__}: {e}")

@@ -335,3 +335,58 @@ def test_robots_filter_rule_semantics(spark, sf_dir):
     assert news.get("/docs/12") is True                  # Allow override
     assert news.get("/docs/1") is False
     assert news.get("/docs/13", False) is False
+
+
+# --------------------------- encoding repair -------------------------------
+def test_fix_mojibake_text_unit():
+    from python_etl_spark.operators.encoding import fix_mojibake_text
+
+    ok = "café and naïve text"
+    b1 = ok.encode("utf-8").decode("latin-1")
+    b2 = b1.encode("utf-8").decode("latin-1")
+    assert fix_mojibake_text(b1) == (ok, 1)
+    assert fix_mojibake_text(b2) == (ok, 2)
+    assert fix_mojibake_text(ok) == (ok, 0)       # clean accents untouched
+    assert fix_mojibake_text("plain") == ("plain", 0)
+    # cp1252 smart-quote mojibake (bytes in the 0x80-0x9F latin-1 gap)
+    sq = "“hi” — dash"
+    bad = sq.encode("utf-8").decode("latin-1")
+    assert fix_mojibake_text(bad) == (sq, 1)
+    # CJK text: not latin-1/cp1252 encodable, must pass through
+    assert fix_mojibake_text("中文 text") == ("中文 text", 0)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20,
+            max_codepoint=0x2FF,
+            blacklist_characters="\x7f",
+        ),
+        max_size=40,
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_mojibake_corrupt_then_repair_round_trip(s):
+    """For any latin-ish string that is itself a repair FIXPOINT, one
+    bad utf-8→latin-1 hop is exactly undone. (A string that is itself
+    valid mojibake — e.g. 'Â\\x80' — is indistinguishable from a
+    double-encoded original, and repair converges to the deeper
+    fixpoint instead; that ambiguity is inherent to the round-trip
+    test, so the property is conditioned on fixpoint inputs.) Repair
+    output is always a fixpoint."""
+    from python_etl_spark.operators.encoding import fix_mojibake_text
+
+    try:
+        bad = s.encode("utf-8").decode("latin-1")
+    except UnicodeDecodeError:
+        return  # not constructible for this input
+    repaired, n = fix_mojibake_text(bad)
+    s_fix, s_passes = fix_mojibake_text(s)
+    if bad != s and s_passes == 0:
+        assert repaired == s and n >= 1
+    else:
+        # s itself repairable: both roads meet at the same fixpoint
+        assert repaired == s_fix or repaired == s
+    out2, _ = fix_mojibake_text(repaired)
+    assert fix_mojibake_text(out2)[0] == out2  # fixpoint
