@@ -345,3 +345,30 @@ def test_bpe_checked_type_bounded_python(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # type counts join back broadcast
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_warc_ingest_pure_map_no_exchange(spark, sf_dir):
+    """WARC ingest is binaryFile -> Arrow decode -> projection: a pure
+    map pipeline (one task per container at 100 TB), zero exchanges."""
+    plan = _plan(spark, sf_dir, "etl_warc_ingest_stats")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_exact_substr_no_single_partition_no_cartesian(spark, sf_dir):
+    """ExactSubstr: window-hash counts and the per-doc covered-set
+    rollup are hash-partitioned shuffles; nothing funnels through one
+    partition and nothing goes cartesian. Reassembly is a higher-order
+    function over the token array (no Python at all)."""
+    plan = _plan(spark, sf_dir, "text_exact_substr_dedup")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan  # pure JVM expressions
+
+
+def test_encoding_repair_pure_arrow_map(spark, sf_dir):
+    """Mojibake repair is an embarrassingly-parallel Arrow map —
+    zero exchanges, same shape as HTML extraction."""
+    plan = _plan(spark, sf_dir, "text_encoding_repair")
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan, plan
