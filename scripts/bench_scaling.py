@@ -52,6 +52,12 @@ QUERIES_UNDER_TEST = [
     ("text_ngram_topk", "linear"),
     ("dedup_exact", "linear"),
     ("text_segment_dedup", "linear"),
+    # round-8: span removal is window-hash bounded ("overlap": output
+    # scales with true duplicated-window volume, ~linear under the
+    # replica's disjoint-copy construction); encoding repair is a pure
+    # Arrow map
+    ("text_exact_substr_dedup", "overlap", "checksum"),
+    ("text_encoding_repair", "linear", "checksum"),
     ("etl_bloom_semi_join", "linear"),
     ("graph_pagerank", "linear"),
     ("emb_random_projection", "linear"),
@@ -69,11 +75,33 @@ QUERIES_UNDER_TEST = [
 ]
 
 
+def _force(df, action: str) -> None:
+    """Materialize a query for timing. ``count`` is the historical
+    action; ``checksum`` aggregates a hash over EVERY output column —
+    required for queries whose expensive payload (e.g. a rewritten
+    text column) would otherwise be PRUNED by Catalyst under count()
+    (count only needs row multiplicity, so a projection-only payload
+    costs nothing — the exact-substring probe measured 1.8s counted
+    vs 37s computed at 100x)."""
+    if action == "checksum":
+        from pyspark.sql import functions as F
+
+        # bit_xor, not sum: xxhash64 sums overflow long under ANSI
+        df.select(
+            F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).alias(
+                "__h"
+            )
+        ).agg(F.expr("bit_xor(__h)")).collect()
+    else:
+        df.count()
+
+
 def timed_pass(spark, QUERIES, sf_dir, queries, verbose=True):
     times = {}
-    for name, _ in queries:
+    for q in queries:
+        name, action = q[0], (q[2] if len(q) > 2 else "count")
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        _force(QUERIES[name](spark, sf_dir), action)
         times[name] = round(time.perf_counter() - t0, 3)
         if verbose:
             print(f"#   {name}: {times[name]:.2f}s", file=sys.stderr)
@@ -97,8 +125,8 @@ def run_rehearsal(
     queries = queries if queries is not None else QUERIES_UNDER_TEST
     if verbose:
         print("# warm pass (small)", file=sys.stderr)
-    for name, _ in queries:
-        QUERIES[name](spark, small).count()
+    for q in queries:
+        _force(QUERIES[q[0]](spark, small), q[2] if len(q) > 2 else "count")
     if verbose:
         print("# timed pass (small)", file=sys.stderr)
     dedup.clear_shared_shingle_cache()
@@ -109,7 +137,9 @@ def run_rehearsal(
     t_big = timed_pass(spark, QUERIES, big, queries, verbose)
 
     rows = []
-    for name, expected in queries:
+    actions = {q[0]: (q[2] if len(q) > 2 else "count") for q in queries}
+    for q in queries:
+        name, expected = q[0], q[1]
         # 0.1s floor on the denominator: sub-100ms small-scale timings
         # are scheduler-noise-dominated and would turn a healthy 1s big
         # run into a spurious 20x "ratio".
@@ -143,10 +173,10 @@ def run_rehearsal(
         import time as _time
 
         t0 = _time.perf_counter()
-        QUERIES[name](spark, small).count()
+        _force(QUERIES[name](spark, small), actions[name])
         rs = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        QUERIES[name](spark, big).count()
+        _force(QUERIES[name](spark, big), actions[name])
         rb = _time.perf_counter() - t0
         retry_ratio = round(rb / max(rs, 0.1), 2)
         # keep BOTH timings: the report must show that the first pass

@@ -39,6 +39,11 @@ DOC_QUERIES = [
     ("text_html_extract", "linear"),       # pure Arrow map stage
     ("etl_url_host_dedup", "linear"),      # one keep-first shuffle
     ("text_bpe_tokens_checked", "linear"),  # type-bounded Python stage
+    # round-8 (documents-only). "checksum" forces the payload columns:
+    # count() would let Catalyst prune the whole span-removal /
+    # repair computation (measured 1.8s counted vs 37s computed).
+    ("text_exact_substr_dedup", "overlap", "checksum"),
+    ("text_encoding_repair", "linear", "checksum"),
 ]
 
 pytestmark = [
