@@ -402,11 +402,14 @@ def minhash_signatures(
     ).select("id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on all rows of any band land in the
-    same bucket; the pair join runs per (band, bucket) only."""
+    """(id, band, bucket) band membership of each signature — the LSH
+    key frame. Shared by the self-join candidate generator below and
+    by the incremental cross-snapshot deduper (operators/incremental),
+    whose persisted store is exactly these rows for the accepted
+    corpus."""
     r = num_hashes // bands
     band_entries = F.array(
         *[
@@ -419,9 +422,17 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("id", F.explode(band_entries).alias("e")).select(
+    return sigs.select("id", F.explode(band_entries).alias("e")).select(
         "id", "e.band", "e.bucket"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of any band land in the
+    same bucket; the pair join runs per (band, bucket) only."""
+    buckets = band_buckets(sigs, num_hashes, bands)
     a = buckets.select(F.col("id").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("doc_b"), "band", "bucket")
     return (

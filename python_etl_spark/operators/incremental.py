@@ -33,10 +33,13 @@ commit point.
   id). Idempotent at-least-once driver semantics, exactly-once
   store effects.
 
-Signatures here are exact (md5 of optionally-normalized text) — the
-cross-snapshot NEAR-dup variant stores MinHash band keys instead of
-one hash and anti-joins on band membership; the store/commit/idempotency
-machinery is identical.
+:class:`IncrementalDeduper` stores exact signatures (md5 of
+optionally-normalized text); :class:`IncrementalMinHashDeduper` is
+the NEAR-dup variant — its store holds MinHash BAND keys (``bands``
+rows per accepted doc) and a batch doc is dropped when it shares any
+(band, bucket) with the accepted corpus, the same LSH collision rule
+``dedup_minhash_lsh`` uses for its candidate pairs. The
+store/commit/idempotency machinery is identical.
 """
 
 from __future__ import annotations
@@ -128,3 +131,104 @@ class IncrementalDeduper:
         elif not self.batch_committed(spark, batch_id):
             self.table.append(new_sigs, meta={"batch_id": batch_id})
         return accepted.drop("__sig")
+
+
+class IncrementalMinHashDeduper:
+    """Cross-snapshot NEAR-dup: MinHash band store + batch filter.
+
+    Store schema: ``(band, bucket, id, batch_id)`` — ``bands`` rows
+    per accepted doc (~16 x 16 B), never text or shingles. Filter
+    semantics, in order:
+
+    1. CROSS-BATCH: drop a batch doc sharing ANY (band, bucket) with a
+       PRIOR batch's accepted rows — the LSH collision rule, applied
+       against the store via one semi join on the band key (bucketed
+       store ⇒ exchange-free at cluster scale).
+    2. WITHIN-BATCH: among the survivors, keep a doc only if it is the
+       MIN id of every bucket it occupies. Kept docs therefore share
+       no bucket (pairwise non-candidates), and each dropped doc
+       shares a bucket with a smaller-id doc in its near-dup chain —
+       the greedy cluster-collapse rule, deterministic without an
+       iterative connected-components pass (use ``dedup_groups`` when
+       exact cluster minima matter).
+
+    Crash contract identical to :class:`IncrementalDeduper`: the band
+    append is the atomic commit point, re-runs of a committed
+    ``batch_id`` return the same accepted rows and skip the append.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 64,
+        bands: int = 16,
+        k: int = 3,
+    ):
+        self.table = VersionedTable(root)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+
+    def batch_committed(self, spark, batch_id: str) -> bool:
+        if not self.table.exists():
+            return False
+        return (
+            self.table.read(spark)
+            .where(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def accept_batch(self, batch: DataFrame, batch_id: str) -> DataFrame:
+        from python_etl_spark.operators.dedup import (
+            band_buckets,
+            minhash_signatures,
+        )
+
+        spark = batch.sparkSession
+        sigs = minhash_signatures(
+            batch, self.text_col, self.id_col, self.num_hashes, self.k
+        )
+        bb = band_buckets(sigs, self.num_hashes, self.bands)
+        if self.table.exists():
+            prior = self.table.read(spark).where(
+                F.col("batch_id") != batch_id
+            )
+            hit = (
+                bb.join(
+                    prior.select("band", "bucket"), ["band", "bucket"],
+                    "left_semi",
+                )
+                .select("id")
+                .distinct()
+            )
+            bb = bb.join(hit, "id", "left_anti")
+        # within-batch: survivors are min of EVERY bucket they occupy
+        minb = bb.groupBy("band", "bucket").agg(F.min("id").alias("min_id"))
+        dropped = (
+            bb.join(minb, ["band", "bucket"])
+            .where(F.col("id") > F.col("min_id"))
+            .select("id")
+            .distinct()
+        )
+        kept_bb = bb.join(dropped, "id", "left_anti")
+        kept_ids = kept_bb.select("id").distinct()
+        accepted = batch.join(
+            kept_ids.withColumnRenamed("id", self.id_col), self.id_col
+        )
+        new_rows = kept_bb.select(
+            "band",
+            "bucket",
+            F.col("id").cast("long").alias("id"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        if not self.table.exists():
+            self.table.create(new_rows, meta={"batch_id": batch_id})
+        elif not self.batch_committed(spark, batch_id):
+            self.table.append(new_rows, meta={"batch_id": batch_id})
+        return accepted

@@ -347,3 +347,66 @@ def test_incremental_dedup_rerun_after_append_is_idempotent(spark, tmp_path):
     assert first == rerun == [11]
     assert d.table.latest_version() == v_after  # append skipped
     assert d.table.read(spark).where("batch_id = 'b2'").count() == 1
+
+
+def test_incremental_minhash_near_dup_two_batches(spark, tmp_path):
+    """Near-dup cross-snapshot: a batch-2 doc that is a NEAR copy
+    (one word changed) of a batch-1 doc shares an LSH band bucket and
+    is dropped using only the persisted band store; distinct docs
+    survive; within-batch near-dups keep the min id."""
+    from python_etl_spark.operators.incremental import (
+        IncrementalMinHashDeduper,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = base.rsplit(" ", 1)[0] + " CHANGED"
+    other = " ".join(f"zz{i}" for i in range(30))
+
+    d = IncrementalMinHashDeduper(str(tmp_path / "bands"))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    a1 = sorted(r.doc_id for r in d.accept_batch(b1, "b1").collect())
+    assert a1 == [1, 3]  # 2 near-dups 1 within the batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base.rsplit(" ", 1)[0] + " OTHERWORD"),  # near-dup of 1
+            (11, " ".join(f"qq{i}" for i in range(30))),  # new
+        ],
+        "doc_id long, text string",
+    )
+    a2 = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
+    assert a2 == [11]
+
+    store = d.table.read(spark)
+    assert store.columns == ["band", "bucket", "id", "batch_id"]
+    assert sorted(r.id for r in store.select("id").distinct().collect()) == [
+        1, 3, 11,
+    ]
+    # kept docs share NO bucket: every (band,bucket) has one owner
+    assert (
+        store.groupBy("band", "bucket").count().where("count > 1").count()
+        == 0
+    )
+
+
+def test_incremental_minhash_rerun_idempotent(spark, tmp_path):
+    from python_etl_spark.operators.incremental import (
+        IncrementalMinHashDeduper,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    d = IncrementalMinHashDeduper(str(tmp_path / "bands"))
+    d.accept_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"), "b1"
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " extra"), (11, " ".join(f"n{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    first = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
+    v = d.table.latest_version()
+    again = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
+    assert first == again == [11]
+    assert d.table.latest_version() == v

@@ -860,3 +860,55 @@ def test_html_extraction_in_streaming_pipeline(spark, tmp_path):
     }
     assert got == want and len(got) == 40
     assert got[3] == ("t3\nbody text 3", 2, 1)
+
+
+def test_foreach_batch_incremental_cross_batch_dedup(spark, tmp_path):
+    """Streaming ingestion with CROSS-BATCH dedup: each micro-batch is
+    filtered against the persisted signature store (operators/
+    incremental.IncrementalDeduper) inside foreachBatch, survivors
+    land in the output and their signatures commit atomically — the
+    streaming face of the nightly batch pattern. A doc duplicated from
+    an EARLIER micro-batch (different doc_id, same normalized text)
+    must be dropped without the stream ever rereading old batches."""
+    import os
+
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    dedup = IncrementalDeduper(str(tmp_path / "sigstore"))
+
+    def process(batch_df, batch_id):
+        accepted = dedup.accept_batch(batch_df, f"b{batch_id}")
+        accepted.write.mode("append").parquet(out)
+
+    def run_available(tag):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "gamma delta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available("first")
+
+    spark.createDataFrame(
+        [(10, "ALPHA  beta"), (11, "epsilon zeta")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_available("second")
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # 3 dups 2 within batch 1; 10 dups 1 across batches; 11 survives
+    assert got == [1, 2, 11]
+    store = dedup.table.read(spark)
+    assert store.count() == 3
+    assert store.columns == ["sig", "id", "batch_id"]  # text never stored
