@@ -1520,3 +1520,87 @@ def text_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("int").alias("n_tokens"),
         (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
     )
+
+
+# ---------------------- incremental dedup (hash-checked) -------------------
+
+_INCR_STORE_CACHE: dict = {}
+
+
+@register(
+    "etl_incremental_dedup",
+    oracle=r"""
+WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+b2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 7 = 1
+),
+n1 AS (SELECT doc_id,
+  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM b1),
+n2 AS (SELECT doc_id,
+  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM b2),
+a1 AS (SELECT doc_id FROM n1
+  WHERE doc_id = (SELECT MIN(x.doc_id) FROM n1 x WHERE x.norm = n1.norm)),
+a2 AS (SELECT doc_id FROM n2
+  WHERE doc_id = (SELECT MIN(x.doc_id) FROM n2 x WHERE x.norm = n2.norm)
+    AND NOT EXISTS (SELECT 1 FROM n1 WHERE n1.norm = n2.norm))
+SELECT doc_id, 'b1' AS batch FROM a1
+UNION ALL
+SELECT doc_id, 'b2' AS batch FROM a2
+""",
+)
+def etl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup (operators/incremental.IncrementalDeduper)
+    driven end-to-end and HASH-CHECKED: batch 1 = even docs, batch 2 =
+    odd docs plus planted "recrawl" copies — every 10th even doc
+    reappears under a new id (a cross-batch dup the signature store
+    must kill WITHOUT rescanning batch-1 text) and every 7th odd doc
+    is duplicated within the batch (keep-first must keep the
+    original). The accepted output is exactly the original corpus ids;
+    any under- or over-dropping surfaces extra/missing rows and breaks
+    the hash. The signature store is a real VersionedTable in a
+    session-scoped temp dir (re-invocation in the same session is the
+    crash-replay path: batches are already committed, accept_batch
+    returns the identical accepted sets and skips the appends — the
+    idempotency contract under test a second way). Ordering caveat
+    (documented in operators/incremental.py): replaying batch 1 after
+    batch 2 committed is stable precisely because accepted signature
+    sets are disjoint across batches."""
+    import os
+    import tempfile
+
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    b2 = odd.unionByName(
+        even.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        odd.where(F.col("doc_id") % 7 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_incr_{key[0]}_{abs(hash(key[1])) % 10**8}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    d = IncrementalDeduper(root)
+    a1 = d.accept_batch(even, "b1").select(
+        "doc_id", F.lit("b1").alias("batch")
+    )
+    a2 = d.accept_batch(b2, "b2").select(
+        "doc_id", F.lit("b2").alias("batch")
+    )
+    return a1.unionByName(a2)

@@ -17,11 +17,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()  # warm
 
+    # Payload-producing queries whose expensive columns Catalyst would
+    # PRUNE under count() (span removal / repair text never computed):
+    # time them under a full-column checksum instead, count untimed.
+    from scripts.bench_scaling import _force
+
+    checksum_forced = {"text_exact_substr_dedup", "text_encoding_repair"}
+
     rows = []
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
+        df = QUERIES[name](spark, sf_dir)
+        if name in checksum_forced:
+            t0 = time.perf_counter()
+            _force(df, "checksum")
+            dt = time.perf_counter() - t0
+            n = df.count()
+        else:
+            t0 = time.perf_counter()
+            n = df.count()
+            dt = time.perf_counter() - t0
         rows.append((name, dt, n, "oracle" if name in ORACLES else "rows-only"))
         print(f"{name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
