@@ -1604,3 +1604,167 @@ def etl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit("b2").alias("batch")
     )
     return a1.unionByName(a2)
+
+
+# ------------- quality model fit via normal equations ----------------------
+#
+# "Train a quality regressor at 100 TB" done the MLlib-normal-equation
+# way: the ONLY corpus-scale work is one pass of integer moment sums
+# (X'X, X'y — 9 longs); the solve is O(d³) on 3x3. Here even the solve
+# stays engine-side: Cramer's rule over the exact integer moments gives
+# rational weights (det-scaled integers), and predictions round via
+# exact integral division — so the ENTIRE train→predict pipeline is
+# hash-checkable cross-engine, no floats until the final rounded value.
+#
+# Features x1 = word count, x2 = char count; target y = distinct-word
+# count (vocabulary richness — a real quality proxy). A = [[n,sx1,sx2],
+# [sx1,sx11,sx12],[sx2,sx12,sx22]], b = [sy,sx1y,sx2y]; w_i = det_i/det.
+
+_QF_FEATS_SQL = """
+feats AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+    CAST(strlen(text) AS BIGINT) AS x2,
+    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents)
+"""
+
+_QF_MOMENTS_SQL = f"""
+WITH {_QF_FEATS_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x1) AS BIGINT) AS sx1, CAST(SUM(x2) AS BIGINT) AS sx2,
+  CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+  CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+  CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+  CAST(SUM(y) AS BIGINT) AS sy,
+  CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+  CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+FROM feats
+"""
+
+
+def _qf_feats(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("x1"),
+        F.length("text").cast("long").alias("x2"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+
+
+def _qf_moments(docs: DataFrame) -> DataFrame:
+    f = _qf_feats(docs)
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("sx1"),
+        F.sum(x2).cast("long").alias("sx2"),
+        F.sum(x1 * x1).cast("long").alias("sx11"),
+        F.sum(x1 * x2).cast("long").alias("sx12"),
+        F.sum(x2 * x2).cast("long").alias("sx22"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x1 * y).cast("long").alias("sx1y"),
+        F.sum(x2 * y).cast("long").alias("sx2y"),
+    )
+
+
+@register("text_quality_fit_moments", oracle=_QF_MOMENTS_SQL)
+def text_quality_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sufficient statistics of the quality regression — X'X and
+    X'y as 9 exact integer sums in ONE map-combine pass (the only
+    corpus-touching stage of model fitting; at 100 TB this is a single
+    partial-agg job producing one 72-byte row)."""
+    return _qf_moments(_t(spark, sf_dir, "documents"))
+
+
+# Cramer determinants over the moment row (integer-exact):
+#   det  = |A|
+#   det0/det1/det2 = |A with column i replaced by b|  =>  w_i = det_i/det
+_QF_DETS_SQL = """
+dets AS (
+  SELECT
+    n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+      + sx2*(sx1*sx12 - sx11*sx2) AS det,
+    sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+      + sx2*(sx1y*sx12 - sx11*sx2y) AS det0,
+    n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2)
+      + sx2*(sx1*sx2y - sx1y*sx2) AS det1,
+    n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2)
+      + sy*(sx1*sx12 - sx11*sx2) AS det2
+  FROM (SELECT CAST(n AS HUGEINT) AS n, CAST(sx1 AS HUGEINT) AS sx1,
+        CAST(sx2 AS HUGEINT) AS sx2, CAST(sx11 AS HUGEINT) AS sx11,
+        CAST(sx12 AS HUGEINT) AS sx12, CAST(sx22 AS HUGEINT) AS sx22,
+        CAST(sy AS HUGEINT) AS sy, CAST(sx1y AS HUGEINT) AS sx1y,
+        CAST(sx2y AS HUGEINT) AS sx2y FROM moments))
+"""
+
+
+@register(
+    "text_quality_fit_predict",
+    oracle=f"""
+WITH {_QF_FEATS_SQL},
+moments AS ({_QF_MOMENTS_SQL}),
+{_QF_DETS_SQL}
+SELECT doc_id, y AS y_true,
+  (CAST(
+     (CASE WHEN ((pnum * 1000000) < 0) != (det < 0) THEN -1 ELSE 1 END)
+     * ((ABS(pnum * 1000000) * 2 + ABS(det)) // (ABS(det) * 2))
+   AS DOUBLE) / 1000000.0) AS y_pred
+FROM (
+  SELECT f.doc_id, f.y,
+    d.det0 + d.det1 * CAST(f.x1 AS HUGEINT)
+           + d.det2 * CAST(f.x2 AS HUGEINT) AS pnum,
+    d.det
+  FROM feats f, dets d)
+""",
+)
+def text_quality_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares quality regression, trained AND applied entirely
+    engine-side: Cramer's rule over the exact integer moment row gives
+    det-scaled integer weights, every document's prediction is the
+    rational (det0 + det1·x1 + det2·x2)/det rounded half-away-from-zero
+    at 6 decimals by exact integral division — bit-identical doubles in
+    Spark and DuckDB, so the hash check covers featurize → fit →
+    predict with zero driver math. Plan: one moment aggregation (1-row
+    broadcast) + a zero-shuffle scoring map; the weights never exist as
+    floats. Pytest pins the weights against numpy.linalg.lstsq."""
+    from python_etl_spark.functions.exact import _idiv
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = _qf_feats(docs)
+    m = _qf_moments(docs).select(
+        *[F.col(c).cast("decimal(38,0)").alias(c)
+          for c in ["n", "sx1", "sx2", "sx11", "sx12", "sx22",
+                    "sy", "sx1y", "sx2y"]]
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    dets = m.select(
+        (n * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1 * sx22 - sx12 * sx2)
+         + sx2 * (sx1 * sx12 - sx11 * sx2)).alias("det"),
+        (sy * (sx11 * sx22 - sx12 * sx12) - sx1 * (sx1y * sx22 - sx12 * sx2y)
+         + sx2 * (sx1y * sx12 - sx11 * sx2y)).alias("det0"),
+        (n * (sx1y * sx22 - sx12 * sx2y) - sy * (sx1 * sx22 - sx12 * sx2)
+         + sx2 * (sx1 * sx2y - sx1y * sx2)).alias("det1"),
+        (n * (sx11 * sx2y - sx1y * sx12) - sx1 * (sx1 * sx2y - sx1y * sx2)
+         + sy * (sx1 * sx12 - sx11 * sx2)).alias("det2"),
+    )
+    scored = feats.crossJoin(F.broadcast(dets)).select(
+        "doc_id",
+        F.col("y").alias("y_true"),
+        (F.col("det0")
+         + F.col("det1") * F.col("x1").cast("decimal(38,0)")
+         + F.col("det2") * F.col("x2").cast("decimal(38,0)")).alias("pnum"),
+        "det",
+    )
+    p = F.col("pnum") * F.lit(1000000).cast("decimal(38,0)")
+    q = F.col("det")
+    mag = _idiv(F.abs(p) * 2 + F.abs(q), F.abs(q) * 2)
+    sign = F.when((p < 0) != (q < 0), F.lit(-1)).otherwise(F.lit(1))
+    return scored.select(
+        "doc_id",
+        "y_true",
+        ((sign * mag).cast("double") / F.lit(1000000.0)).alias("y_pred"),
+    )

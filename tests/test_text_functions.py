@@ -65,3 +65,31 @@ def test_segment_dedup_keeps_first_occurrence_and_reassembles(spark, tmp_path):
     assert got[1] == (2, 1, seg_c)
     assert got[2] == (1, 0, "")
     assert got[3] == (1, 1, "tail only three")
+
+
+def test_quality_fit_cramer_weights_match_numpy(spark, sf_dir):
+    """The engine-side Cramer solve (det-scaled integer weights) must
+    agree with numpy's least squares on the same design matrix, and
+    the registered predictions must equal X @ w rounded at 6."""
+    import numpy as np
+
+    from python_etl_spark.plans import QUERIES
+    from python_etl_spark.plans.training import _qf_feats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = _qf_feats(docs).collect()
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in f])
+    y = np.array([float(r["y"]) for r in f])
+    w, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    got = {
+        r["doc_id"]: r["y_pred"]
+        for r in QUERIES["text_quality_fit_predict"](spark, sf_dir).collect()
+    }
+    pred = X @ w
+    ids = [r["doc_id"] for r in f]
+    for i, did in enumerate(ids):
+        assert abs(got[did] - pred[i]) < 2e-6, (did, got[did], pred[i])
+    # the fit is non-trivial: predictions correlate with the target
+    gv = np.array([got[d] for d in ids])
+    assert np.corrcoef(gv, y)[0, 1] > 0.5
