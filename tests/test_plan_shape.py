@@ -372,3 +372,15 @@ def test_encoding_repair_pure_arrow_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_encoding_repair")
     assert "ArrowEvalPython" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_quality_fit_moments_then_broadcast_score(spark, sf_dir):
+    """The normal-equations fit: ONE global aggregation produces the
+    1-row moment/determinant frame (a single-partition merge of tiny
+    partials — the only SinglePartition exchange allowed), which rides
+    to the scoring map as a broadcast; the corpus itself never
+    shuffles."""
+    plan = _plan(spark, sf_dir, "text_quality_fit_predict")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan

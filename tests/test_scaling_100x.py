@@ -44,6 +44,7 @@ DOC_QUERIES = [
     # repair computation (measured 1.8s counted vs 37s computed).
     ("text_exact_substr_dedup", "overlap", "checksum"),
     ("text_encoding_repair", "linear", "checksum"),
+    ("text_quality_fit_predict", "linear", "checksum"),
 ]
 
 pytestmark = [
