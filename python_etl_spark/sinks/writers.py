@@ -17,8 +17,21 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     compression: str = "snappy",
+    bloom_filter_cols: dict[str, int] | None = None,
 ) -> str:
+    """``bloom_filter_cols`` maps column -> expected NDV and turns on
+    parquet BLOOM FILTERS for those columns (parquet-mr writer
+    options). At 100 TB this is the point-lookup complement to
+    min/max pruning: equality predicates on high-cardinality keys
+    (doc ids, content hashes, user ids) skip row groups whose bloom
+    excludes the value — min/max zones are useless for hash-like
+    columns, blooms are the tool. Costs ~1.2 MB per 1M NDV per row
+    group; put them on join/lookup keys only."""
     writer = df.write.mode(mode).option("compression", compression)
+    for col, ndv in (bloom_filter_cols or {}).items():
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{col}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{col}", str(ndv))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
