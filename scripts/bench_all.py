@@ -26,14 +26,18 @@ def main() -> None:
 
     rows = []
     for name in sorted(QUERIES):
-        df = QUERIES[name](spark, sf_dir)
+        # query CONSTRUCTION stays inside the timer: iterative plans
+        # (pagerank, k-means, BPE training) do their work eagerly at
+        # build time, and excluding it would hide their real cost
         if name in checksum_forced:
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             _force(df, "checksum")
             dt = time.perf_counter() - t0
             n = df.count()
         else:
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
         rows.append((name, dt, n, "oracle" if name in ORACLES else "rows-only"))
