@@ -1610,3 +1610,71 @@ def etl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "etl_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_NGRAM_SH_SQL},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pair
+  JOIN cnt ca ON ca.doc_id = pair.doc_a
+  JOIN cnt cb ON cb.doc_id = pair.doc_b
+  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2),
+und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, dst) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a),
+grp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+        FROM reach GROUP BY src),
+lab AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id)
+SELECT doc_id, group_id,
+  CASE WHEN SUBSTR(md5(CAST(group_id AS VARCHAR)), 1, 1)
+            NOT IN ('d', 'e', 'f')
+       THEN 'train' ELSE 'eval' END AS split
+FROM lab
+""",
+)
+def etl_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the unit of assignment is the
+    near-dup CLUSTER, not the document — a naive per-doc random split
+    puts one copy of a near-duplicated page in train and its twin in
+    eval, silently contaminating every evaluation run. Composition:
+    ngram-Jaccard pairs -> connected components (the dedup_groups
+    machinery; singletons label themselves) -> deterministic md5 draw
+    on the GROUP id (13/16 hex head = 81.25% train), so two docs in
+    one cluster can never straddle the split, and the whole
+    assignment is reproducible cross-engine/cross-run (hash-checked
+    against the recursive-CTE components + the same md5 arithmetic).
+    At 100 TB: the component labels are the iterative piece (bounded
+    rounds, lineage-truncated); labeling + split assignment add one
+    left join and a zero-shuffle hash expression."""
+    from python_etl_spark.operators.components import connected_components
+    from python_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("grp")
+    )
+    lab = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("grp", F.col("doc_id")).alias("group_id")
+    )
+    h = F.substring(
+        F.md5(F.encode(F.col("group_id").cast("string"), "UTF-8")), 1, 1
+    )
+    return lab.select(
+        "doc_id",
+        "group_id",
+        F.when(~h.isin("d", "e", "f"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

@@ -420,3 +420,25 @@ def test_exact_substr_dedup_properties(spark, sf_dir):
             assert r["dedup_text"] == texts[d]
     # (c) at least one doc pair shares spans -> both lose those spans
     assert sum(r["n_removed_tokens"] for r in rows.values()) > 0
+
+
+def test_leakage_safe_split_no_near_dup_straddles(spark, sf_dir):
+    """The split's whole point: no near-dup PAIR may straddle
+    train/eval, clusters are split-cohesive, and the train fraction
+    lands near the 13/16 design point."""
+    from python_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from python_etl_spark.plans import QUERIES
+
+    out = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in QUERIES["etl_leakage_safe_split"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    assert pairs, "corpus must contain near-dup pairs for a real check"
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        assert out[a][1] == out[b][1], (a, b)   # never straddles
+        assert out[a][0] == out[b][0]           # same cluster
+    frac = sum(1 for g, s in out.values() if s == "train") / len(out)
+    assert 0.70 < frac < 0.92, frac
