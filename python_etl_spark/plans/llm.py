@@ -1678,3 +1678,82 @@ def etl_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("eval"))
         .alias("split"),
     )
+
+
+@register(
+    "mm_image_ahash_dedup",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, i,
+    ((doc_id % 250) * 31 + i * 37 + (i * i) % 11) % 256 AS p
+  FROM documents,
+       (SELECT unnest(generate_series(0, 63)) AS i)),
+s AS (SELECT doc_id, SUM(p) AS tot FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.i,
+    CASE WHEN px.p * 64 > s.tot THEN 1 ELSE 0 END AS b
+  FROM px JOIN s ON s.doc_id = px.doc_id),
+h AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i)
+             ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(SUM(CASE WHEN i >= 32 THEN b * (CAST(1 AS BIGINT) << (i - 32))
+             ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY doc_id)
+SELECT ahash_hi, ahash_lo,
+  MIN(doc_id) AS keep_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY ahash_hi, ahash_lo
+""",
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup (average hash): each document
+    carries a deterministic synthetic 8x8 grayscale (pixel arithmetic
+    from doc_id, with doc_id % 250 replicas planting true visual
+    duplicates — the mm_header_probe construction pattern); aHash =
+    one bit per pixel, set when the pixel exceeds the image mean
+    (compared in integers: p*64 > Σp — no division), packed into two
+    32-bit halves; duplicates collapse keep-first per hash. This is
+    the image-side near-dup staple (re-encoded/resized copies share
+    the hash where byte-level mm_payload_dedup cannot see them). The
+    whole pipeline — pixel synth, mean, thresholds, bit packing,
+    keep-first — is integer-exact column algebra, zero UDFs, one
+    groupBy shuffle on the hash; swap the synthetic pixel stage for
+    the gated Pillow decode seam (operators/multimodal.py) + a
+    32x32-DCT pHash UDF for production imagery."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    px = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            ((F.col("doc_id") % 250) * 31 + F.col("i") * 37
+             + (F.col("i") * F.col("i")) % 11) % 256
+        ).alias("p"),
+    )
+    s = px.groupBy("doc_id").agg(F.sum("p").alias("tot"))
+    bits = px.join(s, "doc_id").select(
+        "doc_id",
+        "i",
+        F.when(F.col("p") * 64 > F.col("tot"), 1).otherwise(0).alias("b"),
+    )
+    h = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN i < 32 "
+                "THEN b * shiftleft(CAST(1 AS BIGINT), i) ELSE 0 END"
+            )
+        ).cast("long").alias("ahash_hi"),
+        F.sum(
+            F.expr(
+                "CASE WHEN i >= 32 "
+                "THEN b * shiftleft(CAST(1 AS BIGINT), i - 32) ELSE 0 END"
+            )
+        ).cast("long").alias("ahash_lo"),
+    )
+    return h.groupBy("ahash_hi", "ahash_lo").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
