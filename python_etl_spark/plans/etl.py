@@ -2274,3 +2274,44 @@ def etl_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orders.o_custkey -> customer",
         )
     )
+
+
+@register(
+    "etl_grouped_agg_udaf",
+    oracle="""
+SELECT o_orderpriority,
+  (MIN(o_totalprice) + MAX(o_totalprice)) / 2 AS midrange_price,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def etl_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (a user-defined AGGREGATE — the API
+    surface the other pandas-UDF queries don't touch): per-priority
+    price midrange computed by an Arrow-batched aggregating UDF (a
+    second grouped-agg UDF carries the count — Spark refuses to mix
+    pandas and JVM aggregates in one agg). Arithmetic is (min+max)/2 —
+    numpy and DuckDB produce the identical double, so the UDAF path
+    itself is hash-checked. Scale: grouped-agg pandas UDFs get NO
+    partial aggregation (each group's column ships to Python whole) —
+    fine for bounded groups like the 5 priorities here; for
+    high-cardinality keys prefer built-in aggregates or re-express as
+    applyInPandas over pre-aggregated slices (see etl_grouped_gaps)."""
+    import pandas as pd  # noqa: F401 — pandas_udf GROUPED_AGG path
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def midrange(v):
+        return (v.min() + v.max()) / 2
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        midrange("o_totalprice").alias("midrange_price"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )

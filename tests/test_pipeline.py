@@ -129,3 +129,37 @@ def test_analytics_dashboard_example_runs(spark, sf_dir, tmp_path, monkeypatch, 
     assert rev.where(F.col("revenue") <= 0).count() == 0
     assert set(rev.columns) == {"region", "month", "revenue", "n_orders"}
     assert spark.read.parquet(f"{out}/engagement_daily.parquet").count() > 0
+
+
+def test_observation_metrics_ride_the_write(spark, sf_dir, tmp_path):
+    """observe() metrics are computed inside the action that runs the
+    plan — no second scan: a filtered write surfaces row count, null
+    counts and a value total that match a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.metrics import (
+        observe_metrics,
+        row_health_metrics,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    )
+    df, obs = observe_metrics(
+        orders,
+        "write_health",
+        *row_health_metrics("o_custkey", "o_orderpriority"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    want_rows = orders.count()
+    assert got["n_rows"] == want_rows
+    assert got["n_null_o_custkey"] == 0
+    assert got["n_null_o_orderpriority"] == 0
+    assert abs(
+        got["total_price"]
+        - orders.agg(F.sum("o_totalprice")).first()[0]
+    ) < 1e-6
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == want_rows
