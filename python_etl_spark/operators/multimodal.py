@@ -194,3 +194,65 @@ def frame_sample(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
     )
+
+
+# --------------------------- perceptual hashing ----------------------------
+#
+# pHash (DCT perceptual hash): resize to 32x32 grayscale, 2-D DCT-II,
+# keep the top-left 8x8 low-frequency block minus the DC term, set one
+# bit per coefficient above the block median. Robust to re-encoding,
+# resizing and brightness shifts (DC removal), which byte-level hashes
+# cannot see. numpy-only (the DCT is two small matrix products); runs
+# inside the same Arrow-batched seam as the decoders above.
+
+import numpy as np
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= 1 / np.sqrt(2)
+    return m * np.sqrt(2 / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(pixels: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of a 32x32 grayscale array."""
+    p = np.asarray(pixels, dtype=np.float64).reshape(32, 32)
+    d = _DCT32 @ p @ _DCT32.T
+    block = d[:8, :8].flatten()
+    coeffs = block[1:]  # drop the DC term (overall brightness)
+    med = np.median(coeffs)
+    bits = coeffs > med
+    out = 0
+    for idx, b in enumerate(bits):
+        if b:
+            out |= 1 << idx
+    return out
+
+
+def phash_col(pixels_col: str):
+    """Arrow-batched pHash over an array<double> column holding 1024
+    row-major grayscale pixels. Returns bigint (63 significant bits —
+    the DC term is dropped, leaving 63 coefficients)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def ph(s):
+        return s.map(lambda v: phash64(np.asarray(v, dtype=np.float64)))
+
+    return ph(F.col(pixels_col))
+
+
+def hamming64(a, b):
+    """Column expression: hamming distance between two 64-bit hashes."""
+    from pyspark.sql import functions as _F
+
+    ca = _F.col(a) if isinstance(a, str) else a
+    cb = _F.col(b) if isinstance(b, str) else b
+    return _F.bit_count(ca.bitwiseXOR(cb))

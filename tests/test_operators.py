@@ -325,3 +325,65 @@ def test_bloom_rejects_ragged_bitmap_sizes(spark):
     keys = spark.range(0, 10).selectExpr("id AS k")
     with pytest.raises(ValueError, match="multiple of 64"):
         build_bloom(keys, "k", n_bits=1000)
+
+
+# --------------------------- perceptual hashing ----------------------------
+def test_phash_invariances_and_discrimination():
+    """The properties that make pHash a near-dup tool: identical
+    images hash identically; a uniform brightness shift is a NO-OP
+    (DC removal); mild noise moves few bits; unrelated images differ
+    in many bits."""
+    import numpy as np
+
+    from python_etl_spark.operators.multimodal import phash64
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 32)).astype(np.float64)
+    assert phash64(img) == phash64(img.copy())
+    assert phash64(img) == phash64(img + 40.0)  # brightness shift
+    noisy = img + rng.normal(0, 2.0, (32, 32))
+    d_noise = bin(phash64(img) ^ phash64(noisy)).count("1")
+    assert d_noise <= 10, d_noise
+    other = rng.randint(0, 256, (32, 32)).astype(np.float64)
+    d_other = bin(phash64(img) ^ phash64(other)).count("1")
+    assert d_other >= 16, d_other
+
+
+def test_phash_spark_column_and_hamming(spark):
+    """The Arrow-batched column form agrees with the pure function,
+    and hamming64 counts differing bits engine-side."""
+    import numpy as np
+
+    from python_etl_spark.operators.multimodal import (
+        hamming64,
+        phash64,
+        phash_col,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, 1024).astype(float) for i in range(6)}
+    imgs[3] = imgs[0] + 25.0          # brightness twin of 0
+    rows = [(i, v.tolist()) for i, v in imgs.items()]
+    df = spark.createDataFrame(rows, "img_id long, px array<double>")
+    got = {
+        r["img_id"]: r["h"]
+        for r in df.select(
+            "img_id", phash_col("px").alias("h")
+        ).collect()
+    }
+    for i, v in imgs.items():
+        assert got[i] == phash64(v), i
+    assert got[3] == got[0]
+    h = df.select("img_id", phash_col("px").alias("h"))
+    a = h.selectExpr("img_id as ia", "h as ha")
+    b = h.selectExpr("img_id as ib", "h as hb")
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", hamming64("ha", "hb").alias("d"))
+        .collect()
+    )
+    dmap = {(r["ia"], r["ib"]): r["d"] for r in pairs}
+    assert dmap[(0, 3)] == 0           # perceptual twin
+    assert all(d > 0 for (i, j), d in dmap.items() if (i, j) != (0, 3))
