@@ -33,6 +33,16 @@ commit point.
   id). Idempotent at-least-once driver semantics, exactly-once
   store effects.
 
+Replay ORDERING caveat: re-running batch N after batches N+1.. have
+committed is stable — accepted signature sets are DISJOINT across
+batches (a later batch only ever accepted signatures absent from
+batch N's commit), so excluding batch N's own rows and anti-joining
+the rest reproduces batch N's original decision. What is NOT
+supported is replaying batch N with DIFFERENT contents under the same
+batch id: the store won't re-append (the id is already committed), so
+novel documents in the revised batch would pass the filter but never
+register. Give revised batches a new id.
+
 :class:`IncrementalDeduper` stores exact signatures (md5 of
 optionally-normalized text); :class:`IncrementalMinHashDeduper` is
 the NEAR-dup variant — its store holds MinHash BAND keys (``bands``
