@@ -828,3 +828,63 @@ def segment_dedup(
             F.coalesce("text_out", F.lit("")).alias("text_out"),
         )
     )
+
+
+def exact_substr_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """ExactSubstr span removal (Lee et al.): drop every token covered
+    by an overlapping ``window``-token window whose content occurs >=2
+    times corpus-wide (BOTH copies — the paper's behavior), reassemble
+    the survivors in order. Returns (id, dedup_text, n_tokens,
+    n_removed_tokens). Hashed-window pigeonhole instead of a suffix
+    array; reassembly is a zero-shuffle higher-order filter. Shared by
+    the registered `text_exact_substr_dedup` query (hash-oracled) and
+    the incremental-corpus example."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ", -1).alias("t")
+    )
+    n = F.size("t")
+    wins = toks.where(n >= window).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - window),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("t"), i + 1, window), " ")
+                ),
+            )
+        ).alias("i", "wh"),
+    )
+    wc = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh")
+    )
+    cov = wins.join(wc, "wh").select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(window - 1))
+        ).alias("p"),
+    )
+    covarr = cov.groupBy(id_col).agg(F.collect_set("p").alias("cov"))
+    joined = toks.join(covarr, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            "t",
+            lambda x, i: F.when(
+                F.col("cov").isNull() | ~F.array_contains("cov", i), x
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("dedup_text"),
+        F.size("t").cast("int").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

@@ -1476,50 +1476,12 @@ def text_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership. No driver collect anywhere. The suffix-array
     construction of the paper is replaced by the hashed-window
     pigeonhole — same guarantees for spans >= W at 1/W the memory,
-    the standard distributed formulation."""
+    the standard distributed formulation. Implementation shared with
+    the incremental-corpus example: operators/dedup.exact_substr_dedup."""
+    from python_etl_spark.operators.dedup import exact_substr_dedup
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("t"))
-    n = F.size("t")
-    wins = toks.where(n >= _ESD_W).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n - _ESD_W),
-                lambda i: F.md5(
-                    F.array_join(F.slice(F.col("t"), i + 1, _ESD_W), " ")
-                ),
-            )
-        ).alias("i", "wh"),
-    )
-    wc = (
-        wins.groupBy("wh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("wh")
-    )
-    cov = wins.join(wc, "wh").select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("i"), F.col("i") + F.lit(_ESD_W - 1))
-        ).alias("p"),
-    )
-    covarr = cov.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
-    joined = toks.join(covarr, "doc_id", "left")
-    kept = F.filter(
-        F.transform(
-            "t",
-            lambda x, i: F.when(
-                F.col("cov").isNull() | ~F.array_contains("cov", i), x
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    return joined.select(
-        "doc_id",
-        F.array_join(kept, " ").alias("dedup_text"),
-        F.size("t").cast("int").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
-    )
+    return exact_substr_dedup(docs, "text", "doc_id", _ESD_W)
 
 
 # ---------------------- incremental dedup (hash-checked) -------------------
