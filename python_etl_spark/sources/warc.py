@@ -353,3 +353,96 @@ def write_warc(
     manifest = with_pid.mapInPandas(_write, schema="file string, rows long")
     manifest.collect()  # materialize the write
     return path
+
+
+# ---------------------- Spark Python DataSource ---------------------------
+#
+# WARC as a FIRST-CLASS format: register once, then
+# ``spark.read.format("warc").load(path)`` — the Spark 4 Python
+# DataSource API. One InputPartition per container file, so scan
+# parallelism equals file count exactly like the binaryFile path, but
+# with the format name, options, and schema handled by the reader
+# framework (and usable from pure-SQL sessions via
+# ``CREATE TABLE ... USING warc`` semantics where supported).
+
+try:  # pragma: no cover - import surface depends on pyspark version
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _WarcReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc data source requires a path")
+            self.glob = options.get("glob", "*.warc*")
+            self.strict = str(options.get("strict", "false")).lower() == "true"
+
+        def partitions(self):
+            import fnmatch
+
+            if os.path.isfile(self.path):
+                return [_WarcFilePartition(self.path)]
+            names = sorted(
+                n
+                for n in os.listdir(self.path)
+                if fnmatch.fnmatch(n, self.glob)
+            )
+            if not names:
+                raise FileNotFoundError(
+                    f"no {self.glob} files under {self.path}"
+                )
+            return [
+                _WarcFilePartition(os.path.join(self.path, n)) for n in names
+            ]
+
+        def read(self, partition):
+            with open(partition.path, "rb") as fh:
+                data = fh.read()
+            for r in parse_warc_bytes(data, self.strict):
+                yield (
+                    r["warc_type"],
+                    r["record_id"],
+                    r["warc_date"],
+                    r["target_uri"],
+                    r["content_type"],
+                    r["content_length"],
+                    r["http_status"],
+                    r["http_content_type"],
+                    r["payload"],
+                    r["is_truncated"],
+                )
+
+    class WarcDataSource(DataSource):
+        """``spark.dataSource.register(WarcDataSource)`` then
+        ``spark.read.format("warc").load(dir_or_file)``. Options:
+        ``glob`` (default ``*.warc*``), ``strict`` ("true" raises on
+        truncated/corrupt records instead of flagging)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return WARC_SCHEMA
+
+        def reader(self, schema):
+            return _WarcReader(self.options)
+
+except ImportError:  # pyspark < 4: binaryFile read_warc path still works
+    WarcDataSource = None  # type: ignore[assignment]
+
+
+def register_warc_source(spark) -> bool:
+    """Register the ``warc`` format on this session (idempotent).
+    Returns False when the Python DataSource API is unavailable."""
+    if WarcDataSource is None:
+        return False
+    spark.dataSource.register(WarcDataSource)
+    return True

@@ -130,3 +130,41 @@ def test_read_warc_plain_uncompressed_file(spark, tmp_path):
     (p / "f.warc").write_bytes(data)
     got = read_warc(spark, str(p)).where("warc_type='response'").collect()
     assert sorted(bytes(r["payload"]) for r in got) == [b"A", b"B"]
+
+
+def test_warc_python_datasource_format(spark, tmp_path):
+    """spark.read.format('warc') via the Spark 4 Python DataSource:
+    one partition per container, same rows as the binaryFile reader."""
+    import os
+
+    from python_etl_spark.sources.warc import (
+        read_warc,
+        register_warc_source,
+        write_warc,
+    )
+
+    rows = [(f"https://e.com/d/{i}", f"<html>{i}</html>") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, body string"
+    ).repartition(3)
+    out = str(tmp_path / "w")
+    write_warc(df, out)
+
+    assert register_warc_source(spark)
+    got = spark.read.format("warc").load(out)
+    assert got.rdd.getNumPartitions() == 3  # one per container file
+    resp = got.where("warc_type = 'response'")
+    want = read_warc(spark, out).where("warc_type = 'response'")
+    a = {(r["target_uri"], bytes(r["payload"])) for r in resp.collect()}
+    b = {(r["target_uri"], bytes(r["payload"])) for r in want.collect()}
+    assert a == b and len(a) == 20
+    # strict mode surfaces corruption as an error
+    bad = os.path.join(out, "zz-corrupt.warc.gz")
+    with open(bad, "wb") as fh:
+        fh.write(b"\x1f\x8b\x08\x00garbage")
+    flagged = spark.read.format("warc").load(out)
+    assert flagged.count() == 23  # corrupt member walk ends quietly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.format("warc").option("strict", "true").load(out).count()
