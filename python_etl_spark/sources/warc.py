@@ -419,11 +419,78 @@ try:  # pragma: no cover - import surface depends on pyspark version
                     r["is_truncated"],
                 )
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _WarcStreamReader(SimpleDataSourceStreamReader):
+        """Streaming WARC ingestion: each micro-batch picks up the
+        container files that appeared since the last offset (offset =
+        sorted-name high-water mark — crawlers name containers
+        monotonically, e.g. CC-MAIN-...-NNNNN.warc.gz; files sorting
+        at-or-below an already-committed name are assumed immutable
+        history, the standard file-stream contract)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc stream source requires a path")
+            self.glob = options.get("glob", "*.warc*")
+            self.strict = (
+                str(options.get("strict", "false")).lower() == "true"
+            )
+
+        def _files(self):
+            import fnmatch
+
+            return sorted(
+                n
+                for n in os.listdir(self.path)
+                if fnmatch.fnmatch(n, self.glob)
+            )
+
+        def initialOffset(self) -> dict:
+            return {"last": ""}
+
+        def read(self, start: dict):
+            names = [n for n in self._files() if n > start["last"]]
+            end = {"last": names[-1] if names else start["last"]}
+            # list, not generator: the framework pickles the prefetched
+            # batch alongside the offset
+            return list(self._rows(names)), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            names = [
+                n
+                for n in self._files()
+                if start["last"] < n <= end["last"]
+            ]
+            return list(self._rows(names))
+
+        def _rows(self, names):
+            for n in names:
+                with open(os.path.join(self.path, n), "rb") as fh:
+                    data = fh.read()
+                for r in parse_warc_bytes(data, self.strict):
+                    yield (
+                        r["warc_type"],
+                        r["record_id"],
+                        r["warc_date"],
+                        r["target_uri"],
+                        r["content_type"],
+                        r["content_length"],
+                        r["http_status"],
+                        r["http_content_type"],
+                        r["payload"],
+                        r["is_truncated"],
+                    )
+
     class WarcDataSource(DataSource):
         """``spark.dataSource.register(WarcDataSource)`` then
-        ``spark.read.format("warc").load(dir_or_file)``. Options:
-        ``glob`` (default ``*.warc*``), ``strict`` ("true" raises on
-        truncated/corrupt records instead of flagging)."""
+        ``spark.read.format("warc").load(dir_or_file)`` for batch, or
+        ``spark.readStream.format("warc").load(dir)`` for streaming
+        ingestion of an arriving crawl (new containers per
+        micro-batch). Options: ``glob`` (default ``*.warc*``),
+        ``strict`` ("true" raises on truncated/corrupt records
+        instead of flagging)."""
 
         @classmethod
         def name(cls) -> str:
@@ -434,6 +501,9 @@ try:  # pragma: no cover - import surface depends on pyspark version
 
         def reader(self, schema):
             return _WarcReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _WarcStreamReader(self.options)
 
 except ImportError:  # pyspark < 4: binaryFile read_warc path still works
     WarcDataSource = None  # type: ignore[assignment]

@@ -168,3 +168,61 @@ def test_warc_python_datasource_format(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.format("warc").option("strict", "true").load(out).count()
+
+
+def test_warc_streaming_source_picks_up_new_containers(spark, tmp_path):
+    """readStream.format('warc'): batch 1 sees the initial containers,
+    a container arriving later is picked up by the next availableNow
+    run from the same checkpoint — streaming crawl ingestion."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sources.warc import (
+        register_warc_source,
+        write_warc,
+    )
+
+    src = str(tmp_path / "arriving")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_warc_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .load(src)
+            .where("warc_type = 'response'")
+            .select("target_uri", F.length("payload").alias("n"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    df1 = spark.createDataFrame(
+        [(f"https://e.com/a/{i}", f"<p>{i}</p>") for i in range(5)],
+        "target_uri string, body string",
+    ).coalesce(1)
+    write_warc(df1, src)
+    # write_warc(overwrite) names files part-00000...; rename so the
+    # second delivery sorts AFTER it (monotone container names)
+    run()
+    assert spark.read.parquet(out).count() == 5
+
+    df2 = spark.createDataFrame(
+        [(f"https://e.com/b/{i}", f"<p>late {i}</p>") for i in range(3)],
+        "target_uri string, body string",
+    ).coalesce(1)
+    import os
+
+    tmp2 = str(tmp_path / "second")
+    write_warc(df2, tmp2)
+    os.rename(
+        os.path.join(tmp2, "part-00000.warc.gz"),
+        os.path.join(src, "part-00001.warc.gz"),
+    )
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.where("target_uri LIKE '%/b/%'").count() == 3
