@@ -110,6 +110,25 @@ SHOWCASE = {
     "partial-agg shuffle; the Arrow tokenizer runs over the tiny "
     "distinct-types frame whose counts BroadcastHashJoin back — "
     "Python work is O(#types), not O(corpus)",
+    "etl_warc_ingest_stats": "pure map pipeline: binaryFile scan -> "
+    "Arrow WARC decode -> projection; ZERO exchanges — ingest "
+    "parallelism is the container count, the Common Crawl job shape",
+    "text_exact_substr_dedup": "windows shuffle as hashes once "
+    "(groupBy wh), the dup-window join reuses that key, covered "
+    "positions roll up per doc (bounded by doc length), and "
+    "reassembly is a JVM higher-order filter — no Python anywhere",
+    "text_encoding_repair": "mojibake repair as ONE ArrowEvalPython "
+    "map stage — zero exchanges, same shape as HTML extraction",
+    "text_quality_fit_predict": "normal-equations fit: ONE global "
+    "aggregation yields the 1-row moment/determinant frame (the only "
+    "SinglePartition exchange), broadcast onto a zero-shuffle scoring "
+    "map — weights never exist driver-side",
+    "mm_image_ahash_dedup": "perceptual hash entirely in column "
+    "algebra: pixel explode, per-doc mean, integer threshold bits, "
+    "bit packing, keep-first — two partial-agg shuffles, no Python",
+    "etl_leakage_safe_split": "iterative component labels (bounded "
+    "rounds, checkpointed) + one left join + a zero-shuffle md5 split "
+    "expression — cluster-cohesive assignment at corpus scale",
 }
 
 
