@@ -505,6 +505,138 @@ try:  # pragma: no cover - import surface depends on pyspark version
         def simpleStreamReader(self, schema):
             return _WarcStreamReader(self.options)
 
+        def writer(self, schema, overwrite: bool):
+            return _WarcWriter(self.options, schema, overwrite)
+
+    from pyspark.sql.datasource import (
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _WarcCommit(WriterCommitMessage):
+        def __init__(self, file: str, rows: int):
+            self.file = file
+            self.rows = rows
+
+    class _WarcWriter(DataSourceWriter):
+        """``df.write.format("warc").save(dir)``: one .warc.gz per
+        task (per-record gzip members behind a warcinfo member —
+        identical layout to ``write_warc``). Expects columns
+        ``target_uri`` (string) and ``body`` (string or binary);
+        optional ``warc_date`` / ``status`` columns override the
+        defaults. Tasks write to uuid-named temp files and commit()
+        renames the reported ones — aborted attempts leave only
+        ignorable ``_tmp-`` debris."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("warc writer requires a path")
+            self.cols = [f.name for f in schema.fields]
+            if "target_uri" not in self.cols or "body" not in self.cols:
+                raise ValueError(
+                    "warc writer needs target_uri and body columns, got "
+                    f"{self.cols}"
+                )
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(
+                self.path, f"_tmp-{_uuid.uuid4().hex[:12]}.warc.gz"
+            )
+            nrec = 0
+            with open(tmp, "wb") as out:
+
+                def gz(record: bytes) -> bytes:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(
+                        fileobj=buf, mode="wb", mtime=0
+                    ) as g:
+                        g.write(record)
+                    return buf.getvalue()
+
+                wrote_info = False
+                for row in iterator:
+                    if not wrote_info:
+                        out.write(
+                            gz(
+                                build_record(
+                                    "warcinfo",
+                                    b"software: python_etl_spark"
+                                    b".sources.warc\r\n",
+                                    content_type="application/warc-fields",
+                                    record_id=f"<urn:uuid:warcinfo-"
+                                    f"{_uuid.uuid4().hex[:8]}>",
+                                )
+                            )
+                        )
+                        wrote_info = True
+                    body = row["body"]
+                    if isinstance(body, str):
+                        body = body.encode("utf-8")
+                    out.write(
+                        gz(
+                            build_http_response_record(
+                                str(row["target_uri"]),
+                                bytes(body),
+                                warc_date=(
+                                    str(row["warc_date"])
+                                    if "warc_date" in self.cols
+                                    else "2024-01-01T00:00:00Z"
+                                ),
+                                status=(
+                                    int(row["status"])
+                                    if "status" in self.cols
+                                    else 200
+                                ),
+                            )
+                        )
+                    )
+                    nrec += 1
+            if nrec == 0:
+                os.unlink(tmp)
+                return _WarcCommit("", 0)
+            return _WarcCommit(tmp, nrec)
+
+        def commit(self, messages):
+            import re as _re
+
+            if self.overwrite:
+                keep = {m.file for m in messages if m and m.rows}
+                for n in os.listdir(self.path):
+                    full = os.path.join(self.path, n)
+                    if ".warc" in n and full not in keep and not n.startswith(
+                        "_tmp-"
+                    ):
+                        os.remove(full)
+            i = 0
+            for m in sorted(
+                (m for m in messages if m and m.rows), key=lambda m: m.file
+            ):
+                final = os.path.join(self.path, f"part-{i:05d}.warc.gz")
+                if os.path.exists(final):
+                    os.remove(final)
+                os.rename(m.file, final)
+                i += 1
+            # sweep debris from aborted attempts
+            for n in os.listdir(self.path):
+                if _re.match(r"_tmp-[0-9a-f]{12}\.warc\.gz$", n):
+                    try:
+                        os.remove(os.path.join(self.path, n))
+                    except OSError:
+                        pass
+
+        def abort(self, messages):
+            for m in messages:
+                if m and m.file:
+                    try:
+                        os.remove(m.file)
+                    except OSError:
+                        pass
+
 except ImportError:  # pyspark < 4: binaryFile read_warc path still works
     WarcDataSource = None  # type: ignore[assignment]
 

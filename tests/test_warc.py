@@ -226,3 +226,40 @@ def test_warc_streaming_source_picks_up_new_containers(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8
     assert got.where("target_uri LIKE '%/b/%'").count() == 3
+
+
+def test_warc_datasource_writer_round_trip(spark, tmp_path):
+    """df.write.format('warc').save: per-task containers committed by
+    rename, readable by both readers, overwrite mode replaces."""
+    from python_etl_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    out = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(f"https://e.com/w/{i}", f"<p>{i}</p>") for i in range(12)],
+        "target_uri string, body string",
+    ).repartition(3)
+    df.write.format("warc").mode("append").save(out)
+    import os
+
+    files = sorted(n for n in os.listdir(out) if n.endswith(".warc.gz"))
+    assert files == [f"part-{i:05d}.warc.gz" for i in range(3)]
+    back = spark.read.format("warc").load(out).where(
+        "warc_type = 'response'"
+    )
+    assert back.count() == 12
+    got = {r["target_uri"] for r in back.collect()}
+    assert got == {f"https://e.com/w/{i}" for i in range(12)}
+
+    # overwrite replaces the old containers
+    df2 = spark.createDataFrame(
+        [("https://e.com/new/0", "<p>new</p>")],
+        "target_uri string, body string",
+    ).coalesce(1)
+    df2.write.format("warc").mode("overwrite").save(out)
+    back2 = spark.read.format("warc").load(out).where(
+        "warc_type = 'response'"
+    )
+    assert [r["target_uri"] for r in back2.collect()] == [
+        "https://e.com/new/0"
+    ]
