@@ -888,3 +888,73 @@ def exact_substr_dedup(
         F.size("t").cast("int").alias("n_tokens"),
         (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
     )
+
+
+def remove_reference_spans(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION by span removal: drop every token of
+    ``docs`` covered by an overlapping ``window``-token window whose
+    content appears ANYWHERE in ``reference`` (the eval/benchmark
+    corpus), reassemble the survivors. The flagging op
+    (dedup_contamination) tells you WHICH docs overlap a benchmark;
+    this one surgically removes the overlapping spans so the document
+    survives training with the leaked answer text cut out — the
+    standard pretraining decontamination posture.
+
+    Plan shape: reference windows reduce to a DISTINCT hash set (tiny:
+    benchmarks are MBs, corpora are TBs); doc windows left-semi join
+    it (broadcastable), covered positions roll up per doc, reassembly
+    is the same zero-shuffle higher-order filter as
+    exact_substr_dedup. Returns (id, clean_text, n_tokens,
+    n_removed_tokens)."""
+
+    def windows(frame, keep_pos: bool):
+        toks = frame.select(
+            F.col(id_col), F.split(F.col(text_col), " ", -1).alias("t")
+        )
+        n = F.size("t")
+        cols = [id_col] if keep_pos else []
+        w = toks.where(n >= window).select(
+            *cols,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - window),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("t"), i + 1, window), " ")
+                    ),
+                )
+            ).alias("i", "wh"),
+        )
+        return toks, w
+
+    toks, dw = windows(docs, keep_pos=True)
+    _, rw = windows(reference, keep_pos=False)
+    ref_set = rw.select("wh").distinct()
+    cov = dw.join(ref_set, "wh", "left_semi").select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(window - 1))
+        ).alias("p"),
+    )
+    covarr = cov.groupBy(id_col).agg(F.collect_set("p").alias("cov"))
+    joined = toks.join(covarr, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            "t",
+            lambda x, i: F.when(
+                F.col("cov").isNull() | ~F.array_contains("cov", i), x
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("t").cast("int").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+    )

@@ -1730,3 +1730,104 @@ def text_quality_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_true",
         ((sign * mag).cast("double") / F.lit(1000000.0)).alias("y_pred"),
     )
+
+
+# ---------------------- benchmark decontamination --------------------------
+
+
+@register(
+    "text_decontaminate_spans",
+    oracle=f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+aug AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id % 11 = 0 AND b.doc_id % 13 <> 0
+              AND p.text IS NOT NULL
+      THEN b.text || ' '
+           || array_to_string((string_split(p.text, ' '))[1:8], ' ')
+      ELSE b.text END AS text
+  FROM base b
+  LEFT JOIN base p ON p.doc_id = b.doc_id - (b.doc_id % 13)),
+train AS (SELECT doc_id, text FROM aug WHERE doc_id % 13 <> 0),
+rtoks AS (SELECT string_split(text, ' ') AS t FROM base
+          WHERE doc_id % 13 = 0),
+rwins AS (
+  SELECT DISTINCT md5(array_to_string(t[i + 1 : i + {_ESD_W}], ' ')) AS wh
+  FROM rtoks, (SELECT unnest(generate_series(0,
+      (SELECT COALESCE(MAX(len(t)), 0) FROM rtoks) - {_ESD_W})) AS i)
+  WHERE i <= len(t) - {_ESD_W}),
+ttoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM train),
+twins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i + 1 : i + {_ESD_W}], ' ')) AS wh
+  FROM ttoks, (SELECT unnest(generate_series(0,
+      (SELECT COALESCE(MAX(len(t)), 0) FROM ttoks) - {_ESD_W})) AS i)
+  WHERE i <= len(t) - {_ESD_W}),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.i + j AS p
+  FROM twins w JOIN rwins USING (wh),
+       (SELECT unnest(generate_series(0, {_ESD_W} - 1)) AS j)),
+pos AS (
+  SELECT doc_id, p, t[p + 1] AS tok
+  FROM ttoks, (SELECT unnest(generate_series(0,
+      (SELECT COALESCE(MAX(len(t)), 1) FROM ttoks) - 1)) AS p)
+  WHERE p < len(t)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+  WHERE cov.p IS NULL),
+agg AS (
+  SELECT doc_id,
+    array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+    COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  CAST(len(t.t) AS INT) AS n_tokens,
+  CAST(len(t.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed_tokens
+FROM ttoks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by SPAN REMOVAL (operators/dedup.
+    remove_reference_spans): the doc_id%13 slice plays the benchmark;
+    every 11th remaining doc gets an 8-token benchmark window planted
+    at its tail (in-plan, oracle-replayed), and the operator must cut
+    exactly the covered tokens back out — leaving the document usable
+    for training with the leaked eval text gone, where
+    dedup_contamination would have flagged-and-dropped the whole doc.
+    Scale posture: the benchmark window set is DISTINCT-ed and tiny
+    (benchmarks are MBs against TB corpora — broadcastable), the
+    corpus pays one window explode + semi join, and reassembly is the
+    zero-shuffle higher-order filter shared with exact_substr_dedup."""
+    from python_etl_spark.operators.dedup import remove_reference_spans
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    partner = base.select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    )
+    joined = base.join(
+        partner,
+        (F.col("doc_id") - (F.col("doc_id") % 13)) == F.col("p_id"),
+        "left",
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.array_join(
+            F.slice(F.split(F.col("p_text"), " ", -1), 1, _ESD_W), " "
+        ),
+    )
+    aug = joined.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 11 == 0)
+            & (F.col("doc_id") % 13 != 0)
+            & F.col("p_text").isNotNull(),
+            planted,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    train = aug.where(F.col("doc_id") % 13 != 0)
+    ref = base.where(F.col("doc_id") % 13 == 0)
+    return remove_reference_spans(train, ref, "text", "doc_id", _ESD_W)

@@ -442,3 +442,33 @@ def test_leakage_safe_split_no_near_dup_straddles(spark, sf_dir):
         assert out[a][0] == out[b][0]           # same cluster
     frac = sum(1 for g, s in out.values() if s == "train") / len(out)
     assert 0.70 < frac < 0.92, frac
+
+
+def test_decontaminate_spans_restores_original_text(spark, sf_dir):
+    """The planted benchmark window must be cut back out EXACTLY:
+    every doc that got a benchmark tail planted comes back as its
+    original pre-planting text (plus any natural overlap removal)."""
+    from python_etl_spark.plans import QUERIES
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_decontaminate_spans"](spark, sf_dir).collect()
+    }
+    planted = [
+        d for d in out
+        if d % 11 == 0 and d % 13 != 0 and (d - d % 13) in docs
+    ]
+    assert planted
+    for d in planted:
+        r = out[d]
+        assert r["n_removed_tokens"] >= 8, d
+        # unless natural contamination also hit this doc, the clean
+        # text is exactly the original
+        if r["n_removed_tokens"] == 8:
+            assert r["clean_text"] == docs[d], d
