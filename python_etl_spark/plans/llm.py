@@ -1757,3 +1757,116 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+# ------------------------------ C4 cleaning --------------------------------
+#
+# The canonical C4 cleaning rules (Raffel et al. 2020) over synthetic
+# pages built in-plan: three real sentences drawn from `text` plus
+# planted violations — a javascript notice (doc_id%3), a lorem-ipsum
+# line (doc_id%4, also the doc-level kill), a curly-brace code line
+# (doc_id%5), an unpunctuated call-to-action (doc_id%7), and a
+# too-short line (doc_id%9). The oracle replays construction + rules.
+
+_C4_LINES_SQL = """
+lines AS (
+  SELECT doc_id,
+    list_filter([
+      COALESCE(array_to_string((string_split(text, ' '))[1:6], ' '), '')
+        || '.',
+      CASE WHEN doc_id % 3 = 0
+        THEN 'Please enable JavaScript to view the comments' END,
+      CASE WHEN doc_id % 4 = 0
+        THEN 'Lorem ipsum dolor sit amet consectetur' END,
+      CASE WHEN doc_id % 5 = 0 THEN 'if (x) { return y; }' END,
+      COALESCE(array_to_string((string_split(text, ' '))[7:12], ' '), '')
+        || '.',
+      CASE WHEN doc_id % 7 = 0
+        THEN 'click here to subscribe to our newsletter' END,
+      COALESCE(array_to_string((string_split(text, ' '))[13:18], ' '), '')
+        || '!',
+      CASE WHEN doc_id % 9 = 0 THEN 'too short.' END
+    ], x -> x IS NOT NULL) AS ls
+  FROM documents)
+"""
+
+
+@register(
+    "text_c4_rules",
+    oracle=f"""
+WITH {_C4_LINES_SQL},
+kept AS (
+  SELECT doc_id, ls,
+    list_filter(ls, x ->
+      right(x, 1) IN ('.', '!', '?', '"')
+      AND len(string_split(x, ' ')) >= 5
+      AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+      AND NOT contains(lower(x), 'javascript')) AS ks
+  FROM lines)
+SELECT doc_id,
+  CAST(len(ls) AS INT) AS n_lines,
+  CAST(len(ks) AS INT) AS n_kept_lines,
+  (len(list_filter(ls, x -> contains(lower(x), 'lorem ipsum'))) = 0
+   AND len(ks) >= 3) AS is_kept,
+  array_to_string(ks, chr(10)) AS clean_text
+FROM kept
+""",
+)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al.): keep a line only if it ends in
+    terminal punctuation, has >=5 words, contains no curly braces and
+    no 'javascript'; kill the whole document if any line mentions
+    'lorem ipsum' or fewer than 3 lines survive. Every rule fires on
+    its planted line and the three real sentences survive — the hash
+    check proves each predicate's exact behavior. Zero shuffles: page
+    construction, line filters, and doc-level verdicts are all
+    higher-order array functions inside one codegen projection (the
+    per-line work never even explodes)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+
+    def sent(start, punct):
+        return F.concat(
+            F.array_join(F.slice(w, start, 6), " "), F.lit(punct)
+        )
+
+    maybe = [
+        sent(1, "."),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("Please enable JavaScript to view the comments"),
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("Lorem ipsum dolor sit amet consectetur"),
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("if (x) { return y; }")),
+        sent(7, "."),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("click here to subscribe to our newsletter"),
+        ),
+        sent(13, "!"),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("too short.")),
+    ]
+    ls = F.filter(F.array(*maybe), lambda x: x.isNotNull())
+    keep_line = lambda x: (  # noqa: E731 — inline rule set
+        F.substring(x, -1, 1).isin(".", "!", "?", '"')
+        & (F.size(F.split(x, " ", -1)) >= 5)
+        & ~F.contains(x, F.lit("{"))
+        & ~F.contains(x, F.lit("}"))
+        & ~F.contains(F.lower(x), F.lit("javascript"))
+    )
+    out = docs.select("doc_id", ls.alias("ls")).select(
+        "doc_id", "ls", F.filter("ls", keep_line).alias("ks")
+    )
+    has_lorem = F.exists(
+        "ls", lambda x: F.contains(F.lower(x), F.lit("lorem ipsum"))
+    )
+    return out.select(
+        "doc_id",
+        F.size("ls").cast("int").alias("n_lines"),
+        F.size("ks").cast("int").alias("n_kept_lines"),
+        (~has_lorem & (F.size("ks") >= 3)).alias("is_kept"),
+        F.array_join("ks", "\n").alias("clean_text"),
+    )
