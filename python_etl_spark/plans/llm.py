@@ -1870,3 +1870,59 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~has_lorem & (F.size("ks") >= 3)).alias("is_kept"),
         F.array_join("ks", "\n").alias("clean_text"),
     )
+
+
+_TOKEN_BUDGET = 10_000  # tokens of best-first corpus to select
+
+
+@register(
+    "etl_token_budget_select",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+         // len(string_split(text, ' ')) AS BIGINT) AS quality_ppm
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, quality_ppm,
+    SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, doc_id) AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, quality_ppm,
+  CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+""",
+)
+def etl_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted best-first corpus selection: fill a fixed token budget
+    with the highest-quality documents (quality = integer-exact
+    distinct-word fraction in ppm, ties by doc_id) — the operation a
+    data-constrained training run performs once per mixture source. A
+    doc is selected when it STARTS inside the budget, so the cut is a
+    deterministic prefix of the quality ordering. The running total is
+    the scale-safe global cumsum (operators/ranking.global_cumsum:
+    range partition on the order key + parallel prefix sums +
+    broadcast offsets) — no single-partition window, same machinery
+    as sequence packing; at 100 TB the ordering shuffle is the only
+    corpus-wide exchange."""
+    from python_etl_spark.operators.ranking import global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' ', -1))) * 1000000"
+            " div size(split(text, ' ', -1)) AS BIGINT)"
+        ).alias("quality_ppm"),
+    ).withColumn("negq", -F.col("quality_ppm"))
+    c = global_cumsum(t, ["negq", "doc_id"], "n_tokens", "cum_tokens")
+    return c.where(
+        F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "quality_ppm",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
