@@ -45,6 +45,9 @@ DOC_QUERIES = [
     ("text_exact_substr_dedup", "overlap", "checksum"),
     ("text_encoding_repair", "linear", "checksum"),
     ("text_quality_fit_predict", "linear", "checksum"),
+    ("text_decontaminate_spans", "overlap", "checksum"),
+    ("text_c4_rules", "linear", "checksum"),
+    ("etl_token_budget_select", "linear"),
 ]
 
 pytestmark = [
