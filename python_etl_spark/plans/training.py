@@ -1831,3 +1831,49 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = aug.where(F.col("doc_id") % 13 != 0)
     ref = base.where(F.col("doc_id") % 13 == 0)
     return remove_reference_spans(train, ref, "text", "doc_id", _ESD_W)
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+WITH a AS (
+  SELECT user_id,
+    CAST(DATE '2024-02-01' - CAST(ts AS DATE) AS BIGINT) AS age_days
+  FROM events),
+w AS (
+  SELECT user_id,
+    1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(age_days // 7, 19)
+        AS INT)) AS wt
+  FROM a)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(wt) AS BIGINT) AS decayed_score
+FROM w GROUP BY user_id
+""",
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: each event contributes a weight
+    halving per week of age (as of a fixed reference date) — the
+    recency-weighted activity metric behind churn/engagement ranking.
+    Decay is INTEGER-EXACT by construction: weight = 1e6 >> weeks
+    (capped), so the per-user sum is an exact integer both engines
+    agree on — no float decay exponentials whose summation order could
+    differ. One partial-agg shuffle on user_id; the weight is a
+    codegen expression."""
+    ev = _t(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit("2024-02-01").cast("date"), F.to_date(F.col("ts"))
+    ).cast("long")
+    wt = F.expr(
+        "1000000 div shiftleft(CAST(1 AS BIGINT), "
+        "CAST(LEAST(__age div 7, CAST(19 AS BIGINT)) AS INT))"
+    )
+    return (
+        ev.select("user_id", age.alias("__age"))
+        .select("user_id", wt.alias("wt"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("wt").cast("long").alias("decayed_score"),
+        )
+    )
