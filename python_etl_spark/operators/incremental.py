@@ -140,6 +140,11 @@ class IncrementalDeduper:
             self.table.create(new_sigs, meta={"batch_id": batch_id})
         elif not self.batch_committed(spark, batch_id):
             self.table.append(new_sigs, meta={"batch_id": batch_id})
+            # nightly maintenance: a store accretes one commit dir per
+            # batch; compact when the union-scan cost has actually
+            # piled up (cheap no-op otherwise), manifests stay bounded
+            # via the table's periodic checkpoints + clean_metadata
+            self.table.compact_if_needed(spark)
         return accepted.drop("__sig")
 
 
@@ -241,4 +246,5 @@ class IncrementalMinHashDeduper:
             self.table.create(new_rows, meta={"batch_id": batch_id})
         elif not self.batch_committed(spark, batch_id):
             self.table.append(new_rows, meta={"batch_id": batch_id})
+            self.table.compact_if_needed(spark)
         return accepted

@@ -410,3 +410,33 @@ def test_incremental_minhash_rerun_idempotent(spark, tmp_path):
     again = sorted(r.doc_id for r in d.accept_batch(b2, "b2").collect())
     assert first == again == [11]
     assert d.table.latest_version() == v
+
+
+def test_incremental_store_compacts_after_many_batches(spark, tmp_path):
+    """A long-lived signature store must not accrete unbounded commit
+    dirs: accept_batch triggers compact_if_needed, so after many
+    nightly batches the snapshot unions a bounded number of dirs and
+    the dedup behavior is unchanged."""
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    d = IncrementalDeduper(str(tmp_path / "sigstore"))
+    d.table.checkpoint_interval = 5
+    for i in range(20):
+        d.accept_batch(
+            spark.createDataFrame(
+                [(i * 10, f"text number {i}")], "doc_id long, text string"
+            ),
+            f"b{i}",
+        )
+    assert len(d.table._read_manifest()["data_dirs"]) <= 17
+    store = d.table.read(spark)
+    assert store.count() == 20  # every batch's signature survived
+    # dedup still correct against the compacted store
+    a = d.accept_batch(
+        spark.createDataFrame(
+            [(999, "text number 3"), (1000, "brand new")],
+            "doc_id long, text string",
+        ),
+        "b_extra",
+    )
+    assert sorted(r.doc_id for r in a.collect()) == [1000]
