@@ -33,6 +33,16 @@ commit point.
   id). Idempotent at-least-once driver semantics, exactly-once
   store effects.
 
+CONCURRENCY: store commits ride the VersionedTable race protocol —
+two writers appending different batches at once both land (the loser
+retries onto the winner's snapshot; no lost commits, pytest-raced).
+Admission DECISIONS, however, serialize only as far as the caller
+orders them: two batches accepted concurrently each filtered against
+a snapshot that predates the other, so a text novel to both is
+accepted by both. Run accept_batch sequentially per corpus (the
+nightly pattern); concurrent ingestion wants a post-hoc sweep
+(dedup_exact over the union) or per-batch-id partitioned admission.
+
 Replay ORDERING caveat: re-running batch N after batches N+1.. have
 committed is stable — accepted signature sets are DISJOINT across
 batches (a later batch only ever accepted signatures absent from

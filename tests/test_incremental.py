@@ -440,3 +440,43 @@ def test_incremental_store_compacts_after_many_batches(spark, tmp_path):
         "b_extra",
     )
     assert sorted(r.doc_id for r in a.collect()) == [1000]
+
+
+def test_incremental_store_concurrent_batches_no_lost_commit(spark, tmp_path):
+    """Two threads race accept_batch with DIFFERENT batches: the
+    VersionedTable commit race must let both signature appends land
+    (loser retries), so no batch's signatures are lost."""
+    import threading
+
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+
+    root = str(tmp_path / "sigstore")
+    IncrementalDeduper(root).accept_batch(
+        spark.createDataFrame([(0, "base text")], "doc_id long, text string"),
+        "b0",
+    )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def work(tag, rows):
+        try:
+            d = IncrementalDeduper(root)
+            d.table.max_retries = 8
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            barrier.wait()
+            d.accept_batch(df, tag)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append((tag, e))
+
+    t1 = threading.Thread(
+        target=work, args=("bA", [(10, "alpha alpha"), (11, "beta")])
+    )
+    t2 = threading.Thread(
+        target=work, args=("bB", [(20, "gamma"), (21, "delta")])
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    store = IncrementalDeduper(root).table.read(spark)
+    got = {r["batch_id"] for r in store.select("batch_id").distinct().collect()}
+    assert got == {"b0", "bA", "bB"}
+    assert store.count() == 5  # 1 + 2 + 2 — nothing lost, nothing doubled
