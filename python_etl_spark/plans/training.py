@@ -1877,3 +1877,89 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wt").cast("long").alias("decayed_score"),
         )
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY path
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: every 3-event consecutive sequence per
+    user (ordered by time, event_id tiebreak for simultaneous rows)
+    counted corpus-wide — the input behind Sankey/path-exploration
+    views, complementing the 1-step transition matrix. Per-user
+    windows partition on user_id (bounded frames), path counts are one
+    partial-agg shuffle on the path string; nothing global-orders."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return s.groupBy(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_VOCAB_K = 1000  # top types the hypothetical tokenizer vocabulary keeps
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS n FROM t WHERE w <> '' GROUP BY w),
+r AS (
+  SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk FROM c)
+SELECT
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_types,
+  CAST((SELECT SUM(n) FROM c) AS BIGINT) AS n_tokens,
+  CAST((SELECT COALESCE(SUM(n), 0) FROM r WHERE rk <= {_VOCAB_K})
+       AS BIGINT) AS n_covered,
+  CAST((SELECT COALESCE(SUM(n), 0) FROM r WHERE rk <= {_VOCAB_K})
+       * 1000000 // (SELECT SUM(n) FROM c) AS BIGINT) AS coverage_ppm
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate input for tokenizer sizing: the
+    share of corpus TOKENS covered by the top-K word TYPES
+    (deterministic count-desc word-asc head — the corpus_word_counts
+    cap's ordering). Integer-exact ppm (no float division). Plan: one
+    type-count shuffle; the top-K cut is a bounded orderBy+limit over
+    the TYPE table (Zipf-bounded, never the corpus) whose sum reduces
+    to one row before joining the 1-row totals."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    head = (
+        c.orderBy(F.desc("n"), F.asc("w"))
+        .limit(_VOCAB_K)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_covered"))
+    )
+    return totals.crossJoin(F.broadcast(head)).select(
+        "n_types",
+        "n_tokens",
+        "n_covered",
+        F.expr("n_covered * 1000000 div n_tokens").alias("coverage_ppm"),
+    )
