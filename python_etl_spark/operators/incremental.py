@@ -67,7 +67,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from python_etl_spark.sinks.table import VersionedTable
+from python_etl_spark.sinks.table import CommitConflictError, VersionedTable
 
 
 def text_signature(text_col, normalized: bool = True):
@@ -156,6 +156,122 @@ class IncrementalDeduper:
             # via the table's periodic checkpoints + clean_metadata
             self.table.compact_if_needed(spark)
         return accepted.drop("__sig")
+
+
+class MaterializedRollup:
+    """Incrementally-maintained aggregate (materialized view) over an
+    append-only :class:`VersionedTable` source.
+
+    The 100 TB shape: a nightly fact append is GBs while the fact table
+    is the full corpus — so the refresh must aggregate ONLY the new
+    rows and fold them into the existing rollup state, never rescan
+    the corpus. Composition of pieces this repo already has:
+
+    * ``VersionedTable.changes(since, to)`` — reads just the commit
+      dirs the appends added (the incremental-read face);
+    * mergeable partial aggregates (the ``etl_partial_agg_merge``
+      algebra): sum-of-sums, count-as-sum, min-of-mins, max-of-maxs.
+      Spec = ``{out_col: (fn, src_col)}`` with fn in sum/count/min/max
+      (avg = maintain sum + count, divide at read time — avg is not
+      mergeable by itself);
+    * one atomic ``overwrite`` commit of the merged state CARRYING the
+      source bookmark (``meta={"source_version": v}``) — state and
+      bookmark can never disagree.
+
+    Crash contract (same shape as the dedupers): the overwrite is the
+    commit point. Crash before it → rollup unchanged, bookmark
+    unchanged, replay refolds the identical delta. Crash after it →
+    bookmark already advanced, replay sees ``source_version >= target``
+    and no-ops. Exactly-once rollup effects under at-least-once
+    driving. A copy-on-write rewrite of the SOURCE in the range makes
+    ``changes`` raise; re-baseline with :meth:`rebuild`.
+
+    The rollup table itself is small (aggregate cardinality), so
+    copy-on-write overwrite per refresh is the right cost; for a huge
+    rollup, partition it and overwrite only changed partitions.
+    """
+
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def __init__(self, root: str, keys: list[str], spec: dict):
+        for out, (fn, _src) in spec.items():
+            if fn not in ("sum", "count", "min", "max"):
+                raise ValueError(
+                    f"{out}: '{fn}' is not a mergeable aggregate "
+                    f"(sum/count/min/max; build avg from sum+count)"
+                )
+        self.table = VersionedTable(root)
+        self.keys = list(keys)
+        self.spec = dict(spec)
+
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (fn, src) in self.spec.items():
+            col = (
+                F.count(src) if fn == "count" else self._MERGE[fn](src)
+            ).alias(out)
+            aggs.append(col)
+        return delta.groupBy(*self.keys).agg(*aggs)
+
+    def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
+        unioned = state.unionByName(partial)
+        aggs = [
+            self._MERGE[fn](out).alias(out)
+            for out, (fn, _src) in self.spec.items()
+        ]
+        return unioned.groupBy(*self.keys).agg(*aggs)
+
+    def source_version(self) -> int | None:
+        """Bookmark: the source version the current state reflects."""
+        if not self.table.exists():
+            return None
+        return self.table.meta().get("source_version")
+
+    def read(self, spark) -> DataFrame:
+        return self.table.read(spark)
+
+    def refresh(self, source: VersionedTable, spark) -> int | None:
+        """Fold source appends since the bookmark into the rollup.
+        Returns the new rollup version, or None when already current
+        (the idempotent-replay path). Conflict retries recompute from
+        the winner's snapshot (read-modify-write)."""
+        target = source.latest_version()
+        if target is None:
+            return None
+        if not self.table.exists():
+            state = self._partial(source.read(spark, target))
+            self.table.create(state, meta={"source_version": target})
+            return self.table.latest_version()
+        for _ in range(self.table.max_retries + 1):
+            done = self.source_version()
+            if done is None:  # state exists but carries no bookmark
+                return self.rebuild(source, spark)
+            if done >= target:
+                return None
+            delta = source.changes(spark, done, target)
+            state = self._merge(self.read(spark), self._partial(delta))
+            try:
+                return self.table.overwrite(
+                    state,
+                    meta={"source_version": target},
+                    retry_conflict=False,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"rollup refresh lost {self.table.max_retries + 1} races"
+        )
+
+    def rebuild(self, source: VersionedTable, spark) -> int:
+        """Full recompute (the re-baseline after a source rewrite)."""
+        target = source.latest_version()
+        state = self._partial(source.read(spark, target))
+        if not self.table.exists():
+            self.table.create(state, meta={"source_version": target})
+            return self.table.latest_version()
+        return self.table.overwrite(
+            state, meta={"source_version": target}
+        )
 
 
 class IncrementalMinHashDeduper:

@@ -478,6 +478,37 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        retry_conflict: bool = True,
+    ) -> int:
+        """Copy-on-write full REPLACE: the new snapshot is exactly
+        ``df`` (one fresh commit dir; old dirs stay readable for time
+        travel until vacuum). The maintained-rollup refresh commits
+        through this — the merged aggregate state and its source
+        bookmark land in ONE atomic publish. Unlike ``merge``/
+        ``compact`` the output does not depend on the base's content,
+        so the default conflict retry only re-lists the winner's
+        version (no recompute) — RIGHT for a blind replace recomputed
+        from an external source, WRONG for read-modify-write (the df
+        derived from the pre-conflict snapshot would clobber the
+        winner's contribution). Read-modify-write callers pass
+        ``retry_conflict=False`` and recompute from the new snapshot
+        themselves; :meth:`MaterializedRollup.refresh` does exactly
+        that."""
+        cur = self._read_manifest()
+        d = self._write_data(df, self.partition_columns() or None)
+        for attempt in range(self.max_retries + 1):
+            v = cur["version"] + 1
+            try:
+                return self._commit([d], "overwrite", v, meta)
+            except CommitConflictError:
+                if not retry_conflict or attempt == self.max_retries:
+                    raise
+                cur = self._read_manifest()
+
     def compact(self, spark: SparkSession | None = None) -> int:
         """Rewrite the current snapshot into ONE commit dir (keeping
         the hive layout). A long-lived incremental table accretes one
@@ -594,6 +625,82 @@ class VersionedTable:
         for d in dirs[1:]:
             out = out.unionByName(
                 reader.parquet(d), allowMissingColumns=allow_missing
+            )
+        return out
+
+    def changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between ``since_version`` (exclusive) and
+        ``version`` (inclusive; default latest) — the incremental-read
+        face of the table (Delta "change data feed" restricted to
+        appends). Reads ONLY the commit dirs that joined the manifest
+        in the range: a nightly consumer of a 10k-commit 100 TB table
+        scans last night's files, never the corpus.
+
+        Valid only while every commit in the range is an ``append`` —
+        a copy-on-write op (merge/delete/compact/overwrite) rewrites
+        dirs, so the dir-list diff stops meaning "new rows"; the range
+        guard raises then (consumers should re-baseline from the
+        post-rewrite snapshot). The guard walks the manifest tail /
+        checkpoint summaries, so it stays O(range), and the endpoint
+        manifests must still exist (``clean_metadata`` may end
+        incremental reads below the newest checkpoint, like time
+        travel)."""
+        upto = self.latest_version() if version is None else version
+        if upto is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if since_version > upto:
+            raise ValueError(
+                f"since_version {since_version} is beyond v{upto}"
+            )
+        cur = self._read_manifest(upto)
+        if since_version == upto:
+            return spark.createDataFrame(
+                [], self.read(spark, upto).schema
+            )
+        # range guard: ops for (since, upto] — manifests first, the
+        # newest checkpoint's commit summaries as the fallback when
+        # clean_metadata dropped a tail manifest
+        ckpt = self._latest_checkpoint(upto)
+        summaries = (
+            {c["version"]: c.get("op") for c in ckpt["commits"]}
+            if ckpt
+            else {}
+        )
+        for i in range(since_version + 1, upto + 1):
+            try:
+                op = self._read_manifest(i).get("op")
+            except FileNotFoundError:
+                op = summaries.get(i)
+                if op is None:
+                    raise
+            if op not in ("append",):
+                raise ValueError(
+                    f"changes({since_version}, {upto}) crosses a "
+                    f"'{op}' commit at v{i}: copy-on-write rewrites "
+                    f"break the appended-dirs diff — re-baseline from "
+                    f"the v{i} snapshot"
+                )
+        base_dirs = set(self._read_manifest(since_version)["data_dirs"])
+        new_dirs = [d for d in cur["data_dirs"] if d not in base_dirs]
+        if not new_dirs:
+            return spark.createDataFrame(
+                [], self.read(spark, upto).schema
+            )
+        reader = spark.read
+        if self._schema_evolved(upto):
+            reader = reader.option("mergeSchema", "true")
+        if len(new_dirs) == 1 or not self.partition_columns():
+            return reader.parquet(*new_dirs)
+        out = reader.parquet(new_dirs[0])
+        for d in new_dirs[1:]:
+            out = out.unionByName(
+                reader.parquet(d),
+                allowMissingColumns=self._schema_evolved(upto),
             )
         return out
 

@@ -480,3 +480,182 @@ def test_incremental_store_concurrent_batches_no_lost_commit(spark, tmp_path):
     got = {r["batch_id"] for r in store.select("batch_id").distinct().collect()}
     assert got == {"b0", "bA", "bB"}
     assert store.count() == 5  # 1 + 2 + 2 — nothing lost, nothing doubled
+
+
+# ------------------- changes() incremental read face -----------------------
+
+
+def test_changes_reads_only_new_commit_dirs(spark, tmp_path):
+    """The delta read must OPEN only the files the appends in range
+    added — the property that makes a nightly refresh O(night), not
+    O(corpus). Proven on inputFiles(), not row counts."""
+    t = VersionedTable(str(tmp_path / "ch"))
+    t.create(_src(spark, 0, 100))
+    t.append(_src(spark, 100, 150))
+    t.append(_src(spark, 150, 170))
+    v0_files = set(t.read(spark, 0).inputFiles())
+    delta = t.changes(spark, 0)  # (v0, latest]
+    assert sorted(r["k"] for r in delta.collect()) == list(range(100, 170))
+    assert not (set(delta.inputFiles()) & v0_files)
+    # single-commit slice
+    d2 = t.changes(spark, 1, 2)
+    assert sorted(r["k"] for r in d2.collect()) == list(range(150, 170))
+    # empty range: same schema, zero rows
+    d3 = t.changes(spark, 2, 2)
+    assert d3.count() == 0 and d3.columns == t.read(spark).columns
+
+
+def test_changes_refuses_copy_on_write_range(spark, tmp_path):
+    """A merge/compact/delete in the range rewrites dirs, so the
+    appended-dirs diff stops meaning "new rows" — the guard must
+    raise, and a post-rewrite baseline must work again."""
+    t = VersionedTable(str(tmp_path / "cw"))
+    t.create(_src(spark, 0, 10))
+    t.append(_src(spark, 10, 20))
+    t.compact(spark)  # v2
+    with pytest.raises(ValueError, match="compact"):
+        t.changes(spark, 0)
+    # re-baselined at the rewrite: appends after it diff cleanly
+    t.append(_src(spark, 20, 25))
+    assert sorted(
+        r["k"] for r in t.changes(spark, 2).collect()
+    ) == list(range(20, 25))
+
+
+def test_overwrite_replaces_snapshot_keeps_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "ow"))
+    t.create(_src(spark, 0, 10))
+    v = t.overwrite(_src(spark, 50, 55), meta={"source_version": 7})
+    assert v == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(
+        range(50, 55)
+    )
+    # the pre-overwrite snapshot is still readable (time travel)
+    assert t.read(spark, 0).count() == 10
+    assert t.meta()["source_version"] == 7
+
+
+# ------------------- materialized rollup maintenance -----------------------
+
+
+def _rollup(tmp_path, name="r"):
+    from python_etl_spark.operators.incremental import MaterializedRollup
+
+    return MaterializedRollup(
+        str(tmp_path / name),
+        keys=["grp"],
+        spec={
+            "n": ("count", "k"),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+    )
+
+
+def _grp_src(spark, lo, hi):
+    return _src(spark, lo, hi).select(
+        (F.col("k") % 7).alias("grp"), "k", "v"
+    )
+
+
+def test_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src"))
+    roll = _rollup(tmp_path)
+    src.create(_grp_src(spark, 0, 100))
+    roll.refresh(src, spark)
+    src.append(_grp_src(spark, 100, 250))
+    roll.refresh(src, spark)
+    src.append(_grp_src(spark, 250, 260))
+    roll.refresh(src, spark)
+    got = {
+        r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in roll.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert roll.source_version() == 2
+
+
+def test_rollup_refresh_is_idempotent_noop_when_current(spark, tmp_path):
+    """Replay after a crash that lost the driver but not the commit:
+    bookmark >= target -> no new rollup version, state unchanged."""
+    src = VersionedTable(str(tmp_path / "src2"))
+    roll = _rollup(tmp_path, "r2")
+    src.create(_grp_src(spark, 0, 50))
+    roll.refresh(src, spark)
+    v = roll.table.latest_version()
+    assert roll.refresh(src, spark) is None  # replay
+    assert roll.table.latest_version() == v  # no phantom commit
+
+
+def test_rollup_refresh_folds_only_the_delta(spark, tmp_path):
+    """The refresh's corpus-side read must touch only the appended
+    commit's files — asserted on the changes() frame the refresh
+    consumes (same bookmark, same call)."""
+    src = VersionedTable(str(tmp_path / "src3"))
+    roll = _rollup(tmp_path, "r3")
+    src.create(_grp_src(spark, 0, 1000))
+    roll.refresh(src, spark)
+    src.append(_grp_src(spark, 1000, 1010))
+    old_files = set(src.read(spark, 0).inputFiles())
+    delta = src.changes(spark, roll.source_version())
+    assert not (set(delta.inputFiles()) & old_files)
+    assert delta.count() == 10
+    roll.refresh(src, spark)
+    assert roll.source_version() == 1
+
+
+def test_rollup_crash_between_source_append_and_refresh(spark, tmp_path):
+    """Night N's append lands, the refresh dies before its overwrite:
+    rollup state and bookmark are untouched, and the rerun folds the
+    night exactly once."""
+    src = VersionedTable(str(tmp_path / "src4"))
+    roll = _rollup(tmp_path, "r4")
+    src.create(_grp_src(spark, 0, 100))
+    roll.refresh(src, spark)
+    src.append(_grp_src(spark, 100, 200))
+    # simulated crash: nothing refreshed. Bookmark still v0.
+    assert roll.source_version() == 0
+    roll.refresh(src, spark)  # the rerun
+    assert roll.source_version() == 1
+    total = sum(r["n"] for r in roll.read(spark).collect())
+    assert total == 200  # folded once, not twice
+
+
+def test_rollup_rejects_unmergeable_spec(tmp_path):
+    from python_etl_spark.operators.incremental import MaterializedRollup
+
+    with pytest.raises(ValueError, match="avg"):
+        MaterializedRollup(
+            str(tmp_path / "bad"), ["g"], {"a": ("avg", "v")}
+        )
+
+
+def test_rollup_rebuild_rebaselines_after_source_rewrite(spark, tmp_path):
+    src = VersionedTable(str(tmp_path / "src5"))
+    roll = _rollup(tmp_path, "r5")
+    src.create(_grp_src(spark, 0, 100))
+    roll.refresh(src, spark)
+    src.delete_where(F.col("k") >= 50)  # copy-on-write rewrite
+    src.append(_grp_src(spark, 100, 110))
+    with pytest.raises(ValueError, match="delete"):
+        roll.refresh(src, spark)
+    roll.rebuild(src, spark)
+    assert roll.source_version() == src.latest_version()
+    assert sum(r["n"] for r in roll.read(spark).collect()) == 60
+    # and incremental refresh works again from the new baseline
+    src.append(_grp_src(spark, 110, 115))
+    roll.refresh(src, spark)
+    assert sum(r["n"] for r in roll.read(spark).collect()) == 65
