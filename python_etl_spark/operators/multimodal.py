@@ -256,3 +256,99 @@ def hamming64(a, b):
     ca = _F.col(a) if isinstance(a, str) else a
     cb = _F.col(b) if isinstance(b, str) else b
     return _F.bit_count(ca.bitwiseXOR(cb))
+
+
+# --------------------------- audio plumbing --------------------------------
+#
+# The audio path mirrors the image one: payloads are REAL RIFF/WAVE
+# containers (44-byte canonical header + int16 LE PCM), the decode
+# seam is one Arrow-batched pandas UDF that parses the container and
+# extracts per-frame features (a real pipeline fuses decode + feature
+# extraction in exactly this spot), and everything downstream —
+# thresholding, segmentation, per-doc aggregation — is engine-side
+# DataFrame algebra, so Catalyst owns the distributed plan.
+
+
+def wav_payload(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Serialize int16 mono PCM into a canonical 44-byte-header WAV."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_pcm(payload: bytes) -> "np.ndarray":
+    """Parse a WAV container back to int16 samples: walk the RIFF
+    chunks to the ``data`` chunk (no fixed-offset assumption — real
+    files carry LIST/fact chunks before it)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"data":
+            raw = payload[i + 8 : i + 8 + clen]
+            return np.frombuffer(raw, dtype="<i2")
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("WAV container has no data chunk")
+
+
+def wav_frame_energies_col(payload_col: str, frame_len: int):
+    """Arrow-batched decode + feature extraction: WAV binary column ->
+    array<bigint> of per-frame energies (sum of squared samples over
+    consecutive ``frame_len``-sample frames; the trailing partial
+    frame is dropped). Energies are exact int64 — int16 squares summed
+    over bounded frames can't overflow — so downstream thresholding is
+    hash-stable cross-engine."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("array<long>", PandasUDFType.SCALAR)
+    def energies(payloads):
+        out = []
+        for p in payloads:
+            s = wav_pcm(bytes(p)).astype(np.int64)
+            n = (len(s) // frame_len) * frame_len
+            frames = s[:n].reshape(-1, frame_len)
+            out.append((frames * frames).sum(axis=1))
+        return pd.Series(out)
+
+    return energies(F.col(payload_col))
+
+
+def vad_segments(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "f",
+    energy_col: str = "energy",
+    threshold: int = 50_000,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation: consecutive
+    above-threshold frames merge into segments (islands-and-gaps via
+    the f - row_number() group key). Returns one row per (doc,
+    segment) with start frame and length. One shuffle on the doc key;
+    window partitions are bounded by frames-per-doc, never corpus
+    size."""
+    from pyspark.sql import Window
+
+    act = frames.where(F.col(energy_col) > threshold)
+    w = Window.partitionBy(id_col).orderBy(frame_col)
+    grp = (F.col(frame_col) - F.row_number().over(w)).alias("__grp")
+    return (
+        act.select(id_col, frame_col, grp)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min(frame_col).alias("seg_start"),
+            F.count("*").cast("long").alias("seg_len"),
+        )
+        .drop("__grp")
+    )

@@ -1111,6 +1111,189 @@ def mm_header_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(payloads, decoder="headers")
 
 
+@register(
+    "mm_audio_vad_segments",
+    oracle="""
+WITH samp AS (
+  SELECT d.doc_id, fr.f,
+    (CASE WHEN (d.doc_id*3 + fr.f) % 7 < 3 THEN 8 ELSE 1 END) *
+    (((d.doc_id*13 + (fr.f*32 + s.i)*7) % 33) - 16) AS v
+  FROM documents d, range(16) fr(f), range(32) s(i)),
+frames AS (
+  SELECT doc_id, f, CAST(SUM(v*v) AS BIGINT) AS energy
+  FROM samp GROUP BY 1, 2),
+act AS (
+  SELECT doc_id, f,
+    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM frames WHERE energy > 50000),
+segs AS (
+  SELECT doc_id, MIN(f) AS seg_start, CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM act GROUP BY doc_id, grp)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(seg_len) AS BIGINT) AS active_frames,
+  CAST(MAX(seg_len) AS BIGINT) AS longest_seg,
+  CAST(MIN(seg_start) AS BIGINT) AS first_active
+FROM segs GROUP BY doc_id
+""",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL WAV
+    containers, end-to-end on the hash-checked path. Payloads are
+    genuine RIFF/WAVE files (canonical header + 512 int16 LE PCM
+    samples) built from doc_id arithmetic with loud/quiet structure
+    (frames where (3*doc_id+f) % 7 < 3 carry 8x amplitude — frame
+    energy >= 175k vs <= 3k, so the 50k threshold has wide margins);
+    the decode seam is ONE Arrow-batched UDF that chunk-walks the RIFF
+    container and fuses decode + per-frame energy extraction (the spot
+    a real pipeline runs its DSP); thresholding, islands-and-gaps
+    segmentation, and per-doc rollup are engine-side (posexplode +
+    window + two groupBys). The oracle replays the exact sample
+    arithmetic via range() cross joins, so a wrong header offset, a
+    missed frame, or an off-by-one in the segment grouping all
+    hash-mismatch.
+
+    Scale posture: payloads never shuffle — the UDF projects binary ->
+    16 energies in the scan stage; only (doc_id, f, energy) rows move,
+    and the window partitions are bounded by frames-per-doc. At 100 TB
+    of audio the same plan holds: decode+featurize in the scan,
+    fixed-fanout explode, doc-key shuffle of scalar features only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from python_etl_spark.operators.multimodal import (
+        vad_segments,
+        wav_frame_energies_col,
+        wav_payload,
+    )
+
+    # no type annotations: postponed evaluation (future annotations)
+    # leaves them as unresolvable strings for pyspark's inspector
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def build_wav(doc_ids):
+        j = np.arange(512, dtype=np.int64)
+        f = j // 32
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            base = ((d * 13 + j * 7) % 33) - 16
+            w = np.where((d * 3 + f) % 7 < 3, 8, 1)
+            out.append(wav_payload(base * w))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", build_wav("doc_id").alias("payload"))
+    frames = payloads.select(
+        "doc_id",
+        F.posexplode(wav_frame_energies_col("payload", 32)).alias(
+            "f", "energy"
+        ),
+    ).select("doc_id", F.col("f").cast("long").alias("f"), "energy")
+    segs = vad_segments(frames, "doc_id", "f", "energy", threshold=50_000)
+    return segs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("active_frames"),
+        F.max("seg_len").cast("long").alias("longest_seg"),
+        F.min("seg_start").cast("long").alias("first_active"),
+    )
+
+
+@register(
+    "mm_video_shot_detect",
+    oracle="""
+WITH hist AS (
+  SELECT d.doc_id, fr.f,
+    ((fr.f // (4 + d.doc_id % 5))*37 + 0*29 + d.doc_id*11) % 64
+      + (d.doc_id + fr.f + 0) % 3 AS h0,
+    ((fr.f // (4 + d.doc_id % 5))*37 + 1*29 + d.doc_id*11) % 64
+      + (d.doc_id + fr.f + 1) % 3 AS h1,
+    ((fr.f // (4 + d.doc_id % 5))*37 + 2*29 + d.doc_id*11) % 64
+      + (d.doc_id + fr.f + 2) % 3 AS h2,
+    ((fr.f // (4 + d.doc_id % 5))*37 + 3*29 + d.doc_id*11) % 64
+      + (d.doc_id + fr.f + 3) % 3 AS h3
+  FROM documents d, range(24) fr(f)),
+dist AS (
+  SELECT doc_id, f,
+    CASE WHEN f = 0 THEN 0 ELSE
+      abs(h0 - lag(h0) OVER w) + abs(h1 - lag(h1) OVER w)
+      + abs(h2 - lag(h2) OVER w) + abs(h3 - lag(h3) OVER w) END AS d1
+  FROM hist WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+shots AS (
+  SELECT doc_id, f,
+    SUM(CASE WHEN d1 > 30 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY f
+            ROWS UNBOUNDED PRECEDING) AS shot_id
+  FROM dist),
+lens AS (
+  SELECT doc_id, shot_id, CAST(COUNT(*) AS BIGINT) AS shot_len
+  FROM shots GROUP BY doc_id, shot_id)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shots,
+  CAST(MAX(shot_len) AS BIGINT) AS longest_shot,
+  CAST(MIN(shot_len) AS BIGINT) AS shortest_shot
+FROM lens GROUP BY doc_id
+""",
+)
+def mm_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection by histogram distance — the classic
+    first pass of video curation (frame-sample the shots afterwards,
+    mm_frame_sample's job). Each doc is a 24-frame video with a 4-bin
+    integer color histogram per frame, built in-plan with scene
+    structure (scene length 4 + doc_id%5, stable histograms within a
+    scene, ±2 per-frame noise); a boundary fires where consecutive
+    frames' L1 histogram distance exceeds 30, and a running sum of
+    boundary flags numbers the shots. Zero UDFs: explode + lag window
+    + cumulative-sum window + two groupBys; the oracle replays the
+    histogram arithmetic via range() cross joins, so a wrong lag
+    frame, threshold, or off-by-one shot split hash-mismatches.
+
+    Scale posture: per-frame HISTOGRAM extraction is where real pixel
+    decode plugs in (the Arrow decode seam mm_audio_vad_segments
+    exercises on real containers; frame rows carry 4 ints, never
+    pixels); downstream is one doc-key shuffle of scalar features,
+    windows bounded by frames-per-video — the plan a 100 TB video
+    corpus wants."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    f = F.col("f")
+    sc = (f / (d % 5 + 4)).cast("long")  # scene index f // L(d)
+    frames = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("f")
+    ).select(
+        "doc_id",
+        f.cast("long").alias("f"),
+        *[
+            ((sc * 37 + b * 29 + d * 11) % 64 + (d + f + b) % 3)
+            .cast("long")
+            .alias(f"h{b}")
+            for b in range(4)
+        ],
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("f")
+    dist = F.when(F.col("f") == 0, F.lit(0)).otherwise(
+        sum(
+            F.abs(F.col(f"h{b}") - F.lag(f"h{b}").over(w))
+            for b in range(4)
+        )
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shots = (
+        frames.withColumn("d1", dist)
+        .withColumn(
+            "shot_id",
+            F.sum(F.when(F.col("d1") > 30, 1).otherwise(0)).over(wcum),
+        )
+        .groupBy("doc_id", "shot_id")
+        .agg(F.count("*").cast("long").alias("shot_len"))
+    )
+    return shots.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shots"),
+        F.max("shot_len").cast("long").alias("longest_shot"),
+        F.min("shot_len").cast("long").alias("shortest_shot"),
+    )
+
+
 # ------------------------- corpus curation, round 2b -----------------------
 
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+"

@@ -387,3 +387,61 @@ def test_phash_spark_column_and_hamming(spark):
     dmap = {(r["ia"], r["ib"]): r["d"] for r in pairs}
     assert dmap[(0, 3)] == 0           # perceptual twin
     assert all(d > 0 for (i, j), d in dmap.items() if (i, j) != (0, 3))
+
+
+def test_wav_container_roundtrip_and_chunk_walk():
+    """wav_payload -> wav_pcm is identity on int16 samples, and the
+    parser walks RIFF chunks (LIST before data; odd-length word
+    alignment) instead of assuming the 44-byte offset."""
+    import struct
+
+    import numpy as np
+
+    from python_etl_spark.operators.multimodal import wav_payload, wav_pcm
+
+    s = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    assert (wav_pcm(wav_payload(s)) == s).all()
+    # inject a LIST chunk (odd payload length -> pad byte) before data
+    p = wav_payload(s)
+    info = b"INFOx"  # 5 bytes, odd
+    extra = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    hacked = p[:36] + extra + p[36:]
+    assert (wav_pcm(hacked) == s).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav_pcm(b"nonsense")
+    with _pytest.raises(ValueError, match="data chunk"):
+        wav_pcm(p[:36])
+
+
+def test_wav_frame_energies_and_vad_segments(spark):
+    """Energies from the Arrow decode seam match a numpy recompute;
+    vad_segments merges exactly the adjacent above-threshold frames
+    (trailing partial frame dropped)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.multimodal import (
+        vad_segments,
+        wav_frame_energies_col,
+        wav_payload,
+    )
+
+    # 2.5 frames of 4 samples: [loud, quiet, loud-partial(dropped)]
+    s = np.array([100, -100, 100, -100, 1, 1, 1, 1, 99, 99], dtype=np.int16)
+    df = spark.createDataFrame([(1, bytearray(wav_payload(s)))],
+                               "doc_id long, payload binary")
+    got = df.select(
+        wav_frame_energies_col("payload", 4).alias("e")
+    ).first()["e"]
+    assert got == [4 * 100 * 100, 4, ]  # partial 3rd frame dropped
+    frames = spark.createDataFrame(
+        [(1, f, e) for f, e in enumerate([9, 100, 100, 9, 100, 9, 100])],
+        "doc_id long, f long, energy long",
+    )
+    segs = {
+        (r["seg_start"], r["seg_len"])
+        for r in vad_segments(frames, threshold=50).collect()
+    }
+    assert segs == {(1, 2), (4, 1), (6, 1)}
