@@ -932,3 +932,115 @@ def etl_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("source", "doc_id", "lang")
     )
+
+
+# --------------------- daily-count autocorrelation -------------------------
+
+
+@register(
+    "events_autocorr",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events),
+spine AS (
+  -- constant range + filter: generate_series refuses lateral column
+  -- args; 4000 covers any snapshot's day span, the WHERE trims it
+  SELECT t.event_type, b.d0 + CAST(g.i AS INT) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds b, range(4000) g(i)
+  WHERE b.d0 + CAST(g.i AS INT) <= b.d1),
+counts AS (
+  SELECT s.event_type, s.day,
+    CAST(COALESCE(c.n, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2) c
+  ON s.event_type = c.event_type AND s.day = c.day),
+pairs AS (
+  SELECT event_type,
+    LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x, c AS y
+  FROM counts QUALIFY x IS NOT NULL),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x*y) AS BIGINT) AS sxy,
+    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type)
+SELECT event_type, n AS n_pairs,
+  CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+    ELSE ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+      / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+         * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 8) END AS autocorr_lag1
+FROM stats
+""",
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the DENSE daily event-count series per
+    event type — the day-over-day persistence statistic behind
+    seasonality/trend triage (a value near 0 says yesterday's volume
+    tells you nothing about today's). Dense matters: missing (type,
+    day) combos count as ZERO, not as absent rows, so the series is
+    gap-filled from a date spine (the etl_date_spine_gapfill move)
+    before lagging. The correlation is assembled from integer
+    sufficient statistics (counts are exact BIGINTs; one double
+    division at the end, rounded to 8 — the etl_corr posture), so both
+    engines produce the identical value; zero-variance series yield
+    NULL identically.
+
+    Scale posture: one groupBy(type, day) pre-aggregates the corpus to
+    |types| x |days| rows — everything after (spine join, lag window,
+    moment sums) runs on that tiny frame. The window partitions by
+    event_type over day-count rows, never raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    dense = spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        dense.withColumn("x", F.lag("c").over(w))
+        .where(F.col("x").isNotNull())
+        .select("event_type", "x", F.col("c").alias("y"))
+    )
+    x, y = F.col("x"), F.col("y")
+    st = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            8,
+        )
+    )
+    return st.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        r.alias("autocorr_lag1"),
+    )
