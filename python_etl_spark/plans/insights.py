@@ -934,29 +934,119 @@ def etl_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------- daily-count autocorrelation -------------------------
 
-
-@register(
-    "events_autocorr",
-    oracle="""
-WITH bounds AS (
+_DENSE_DAILY_SQL = """
+bounds AS (
   SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
   FROM events),
 spine AS (
-  -- constant range + filter: generate_series refuses lateral column
-  -- args; 4000 covers any snapshot's day span, the WHERE trims it
   SELECT t.event_type, b.d0 + CAST(g.i AS INT) AS day
   FROM (SELECT DISTINCT event_type FROM events) t,
        bounds b, range(4000) g(i)
   WHERE b.d0 + CAST(g.i AS INT) <= b.d1),
 counts AS (
-  SELECT s.event_type, s.day,
-    CAST(COALESCE(c.n, 0) AS BIGINT) AS c
+  SELECT s.event_type, s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS c
   FROM spine s LEFT JOIN (
     SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
     FROM events GROUP BY 1, 2) c
-  ON s.event_type = c.event_type AND s.day = c.day),
+  ON s.event_type = c.event_type AND s.day = c.day)
+"""
+
+
+def _dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled (event_type, day, c) daily counts — the shared input
+    of events_autocorr / events_changepoint. One corpus-collapsing
+    groupBy, then spine join on the tiny frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    return spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("c")
+    )
+
+
+@register(
+    "events_changepoint",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
+cusum AS (
+  SELECT event_type, day,
+    ROW_NUMBER() OVER w AS t,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS p,
+    SUM(c) OVER (PARTITION BY event_type) AS s,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM counts WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+  CAST(abs(n*p - t*s) AS BIGINT) AS cusum_peak,
+  CAST(n AS BIGINT) AS n_days
+FROM cusum
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+  ORDER BY abs(n*p - t*s) DESC, day ASC) = 1
+""",
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over the dense daily count series per event
+    type: the day t maximizing |n*P_t - t*S| (the classic cumulative-
+    deviation statistic Σ(c_i - mean) scaled by n so it stays an exact
+    BIGINT — no rational mean, no floats anywhere). Reports the argmax
+    day (earliest on ties), the integer peak, and the series length;
+    a level shift in event volume lands the peak at the shift
+    boundary. Shares the date-spine gap-fill with events_autocorr.
+
+    Scale posture: identical to events_autocorr — the corpus collapses
+    to |types| x |days| rows in one groupBy; cumulative-sum and argmax
+    windows run per-type on the tiny series."""
+    dense = _dense_daily_counts(spark, sf_dir)
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cusum = dense.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).alias("t"),
+        F.sum("c")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p"),
+        F.sum("c").over(wall).alias("s"),
+        F.count("*").over(wall).alias("n"),
+    )
+    stat = F.abs(
+        F.col("n") * F.col("p") - F.col("t") * F.col("s")
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        stat.desc(), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            stat.cast("long").alias("cusum_peak"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
 pairs AS (
   SELECT event_type,
     LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS x, c AS y
@@ -981,39 +1071,16 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonality/trend triage (a value near 0 says yesterday's volume
     tells you nothing about today's). Dense matters: missing (type,
     day) combos count as ZERO, not as absent rows, so the series is
-    gap-filled from a date spine (the etl_date_spine_gapfill move)
-    before lagging. The correlation is assembled from integer
-    sufficient statistics (counts are exact BIGINTs; one double
-    division at the end, rounded to 8 — the etl_corr posture), so both
-    engines produce the identical value; zero-variance series yield
-    NULL identically.
+    gap-filled from the shared date spine (_dense_daily_counts) before
+    lagging. The correlation is assembled from integer sufficient
+    statistics (counts are exact BIGINTs; one double division at the
+    end, rounded to 8 — the etl_corr posture), so both engines produce
+    the identical value; zero-variance series yield NULL identically.
 
     Scale posture: one groupBy(type, day) pre-aggregates the corpus to
     |types| x |days| rows — everything after (spine join, lag window,
-    moment sums) runs on that tiny frame. The window partitions by
-    event_type over day-count rows, never raw events."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
-    )
-    counts = ev.groupBy("event_type", "day").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    bounds = ev.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    types = ev.select("event_type").distinct()
-    spine = (
-        types.crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.expr("sequence(d0, d1, interval 1 day)")
-            ).alias("day"),
-        )
-    )
-    dense = spine.join(counts, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("n", F.lit(0)).alias("c")
-    )
+    moment sums) runs on that tiny frame."""
+    dense = _dense_daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     pairs = (
         dense.withColumn("x", F.lag("c").over(w))

@@ -932,6 +932,92 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+      AS BIGINT) AS tf1,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'window'))
+      AS BIGINT) AS tf2,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'stream'))
+      AS BIGINT) AS tf3
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM feats)
+SELECT doc_id, ROUND(
+    ROUND(LN(1 + (n - df1 + 0.5) / (df1 + 0.5)), 9)
+      * (tf1 * 2.25) / (tf1 + 1.25 * (0.25 + 0.75 * (dl * n) / sdl))
+  + ROUND(LN(1 + (n - df2 + 0.5) / (df2 + 0.5)), 9)
+      * (tf2 * 2.25) / (tf2 + 1.25 * (0.25 + 0.75 * (dl * n) / sdl))
+  + ROUND(LN(1 + (n - df3 + 0.5) / (df3 + 0.5)), 9)
+      * (tf3 * 2.25) / (tf3 + 1.25 * (0.25 + 0.75 * (dl * n) / sdl)),
+  6) AS bm25
+FROM feats CROSS JOIN stats
+""",
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against the query
+    {join, window, stream} — the retrieval scorer a training-data
+    pipeline runs for targeted corpus selection (score-then-threshold
+    is how domain-relevant subsets get mined from a crawl). k1 = 1.25
+    and b = 0.75, both exactly representable doubles, so the only
+    engine-sensitive operation is ln() — rounded to 9 decimals before
+    the multiply (the text_tfidf_topk trick); every other input (tf,
+    df, dl, N, sum-dl) is an exact BIGINT and dl/avgdl is computed as
+    the single division (dl*N)/sdl. Final score rounded to 6. All
+    docs are returned (no top-k boundary for ulp noise to flip).
+
+    Scale posture: per-doc features come from the scan stage
+    (higher-order filters on the token array, no explode/shuffle);
+    the corpus-level stats are ONE aggregate row broadcast back. Two
+    jobs, one corpus pass each — at 100 TB the stats row is the only
+    thing that crosses the cluster."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+
+    def tf(term):
+        return F.size(
+            F.filter(toks, lambda x: x == F.lit(term))
+        ).cast("long")
+
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        tf("join").alias("tf1"),
+        tf("window").alias("tf2"),
+        tf("stream").alias("tf3"),
+    )
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum(
+                F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    n, sdl = F.col("n"), F.col("sdl")
+    dl = F.col("dl")
+
+    def part(i):
+        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.round(F.log(1 + (n - dfi + 0.5) / (dfi + 0.5)), 9)
+        norm = tfi + 1.25 * (0.25 + 0.75 * (dl * n) / sdl)
+        return idf * (tfi * 2.25) / norm
+
+    return feats.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(part(1) + part(2) + part(3), 6).alias("bm25")
+    )
+
+
+@register(
     "text_boilerplate_coverage",
     oracle=f"""
 WITH {_NGRAM_SH_SQL},
