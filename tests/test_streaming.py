@@ -912,3 +912,75 @@ def test_foreach_batch_incremental_cross_batch_dedup(spark, tmp_path):
     store = dedup.table.read(spark)
     assert store.count() == 3
     assert store.columns == ["sig", "id", "batch_id"]  # text never stored
+
+
+def test_foreach_batch_streaming_materialized_rollup(spark, tmp_path):
+    """Streaming face of the maintained rollup: each micro-batch
+    appends to the source VersionedTable and refresh() folds exactly
+    the new commit into the aggregate — the nightly pattern driven by
+    a stream. Final state must equal a one-shot groupBy of everything
+    ingested, and the bookmark must track the source head. A re-run
+    refresh after the stream stops must be a no-op (idempotent
+    at-least-once driving)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.incremental import MaterializedRollup
+    from python_etl_spark.sinks.table import VersionedTable
+
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    schema = "k long, v long"
+    source = VersionedTable(str(tmp_path / "source"))
+    roll = MaterializedRollup(
+        str(tmp_path / "rollup"),
+        keys=["grp"],
+        spec={"n": ("count", "k"), "total": ("sum", "v")},
+    )
+
+    def process(batch_df, batch_id):
+        staged = batch_df.select((F.col("k") % 3).alias("grp"), "k", "v")
+        if source.exists():
+            source.append(staged)
+        else:
+            source.create(staged)
+        roll.refresh(source, batch_df.sparkSession)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def feed(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    feed(0, 30)
+    run_available()
+    feed(30, 75)
+    run_available()
+
+    got = {
+        r["grp"]: (r["n"], r["total"])
+        for r in roll.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["total"])
+        for r in spark.range(0, 75)
+        .select((F.col("id") % 3).alias("grp"), (F.col("id") * 2).alias("v"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+    assert roll.source_version() == source.latest_version()
+    assert roll.refresh(source, spark) is None  # idempotent replay
