@@ -60,6 +60,18 @@ QUERIES_UNDER_TEST = [
     ("text_encoding_repair", "linear", "checksum"),
     ("etl_bloom_semi_join", "linear"),
     ("graph_pagerank", "linear"),
+    # round-8 late additions: maintained rollup (refresh work runs
+    # eagerly at construction, inside the timer), audio/video feature
+    # extraction (fixed fanout per doc), dense-series statistics
+    # (corpus collapses to |types|x|days| in the first groupBy), BM25
+    # (scan-stage features + one broadcast stats row). checksum keeps
+    # Catalyst from pruning the scored/aggregated payload under count.
+    ("etl_incremental_rollup", "linear", "checksum"),
+    ("mm_audio_vad_segments", "linear", "checksum"),
+    ("mm_video_shot_detect", "linear", "checksum"),
+    ("events_autocorr", "linear", "checksum"),
+    ("events_changepoint", "linear", "checksum"),
+    ("text_bm25_score", "linear", "checksum"),
     ("emb_random_projection", "linear"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),

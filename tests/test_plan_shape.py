@@ -384,3 +384,55 @@ def test_quality_fit_moments_then_broadcast_score(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bm25_scan_stage_features_one_broadcast(spark, sf_dir):
+    """BM25: per-doc features are higher-order filters in the scan
+    stage (no explode, no hash shuffle of the corpus); the corpus
+    stats reduce through the single allowed SinglePartition merge and
+    ride back as a broadcast."""
+    plan = _plan(spark, sf_dir, "text_bm25_score")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_audio_vad_single_doc_key_shuffle(spark, sf_dir):
+    """VAD: binary payloads never shuffle — the decode UDF projects
+    them to 16 energies in the scan stage, the explode fans out
+    scalars, and the only exchanges are on the doc key (window +
+    groupBys reuse the partitioning; no SinglePartition funnel)."""
+    plan = _plan(spark, sf_dir, "mm_audio_vad_segments")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ArrowEvalPython" in plan
+    # the payload column must not appear above the projection that
+    # consumes it: no exchange carries the binary
+    for frag in plan.split("Exchange"):
+        if frag.startswith(" hashpartitioning"):
+            assert "payload" not in frag.split("+- ")[0], plan
+
+
+def test_video_shot_detect_zero_udf_doc_partitioned(spark, sf_dir):
+    """Shot detection stays whole-stage JVM (no Python evals) and
+    never funnels to one partition; windows and groupBys all key on
+    doc_id."""
+    plan = _plan(spark, sf_dir, "mm_video_shot_detect")
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dense_series_stats_collapse_before_windows(spark, sf_dir):
+    """autocorr/changepoint: the events scan pre-aggregates to
+    (type, day) BEFORE the spine join and windows — the raw event
+    frame must not feed a window directly (partial_count in the
+    aggregate proves map-side combine on the corpus pass)."""
+    for name in ("events_autocorr", "events_changepoint"):
+        plan = _plan(spark, sf_dir, name)
+        assert "partial_count" in plan or "partial count" in plan, name
+        # windows run on the post-aggregate frame: every Window node
+        # sits above a HashAggregate in the tree dump
+        w = plan.find("Window")
+        a = plan.find("HashAggregate")
+        assert w != -1 and a != -1, name

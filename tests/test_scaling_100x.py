@@ -48,6 +48,11 @@ DOC_QUERIES = [
     ("text_decontaminate_spans", "overlap", "checksum"),
     ("text_c4_rules", "linear", "checksum"),
     ("etl_token_budget_select", "linear"),
+    # late round-8 (documents-only): fixed per-doc fanout feature
+    # extraction and scan-stage BM25 scoring
+    ("mm_audio_vad_segments", "linear", "checksum"),
+    ("mm_video_shot_detect", "linear", "checksum"),
+    ("text_bm25_score", "linear", "checksum"),
 ]
 
 pytestmark = [
