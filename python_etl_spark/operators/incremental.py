@@ -193,7 +193,17 @@ class MaterializedRollup:
 
     _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
-    def __init__(self, root: str, keys: list[str], spec: dict):
+    def __init__(
+        self,
+        root: str,
+        keys: list[str],
+        spec: dict,
+        target_files: int = 1,
+    ):
+        """``target_files`` bounds the file count of each committed
+        state (default 1: a rollup is aggregate-cardinality, and a
+        32-shuffle-partition write of a 35-row frame is 32 tiny
+        files per refresh); raise it for a genuinely huge rollup."""
         for out, (fn, _src) in spec.items():
             if fn not in ("sum", "count", "min", "max"):
                 raise ValueError(
@@ -203,6 +213,10 @@ class MaterializedRollup:
         self.table = VersionedTable(root)
         self.keys = list(keys)
         self.spec = dict(spec)
+        self.target_files = target_files
+
+    def _pack(self, state: DataFrame) -> DataFrame:
+        return state.coalesce(self.target_files)
 
     def _partial(self, delta: DataFrame) -> DataFrame:
         aggs = []
@@ -239,7 +253,7 @@ class MaterializedRollup:
         if target is None:
             return None
         if not self.table.exists():
-            state = self._partial(source.read(spark, target))
+            state = self._pack(self._partial(source.read(spark, target)))
             self.table.create(state, meta={"source_version": target})
             return self.table.latest_version()
         for _ in range(self.table.max_retries + 1):
@@ -249,7 +263,9 @@ class MaterializedRollup:
             if done >= target:
                 return None
             delta = source.changes(spark, done, target)
-            state = self._merge(self.read(spark), self._partial(delta))
+            state = self._pack(
+                self._merge(self.read(spark), self._partial(delta))
+            )
             try:
                 return self.table.overwrite(
                     state,
@@ -265,7 +281,7 @@ class MaterializedRollup:
     def rebuild(self, source: VersionedTable, spark) -> int:
         """Full recompute (the re-baseline after a source rewrite)."""
         target = source.latest_version()
-        state = self._partial(source.read(spark, target))
+        state = self._pack(self._partial(source.read(spark, target)))
         if not self.table.exists():
             self.table.create(state, meta={"source_version": target})
             return self.table.latest_version()

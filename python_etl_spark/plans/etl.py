@@ -2315,3 +2315,76 @@ def etl_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         midrange("o_totalprice").alias("midrange_price"),
         n_rows("o_totalprice").alias("n_orders"),
     )
+
+
+@register(
+    "etl_scd2_pointintime",
+    oracle=f"""
+WITH scd AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+    LEAD(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ts,
+    l_extendedprice, l_discount
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT s.o_orderpriority AS version_priority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(COUNT(DISTINCT f.custkey) AS BIGINT) AS n_customers,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM fact f JOIN scd s
+  ON f.custkey = s.o_custkey
+ AND f.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+GROUP BY 1
+""",
+)
+def etl_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup — the lakehouse join every
+    slowly-changing dimension exists FOR: each shipped item is matched
+    to the customer's order-version that was CURRENT at ship time
+    ([valid_from, valid_to) interval containing l_shipdate;
+    zero-length intervals from same-timestamp versions are excluded
+    by the half-open range on both engines, so the match is unique),
+    then profiled by that version's priority. Composes the
+    etl_scd2_history construction with the validity-range join.
+
+    Scale posture: the lookup is an EQUI join on the dimension key
+    with the range as a post-filter — per-key fan-out is bounded by
+    versions-per-customer (never a cross product), so it shuffles like
+    a plain key join at 100 TB; the SCD2 window partitions by custkey.
+    COUNT(DISTINCT custkey) rewrites to a two-level aggregate in both
+    engines."""
+    from python_etl_spark.plans.common import REVENUE
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ts"),
+        REVENUE().alias("rev"),
+    )
+    hit = fact.join(
+        scd,
+        (fact.custkey == scd.o_custkey)
+        & (fact.ts >= scd.valid_from)
+        & (scd.valid_to.isNull() | (fact.ts < scd.valid_to)),
+    )
+    return hit.groupBy(
+        F.col("o_orderpriority").alias("version_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("custkey").alias("n_customers"),
+        dsum("rev").alias("revenue"),
+    )
