@@ -1111,3 +1111,64 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         r.alias("autocorr_lag1"),
     )
+
+
+@register(
+    "events_seasonal_dow",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
+t AS (
+  SELECT event_type, day, c,
+    SUM(c) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+  FROM counts WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+d AS (
+  SELECT event_type, isodow(day) AS dow, 7*c - sum7 AS dev7
+  FROM t WHERE cnt7 = 7)
+SELECT event_type, CAST(dow AS INT) AS dow,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(dev7) AS BIGINT) AS dev7_sum,
+  {dround_div_sql('SUM(dev7)', '7*COUNT(*)', scale=3, in_scale=0)}
+    AS mean_dev_milli
+FROM d GROUP BY 1, 2
+""",
+)
+def events_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality factors — the decomposition step between
+    events_autocorr (is there structure?) and events_changepoint
+    (where did the level shift?): detrend the dense daily series with
+    a CENTERED 7-day moving average and profile the residual by ISO
+    day-of-week. Everything stays integer: the detrended value is
+    scaled by 7 (7*c - sum7, so no rational trend appears), only
+    complete 7-day windows contribute, and the per-dow mean deviation
+    is reported in milli-counts via half-away-from-zero exact integer
+    division (dround_div) — engine-identical including negatives.
+
+    Scale posture: the corpus collapses to |types| x |days| rows in
+    the shared _dense_daily_counts groupBy; the centered window and
+    the dow rollup run on that tiny frame."""
+    dense = _dense_daily_counts(spark, sf_dir)
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = dense.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w7).alias("sum7"),
+        F.count("*").over(w7).alias("cnt7"),
+    ).where(F.col("cnt7") == 7)
+    d = t.select(
+        "event_type",
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        (7 * F.col("c") - F.col("sum7")).cast("long").alias("dev7"),
+    )
+    return d.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dev7").cast("long").alias("dev7_sum"),
+        dround_div(
+            F.sum("dev7"), 7 * F.count("*"), scale=3, in_scale=0
+        ).alias("mean_dev_milli"),
+    )

@@ -2064,3 +2064,96 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covered",
         F.expr("n_covered * 1000000 div n_tokens").alias("coverage_ppm"),
     )
+
+
+# ----------------------- scalar quantization (SQ8) -------------------------
+_SQ_DIM = 64
+
+
+@register(
+    "emb_scalar_quantize",
+    oracle=f"""
+WITH ve AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({_SQ_DIM}) r(i)),
+st AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM ve GROUP BY i),
+q AS (
+  SELECT vec_id, i, x, lo, hi,
+    CASE WHEN hi = lo THEN 0
+      ELSE CAST(ROUND(((x - lo) * 127) / (hi - lo), 0) AS BIGINT)
+    END AS code
+  FROM ve JOIN st USING (i)),
+e AS (
+  SELECT vec_id, i, code,
+    CASE WHEN hi = lo THEN 0
+      ELSE CAST(ROUND(
+        (x - (lo + (code * (hi - lo)) / 127))
+        * (x - (lo + (code * (hi - lo)) / 127)) * 1000000000000, 0)
+        AS BIGINT)
+    END AS ep
+  FROM q)
+SELECT vec_id,
+  MAX(CASE WHEN i = 0 THEN code END) AS q0,
+  MAX(CASE WHEN i = 1 THEN code END) AS q1,
+  MAX(CASE WHEN i = 2 THEN code END) AS q2,
+  MAX(CASE WHEN i = 3 THEN code END) AS q3,
+  CAST(SUM(ep) AS BIGINT) AS sse_pico
+FROM e GROUP BY vec_id
+""",
+)
+def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embedding corpus — the OTHER
+    standard ANN compression next to the PQ codebooks (sim_topk_pq):
+    per-dimension [min, max] over the corpus, each component rounded
+    to a 0..127 code, reconstruction error reported per vector. At
+    100 TB this is the 4x-8x memory lever that decides whether an
+    index fits the cluster.
+
+    Exactness: min/max are order-independent (no float-summation
+    hazard), each code and each squared reconstruction error is
+    rounded ONCE from a scalar double expression with identical
+    association on both engines ((x-lo)*127)/(hi-lo); the per-vector
+    SSE is then a 64-bit integer sum of pico-unit errors — no
+    order-sensitive double accumulation anywhere. Degenerate
+    dimensions (hi = lo) code to 0 with zero error identically.
+
+    Scale posture: ONE corpus pass of 128 min/max partial aggregates
+    -> a single stats row broadcast back; codes and errors are
+    whole-stage array transforms in the scan stage (zero shuffles for
+    the per-vector work, output one row per vector)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    stats = emb.agg(
+        *[F.min(vec[i]).alias(f"lo{i}") for i in range(_SQ_DIM)],
+        *[F.max(vec[i]).alias(f"hi{i}") for i in range(_SQ_DIM)],
+    )
+    lo = F.array(*[F.col(f"lo{i}") for i in range(_SQ_DIM)])
+    hi = F.array(*[F.col(f"hi{i}") for i in range(_SQ_DIM)])
+
+    def code(x, l, h):
+        return F.when(h == l, F.lit(0).cast("long")).otherwise(
+            F.round(((x - l) * 127) / (h - l), 0).cast("long")
+        )
+
+    def err_pico(x, l, h):
+        c = code(x, l, h).cast("double")
+        xhat = l + (c * (h - l)) / 127
+        return F.when(h == l, F.lit(0).cast("long")).otherwise(
+            F.round((x - xhat) * (x - xhat) * F.lit(1e12), 0).cast("long")
+        )
+
+    def at(arr, i):
+        return F.element_at(arr, i + 1)
+
+    joined = emb.crossJoin(F.broadcast(stats))
+    codes = [
+        code(vec[i], at(lo, i), at(hi, i)).alias(f"q{i}")
+        for i in range(4)
+    ]
+    sse = reduce(
+        lambda a, b: a + b,
+        [err_pico(vec[i], at(lo, i), at(hi, i)) for i in range(_SQ_DIM)],
+    )
+    return joined.select(
+        "vec_id", *codes, sse.alias("sse_pico")
+    )
