@@ -2195,3 +2195,132 @@ def etl_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_ppm",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+# ----------------- MMR diversified selection (re-ranking) ------------------
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+@register(
+    "sim_mmr_select",
+    oracle=f"""
+WITH RECURSIVE ve AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range(64) r(i)),
+nrm AS (SELECT vec_id, SUM(x*x) AS nsq FROM ve GROUP BY vec_id),
+rel0 AS (
+  SELECT b.vec_id AS id,
+    ROUND(SUM(q.x * b.x) / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) AS rel
+  FROM ve q JOIN ve b ON q.i = b.i AND q.vec_id = 0 AND b.vec_id <> 0
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  CROSS JOIN (SELECT nsq FROM nrm WHERE vec_id = 0) nq
+  GROUP BY b.vec_id, nq.nsq, nb.nsq),
+pool AS (
+  SELECT id, rel FROM rel0
+  QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, id ASC) <= {_MMR_POOL}),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    ROUND(SUM(a.x * b.x) / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS sim
+  FROM ve a JOIN ve b ON a.i = b.i AND a.vec_id <> b.vec_id
+  JOIN pool pa ON pa.id = a.vec_id JOIN pool pb ON pb.id = b.vec_id
+  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+  GROUP BY a.vec_id, b.vec_id, na.nsq, nb.nsq),
+sel AS (
+  SELECT 1 AS r, [id] AS ids
+  FROM pool QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, id ASC) = 1
+  UNION ALL
+  SELECT sel.r + 1, list_append(sel.ids, c.id)
+  FROM sel JOIN pool c ON NOT list_contains(sel.ids, c.id)
+  WHERE sel.r < {_MMR_K}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c.rel - (
+      SELECT MAX(s.sim) FROM sims s
+      WHERE s.ia = c.id AND list_contains(sel.ids, s.ib)
+    ) DESC, c.id ASC) = 1)
+SELECT CAST(g.i + 1 AS INT) AS rank, f.ids[g.i + 1] AS vec_id, p.rel
+FROM (SELECT ids FROM sel WHERE r = {_MMR_K}) f, range({_MMR_K}) g(i)
+JOIN pool p ON p.id = f.ids[g.i + 1]
+""",
+)
+def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the top-20 cosine
+    candidates for query vector 0, greedily select 5 results that
+    trade relevance against redundancy (lambda = 1/2, so the selection
+    order reduces to argmax of rel - max-sim-to-selected — lambda
+    drops out and no extra float multiply enters the comparison). The
+    standard second stage of retrieval: ANN recalls a pool, MMR
+    diversifies what the user (or the training mixture) actually gets.
+
+    Architecture — the honest re-ranker split: the POOL (top-N by
+    rounded cosine, deterministic id tie-break) and its pairwise
+    similarity matrix are computed DISTRIBUTED (broadcast query /
+    pool-pool join, cosines rounded once to 6); the greedy loop then
+    runs on the driver over the BOUNDED pool (20 rows + 380 pairs —
+    the PQ-codebook bounded-sample posture; a re-ranker at 100 TB
+    still reranks 20 candidates). Every comparison happens on the
+    rounded 1e-6-grid doubles, and both engines plus the driver
+    compute the identical IEEE subtraction, so the selection trace is
+    hash-exact against the recursive-CTE oracle replaying the same
+    greedy."""
+    from python_etl_spark.functions.vector import (
+        as_double,
+        cosine_from_parts,
+        dot,
+        norm_sq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
+    ).select("id", "vec", norm_sq("vec").alias("nsq"))
+    q = v.where(F.col("id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("nsq").alias("qnsq")
+    )
+    rel = cosine_from_parts(dot("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
+    pool = (
+        v.where(F.col("id") != 0)
+        .join(F.broadcast(q))
+        .select("id", "vec", "nsq", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(_MMR_POOL)
+    )
+    a = pool.select(
+        F.col("id").alias("ia"),
+        F.col("vec").alias("va"),
+        F.col("nsq").alias("na"),
+    )
+    b = pool.select(
+        F.col("id").alias("ib"),
+        F.col("vec").alias("vb"),
+        F.col("nsq").alias("nb"),
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            cosine_from_parts(
+                dot("va", "vb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+    )
+    cand = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sims.collect()}
+    selected: list[int] = []
+    out = []
+    while len(selected) < _MMR_K:
+        if not selected:
+            pick = max(cand, key=lambda i: (cand[i], -i))
+        else:
+            pick = max(
+                (i for i in cand if i not in selected),
+                key=lambda i: (
+                    cand[i] - max(sim[(i, s)] for s in selected),
+                    -i,
+                ),
+            )
+        selected.append(pick)
+        out.append((len(selected), pick, cand[pick]))
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, rel double"
+    )

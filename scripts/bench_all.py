@@ -22,7 +22,18 @@ def main() -> None:
     # time them under a full-column checksum instead, count untimed.
     from scripts.bench_scaling import _force
 
-    checksum_forced = {"text_exact_substr_dedup", "text_encoding_repair"}
+    checksum_forced = {
+        "text_exact_substr_dedup",
+        "text_encoding_repair",
+        # late round-8: scored/derived payload columns count() would prune
+        "text_bm25_score",
+        "emb_scalar_quantize",
+        "mm_audio_vad_segments",
+        "mm_video_shot_detect",
+        "events_autocorr",
+        "events_changepoint",
+        "events_seasonal_dow",
+    }
 
     rows = []
     for name in sorted(QUERIES):
