@@ -1172,3 +1172,155 @@ def events_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dev7"), 7 * F.count("*"), scale=3, in_scale=0
         ).alias("mean_dev_milli"),
     )
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=f"""
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS cts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id),
+touch AS (
+  SELECT DISTINCT e.user_id, e.event_type AS channel
+  FROM events e JOIN conv ON conv.user_id = e.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts < conv.cts),
+sizes AS (SELECT user_id, COUNT(*) AS k FROM touch GROUP BY user_id),
+credit AS (
+  SELECT t.channel, 12 // s.k AS c12
+  FROM touch t JOIN sizes s ON s.user_id = t.user_id
+  UNION ALL
+  SELECT 'direct' AS channel, 12 AS c12
+  FROM conv WHERE user_id NOT IN (SELECT user_id FROM sizes)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_conv FROM conv)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(c12) AS BIGINT) AS shapley_credit_12,
+  {dround_div_sql('SUM(c12)', '12 * (SELECT n_conv FROM tot)',
+                  scale=3, in_scale=0)} AS share
+FROM credit GROUP BY channel
+""",
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution for the OR-coalition game:
+    each converting user's characteristic function is v(T) = 1 iff T
+    touches any channel the user saw before their first purchase — by
+    player symmetry the Shapley value of each touched channel is
+    exactly 1/|S|, the symmetric credit split (users with no prior
+    touches credit a 'direct' channel). Credits stay integer by
+    scaling with 12 = lcm(1..4) (at most 4 non-conversion channels, so
+    12/|S| is exact); channel shares come out through exact integer
+    division (dround_div). The multi-touch upgrade of
+    events_touch_attribution's first/last crosstab.
+
+    Scale posture: one groupBy(user) for first conversions, one
+    distinct over (user, channel) — both key-partitioned corpus
+    passes; credit assembly and the share division run on |channels|
+    rows with a one-row broadcast total."""
+    ev = _t(spark, sf_dir, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    touch = (
+        ev.join(conv, "user_id")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("ts") < F.col("cts"))
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    sizes = touch.groupBy("user_id").agg(F.count("*").alias("k"))
+    credit = touch.join(sizes, "user_id").select(
+        "channel", (F.lit(12) / F.col("k")).cast("long").alias("c12")
+    )
+    direct = (
+        conv.join(sizes, "user_id", "left_anti")
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(12).cast("long").alias("c12"),
+        )
+    )
+    tot = conv.agg(F.count("*").alias("n_conv"))
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("c12").cast("long").alias("shapley_credit_12"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_users",
+            "shapley_credit_12",
+            dround_div(
+                F.col("shapley_credit_12"),
+                12 * F.col("n_conv"),
+                scale=3,
+                in_scale=0,
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "q26_repeat_customers",
+    oracle=f"""
+WITH cy AS (
+  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INT) AS y
+  FROM orders),
+base AS (
+  SELECT a.y, COUNT(*) AS n_customers,
+    SUM(CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END) AS n_repeat
+  FROM cy a LEFT JOIN cy b
+    ON b.o_custkey = a.o_custkey AND b.y = a.y + 1
+  GROUP BY a.y)
+SELECT y AS order_year, CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(n_repeat AS BIGINT) AS n_repeat,
+  {dround_div_sql('n_repeat', 'n_customers', scale=4, in_scale=0)}
+    AS repeat_rate
+FROM base
+""",
+)
+def q26_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year repeat-purchase rate: of the customers who
+    ordered in year Y, the share that ordered again in Y+1 — the
+    retention headline of the relational suite (events_retention_
+    cohorts is the event-stream twin). The final year's rate is
+    honestly 0 (no Y+1 data), not NULL, matching the LEFT JOIN both
+    engines run. Rates via exact integer division at 4 decimals.
+
+    Scale posture: orders collapses to DISTINCT (custkey, year) in one
+    partial-agg pass; the self-join is an equi join on (custkey,
+    year+1) — key-partitioned, fan-out 1, no window, no broadcast of
+    an SF-scaling side."""
+    o = _t(spark, sf_dir, "orders")
+    cy = o.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("y")
+    ).distinct()
+    nxt = cy.select(
+        F.col("o_custkey").alias("ck"), (F.col("y") - 1).alias("py")
+    )
+    base = (
+        cy.join(
+            nxt,
+            (cy.o_custkey == nxt.ck) & (cy.y == nxt.py),
+            "left",
+        )
+        .groupBy(cy.y.alias("order_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(
+                F.when(F.col("ck").isNull(), 0).otherwise(1)
+            ).cast("long").alias("n_repeat"),
+        )
+    )
+    return base.select(
+        "order_year",
+        "n_customers",
+        "n_repeat",
+        dround_div(
+            F.col("n_repeat"), F.col("n_customers"), scale=4, in_scale=0
+        ).alias("repeat_rate"),
+    )
