@@ -2388,3 +2388,99 @@ def etl_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("custkey").alias("n_customers"),
         dsum("rev").alias("revenue"),
     )
+
+
+# ---------------------- Markov stationary distribution ---------------------
+_MKV_ITERS = 6
+_MKV_UNIT = 1_000_000
+
+
+@register(
+    "events_markov_stationary",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events),
+tm AS (
+  SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+rs AS (SELECT a, SUM(n) AS s FROM tm GROUP BY a),
+it0 AS (
+  SELECT DISTINCT a AS state, CAST(200000 AS BIGINT) AS pi FROM tm),
+it1 AS (
+  SELECT tm.b AS state, CAST(SUM((it0.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it0 JOIN tm ON tm.a = it0.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b),
+it2 AS (
+  SELECT tm.b AS state, CAST(SUM((it1.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it1 JOIN tm ON tm.a = it1.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b),
+it3 AS (
+  SELECT tm.b AS state, CAST(SUM((it2.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it2 JOIN tm ON tm.a = it2.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b),
+it4 AS (
+  SELECT tm.b AS state, CAST(SUM((it3.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it3 JOIN tm ON tm.a = it3.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b),
+it5 AS (
+  SELECT tm.b AS state, CAST(SUM((it4.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it4 JOIN tm ON tm.a = it4.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b),
+it6 AS (
+  SELECT tm.b AS state, CAST(SUM((it5.pi * tm.n) // rs.s) AS BIGINT) AS pi
+  FROM it5 JOIN tm ON tm.a = it5.state JOIN rs ON rs.a = tm.a
+  GROUP BY tm.b)
+SELECT state AS event_type, pi AS pi_micro FROM it6
+""",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (events_transition_matrix's counts, normalized row-stochastic) by
+    POWER ITERATION — the graph_pagerank recipe on the behavioral
+    chain: 6 iterations of pi <- pi P, with each per-edge
+    contribution quantized to integer micro-units via exact integral
+    division (pi_m * n) // rowsum, so every step is 64-bit integer
+    arithmetic and the tiny floor leak is bit-identical on both
+    engines. The oracle unrolls the same 6 iterations as CTEs.
+
+    Scale posture: ONE corpus pass builds the transition counts (lag
+    window per user, groupBy pair); the iteration then runs on a
+    |types|^2 frame — constant-size state, so the loop costs 6 tiny
+    jobs regardless of corpus scale. The same shape handles a
+    million-state chain: each step is a key join + grouped sum, never
+    a driver-side matrix."""
+    from python_etl_spark.functions.exact import _idiv
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    tm = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    rs = tm.groupBy("a").agg(F.sum("n").alias("s"))
+    p = tm.join(rs, "a").localCheckpoint(eager=True)  # 25-row edge frame
+    pi = (
+        p.select("a").distinct()
+        .select(
+            F.col("a").alias("state"),
+            F.lit(_MKV_UNIT // 5).cast("long").alias("pi"),
+        )
+    )
+    for _ in range(_MKV_ITERS):
+        contrib = _idiv(
+            (F.col("pi") * F.col("n")).cast("decimal(38,0)"),
+            F.col("s").cast("decimal(38,0)"),
+        )
+        pi = (
+            p.join(pi, p.a == pi.state)
+            .groupBy(F.col("b").alias("state2"))
+            .agg(F.sum(contrib).cast("long").alias("pi"))
+            .withColumnRenamed("state2", "state")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"), F.col("pi").alias("pi_micro")
+    )
