@@ -1324,3 +1324,59 @@ def q26_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_repeat"), F.col("n_customers"), scale=4, in_scale=0
         ).alias("repeat_rate"),
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events),
+spine AS (
+  SELECT b.d0 + CAST(g.i AS INT) AS day
+  FROM bounds b, range(4000) g(i)
+  WHERE b.d0 + CAST(g.i AS INT) <= b.d1)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+  CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS rolling_wau,
+  CAST(COUNT(*) AS BIGINT) AS user_days
+FROM spine s JOIN ud
+  ON ud.day <= s.day AND ud.day > s.day - 7
+GROUP BY s.day
+""",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users for EVERY calendar day (the smooth
+    WAU curve; events_dau_wau reports the point stats). Windows can't
+    COUNT(DISTINCT) natively, so the scale-safe plan is the standard
+    rewrite: collapse the corpus to distinct (user, day) rows FIRST,
+    then fan each user-day out to the <= 7 spine days it supports (a
+    bounded range join — the interval-join trick) and count distinct
+    users per spine day. Day arithmetic only; counts exact.
+
+    Scale posture: the corpus pass is one distinct over (user, day);
+    the range join multiplies that tiny frame by at most 7, and the
+    final COUNT(DISTINCT) rewrites to a two-level aggregate in both
+    engines. No per-event window, no collect_set of user ids."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+            "sday"
+        )
+    )
+    hits = ud.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("sday"))
+        & (F.col("day") > F.date_sub(F.col("sday"), 7)),
+    )
+    return hits.groupBy(
+        F.date_format("sday", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("rolling_wau"),
+        F.count("*").cast("long").alias("user_days"),
+    )
