@@ -1154,3 +1154,82 @@ def ivf_list_stats(spark, path: str) -> DataFrame:
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool_n: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (lambda = 1/2): recall the
+    ``pool_n`` highest-cosine candidates for the query vector, then
+    greedily pick ``k`` trading relevance against redundancy — each
+    step takes argmax of rel - max-sim-to-selected (with lambda = 1/2
+    the lambda cancels out of the ordering), id ascending on ties.
+
+    The re-ranker split: pool and pairwise similarities are computed
+    DISTRIBUTED (cosines rounded once to the 1e-6 grid, so every
+    comparison is deterministic); the greedy loop runs driver-side
+    over the bounded pool — pool_n rows and pool_n^2 pairs, the
+    PQ-codebook bounded-sample posture. Returns the selection trace
+    (rank, id, rel)."""
+    from python_etl_spark.functions.vector import (
+        as_double,
+        cosine_from_parts,
+        dot,
+        norm_sq,
+    )
+
+    spark = embeddings.sparkSession
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    ).select("id", "vec", norm_sq("vec").alias("nsq"))
+    q = v.where(F.col("id") == query_id).select(
+        F.col("vec").alias("qvec"), F.col("nsq").alias("qnsq")
+    )
+    rel = cosine_from_parts(dot("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
+    pool = (
+        v.where(F.col("id") != query_id)
+        .join(F.broadcast(q))
+        .select("id", "vec", "nsq", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(pool_n)
+    )
+    a = pool.select(
+        F.col("id").alias("ia"),
+        F.col("vec").alias("va"),
+        F.col("nsq").alias("na"),
+    )
+    b = pool.select(
+        F.col("id").alias("ib"),
+        F.col("vec").alias("vb"),
+        F.col("nsq").alias("nb"),
+    )
+    sims = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        cosine_from_parts(dot("va", "vb"), F.col("na"), F.col("nb")).alias(
+            "sim"
+        ),
+    )
+    cand = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sims.collect()}
+    selected: list[int] = []
+    out = []
+    while len(selected) < min(k, len(cand)):
+        if not selected:
+            pick = max(cand, key=lambda i: (cand[i], -i))
+        else:
+            pick = max(
+                (i for i in cand if i not in selected),
+                key=lambda i: (
+                    cand[i] - max(sim[(i, s)] for s in selected),
+                    -i,
+                ),
+            )
+        selected.append(pick)
+        out.append((len(selected), pick, cand[pick]))
+    return spark.createDataFrame(out, "rank int, vec_id long, rel double")

@@ -2262,65 +2262,7 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the identical IEEE subtraction, so the selection trace is
     hash-exact against the recursive-CTE oracle replaying the same
     greedy."""
-    from python_etl_spark.functions.vector import (
-        as_double,
-        cosine_from_parts,
-        dot,
-        norm_sq,
-    )
+    from python_etl_spark.operators.similarity import mmr_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
-    v = emb.select(
-        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
-    ).select("id", "vec", norm_sq("vec").alias("nsq"))
-    q = v.where(F.col("id") == 0).select(
-        F.col("vec").alias("qvec"), F.col("nsq").alias("qnsq")
-    )
-    rel = cosine_from_parts(dot("qvec", "vec"), F.col("qnsq"), F.col("nsq"))
-    pool = (
-        v.where(F.col("id") != 0)
-        .join(F.broadcast(q))
-        .select("id", "vec", "nsq", rel.alias("rel"))
-        .orderBy(F.desc("rel"), F.asc("id"))
-        .limit(_MMR_POOL)
-    )
-    a = pool.select(
-        F.col("id").alias("ia"),
-        F.col("vec").alias("va"),
-        F.col("nsq").alias("na"),
-    )
-    b = pool.select(
-        F.col("id").alias("ib"),
-        F.col("vec").alias("vb"),
-        F.col("nsq").alias("nb"),
-    )
-    sims = (
-        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
-        .select(
-            "ia",
-            "ib",
-            cosine_from_parts(
-                dot("va", "vb"), F.col("na"), F.col("nb")
-            ).alias("sim"),
-        )
-    )
-    cand = {r["id"]: r["rel"] for r in pool.select("id", "rel").collect()}
-    sim = {(r["ia"], r["ib"]): r["sim"] for r in sims.collect()}
-    selected: list[int] = []
-    out = []
-    while len(selected) < _MMR_K:
-        if not selected:
-            pick = max(cand, key=lambda i: (cand[i], -i))
-        else:
-            pick = max(
-                (i for i in cand if i not in selected),
-                key=lambda i: (
-                    cand[i] - max(sim[(i, s)] for s in selected),
-                    -i,
-                ),
-            )
-        selected.append(pick)
-        out.append((len(selected), pick, cand[pick]))
-    return spark.createDataFrame(
-        out, "rank int, vec_id long, rel double"
-    )
+    return mmr_rerank(emb, query_id=0, pool_n=_MMR_POOL, k=_MMR_K)

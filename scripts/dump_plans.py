@@ -129,6 +129,33 @@ SHOWCASE = {
     "etl_leakage_safe_split": "iterative component labels (bounded "
     "rounds, checkpointed) + one left join + a zero-shuffle md5 split "
     "expression — cluster-cohesive assignment at corpus scale",
+    "text_bm25_score": "scan-stage BM25: tf/df/dl as higher-order "
+    "array filters (no explode), corpus stats reduce through the one "
+    "SinglePartition merge and broadcast back — the only thing that "
+    "crosses the cluster is a 1-row stats frame",
+    "mm_audio_vad_segments": "decode + feature extraction fused in "
+    "ONE ArrowEvalPython stage over the scan (binary payloads never "
+    "cross an exchange); segmentation shuffles only (doc, frame, "
+    "energy) scalars on the doc key",
+    "mm_video_shot_detect": "zero Python: per-frame histograms, lag "
+    "distance, cumulative shot numbering and stats all whole-stage "
+    "codegen over doc-key windows",
+    "emb_scalar_quantize": "SQ8: 128 min/max partials -> one "
+    "broadcast stats row; codes and reconstruction errors are "
+    "whole-stage array transforms in the scan stage — zero shuffles "
+    "for the per-vector work",
+    "events_markov_stationary": "power iteration on the constant-size "
+    "transition frame: each step a key join + grouped integer sum; "
+    "the corpus is touched once to build the chain",
+    "etl_incremental_rollup": "the registered query returns the "
+    "maintained VersionedTable state (a parquet snapshot read); the "
+    "property that matters — each refresh reading ONLY the new "
+    "commit's files — is CI-asserted on inputFiles() in "
+    "tests/test_incremental.py",
+    "sim_mmr_select": "re-ranker split: pool top-N and pairwise "
+    "cosines distributed (broadcast joins), greedy selection on the "
+    "bounded 20-row pool driver-side; the displayed plan is the "
+    "createDataFrame of the selection trace",
 }
 
 

@@ -163,3 +163,25 @@ def test_observation_metrics_ride_the_write(spark, sf_dir, tmp_path):
     ) < 1e-6
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == want_rows
+
+
+def test_retrieval_pipeline_example_runs(
+    spark, sf_dir, monkeypatch, capsys
+):
+    """The retrieval example (ANN recall -> hybrid scoring -> MMR
+    diversification) must run end-to-end and emit both stages'
+    results."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "retrieval_example", "examples/retrieval_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(_sys, "argv", ["x", sf_dir])
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    mod.main()
+    out = capsys.readouterr().out
+    assert "hybrid top-10" in out and "MMR-diversified top-5" in out
+    assert "#1 doc" in out
