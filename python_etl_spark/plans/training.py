@@ -2129,31 +2129,35 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.array(*[F.col(f"lo{i}") for i in range(_SQ_DIM)])
     hi = F.array(*[F.col(f"hi{i}") for i in range(_SQ_DIM)])
+    # one array<struct<lo,hi>> per row + two zip_with passes: the
+    # per-element lambda evaluates at runtime instead of unrolling a
+    # 64-dim expression tree per column (the unrolled form spent ~10s
+    # in Catalyst/codegen on a 2000-row input)
+    bounds = F.arrays_zip(lo.alias("lo"), hi.alias("hi"))
 
-    def code(x, l, h):
-        return F.when(h == l, F.lit(0).cast("long")).otherwise(
-            F.round(((x - l) * 127) / (h - l), 0).cast("long")
+    def code(x, s):
+        return F.when(s.hi == s.lo, F.lit(0).cast("long")).otherwise(
+            F.round(((x - s.lo) * 127) / (s.hi - s.lo), 0).cast("long")
         )
 
-    def err_pico(x, l, h):
-        c = code(x, l, h).cast("double")
-        xhat = l + (c * (h - l)) / 127
-        return F.when(h == l, F.lit(0).cast("long")).otherwise(
+    def err_pico(x, s):
+        c = code(x, s).cast("double")
+        xhat = s.lo + (c * (s.hi - s.lo)) / 127
+        return F.when(s.hi == s.lo, F.lit(0).cast("long")).otherwise(
             F.round((x - xhat) * (x - xhat) * F.lit(1e12), 0).cast("long")
         )
 
-    def at(arr, i):
-        return F.element_at(arr, i + 1)
-
-    joined = emb.crossJoin(F.broadcast(stats))
-    codes = [
-        code(vec[i], at(lo, i), at(hi, i)).alias(f"q{i}")
-        for i in range(4)
-    ]
-    sse = reduce(
-        lambda a, b: a + b,
-        [err_pico(vec[i], at(lo, i), at(hi, i)) for i in range(_SQ_DIM)],
+    joined = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.zip_with(vec, bounds, code).alias("codes"),
+        F.aggregate(
+            F.zip_with(vec, bounds, err_pico),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        ).alias("sse_pico"),
     )
     return joined.select(
-        "vec_id", *codes, sse.alias("sse_pico")
+        "vec_id",
+        *[F.col("codes")[i].alias(f"q{i}") for i in range(4)],
+        "sse_pico",
     )
