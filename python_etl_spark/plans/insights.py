@@ -1380,3 +1380,122 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("rolling_wau"),
         F.count("*").cast("long").alias("user_days"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+WITH {_DENSE_DAILY_SQL},
+j AS (
+  SELECT a.event_type, a.c AS actual, f.c AS forecast
+  FROM counts a JOIN counts f
+    ON f.event_type = a.event_type AND f.day = a.day - 7)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(abs(actual - forecast)) AS BIGINT) AS abs_err_sum,
+  {dround_div_sql('SUM(abs(actual - forecast))', 'COUNT(*)',
+                  scale=3, in_scale=0)} AS mae,
+  CAST(SUM(actual - forecast) AS BIGINT) AS bias_sum
+FROM j GROUP BY event_type
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecasting model must beat, and the fourth member of the dense
+    daily-series family: forecast(day) = count(day - 7), scored over
+    every day with a week of history. MAE lands via exact integer
+    division; the signed bias sum separates over- from
+    under-forecasting. All integers end to end.
+
+    Scale posture: the corpus collapses once in _dense_daily_counts;
+    the forecast join is an equi self-join of the tiny series on
+    (type, day-7)."""
+    dense = _dense_daily_counts(spark, sf_dir)
+    fc = dense.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("c").alias("forecast"),
+    )
+    j = dense.withColumnRenamed("c", "actual").join(
+        fc, ["event_type", "day"]
+    )
+    err = F.col("actual") - F.col("forecast")
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.abs(err)).cast("long").alias("abs_err_sum"),
+        dround_div(
+            F.sum(F.abs(err)), F.count("*"), scale=3, in_scale=0
+        ).alias("mae"),
+        F.sum(err).cast("long").alias("bias_sum"),
+    )
+
+
+@register(
+    "q27_ship_latency_quantiles",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+    date_diff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS days,
+    l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+r AS (
+  SELECT priority, days,
+    ROW_NUMBER() OVER (PARTITION BY priority
+      ORDER BY days, l_orderkey, l_linenumber) AS rn,
+    COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM lat)
+SELECT priority, CAST(MAX(n) AS BIGINT) AS n_items,
+  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN days END) AS INT) AS p50_days,
+  CAST(MAX(CASE WHEN rn = (9*n + 9) // 10 THEN days END) AS INT) AS p90_days
+FROM r GROUP BY priority
+""",
+)
+def q27_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency p50/p90 per priority — the fulfillment
+    SLA report, with EXACT selection-based quantiles: rank the integer
+    day latencies with a fully deterministic tie-break (days,
+    orderkey, linenumber) and pick the ceil(q*n)-th value, so both
+    engines select the identical element (percentile interpolation is
+    where engines diverge; selection is where they can't).
+
+    Scale posture: one equi join on orderkey (key-partitioned), one
+    window per priority group — five partitions each holding its own
+    latencies, rank + count in a single window pass. Cleaner than a
+    global sort; at 100 TB swap the window for the with_ntile
+    range-partition trick if priorities skew."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("priority")
+    r = lat.select(
+        "priority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    n = F.col("n")
+    return r.groupBy("priority").agg(
+        F.max(n).cast("long").alias("n_items"),
+        F.max(
+            F.when(F.col("rn") == ((n + 1) - (n + 1) % 2) / 2, F.col("days"))
+        ).cast("int").alias("p50_days"),
+        F.max(
+            F.when(
+                F.col("rn") == ((9 * n + 9) - (9 * n + 9) % 10) / 10,
+                F.col("days"),
+            )
+        ).cast("int").alias("p90_days"),
+    )
