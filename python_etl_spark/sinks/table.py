@@ -106,6 +106,22 @@ class VersionedTable:
         self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------ internals -----------------------------
+    @staticmethod
+    def _dir_rows(path: str) -> int:
+        """Row count of every parquet file under ``path`` from the
+        FOOTERS (metadata-only — no Spark job, no data read); the
+        driver-side walk is bounded by files-per-commit."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._mdir, f"v{version:08d}.json")
 
@@ -161,6 +177,10 @@ class VersionedTable:
             "version": version,
             "op": op,
             "data_dirs": dirs,
+            # footer-derived rows in THIS commit's new dir (appends: the
+            # batch; copy-on-write ops: the full snapshot) — powers the
+            # metadata-only row_count(), the Delta commit-stats idea
+            "num_rows": self._dir_rows(dirs[-1]),
             # wall-clock commit stamp: powers read_as_of time travel.
             # Taken immediately before the atomic publish; monotone per
             # table even with concurrent writers, because the committer
@@ -214,6 +234,7 @@ class VersionedTable:
                     "version": i,
                     "op": m.get("op"),
                     "committed_at": m.get("committed_at"),
+                    "num_rows": m.get("num_rows"),
                 }
             )
             evolved = evolved or bool(m.get("meta", {}).get("schema_evolved"))
@@ -222,6 +243,7 @@ class VersionedTable:
                 "version": version,
                 "op": manifest.get("op"),
                 "committed_at": manifest.get("committed_at"),
+                "num_rows": manifest.get("num_rows"),
             }
         )
         evolved = evolved or bool(
@@ -627,6 +649,47 @@ class VersionedTable:
                 reader.parquet(d), allowMissingColumns=allow_missing
             )
         return out
+
+    def row_count(self, version: int | None = None) -> int:
+        """Snapshot row count from COMMIT METADATA alone — no Spark
+        job, no file scan (beyond a footer-walk fallback for commits
+        predating the stats). Walks back from ``version`` summing
+        append batches until the nearest full-rewrite commit (whose
+        num_rows is the whole snapshot), consulting checkpoint
+        summaries where clean_metadata dropped manifests — O(commits
+        since last rewrite), the Delta commit-stats read path."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        ckpt = self._latest_checkpoint(v)
+        summaries = (
+            {c["version"]: c for c in ckpt["commits"]} if ckpt else {}
+        )
+        total = 0
+        for i in range(v, -1, -1):
+            try:
+                m = self._read_manifest(i)
+            except FileNotFoundError:
+                m = summaries.get(i)
+                if m is None:
+                    raise
+            rows = m.get("num_rows")
+            if rows is None:  # pre-stats commit: footer-walk its dirs
+                dirs = m.get("data_dirs")
+                if dirs is None:
+                    raise LookupError(
+                        f"v{i} has neither num_rows nor data_dirs "
+                        f"(cleaned summary of a pre-stats commit)"
+                    )
+                if m.get("op") == "append":
+                    rows = self._dir_rows(dirs[-1])
+                else:
+                    total += sum(self._dir_rows(d) for d in dirs)
+                    return total
+            total += rows
+            if m.get("op") != "append":  # full-rewrite base reached
+                return total
+        return total
 
     def changes(
         self,

