@@ -317,3 +317,117 @@ def test_segment_dedup_invariants(spark, token_lists):
         assert n_seg == len(segs)
         assert n_kept == len(kept)
         assert text_out == " ".join(kept)
+
+
+# ------------------- continuation-session op properties ---------------------
+
+OPSEQ = st.lists(
+    st.sampled_from(["append", "delete", "compact", "overwrite"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(OPSEQ, st.integers(0, 1000))
+def test_row_count_matches_scan_under_any_op_sequence(
+    spark, tmp_path_factory, ops, seed
+):
+    """row_count() (metadata-only) must equal read().count() after ANY
+    interleaving of append / delete_where / compact / overwrite."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    root = tmp_path_factory.mktemp("rcprop")
+    t = VersionedTable(str(root / "t"))
+    rng = seed
+    t.create(spark.range(0, 20).selectExpr("id AS k"))
+    lo = 20
+    for op in ops:
+        rng = (rng * 1103515245 + 12345) % (2**31)
+        if op == "append":
+            n = rng % 15 + 1
+            t.append(spark.range(lo, lo + n).selectExpr("id AS k"))
+            lo += n
+        elif op == "delete":
+            t.delete_where(F.col("k") % 7 == rng % 7)
+        elif op == "compact":
+            t.compact(spark)
+        else:
+            n = rng % 10 + 1
+            t.overwrite(spark.range(lo, lo + n).selectExpr("id AS k"))
+            lo += n
+    assert t.row_count() == t.read(spark).count()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 600), min_size=1, max_size=20),
+    st.integers(1, 500),
+)
+def test_vad_segments_match_reference_islands(spark, energies, threshold):
+    """vad_segments equals the obvious sequential islands scan for any
+    energy sequence and threshold."""
+    from python_etl_spark.operators.multimodal import vad_segments
+
+    frames = spark.createDataFrame(
+        [(1, f, e) for f, e in enumerate(energies)],
+        "doc_id long, f long, energy long",
+    )
+    got = {
+        (r["seg_start"], r["seg_len"])
+        for r in vad_segments(frames, threshold=threshold).collect()
+    }
+    want, start = set(), None
+    for f, e in enumerate(energies + [0 if threshold >= 0 else -1]):
+        if e > threshold and start is None:
+            start = f
+        elif e <= threshold and start is not None:
+            want.add((start, f - start))
+            start = None
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 40), min_size=2, max_size=10, unique=True))
+def test_mmr_rerank_invariants(spark, ids):
+    """MMR selection: distinct picks, first = max relevance (id
+    tie-break), every pick from the pool, trace rel matches the
+    pool's."""
+    import numpy as np
+
+    from python_etl_spark.operators.similarity import mmr_rerank
+
+    rows = []
+    for i in [99] + ids:  # 99 = query vector
+        rng = np.random.default_rng(i)
+        rows.append((i, [float(x) for x in rng.normal(size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = min(3, len(ids))
+    out = sorted(
+        mmr_rerank(emb, query_id=99, pool_n=5, k=k).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(out) == k
+    picks = [r["vec_id"] for r in out]
+    assert len(set(picks)) == k and 99 not in picks
+    rels = {r["vec_id"]: r["rel"] for r in out}
+    # first pick maximizes rel over the pool (rel desc, id asc)
+    from python_etl_spark.functions.vector import cosine
+    from pyspark.sql import functions as F
+
+    pool = (
+        emb.where(F.col("vec_id") != 99)
+        .crossJoin(
+            emb.where(F.col("vec_id") == 99).select(
+                F.col("embedding").alias("q")
+            )
+        )
+        .select("vec_id", cosine("embedding", "q").alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert out[0]["vec_id"] == pool[0]["vec_id"]
+    assert rels[out[0]["vec_id"]] == pool[0]["rel"]
