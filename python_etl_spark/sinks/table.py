@@ -170,6 +170,7 @@ class VersionedTable:
         op: str,
         version: int,
         meta: dict | None = None,
+        num_rows: int | None = None,
     ) -> int:
         import time
 
@@ -178,9 +179,12 @@ class VersionedTable:
             "op": op,
             "data_dirs": dirs,
             # footer-derived rows in THIS commit's new dir (appends: the
-            # batch; copy-on-write ops: the full snapshot) — powers the
+            # batch; copy-on-write ops: the full snapshot; partial ops
+            # pass the snapshot total explicitly) — powers the
             # metadata-only row_count(), the Delta commit-stats idea
-            "num_rows": self._dir_rows(dirs[-1]),
+            "num_rows": (
+                self._dir_rows(dirs[-1]) if num_rows is None else num_rows
+            ),
             # wall-clock commit stamp: powers read_as_of time travel.
             # Taken immediately before the atomic publish; monotone per
             # table even with concurrent writers, because the committer
@@ -549,6 +553,69 @@ class VersionedTable:
             d = self._write_data(base, self.partition_columns() or None)
             try:
                 return self._commit([d], "compact", v, cur.get("meta"))
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    @staticmethod
+    def _tree_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def compact_bins(
+        self,
+        spark: SparkSession | None = None,
+        small_bytes: int = 32 * 1024 * 1024,
+    ) -> int | None:
+        """Bin-packing PARTIAL compaction (the Iceberg
+        rewrite_data_files shape): rewrite only the commit dirs whose
+        on-disk size is below ``small_bytes`` into one dir; large dirs
+        are KEPT untouched — on a 100 TB table full ``compact``
+        rewrites the corpus to fix small-file accretion, while this
+        touches only the accreted tail (nightly GB-scale appends).
+        No-op (returns None) with fewer than two small dirs. The
+        commit is op ``compact_bins``: ``changes()`` treats it as a
+        rewrite barrier (the dir-list diff stops meaning new rows) and
+        its manifest carries the FULL snapshot row count, so
+        ``row_count()`` uses it as a base. Conflict retry recomputes
+        against the winner's snapshot."""
+        spark = spark or SparkSession.getActiveSession()
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            dirs = cur["data_dirs"]
+            small = [d for d in dirs if self._tree_bytes(d) < small_bytes]
+            if len(small) < 2:
+                return None
+            keep = [d for d in dirs if d not in small]
+            evolved = self._schema_evolved(cur["version"])
+            reader = spark.read
+            if evolved:
+                reader = reader.option("mergeSchema", "true")
+            if len(small) == 1 or not self.partition_columns():
+                df = reader.parquet(*small)
+            else:
+                df = reader.parquet(small[0])
+                for d in small[1:]:
+                    df = df.unionByName(
+                        reader.parquet(d), allowMissingColumns=evolved
+                    )
+            v = cur["version"] + 1
+            nd = self._write_data(df, self.partition_columns() or None)
+            total = sum(self._dir_rows(d) for d in keep) + self._dir_rows(nd)
+            try:
+                return self._commit(
+                    keep + [nd],
+                    "compact_bins",
+                    v,
+                    cur.get("meta"),
+                    num_rows=total,
+                )
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise

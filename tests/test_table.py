@@ -623,3 +623,38 @@ def test_row_count_pre_stats_manifest_fallback(spark, tmp_path):
         with open(p, "w") as f:
             json.dump(m, f)
     assert t.row_count() == 70
+
+
+def test_compact_bins_rewrites_only_small_dirs(spark, tmp_path):
+    """Partial compaction: small commit dirs merge into one, the big
+    dir's files are untouched (same inputFiles), content and
+    row_count survive, and changes() treats the commit as a rewrite
+    barrier."""
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "cb"))
+    # big base: ~50k rows; then three tiny nightly appends
+    t.create(spark.range(0, 50_000).selectExpr("id AS k"))
+    big_files = set(t.read(spark, 0).inputFiles())
+    for i in range(3):
+        t.append(
+            spark.range(50_000 + 10 * i, 50_000 + 10 * (i + 1))
+            .selectExpr("id AS k").coalesce(1)
+        )
+    v = t.compact_bins(spark, small_bytes=100_000)
+    assert v == 4
+    m = t._read_manifest(v)
+    assert m["op"] == "compact_bins"
+    assert len(m["data_dirs"]) == 2  # big dir kept + one packed dir
+    assert big_files <= set(t.read(spark).inputFiles())  # untouched
+    assert t.row_count() == 50_030
+    assert t.read(spark).count() == 50_030
+    with _pytest.raises(ValueError, match="compact_bins"):
+        t.changes(spark, 0)  # rewrite barrier
+    # follow-up appends diff cleanly from the new baseline
+    t.append(spark.range(60_000, 60_005).selectExpr("id AS k"))
+    assert t.changes(spark, v).count() == 5
+    # and a second compact_bins with nothing small enough is a no-op
+    assert t.compact_bins(spark, small_bytes=10) is None
