@@ -436,3 +436,40 @@ def test_dense_series_stats_collapse_before_windows(spark, sf_dir):
         w = plan.find("Window")
         a = plan.find("HashAggregate")
         assert w != -1 and a != -1, name
+
+
+def test_scd2_pointintime_equi_join_not_cartesian(spark, sf_dir):
+    """The validity-range lookup must execute as an EQUI join on the
+    dimension key with the range as a post-filter — never a cartesian
+    / nested-loop expansion, and no single-partition funnel."""
+    plan = _plan(spark, sf_dir, "etl_scd2_pointintime")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_shapley_two_corpus_passes_one_broadcast_total(spark, sf_dir):
+    """Shapley attribution: conversions and touches are keyed corpus
+    passes (hash joins), the conversion total is the only
+    SinglePartition merge and rides back as a broadcast."""
+    plan = _plan(spark, sf_dir, "events_shapley_attribution")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_latency_quantiles_grouped_windows_no_funnel(spark, sf_dir):
+    """Selection quantiles run per-priority windows — partitioned, not
+    a global sort, no SinglePartition exchange."""
+    plan = _plan(spark, sf_dir, "q27_ship_latency_quantiles")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_wau_no_per_event_window(spark, sf_dir):
+    """The rolling distinct count must collapse to user-day rows
+    before the range fan-out: no Window over raw events, distinct via
+    aggregate."""
+    plan = _plan(spark, sf_dir, "events_rolling_wau")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
