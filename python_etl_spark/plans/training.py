@@ -2161,3 +2161,84 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("codes")[i].alias(f"q{i}") for i in range(4)],
         "sse_pico",
     )
+
+
+@register(
+    "sim_topk_sq8",
+    oracle=f"""
+WITH ve AS (
+  SELECT vec_id, r.i AS i, CAST(embedding[r.i + 1] AS DOUBLE) AS x
+  FROM embeddings, range({_SQ_DIM}) r(i)),
+st AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM ve GROUP BY i),
+q AS (SELECT i, x AS qx FROM ve WHERE vec_id = 0),
+terms AS (
+  SELECT ve.vec_id, ve.i,
+    CAST(ROUND(q.qx * (st.lo + (CASE WHEN st.hi = st.lo THEN 0
+        ELSE CAST(ROUND(((ve.x - st.lo) * 127) / (st.hi - st.lo), 0)
+          AS BIGINT) END * (st.hi - st.lo)) / 127) * 1000000, 0)
+      AS BIGINT) AS t
+  FROM ve JOIN st USING (i) JOIN q USING (i)
+  WHERE ve.vec_id <> 0),
+scores AS (
+  SELECT vec_id AS neighbor_id, CAST(SUM(t) AS BIGINT) AS adc_micro
+  FROM terms GROUP BY vec_id)
+SELECT neighbor_id, adc_micro,
+  CAST(ROW_NUMBER() OVER (ORDER BY adc_micro DESC, neighbor_id ASC)
+    AS INT) AS rnk
+FROM scores
+QUALIFY rnk <= 10
+""",
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 by ASYMMETRIC distance over the SQ8 codes — the
+    search half of the emb_scalar_quantize compression story (Faiss
+    "ADC": float query against quantized corpus, the memory-bound
+    regime at 100 TB where the index holds 1 byte/dim). Each dot-
+    product term q_i * dequant(code_i) is rounded ONCE to integer
+    micro-units, so the score is an order-independent 64-bit integer
+    sum and the top-k boundary is exact on both engines — a fully
+    hash-oracled approximate-by-quantization search (recall vs the
+    exact brute force is pytest-bounded separately).
+
+    Scale posture: stats are one broadcast row; scoring is a
+    whole-stage zip_with over the scan (zero shuffles); the top-k is
+    TakeOrderedAndProject. At cluster scale the codes come from the
+    stored index (1/4th the float bytes), not recomputation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    stats = emb.agg(
+        *[F.min(vec[i]).alias(f"lo{i}") for i in range(_SQ_DIM)],
+        *[F.max(vec[i]).alias(f"hi{i}") for i in range(_SQ_DIM)],
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        vec.alias("qv")
+    )
+    lo = F.array(*[F.col(f"lo{i}") for i in range(_SQ_DIM)])
+    hi = F.array(*[F.col(f"hi{i}") for i in range(_SQ_DIM)])
+    z = F.arrays_zip(lo.alias("lo"), hi.alias("hi"), F.col("qv").alias("qx"))
+
+    def term(x, s):
+        code = F.when(s.hi == s.lo, F.lit(0).cast("long")).otherwise(
+            F.round(((x - s.lo) * 127) / (s.hi - s.lo), 0).cast("long")
+        )
+        xhat = s.lo + (code.cast("double") * (s.hi - s.lo)) / 127
+        return F.round(s.qx * xhat * F.lit(1e6), 0).cast("long")
+
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(stats.crossJoin(q)))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(vec, z, term),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            ).alias("adc_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("adc_micro"), F.asc("neighbor_id"))
+    return (
+        scored.orderBy(F.desc("adc_micro"), F.asc("neighbor_id"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
