@@ -72,6 +72,7 @@ QUERIES_UNDER_TEST = [
     ("events_autocorr", "linear", "checksum"),
     ("events_changepoint", "linear", "checksum"),
     ("text_bm25_score", "linear", "checksum"),
+    ("sim_topk_sq8", "linear", "checksum"),
     ("emb_random_projection", "linear"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
