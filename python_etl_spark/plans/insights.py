@@ -1499,3 +1499,139 @@ def q27_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("int").alias("p90_days"),
     )
+
+
+@register(
+    "events_ab_welch_ttest",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, user_id % 2 AS variant,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    {dsum_sql('value')} AS s,
+    {dsum_sql('value * value', scale=4, prec=38)} AS ss
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT a.event_type,
+    a.n AS n_a, b.n AS n_b,
+    a.s / a.n - b.s / b.n AS mean_diff,
+    (a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n AS se2
+  FROM g a JOIN g b
+    ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1)
+SELECT event_type, n_a, n_b,
+  ROUND(mean_diff, 6) AS mean_diff,
+  CASE WHEN se2 = 0 THEN NULL
+    ELSE ROUND(mean_diff / SQRT(se2), 6) END AS t_stat
+FROM w
+""",
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event type (variant = user_id % 2 —
+    the hash-bucket A/B assignment every experimentation system uses):
+    group moments come from exact decimal sums, the unequal-variance
+    standard error and t-statistic are assembled from those sums with
+    one rounded division at the end (the etl_corr posture), so both
+    engines report the identical statistic; zero-variance groups yield
+    NULL identically.
+
+    Scale posture: ONE corpus pass produces |types| x 2 moment rows
+    (map-side partial combine); the test itself runs on that tiny
+    frame via a self-join on type."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value"), scale=4, prec=38).alias("ss"),
+    )
+    a = g.where(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = g.where(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    j = a.join(b, "event_type")
+    na, nb = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("s_a"), F.col("s_b")
+    mean_diff = sa / na - sb / nb
+    se2 = (F.col("ss_a") - sa * sa / na) / (na - 1) / na + (
+        F.col("ss_b") - sb * sb / nb
+    ) / (nb - 1) / nb
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.when(se2 == 0, F.lit(None))
+        .otherwise(F.round(mean_diff / F.sqrt(se2), 6))
+        .alias("t_stat"),
+    )
+
+
+@register(
+    "etl_gini_concentration",
+    oracle=f"""
+WITH cy AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS y, o_custkey,
+    CAST(ROUND({dsum_sql('o_totalprice', scale=2)} * 100, 0) AS BIGINT)
+      AS xc
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT y, xc,
+    ROW_NUMBER() OVER (PARTITION BY y ORDER BY xc, o_custkey) AS i
+  FROM cy)
+SELECT y AS order_year, CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(xc) AS BIGINT) AS total_cents,
+  ROUND(CAST(2 * SUM(CAST(i AS HUGEINT) * xc)
+             - (COUNT(*) + 1) * CAST(SUM(xc) AS HUGEINT) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(xc) AS DOUBLE)), 6)
+    AS gini
+FROM r GROUP BY y
+""",
+)
+def etl_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per order year — the
+    inequality headline ("top customers carry how much?"). Per-customer
+    yearly revenue lifts ONCE to exact integer cents (2-decimal money
+    summed as decimals is exact there), ranks are deterministic
+    (cents, custkey), and the Gini closed form (2*Sum(i*x) - (n+1)*
+    Sum(x)) / (n*Sum(x)) is integer until the single rounded division
+    — both engines report the identical coefficient. Wide-decimal
+    accumulators keep Sum(i*x) exact far past int64.
+
+    Scale posture: orders collapses to one row per (year, customer);
+    the rank window partitions by year over that collapsed frame (the
+    classic sorted-rank Gini — at extreme per-year cardinality swap in
+    the with_ntile range-partition rank, the deciles trick)."""
+    o = _t(spark, sf_dir, "orders")
+    cy = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_custkey",
+    ).agg(
+        F.round(dsum("o_totalprice", scale=2) * 100, 0)
+        .cast("long")
+        .alias("xc")
+    )
+    w = Window.partitionBy("order_year").orderBy("xc", "o_custkey")
+    r = cy.select(
+        "order_year", "xc", F.row_number().over(w).alias("i")
+    )
+    n = F.count("*")
+    s = F.sum(F.col("xc").cast("decimal(38,0)"))
+    s1 = F.sum(F.col("i").cast("decimal(38,0)") * F.col("xc"))
+    return r.groupBy("order_year").agg(
+        n.cast("long").alias("n_customers"),
+        s.cast("long").alias("total_cents"),
+        F.round(
+            (2 * s1 - (n + 1) * s).cast("double")
+            / (n.cast("double") * s.cast("double")),
+            6,
+        ).alias("gini"),
+    )
