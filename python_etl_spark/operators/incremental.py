@@ -390,3 +390,86 @@ class IncrementalMinHashDeduper:
             self.table.append(new_rows, meta={"batch_id": batch_id})
             self.table.compact_if_needed(spark)
         return accepted
+
+
+class MaterializedTopK:
+    """Incrementally-maintained per-key TOP-K (a leaderboard) over an
+    append-only :class:`VersionedTable` source — the second maintained
+    view shape next to :class:`MaterializedRollup`, correct for the
+    same reason: top-k is MERGEABLE state (top-k(top-k(A) ∪ B) =
+    top-k(A ∪ B)), so each refresh ranks only current state ∪ the new
+    commit's rows, never the corpus.
+
+    Determinism: rows rank by (order_col DESC, tiebreak ASC); pass a
+    unique ``tiebreak`` column so state is replay-stable. Crash /
+    replay / conflict contract identical to the rollup (atomic
+    overwrite carrying the source bookmark)."""
+
+    def __init__(
+        self,
+        root: str,
+        keys: list[str],
+        order_col: str,
+        tiebreak: str,
+        k: int = 10,
+    ):
+        self.table = VersionedTable(root)
+        self.keys = list(keys)
+        self.order_col = order_col
+        self.tiebreak = tiebreak
+        self.k = k
+
+    def _topk(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.desc(self.order_col), F.asc(self.tiebreak)
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= self.k)
+            .drop("__rn")
+            .coalesce(1)
+        )
+
+    def source_version(self) -> int | None:
+        if not self.table.exists():
+            return None
+        return self.table.meta().get("source_version")
+
+    def read(self, spark) -> DataFrame:
+        return self.table.read(spark)
+
+    def refresh(self, source: VersionedTable, spark) -> int | None:
+        """Fold source appends since the bookmark. None = already
+        current (idempotent replay); conflicts recompute from the
+        winner's snapshot."""
+        target = source.latest_version()
+        if target is None:
+            return None
+        if not self.table.exists():
+            state = self._topk(source.read(spark, target))
+            self.table.create(state, meta={"source_version": target})
+            return self.table.latest_version()
+        for _ in range(self.table.max_retries + 1):
+            done = self.source_version()
+            if done is None:
+                state = self._topk(source.read(spark, target))
+                return self.table.overwrite(
+                    state, meta={"source_version": target}
+                )
+            if done >= target:
+                return None
+            delta = source.changes(spark, done, target)
+            state = self._topk(self.read(spark).unionByName(delta))
+            try:
+                return self.table.overwrite(
+                    state,
+                    meta={"source_version": target},
+                    retry_conflict=False,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"top-k refresh lost {self.table.max_retries + 1} races"
+        )

@@ -659,3 +659,49 @@ def test_rollup_rebuild_rebaselines_after_source_rewrite(spark, tmp_path):
     src.append(_grp_src(spark, 110, 115))
     roll.refresh(src, spark)
     assert sum(r["n"] for r in roll.read(spark).collect()) == 65
+
+
+def test_materialized_topk_incremental_equals_full(spark, tmp_path):
+    """The maintained leaderboard equals a one-shot top-k recompute
+    after several appends (mergeability of top-k state), replay is a
+    no-op, and each refresh read only the new commit's files."""
+    from python_etl_spark.operators.incremental import MaterializedTopK
+
+    src = VersionedTable(str(tmp_path / "src"))
+    lead = MaterializedTopK(
+        str(tmp_path / "lead"), keys=["grp"], order_col="score",
+        tiebreak="k", k=3,
+    )
+
+    def batch(lo, hi):
+        return _src(spark, lo, hi).select(
+            (F.col("k") % 4).alias("grp"),
+            "k",
+            ((F.col("k") * 37) % 101).alias("score"),
+        )
+
+    src.create(batch(0, 50))
+    lead.refresh(src, spark)
+    src.append(batch(50, 180))
+    lead.refresh(src, spark)
+    src.append(batch(180, 200))
+    old_files = set(src.read(spark, 1).inputFiles())
+    delta = src.changes(spark, lead.source_version())
+    assert not (set(delta.inputFiles()) & old_files)
+    lead.refresh(src, spark)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("k"))
+    want = (
+        src.read(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    got = {tuple(r) for r in lead.read(spark).collect()}
+    assert got == {tuple(r) for r in want.collect()}
+    assert len(got) == 12  # 4 groups x 3
+    v = lead.table.latest_version()
+    assert lead.refresh(src, spark) is None  # replay no-op
+    assert lead.table.latest_version() == v
