@@ -322,7 +322,9 @@ def test_segment_dedup_invariants(spark, token_lists):
 # ------------------- continuation-session op properties ---------------------
 
 OPSEQ = st.lists(
-    st.sampled_from(["append", "delete", "compact", "overwrite"]),
+    st.sampled_from(
+        ["append", "delete", "compact", "overwrite", "compact_bins"]
+    ),
     min_size=1,
     max_size=6,
 )
@@ -354,6 +356,8 @@ def test_row_count_matches_scan_under_any_op_sequence(
             t.delete_where(F.col("k") % 7 == rng % 7)
         elif op == "compact":
             t.compact(spark)
+        elif op == "compact_bins":
+            t.compact_bins(spark, small_bytes=1 << 30)  # packs all dirs
         else:
             n = rng % 10 + 1
             t.overwrite(spark.range(lo, lo + n).selectExpr("id AS k"))

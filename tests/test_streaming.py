@@ -984,3 +984,70 @@ def test_foreach_batch_streaming_materialized_rollup(spark, tmp_path):
     assert got == want
     assert roll.source_version() == source.latest_version()
     assert roll.refresh(source, spark) is None  # idempotent replay
+
+
+def test_foreach_batch_streaming_leaderboard(spark, tmp_path):
+    """Streaming face of the maintained top-k: micro-batches append to
+    the source and refresh() re-ranks state plus the new commit only;
+    the final leaderboard equals a one-shot top-k of everything
+    ingested."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.incremental import MaterializedTopK
+    from python_etl_spark.sinks.table import VersionedTable
+
+    src_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    schema = "k long, score long"
+    source = VersionedTable(str(tmp_path / "source"))
+    lead = MaterializedTopK(
+        str(tmp_path / "lead"), keys=["grp"], order_col="score",
+        tiebreak="k", k=2,
+    )
+
+    def process(batch_df, batch_id):
+        staged = batch_df.select(
+            (F.col("k") % 3).alias("grp"), "k", "score"
+        )
+        if source.exists():
+            source.append(staged)
+        else:
+            source.create(staged)
+        lead.refresh(source, batch_df.sparkSession)
+
+    def run_available():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def feed(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), ((F.col("id") * 13) % 47).alias("score")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    feed(0, 40)
+    run_available()
+    feed(40, 90)
+    run_available()
+
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("k"))
+    want = {
+        tuple(r)
+        for r in source.read(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .drop("rn")
+        .collect()
+    }
+    got = {tuple(r) for r in lead.read(spark).collect()}
+    assert got == want and len(got) == 6
