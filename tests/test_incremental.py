@@ -705,3 +705,20 @@ def test_materialized_topk_incremental_equals_full(spark, tmp_path):
     v = lead.table.latest_version()
     assert lead.refresh(src, spark) is None  # replay no-op
     assert lead.table.latest_version() == v
+
+
+def test_changes_reads_evolved_appends_with_merged_schema(spark, tmp_path):
+    """An additive-evolution append inside the range must surface its
+    new column, and pre-evolution delta rows must carry NULL for it
+    (the mergeSchema branch of the incremental read)."""
+    t = VersionedTable(str(tmp_path / "chev"))
+    t.create(_src(spark, 0, 10))
+    t.append(_src(spark, 10, 20))  # v1: old schema
+    evolved = _src(spark, 20, 25).withColumn("tag", F.lit("new"))
+    t.append(evolved, allow_evolution=True)  # v2: +tag
+    delta = t.changes(spark, 0)  # (v0, v2]
+    assert "tag" in delta.columns
+    rows = {r["k"]: r["tag"] for r in delta.collect()}
+    assert len(rows) == 15
+    assert all(v is None for k, v in rows.items() if k < 20)
+    assert all(v == "new" for k, v in rows.items() if k >= 20)
