@@ -1233,3 +1233,89 @@ def mmr_rerank(
         selected.append(pick)
         out.append((len(selected), pick, cand[pick]))
     return spark.createDataFrame(out, "rank int, vec_id long, rel double")
+
+
+def sq8_write_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[float, float]]:
+    """Materialize the SQ8 index: per-dimension corpus [min, max] (the
+    quantizer model, returned driver-side — persist it next to the
+    index in production) and one parquet row per vector holding the
+    0..127 code array — ~1 byte of information per dimension vs 4-8
+    for floats, the at-rest form emb_scalar_quantize's docstring
+    promises. Codes use the identical once-rounded arithmetic as the
+    registered query, so a search over the stored index reproduces
+    the in-plan scores exactly."""
+    vec = F.col(vec_col).cast("array<double>")
+    stats_row = embeddings.agg(
+        *[F.min(vec[i]).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(vec[i]).alias(f"hi{i}") for i in range(dim)],
+    ).first()
+    bounds = [(stats_row[f"lo{i}"], stats_row[f"hi{i}"]) for i in range(dim)]
+    lo = F.array(*[F.lit(b[0]) for b in bounds])
+    hi = F.array(*[F.lit(b[1]) for b in bounds])
+    z = F.arrays_zip(lo.alias("lo"), hi.alias("hi"))
+
+    def code(x, s):
+        return F.when(s.hi == s.lo, F.lit(0).cast("long")).otherwise(
+            F.round(((x - s.lo) * 127) / (s.hi - s.lo), 0).cast("long")
+        )
+
+    (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.zip_with(vec, z, code)
+            .cast("array<tinyint>")
+            .alias("codes"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return bounds
+
+
+def sq8_topk_from_index(
+    spark,
+    path: str,
+    bounds: list[tuple[float, float]],
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC search over the STORED SQ8 index: scans only the code
+    column (1/4th the float bytes — the memory-bound win), scores with
+    the same once-rounded integer micro-unit terms as sim_topk_sq8,
+    and never touches the embeddings table."""
+    idx = spark.read.parquet(path)
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    lo = F.array(*[F.lit(b[0]) for b in bounds])
+    # span = hi - lo, divided AFTER the code multiply — the identical
+    # association the in-plan query uses ((c*(hi-lo))/127); folding
+    # /127 into the constant would shift the last ulp and could flip
+    # the micro rounding
+    span = F.array(*[F.lit(b[1] - b[0]) for b in bounds])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    z = F.arrays_zip(lo.alias("lo"), span.alias("sp"), q.alias("qx"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes").cast("array<double>"),
+            z,
+            lambda c, s: F.round(
+                s.qx * (s.lo + (c * s.sp) / 127) * F.lit(1e6), 0
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    return (
+        idx.select(
+            F.col("id").alias("neighbor_id"), score.alias("adc_micro")
+        )
+        .orderBy(F.desc("adc_micro"), F.asc("neighbor_id"))
+        .limit(k)
+    )

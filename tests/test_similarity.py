@@ -331,3 +331,44 @@ def test_sq8_topk_recall_vs_bruteforce(spark, sf_dir):
     # synthetic corpus norms are near-uniform so the overlap stays
     # high — require a majority.
     assert len(exact & approx) >= 6, (exact, approx)
+
+
+def test_sq8_index_roundtrip_matches_in_plan_search(spark, sf_dir, tmp_path):
+    """Search over the STORED SQ8 index (codes parquet + driver-held
+    bounds; the embeddings table never read) must reproduce
+    sim_topk_sq8's scores and ranking EXACTLY — same once-rounded
+    arithmetic, same association."""
+    from python_etl_spark.operators.similarity import (
+        sq8_topk_from_index,
+        sq8_write_index,
+    )
+    from python_etl_spark.plans import QUERIES
+    from python_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sq8_index")
+    bounds = sq8_write_index(emb, path)
+    # codes persisted at 1 byte/dim
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+    qvec = [
+        float(x)
+        for x in emb.where("vec_id = 0").first()["embedding"]
+    ]
+    got = [
+        (r["neighbor_id"], r["adc_micro"])
+        for r in sq8_topk_from_index(
+            spark, path, bounds, qvec, k=10, exclude_id=0
+        ).collect()
+    ]
+    want = [
+        (r["neighbor_id"], r["adc_micro"])
+        for r in sorted(
+            QUERIES["sim_topk_sq8"](spark, sf_dir).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    assert got == want
+    # and the search plan reads the index, not the embeddings table
+    files = sq8_topk_from_index(spark, path, bounds, qvec).inputFiles()
+    assert all("sq8_index" in f for f in files)
