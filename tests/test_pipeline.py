@@ -184,4 +184,5 @@ def test_retrieval_pipeline_example_runs(
     mod.main()
     out = capsys.readouterr().out
     assert "hybrid top-10" in out and "MMR-diversified top-5" in out
+    assert "SQ8-index ADC top-10" in out
     assert "#1 doc" in out
