@@ -153,9 +153,33 @@ _R07_CHECKED = frozenset(
     ]
 )
 
+# r8 sample (CORRECTNESS_r08.json): all 37 round-8 oracled additions
+# hash-green plus the 13 rows-only re-checks (listed in
+# _ROWS_ONLY_RECHECK, so not repeated here) and two carried re-checks.
+_R08_CHECKED = frozenset(
+    [
+        "etl_grouped_agg_udaf", "etl_scd2_pointintime",
+        "events_markov_stationary", "text_bm25_score",
+        "mm_audio_vad_segments", "mm_video_shot_detect",
+        "etl_leakage_safe_split", "mm_image_ahash_dedup", "text_c4_rules",
+        "etl_token_budget_select", "sim_mmr_select", "events_changepoint",
+        "events_autocorr", "events_seasonal_dow",
+        "events_shapley_attribution", "q26_repeat_customers",
+        "events_rolling_wau", "events_forecast_backtest",
+        "q27_ship_latency_quantiles", "events_ab_welch_ttest",
+        "etl_gini_concentration", "text_exact_substr_dedup",
+        "etl_incremental_dedup", "etl_incremental_rollup",
+        "text_quality_fit_moments", "text_quality_fit_predict",
+        "text_decontaminate_spans", "events_decayed_engagement",
+        "events_path_trigrams", "text_vocab_coverage", "emb_scalar_quantize",
+        "sim_topk_sq8", "etl_warc_ingest_stats", "text_html_extract_warc",
+        "text_encoding_repair",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
-    | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED
+    | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the
