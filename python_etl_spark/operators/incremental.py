@@ -141,9 +141,12 @@ class IncrementalDeduper:
             first = first.join(prior, "__sig", "left_anti")
         accepted = first.drop("__rn")
 
+        # store the id in its NATIVE type: URL/hash string ids are the
+        # common corpus key, and casting them to long would silently
+        # null the provenance column (dedup itself keys on sig only)
         new_sigs = accepted.select(
             F.col("__sig").alias("sig"),
-            F.col(self.id_col).cast("long").alias("id"),
+            F.col(self.id_col).alias("id"),
             F.lit(batch_id).alias("batch_id"),
         )
         if store is None:
@@ -378,10 +381,12 @@ class IncrementalMinHashDeduper:
         accepted = batch.join(
             kept_ids.withColumnRenamed("id", self.id_col), self.id_col
         )
+        # native-typed id, same rationale as IncrementalDeduper: never
+        # null a string doc id by casting it to long
         new_rows = kept_bb.select(
             "band",
             "bucket",
-            F.col("id").cast("long").alias("id"),
+            F.col("id"),
             F.lit(batch_id).alias("batch_id"),
         )
         if not self.table.exists():

@@ -935,14 +935,21 @@ def etl_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_DENSE_DAILY_SQL = """
+# The Spark side builds its day spine with an unbounded sequence(d0, d1);
+# DuckDB's range() refuses lateral column bounds (r8 lesson), so the
+# oracle over-generates a CONSTANT range and filters to <= d1. 100000
+# days ≈ 273 years — far past any event-log span this engine targets —
+# keeping the two spines equivalent without a silent divergence window.
+_DENSE_DAILY_DAYS = 100000
+
+_DENSE_DAILY_SQL = f"""
 bounds AS (
   SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
   FROM events),
 spine AS (
   SELECT t.event_type, b.d0 + CAST(g.i AS INT) AS day
   FROM (SELECT DISTINCT event_type FROM events) t,
-       bounds b, range(4000) g(i)
+       bounds b, range({_DENSE_DAILY_DAYS}) g(i)
   WHERE b.d0 + CAST(g.i AS INT) <= b.d1),
 counts AS (
   SELECT s.event_type, s.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS c
@@ -1328,7 +1335,7 @@ def q26_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rolling_wau",
-    oracle="""
+    oracle=f"""
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 bounds AS (
@@ -1336,7 +1343,7 @@ bounds AS (
   FROM events),
 spine AS (
   SELECT b.d0 + CAST(g.i AS INT) AS day
-  FROM bounds b, range(4000) g(i)
+  FROM bounds b, range({_DENSE_DAILY_DAYS}) g(i)
   WHERE b.d0 + CAST(g.i AS INT) <= b.d1)
 SELECT strftime(s.day, '%Y-%m-%d') AS day,
   CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS rolling_wau,

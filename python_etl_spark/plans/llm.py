@@ -2182,8 +2182,10 @@ def etl_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.expr(
-            "CAST(size(array_distinct(split(text, ' ', -1))) * 1000000"
-            " div size(split(text, ' ', -1)) AS BIGINT)"
+            # widen BEFORE the *1e6: a doc with >2147 distinct words
+            # would wrap 32-bit int under non-ANSI mode and mis-rank
+            "CAST(size(array_distinct(split(text, ' ', -1))) AS BIGINT)"
+            " * 1000000 div size(split(text, ' ', -1))"
         ).alias("quality_ppm"),
     ).withColumn("negq", -F.col("quality_ppm"))
     c = global_cumsum(t, ["negq", "doc_id"], "n_tokens", "cum_tokens")

@@ -393,6 +393,7 @@ try:  # pragma: no cover - import surface depends on pyspark version
                 n
                 for n in os.listdir(self.path)
                 if fnmatch.fnmatch(n, self.glob)
+                and not n.startswith("_tmp-")  # in-flight/aborted writes
             )
             if not names:
                 raise FileNotFoundError(
@@ -445,6 +446,7 @@ try:  # pragma: no cover - import surface depends on pyspark version
                 n
                 for n in os.listdir(self.path)
                 if fnmatch.fnmatch(n, self.glob)
+                and not n.startswith("_tmp-")  # in-flight/aborted writes
             )
 
         def initialOffset(self) -> dict:
@@ -529,6 +531,8 @@ try:  # pragma: no cover - import surface depends on pyspark version
         ignorable ``_tmp-`` debris."""
 
         def __init__(self, options, schema, overwrite: bool):
+            import uuid as _uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("warc writer requires a path")
@@ -539,13 +543,19 @@ try:  # pragma: no cover - import surface depends on pyspark version
                     f"{self.cols}"
                 )
             self.overwrite = overwrite
+            # Job-scoped id minted once on the driver: every task of
+            # this write names its temp file _tmp-<run_id>-*, and
+            # commit()/abort() sweep ONLY that prefix, so a concurrent
+            # writer's in-flight temp files are never touched.
+            self.run_id = _uuid.uuid4().hex[:12]
 
         def write(self, iterator):
             import uuid as _uuid
 
             os.makedirs(self.path, exist_ok=True)
             tmp = os.path.join(
-                self.path, f"_tmp-{_uuid.uuid4().hex[:12]}.warc.gz"
+                self.path,
+                f"_tmp-{self.run_id}-{_uuid.uuid4().hex[:12]}.warc.gz",
             )
             nrec = 0
             with open(tmp, "wb") as out:
@@ -612,18 +622,32 @@ try:  # pragma: no cover - import surface depends on pyspark version
                         "_tmp-"
                     ):
                         os.remove(full)
+            # Append mode must not clobber earlier commits: continue
+            # numbering after the highest existing part index (in
+            # overwrite mode the directory was just cleared above, so
+            # this naturally restarts at 0).
             i = 0
+            for n in os.listdir(self.path):
+                got = _re.match(r"part-(\d{5})\.warc\.gz$", n)
+                if got:
+                    i = max(i, int(got.group(1)) + 1)
             for m in sorted(
                 (m for m in messages if m and m.rows), key=lambda m: m.file
             ):
                 final = os.path.join(self.path, f"part-{i:05d}.warc.gz")
                 if os.path.exists(final):
+                    if not self.overwrite:
+                        raise FileExistsError(
+                            f"warc commit collision on {final}"
+                        )
                     os.remove(final)
                 os.rename(m.file, final)
                 i += 1
-            # sweep debris from aborted attempts
+            # sweep debris from THIS job's aborted attempts only — a
+            # concurrent writer's _tmp-<other_run_id>-* files are its
+            # own to commit or abort.
             for n in os.listdir(self.path):
-                if _re.match(r"_tmp-[0-9a-f]{12}\.warc\.gz$", n):
+                if n.startswith(f"_tmp-{self.run_id}-"):
                     try:
                         os.remove(os.path.join(self.path, n))
                     except OSError:

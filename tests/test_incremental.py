@@ -722,3 +722,46 @@ def test_changes_reads_evolved_appends_with_merged_schema(spark, tmp_path):
     assert len(rows) == 15
     assert all(v is None for k, v in rows.items() if k < 20)
     assert all(v == "new" for k, v in rows.items() if k >= 20)
+
+
+def test_incremental_dedup_string_ids_keep_provenance(spark, tmp_path):
+    """URL/hash doc ids (the common corpus key) must land in the
+    signature store in their NATIVE type — a silent cast-to-long would
+    null the provenance column for every non-numeric id."""
+    from python_etl_spark.operators.incremental import (
+        IncrementalDeduper,
+        IncrementalMinHashDeduper,
+    )
+
+    d = IncrementalDeduper(str(tmp_path / "sigstore"))
+    b1 = spark.createDataFrame(
+        [
+            ("https://a.com/x", "alpha beta gamma"),
+            ("https://b.com/y", "delta epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    a1 = d.accept_batch(b1, "b1")
+    assert a1.count() == 2
+    store = d.table.read(spark)
+    assert dict(store.dtypes)["id"] == "string"
+    ids = {r.id for r in store.collect()}
+    assert ids == {"https://a.com/x", "https://b.com/y"}
+    assert store.where("id IS NULL").count() == 0
+
+    m = IncrementalMinHashDeduper(str(tmp_path / "bands"))
+    mb = spark.createDataFrame(
+        [
+            ("sha1:aa", "the quick brown fox jumps over the lazy dog"),
+            ("sha1:bb", "an entirely different document about spark"),
+        ],
+        "doc_id string, text string",
+    )
+    am = m.accept_batch(mb, "b1")
+    assert am.count() == 2
+    bands = m.table.read(spark)
+    assert dict(bands.dtypes)["id"] == "string"
+    assert bands.where("id IS NULL").count() == 0
+    assert {r.id for r in bands.select("id").distinct().collect()} == {
+        "sha1:aa", "sha1:bb",
+    }

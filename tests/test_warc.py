@@ -263,3 +263,65 @@ def test_warc_datasource_writer_round_trip(spark, tmp_path):
     assert [r["target_uri"] for r in back2.collect()] == [
         "https://e.com/new/0"
     ]
+
+
+def test_warc_writer_append_preserves_existing_parts(spark, tmp_path):
+    """A second mode('append') write into a non-empty directory must
+    continue part numbering after the existing max index — never
+    delete or replace the earlier commit's containers."""
+    from python_etl_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    out = str(tmp_path / "w")
+    first = spark.createDataFrame(
+        [(f"https://e.com/a/{i}", f"<p>a{i}</p>") for i in range(4)],
+        "target_uri string, body string",
+    ).repartition(2)
+    first.write.format("warc").mode("append").save(out)
+    import os
+
+    before = sorted(n for n in os.listdir(out) if n.endswith(".warc.gz"))
+    assert before == ["part-00000.warc.gz", "part-00001.warc.gz"]
+    sig0 = {n: os.path.getsize(os.path.join(out, n)) for n in before}
+
+    second = spark.createDataFrame(
+        [(f"https://e.com/b/{i}", f"<p>b{i}</p>") for i in range(3)],
+        "target_uri string, body string",
+    ).repartition(2)
+    second.write.format("warc").mode("append").save(out)
+    after = sorted(n for n in os.listdir(out) if n.endswith(".warc.gz"))
+    assert after == [f"part-{i:05d}.warc.gz" for i in range(4)]
+    # the first commit's files are byte-untouched
+    for n, sz in sig0.items():
+        assert os.path.getsize(os.path.join(out, n)) == sz
+    back = spark.read.format("warc").load(out).where(
+        "warc_type = 'response'"
+    )
+    got = {r["target_uri"] for r in back.collect()}
+    assert got == {f"https://e.com/a/{i}" for i in range(4)} | {
+        f"https://e.com/b/{i}" for i in range(3)
+    }
+
+
+def test_warc_readers_and_sweep_ignore_foreign_tmp_files(spark, tmp_path):
+    """A concurrent job's in-flight _tmp-* file is (a) invisible to
+    both readers and (b) NOT deleted by another writer's commit sweep
+    (the sweep is scoped to the committing job's own run id)."""
+    from python_etl_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    out = tmp_path / "w"
+    out.mkdir()
+    foreign = out / "_tmp-deadbeef0123-aaaaaaaaaaaa.warc.gz"
+    foreign.write_bytes(b"in-flight garbage from another job")
+
+    df = spark.createDataFrame(
+        [("https://e.com/x/0", "<p>x</p>")],
+        "target_uri string, body string",
+    ).coalesce(1)
+    df.write.format("warc").mode("append").save(str(out))
+    assert foreign.exists(), "foreign tmp file must survive the sweep"
+    back = spark.read.format("warc").load(str(out)).where(
+        "warc_type = 'response'"
+    )
+    assert back.count() == 1
