@@ -162,8 +162,10 @@ class IncrementalDeduper:
 
 
 class MaterializedRollup:
-    """Incrementally-maintained aggregate (materialized view) over an
-    append-only :class:`VersionedTable` source.
+    """Incrementally-maintained aggregate (materialized view) over a
+    :class:`VersionedTable` source — appends fold directly, and
+    merge/delete commits fold through the table's row-level change
+    feed (``row_changes``).
 
     The 100 TB shape: a nightly fact append is GBs while the fact table
     is the full corpus — so the refresh must aggregate ONLY the new
@@ -186,8 +188,28 @@ class MaterializedRollup:
     unchanged, replay refolds the identical delta. Crash after it →
     bookmark already advanced, replay sees ``source_version >= target``
     and no-ops. Exactly-once rollup effects under at-least-once
-    driving. A copy-on-write rewrite of the SOURCE in the range makes
-    ``changes`` raise; re-baseline with :meth:`rebuild`.
+    driving.
+
+    SOURCE REWRITES no longer force a re-baseline: the refresh picks a
+    fold strategy from the range's commit ops (metadata only, via
+    ``VersionedTable.ops_in_range``):
+
+    * appends / compactions only → classic mergeable fold (all fns);
+    * merge/delete in range, spec all sum/count → SIGNED fold over the
+      typed ``row_changes`` feed (+insert/+update_postimage,
+      -update_preimage/-delete) — the counting algorithm from
+      incremental view maintenance; reads ONLY the commits' cdf/append
+      files, never the corpus. State carries a hidden per-key live-row
+      counter (``__rows``) so keys whose rows all die are dropped
+      exactly like a recompute would;
+    * merge/delete in range with min/max in the spec → min/max is not
+      subtractable, so recompute ONLY the affected keys (the feed's
+      key set) against the source snapshot — a key-pruned semi join,
+      not a corpus rescan when the source layout prunes on the keys.
+
+    An ``overwrite`` source commit (no row lineage) still raises via
+    ``row_changes``; re-baseline with :meth:`rebuild`. Pre-CDF state
+    tables (no ``__rows`` column) are rebuilt once on first refresh.
 
     The rollup table itself is small (aggregate cardinality), so
     copy-on-write overwrite per refresh is the right cost; for a huge
@@ -195,6 +217,7 @@ class MaterializedRollup:
     """
 
     _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _ROWS = "__rows"
 
     def __init__(
         self,
@@ -228,7 +251,34 @@ class MaterializedRollup:
                 F.count(src) if fn == "count" else self._MERGE[fn](src)
             ).alias(out)
             aggs.append(col)
+        aggs.append(F.count(F.lit(1)).alias(self._ROWS))
         return delta.groupBy(*self.keys).agg(*aggs)
+
+    def _signed_partial(self, feed: DataFrame) -> DataFrame:
+        """Per-key SIGNED delta from a typed change feed — valid only
+        for an all-sum/count spec (min/max can't be subtracted)."""
+        w = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+        )
+        aggs = []
+        for out, (fn, src) in self.spec.items():
+            if fn == "sum":
+                aggs.append(F.sum(F.col(src) * w).alias(out))
+            else:  # count: signed count of non-nulls
+                aggs.append(
+                    F.sum(
+                        F.when(F.col(src).isNotNull(), w).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(out)
+                )
+        aggs.append(F.sum(w).alias(self._ROWS))
+        return feed.groupBy(*self.keys).agg(*aggs)
 
     def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
         unioned = state.unionByName(partial)
@@ -236,7 +286,11 @@ class MaterializedRollup:
             self._MERGE[fn](out).alias(out)
             for out, (fn, _src) in self.spec.items()
         ]
-        return unioned.groupBy(*self.keys).agg(*aggs)
+        aggs.append(F.sum(self._ROWS).alias(self._ROWS))
+        merged = unioned.groupBy(*self.keys).agg(*aggs)
+        # a key whose live rows all died folds to __rows == 0: drop it,
+        # matching what a recompute (groupBy over surviving rows) sees
+        return merged.where(F.col(self._ROWS) != 0)
 
     def source_version(self) -> int | None:
         """Bookmark: the source version the current state reflects."""
@@ -245,10 +299,43 @@ class MaterializedRollup:
         return self.table.meta().get("source_version")
 
     def read(self, spark) -> DataFrame:
+        state = self.table.read(spark)
+        if self._ROWS in state.columns:
+            state = state.drop(self._ROWS)
+        return state
+
+    def _state(self, spark) -> DataFrame:
         return self.table.read(spark)
 
+    def _next_state(
+        self, source: VersionedTable, spark, done: int, target: int
+    ) -> DataFrame:
+        ops = set(source.ops_in_range(done, target))
+        if ops <= {"append", "compact", "compact_bins"}:
+            # pure inserts: classic mergeable fold (all agg fns)
+            feed = source.row_changes(spark, done, target).drop(
+                "_change_type", "_commit_version"
+            )
+            return self._merge(self._state(spark), self._partial(feed))
+        fns = {fn for fn, _src in self.spec.values()}
+        if fns <= {"sum", "count"}:
+            # updates/deletes, subtractable spec: signed fold — reads
+            # only the range's cdf/append files
+            feed = source.row_changes(spark, done, target)
+            return self._merge(
+                self._state(spark), self._signed_partial(feed)
+            )
+        # min/max in spec: recompute ONLY the keys the feed touched
+        feed = source.row_changes(spark, done, target)
+        aff = feed.select(*self.keys).distinct()
+        kept = self._state(spark).join(aff, self.keys, "left_anti")
+        rec = self._partial(
+            source.read(spark, target).join(aff, self.keys, "left_semi")
+        )
+        return kept.unionByName(rec)
+
     def refresh(self, source: VersionedTable, spark) -> int | None:
-        """Fold source appends since the bookmark into the rollup.
+        """Fold source commits since the bookmark into the rollup.
         Returns the new rollup version, or None when already current
         (the idempotent-replay path). Conflict retries recompute from
         the winner's snapshot (read-modify-write)."""
@@ -265,10 +352,10 @@ class MaterializedRollup:
                 return self.rebuild(source, spark)
             if done >= target:
                 return None
-            delta = source.changes(spark, done, target)
-            state = self._pack(
-                self._merge(self.read(spark), self._partial(delta))
-            )
+            if self._ROWS not in self.table.read(spark).columns:
+                # pre-CDF state (no live-row counter): rebuild once
+                return self.rebuild(source, spark)
+            state = self._pack(self._next_state(source, spark, done, target))
             try:
                 return self.table.overwrite(
                     state,
@@ -398,12 +485,16 @@ class IncrementalMinHashDeduper:
 
 
 class MaterializedTopK:
-    """Incrementally-maintained per-key TOP-K (a leaderboard) over an
-    append-only :class:`VersionedTable` source — the second maintained
-    view shape next to :class:`MaterializedRollup`, correct for the
-    same reason: top-k is MERGEABLE state (top-k(top-k(A) ∪ B) =
-    top-k(A ∪ B)), so each refresh ranks only current state ∪ the new
-    commit's rows, never the corpus.
+    """Incrementally-maintained per-key TOP-K (a leaderboard) over a
+    :class:`VersionedTable` source — the second maintained view shape
+    next to :class:`MaterializedRollup`. Appends fold because top-k is
+    MERGEABLE state (top-k(top-k(A) ∪ B) = top-k(A ∪ B)): each refresh
+    ranks only current state ∪ the new commit's rows, never the
+    corpus. Source merge/delete commits can EVICT rows that folded
+    state cannot resurrect, so those refreshes recompute just the keys
+    the ``row_changes`` feed touched (key-pruned semi join against the
+    snapshot); an ``overwrite`` source commit still requires a
+    re-baseline (the feed raises).
 
     Determinism: rows rank by (order_col DESC, tiebreak ASC); pass a
     unique ``tiebreak`` column so state is replay-stable. Crash /
@@ -465,8 +556,27 @@ class MaterializedTopK:
                 )
             if done >= target:
                 return None
-            delta = source.changes(spark, done, target)
-            state = self._topk(self.read(spark).unionByName(delta))
+            ops = set(source.ops_in_range(done, target))
+            if ops <= {"append", "compact", "compact_bins"}:
+                # pure inserts: top-k state is mergeable
+                delta = source.row_changes(spark, done, target).drop(
+                    "_change_type", "_commit_version"
+                )
+                state = self._topk(self.read(spark).unionByName(delta))
+            else:
+                # updates/deletes: an evicted row can't be resurrected
+                # from top-k state, so recompute ONLY the keys the
+                # feed touched (key-pruned semi join, never the
+                # corpus); untouched keys keep their folded state
+                feed = source.row_changes(spark, done, target)
+                aff = feed.select(*self.keys).distinct()
+                kept = self.read(spark).join(aff, self.keys, "left_anti")
+                rec = self._topk(
+                    source.read(spark, target).join(
+                        aff, self.keys, "left_semi"
+                    )
+                )
+                state = kept.unionByName(rec).coalesce(1)
             try:
                 return self.table.overwrite(
                     state,

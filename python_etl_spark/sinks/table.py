@@ -58,8 +58,15 @@ Operations:
 * ``merge`` — copy-on-write MERGE (upsert semantics via
   ``operators.upsert``): reads the current snapshot, merges the updates
   frame, writes a full new commit dir, manifest lists only that dir.
-* ``delete_where`` — copy-on-write anti-filter rewrite.
-* ``read`` — latest or ``version=`` snapshot.
+  By default it ALSO persists a row-level change feed for the commit
+  (``data/cdf-<uuid12>/`` + manifest ``cdf_dir``): typed
+  insert / update_preimage / update_postimage rows derived from the
+  written files — the Delta CDF idea.
+* ``delete_where`` — copy-on-write anti-filter rewrite; persists the
+  removed rows as ``delete`` change rows by default.
+* ``read`` — latest or ``version=`` snapshot. ``changes`` — appended
+  rows only (raises across rewrites); ``row_changes`` — the typed
+  feed that survives merge/delete/compact.
 
 At 100 TB the copy-on-write merge rewrites the table — that's the
 simplest correct strategy (real Iceberg/Delta add file-level pruning &
@@ -78,6 +85,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
@@ -171,6 +179,7 @@ class VersionedTable:
         version: int,
         meta: dict | None = None,
         num_rows: int | None = None,
+        cdf_dir: str | None = None,
     ) -> int:
         import time
 
@@ -194,6 +203,11 @@ class VersionedTable:
         }
         if meta:
             manifest["meta"] = meta
+        if cdf_dir:
+            # row-level change feed for this commit (merge/delete):
+            # typed change rows live OUTSIDE data_dirs — snapshot reads
+            # never see them, row_changes() reads nothing else
+            manifest["cdf_dir"] = cdf_dir
         os.makedirs(self._mdir, exist_ok=True)
         self._publish(
             self._manifest_path(version), json.dumps(manifest, indent=1)
@@ -474,19 +488,42 @@ class VersionedTable:
                     raise
                 cur = self._read_manifest()
 
+    def _write_cdf(self, df: DataFrame) -> str:
+        """Persist a commit's typed change rows (data columns +
+        ``_change_type``) to a fresh ``data/cdf-<uuid>`` dir. Same
+        attempt-owns-its-dir rule as ``_write_data``: a lost commit
+        race orphans the dir and vacuum sweeps it."""
+        out = os.path.join(self.root, "data", f"cdf-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(out)
+        return out
+
     def merge(
         self,
         updates: DataFrame,
         keys: list[str],
         version_col: str | None = None,
         meta: dict | None = None,
+        track_changes: bool = True,
     ) -> int:
         """Copy-on-write MERGE: update rows win on key collision, new
         keys are inserted (upsert semantics; ``version_col`` breaks ties
         inside a non-key-unique updates batch). On commit conflict the
         merge is RECOMPUTED against the winner's snapshot (unlike
         append, the output depends on the base's content), so
-        concurrent merges serialize."""
+        concurrent merges serialize.
+
+        With ``track_changes`` (default) the commit also persists a
+        row-level CHANGE FEED (the Delta CDF shape): for every key the
+        updates batch touches, the pre-merge row(s) land as
+        ``update_preimage`` and the committed row as
+        ``update_postimage``; brand-new keys land as ``insert``. The
+        change rows are derived from the WRITTEN files (never a
+        recomputation that could drift from the committed bytes), so
+        ``row_changes`` consumers fold exactly what readers see. A key
+        whose update lost a ``version_col`` tie still emits a pre/post
+        pair with identical values — additive folds net it to zero.
+        Pass ``track_changes=False`` to skip the extra joins; that
+        commit then becomes a re-baseline barrier for row_changes."""
         from python_etl_spark.operators.upsert import upsert
 
         spark = updates.sparkSession
@@ -498,8 +535,32 @@ class VersionedTable:
             )
             v = cur["version"] + 1
             d = self._write_data(merged, self.partition_columns() or None)
+            cdf_dir = None
+            if track_changes:
+                written = spark.read.parquet(d)
+                upd_keys = updates.select(*keys).distinct()
+                matched = upd_keys.join(
+                    base.select(*keys).distinct(), keys, "left_semi"
+                )
+                ct = "_change_type"
+                pre = base.join(matched, keys, "left_semi").withColumn(
+                    ct, F.lit("update_preimage")
+                )
+                post = written.join(matched, keys, "left_semi").withColumn(
+                    ct, F.lit("update_postimage")
+                )
+                ins = (
+                    written.join(upd_keys, keys, "left_semi")
+                    .join(matched, keys, "left_anti")
+                    .withColumn(ct, F.lit("insert"))
+                )
+                cdf_dir = self._write_cdf(
+                    pre.unionByName(post).unionByName(ins)
+                )
             try:
-                return self._commit([d], "merge", v, meta)
+                return self._commit(
+                    [d], "merge", v, meta, cdf_dir=cdf_dir
+                )
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
@@ -634,10 +695,14 @@ class VersionedTable:
             return None
         return self.compact(spark)
 
-    def delete_where(self, condition) -> int:
+    def delete_where(self, condition, track_changes: bool = True) -> int:
         """Copy-on-write DELETE: rewrite the snapshot without matching
         rows. ``condition`` is a Column predicate. Conflict retry
-        recomputes against the winner's snapshot."""
+        recomputes against the winner's snapshot.
+
+        With ``track_changes`` (default) the commit persists the
+        removed rows as ``delete`` change rows, so ``row_changes``
+        consumers subtract them instead of re-baselining."""
         spark = SparkSession.getActiveSession()
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
@@ -646,8 +711,15 @@ class VersionedTable:
             d = self._write_data(
                 base.where(~condition), self.partition_columns() or None
             )
+            cdf_dir = None
+            if track_changes:
+                cdf_dir = self._write_cdf(
+                    base.where(condition).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
             try:
-                return self._commit([d], "delete", v)
+                return self._commit([d], "delete", v, cdf_dir=cdf_dir)
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
@@ -834,6 +906,148 @@ class VersionedTable:
             )
         return out
 
+    def ops_in_range(self, since_version: int, upto: int) -> list[str]:
+        """Commit ops for ``(since_version, upto]`` — manifests first,
+        the newest checkpoint's commit summaries as the fallback when
+        clean_metadata dropped a tail manifest. Lets maintained-view
+        consumers pick a fold strategy (pure-insert vs signed fold vs
+        affected-key recompute) from METADATA alone, no Spark job."""
+        ckpt = self._latest_checkpoint(upto)
+        summaries = (
+            {c["version"]: c.get("op") for c in ckpt["commits"]}
+            if ckpt
+            else {}
+        )
+        ops = []
+        for i in range(since_version + 1, upto + 1):
+            try:
+                op = self._read_manifest(i).get("op")
+            except FileNotFoundError:
+                op = summaries.get(i)
+                if op is None:
+                    raise
+            ops.append(op)
+        return ops
+
+    def row_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Typed ROW-LEVEL change feed between ``since_version``
+        (exclusive) and ``version`` (inclusive; default latest) — the
+        Delta CDF shape. Schema = data columns + ``_change_type``
+        (``insert`` / ``update_preimage`` / ``update_postimage`` /
+        ``delete``) + ``_commit_version`` (the committing version).
+
+        Unlike :meth:`changes` (appends only), this survives
+        copy-on-write rewrites: ``merge``/``delete_where`` commits
+        replay from their persisted ``cdf-*`` dir, ``compact``/
+        ``compact_bins`` are row-preserving and contribute nothing,
+        and appends read just the appended dir with an ``insert``
+        literal — so a consumer folds exactly the commits' deltas and
+        NEVER rescans the corpus. Additive folds treat
+        insert/update_postimage as +row and update_preimage/delete as
+        -row; replaying the feed onto the ``since_version`` snapshot
+        (latest change per key, drop deletes) reproduces the
+        ``version`` snapshot.
+
+        Re-baseline barriers that remain: ``overwrite`` (a blind
+        replace carries no row lineage), a merge/delete committed with
+        ``track_changes=False``, and ranges whose manifests
+        ``clean_metadata`` dropped — all raise ``ValueError`` telling
+        the consumer to re-baseline, exactly like :meth:`changes`.
+        ``vacuum`` keeps a commit's cdf dir alive as long as its
+        manifest exists (feed retention rides metadata retention)."""
+        upto = self.latest_version() if version is None else version
+        if upto is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if since_version > upto:
+            raise ValueError(
+                f"since_version {since_version} is beyond v{upto}"
+            )
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        def _empty() -> DataFrame:
+            schema = self.read(spark, upto).schema
+            schema = schema.add(StructField("_change_type", StringType()))
+            schema = schema.add(
+                StructField("_commit_version", LongType())
+            )
+            return spark.createDataFrame([], schema)
+
+        if since_version == upto:
+            return _empty()
+        evolved = self._schema_evolved(upto)
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        try:
+            prev_dirs = set(
+                self._read_manifest(since_version)["data_dirs"]
+            )
+        except FileNotFoundError:
+            raise ValueError(
+                f"row_changes({since_version}, {upto}): the "
+                f"since_version manifest was removed by clean_metadata "
+                f"— re-baseline from a current snapshot"
+            ) from None
+        frames: list[DataFrame] = []
+        for i in range(since_version + 1, upto + 1):
+            try:
+                m = self._read_manifest(i)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"row_changes({since_version}, {upto}): manifest "
+                    f"v{i} was removed by clean_metadata — re-baseline "
+                    f"from a current snapshot"
+                ) from None
+            op = m.get("op")
+            dirs = m["data_dirs"]
+            if op in ("append", "create"):
+                for d in dirs:
+                    if d not in prev_dirs:
+                        if not os.path.isdir(d):
+                            # vacuum reclaimed a compacted-away append
+                            # dir (feed history past vacuum ends, like
+                            # Delta CDC past VACUUM retention)
+                            raise ValueError(
+                                f"row_changes({since_version}, {upto}):"
+                                f" v{i}'s appended dir was vacuumed — "
+                                f"re-baseline from a current snapshot"
+                            )
+                        frames.append(
+                            reader.parquet(d)
+                            .withColumn("_change_type", F.lit("insert"))
+                            .withColumn(
+                                "_commit_version",
+                                F.lit(i).cast("long"),
+                            )
+                        )
+            elif op in ("compact", "compact_bins"):
+                pass  # row-preserving rewrite: the feed is unaffected
+            elif op in ("merge", "delete") and m.get("cdf_dir"):
+                frames.append(
+                    reader.parquet(m["cdf_dir"]).withColumn(
+                        "_commit_version", F.lit(i).cast("long")
+                    )
+                )
+            else:
+                raise ValueError(
+                    f"row_changes({since_version}, {upto}) crosses a "
+                    f"'{op}' commit at v{i} with no change feed "
+                    f"(overwrite, or track_changes=False) — re-baseline "
+                    f"from the v{i} snapshot"
+                )
+            prev_dirs = set(dirs)
+        if not frames:
+            return _empty()
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=evolved)
+        return out
+
     @staticmethod
     def _tree_mtime(path: str) -> float:
         """Newest mtime anywhere under ``path`` (the dir itself, every
@@ -877,6 +1091,22 @@ class VersionedTable:
         import time
 
         live = set(self._read_manifest()["data_dirs"])
+        # change-feed retention rides metadata retention: a commit's
+        # cdf dir stays alive while its manifest (or the checkpoint
+        # carrying it) exists, so row_changes() over any still-listed
+        # range keeps working after a vacuum; clean_metadata dropping
+        # old manifests is what releases their feed dirs.
+        for name in os.listdir(self._mdir):
+            if not (_MANIFEST_RE.fullmatch(name) or _CKPT_RE.fullmatch(name)):
+                continue
+            try:
+                with open(os.path.join(self._mdir, name)) as f:
+                    doc = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            m = doc.get("manifest", doc)  # ckpt carries a full manifest
+            if m.get("cdf_dir"):
+                live.add(m["cdf_dir"])
         data_root = os.path.join(self.root, "data")
         cutoff = time.time() - grace_seconds
         removed = []

@@ -643,22 +643,38 @@ def test_rollup_rejects_unmergeable_spec(tmp_path):
         )
 
 
-def test_rollup_rebuild_rebaselines_after_source_rewrite(spark, tmp_path):
+def test_rollup_folds_across_source_delete_via_change_feed(spark, tmp_path):
+    """A copy-on-write DELETE in the source no longer forces a
+    re-baseline: the refresh folds the row-level change feed (min/max
+    spec → affected-key recompute path) and equals the one-shot
+    recompute; an OVERWRITE (no row lineage) still requires rebuild."""
     src = VersionedTable(str(tmp_path / "src5"))
     roll = _rollup(tmp_path, "r5")
     src.create(_grp_src(spark, 0, 100))
     roll.refresh(src, spark)
     src.delete_where(F.col("k") >= 50)  # copy-on-write rewrite
     src.append(_grp_src(spark, 100, 110))
-    with pytest.raises(ValueError, match="delete"):
-        roll.refresh(src, spark)
-    roll.rebuild(src, spark)
+    roll.refresh(src, spark)  # folds delete feed + append, no rebuild
     assert roll.source_version() == src.latest_version()
     assert sum(r["n"] for r in roll.read(spark).collect()) == 60
-    # and incremental refresh works again from the new baseline
+    expect = {
+        tuple(r)
+        for r in _rollup(tmp_path, "r5_full")
+        ._partial(src.read(spark))
+        .drop("__rows")
+        .collect()
+    }
+    assert {tuple(r) for r in roll.read(spark).collect()} == expect
+    # and incremental refresh works again from the folded state
     src.append(_grp_src(spark, 110, 115))
     roll.refresh(src, spark)
     assert sum(r["n"] for r in roll.read(spark).collect()) == 65
+    # overwrite = blind replace, no lineage: feed raises, rebuild heals
+    src.overwrite(src.read(spark).where(F.col("k") % 2 == 0))
+    with pytest.raises(ValueError, match="re-baseline"):
+        roll.refresh(src, spark)
+    roll.rebuild(src, spark)
+    assert roll.source_version() == src.latest_version()
 
 
 def test_materialized_topk_incremental_equals_full(spark, tmp_path):
@@ -765,3 +781,141 @@ def test_incremental_dedup_string_ids_keep_provenance(spark, tmp_path):
     assert {r.id for r in bands.select("id").distinct().collect()} == {
         "sha1:aa", "sha1:bb",
     }
+
+
+def test_rollup_folds_merge_commit_reading_only_its_files(spark, tmp_path):
+    """THE round-9 contract: a source MERGE commit folds into the
+    rollup via the signed change feed — the maintained state equals
+    the one-shot recompute, and the delta read opened ONLY the merge
+    commit's cdf files (never the corpus). Spec is all sum/count so
+    the signed fold path applies."""
+    from python_etl_spark.operators.incremental import MaterializedRollup
+
+    src = VersionedTable(str(tmp_path / "src6"))
+    roll = MaterializedRollup(
+        str(tmp_path / "r6"),
+        keys=["grp"],
+        spec={"n": ("count", "k"), "total": ("sum", "v")},
+    )
+    src.create(_grp_src(spark, 0, 100))
+    roll.refresh(src, spark)
+    base_files = set(src.read(spark, 0).inputFiles())
+
+    # MERGE: bump v for every k % 10 == 0 key, insert three new keys
+    upd = _grp_src(spark, 0, 100).where(F.col("k") % 10 == 0).select(
+        "grp", "k", (F.col("v") + 1000).alias("v")
+    ).unionByName(_grp_src(spark, 200, 203))
+    src.merge(upd, ["k"])
+
+    feed = src.row_changes(spark, 0, src.latest_version())
+    feed_files = set(feed.inputFiles())
+    assert feed_files, "feed must read the cdf files"
+    assert not (feed_files & base_files), (
+        "the delta read must open only the merge commit's change "
+        "files, never the v0 corpus"
+    )
+
+    roll.refresh(src, spark)  # folds the merge — no rebuild call
+    assert roll.source_version() == src.latest_version()
+    got = {tuple(r) for r in roll.read(spark).collect()}
+    expect = {
+        tuple(r)
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(F.count("k").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == expect
+
+    # follow-up delete also folds (signed path drops dead keys)
+    src.delete_where(F.col("k") >= 90)
+    roll.refresh(src, spark)
+    got2 = {tuple(r) for r in roll.read(spark).collect()}
+    expect2 = {
+        tuple(r)
+        for r in src.read(spark)
+        .groupBy("grp")
+        .agg(F.count("k").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got2 == expect2
+
+
+def test_rollup_signed_fold_drops_fully_deleted_keys(spark, tmp_path):
+    """Deleting EVERY row of a key folds its hidden live-row counter
+    to zero and the key vanishes from the rollup, exactly like a
+    recompute (the IVM counting algorithm)."""
+    from python_etl_spark.operators.incremental import MaterializedRollup
+
+    src = VersionedTable(str(tmp_path / "src7"))
+    roll = MaterializedRollup(
+        str(tmp_path / "r7"), keys=["grp"],
+        spec={"n": ("count", "k"), "total": ("sum", "v")},
+    )
+    src.create(_grp_src(spark, 0, 70))  # grps 0..6, 10 rows each
+    roll.refresh(src, spark)
+    assert roll.read(spark).count() == 7
+    src.delete_where(F.col("grp") == 3)  # kill one whole key
+    roll.refresh(src, spark)
+    got = roll.read(spark)
+    assert got.count() == 6
+    assert got.where("grp = 3").count() == 0
+
+
+def test_topk_recomputes_only_affected_keys_across_delete(spark, tmp_path):
+    """A source delete evicts leaderboard rows folded state can't
+    resurrect: the refresh recomputes JUST the touched keys (semi
+    join) and equals the one-shot top-k; untouched keys keep state."""
+    from python_etl_spark.operators.incremental import MaterializedTopK
+
+    src = VersionedTable(str(tmp_path / "srcT"))
+    lead = MaterializedTopK(
+        str(tmp_path / "leadT"), keys=["grp"], order_col="score",
+        tiebreak="k", k=3,
+    )
+
+    def batch(lo, hi):
+        return _src(spark, lo, hi).select(
+            (F.col("k") % 4).alias("grp"), "k",
+            ((F.col("k") * 37) % 101).alias("score"),
+        )
+
+    src.create(batch(0, 120))
+    lead.refresh(src, spark)
+    # delete the current top scorers of grp 0 only
+    top0 = [
+        r["k"]
+        for r in lead.read(spark).where("grp = 0").collect()
+    ]
+    src.delete_where(F.col("k").isin(top0))
+    lead.refresh(src, spark)
+    got = {
+        (r["grp"], r["k"], r["score"])
+        for r in lead.read(spark).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("k"))
+    expect = {
+        (r["grp"], r["k"], r["score"])
+        for r in src.read(spark)
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_rollup_folds_across_compaction_without_rebaseline(spark, tmp_path):
+    """compact/compact_bins are row-preserving: the feed skips them
+    and the fold continues — no re-baseline for maintenance rewrites."""
+    src = VersionedTable(str(tmp_path / "src8"))
+    roll = _rollup(tmp_path, "r8")
+    src.create(_grp_src(spark, 0, 50))
+    roll.refresh(src, spark)
+    src.append(_grp_src(spark, 50, 80))
+    src.compact(spark)  # rewrite barrier for changes(), NOT for the feed
+    src.append(_grp_src(spark, 80, 100))
+    roll.refresh(src, spark)
+    assert roll.source_version() == src.latest_version()
+    assert sum(r["n"] for r in roll.read(spark).collect()) == 100

@@ -246,7 +246,13 @@ def test_vacuum_sweeps_conflict_orphans(spark, tmp_path, monkeypatch):
         os.path.join(root, "data", n)
         for n in os.listdir(os.path.join(root, "data"))
     }
-    assert on_disk == live
+    # the merge commit's change-feed dir survives vacuum while its
+    # manifest lives (feed retention rides metadata retention); every
+    # other surviving dir must be a live data dir
+    assert {d for d in on_disk if "/cdf-" not in d} == live
+    assert all(
+        "/cdf-" in d or d in live for d in on_disk
+    )
 
 
 def test_streaming_merge_vs_batch_append_soak(spark, tmp_path):
@@ -658,3 +664,148 @@ def test_compact_bins_rewrites_only_small_dirs(spark, tmp_path):
     assert t.changes(spark, v).count() == 5
     # and a second compact_bins with nothing small enough is a no-op
     assert t.compact_bins(spark, small_bytes=10) is None
+
+
+def _cdf_table(spark, tmp_path, name="cdf"):
+    t = VersionedTable(str(tmp_path / name))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id long, g string, v long",
+        )
+    )
+    return t
+
+
+def test_row_changes_typed_feed_across_merge_delete_compact(spark, tmp_path):
+    """merge persists update_preimage/update_postimage/insert rows,
+    delete persists delete rows, compact contributes nothing, appends
+    surface as insert — all stamped with the committing version."""
+    t = _cdf_table(spark, tmp_path)
+    t.append(spark.createDataFrame([(5, "e", 50)], "id long, g string, v long"))
+    t.merge(
+        spark.createDataFrame(
+            [(2, "b", 99), (6, "f", 60)], "id long, g string, v long"
+        ),
+        ["id"],
+    )
+    t.compact(spark)
+    t.delete_where(F.col("id") == 3)
+
+    feed = t.row_changes(spark, 0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", 5, 50),
+        (2, "insert", 6, 60),
+        (2, "update_postimage", 2, 99),
+        (2, "update_preimage", 2, 20),
+        (4, "delete", 3, 30),
+    ]
+    # replay the feed onto the v0 snapshot: latest change per key,
+    # preimages lose to same-commit postimages, deletes drop the key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc("_commit_version"),
+        F.when(F.col("_change_type") == "update_preimage", 1).otherwise(0),
+    )
+    last = feed.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    alive = last.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("id", "g", "v")
+    replayed = (
+        t.read(spark, 0)
+        .join(last.select("id"), "id", "left_anti")
+        .select("id", "g", "v")
+        .unionByName(alive)
+    )
+    assert {tuple(r) for r in replayed.collect()} == {
+        tuple(r) for r in t.read(spark).select("id", "g", "v").collect()
+    }
+
+
+def test_row_changes_reads_only_change_files(spark, tmp_path):
+    """The feed's scan set is the commits' cdf/append files — disjoint
+    from the snapshot data of the base version (the 100 TB property:
+    consumers never rescan the corpus)."""
+    t = _cdf_table(spark, tmp_path)
+    base_files = set(t.read(spark, 0).inputFiles())
+    t.merge(
+        spark.createDataFrame([(2, "b", 99)], "id long, g string, v long"),
+        ["id"],
+    )
+    t.delete_where(F.col("id") == 4)
+    feed = t.row_changes(spark, 0)
+    files = set(feed.inputFiles())
+    assert files and not (files & base_files)
+    assert all("/cdf-" in f for f in files)
+
+
+def test_row_changes_track_changes_false_is_barrier(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([(2, "b", 99)], "id long, g string, v long"),
+        ["id"],
+        track_changes=False,
+    )
+    with pytest.raises(ValueError, match="re-baseline"):
+        t.row_changes(spark, 0)
+
+
+def test_row_changes_version_tie_emits_nettable_pair(spark, tmp_path):
+    """An update that LOSES the version_col tie still emits a pre/post
+    pair — with identical values, so additive folds net to zero and
+    the feed replay stays exact."""
+    t = VersionedTable(str(tmp_path / "tv"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 100, "new")], "id long, ver long, s string"
+        )
+    )
+    t.merge(
+        spark.createDataFrame([(1, 50, "stale")], "id long, ver long, s string"),
+        ["id"],
+        version_col="ver",
+    )
+    feed = t.row_changes(spark, 0).collect()
+    types = sorted(r["_change_type"] for r in feed)
+    assert types == ["update_postimage", "update_preimage"]
+    vals = {(r["_change_type"], r["ver"], r["s"]) for r in feed}
+    assert vals == {
+        ("update_preimage", 100, "new"),
+        ("update_postimage", 100, "new"),
+    }
+
+
+def test_row_changes_vacuum_and_clean_metadata_retention(spark, tmp_path):
+    """vacuum keeps cdf dirs while their manifests live; ranges whose
+    APPEND dirs were reclaimed raise a re-baseline error; clean_metadata
+    dropping the manifests releases the cdf dirs to the next vacuum."""
+    import os
+
+    t = _cdf_table(spark, tmp_path)
+    t.append(spark.createDataFrame([(5, "e", 50)], "id long, g string, v long"))
+    t.merge(
+        spark.createDataFrame([(2, "b", 99)], "id long, g string, v long"),
+        ["id"],
+    )
+    t.compact(spark)
+    t.vacuum()
+    # merge cdf survives: the (1, 2] range reads it post-vacuum
+    feed = t.row_changes(spark, 1, 2)
+    assert sorted(r["_change_type"] for r in feed.collect()) == [
+        "update_postimage", "update_preimage",
+    ]
+    # but v1's appended dir was compacted away then vacuumed: ranges
+    # crossing it re-baseline
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.row_changes(spark, 0).collect()
+    # clean_metadata drops old manifests -> their cdf dirs are released
+    t.checkpoint()
+    t.clean_metadata()
+    t.vacuum()
+    data_root = os.path.join(t.root, "data")
+    assert not any(n.startswith("cdf-") for n in os.listdir(data_root))
