@@ -2242,3 +2242,152 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rnk", F.row_number().over(w).cast("int"))
     )
+
+
+# ----------------- row-level change feed (CDF) over the lakehouse ----------
+#
+# The round-9 lakehouse surface: a VersionedTable source takes a MERGE
+# (updates + inserts) and a DELETE; etl_cdf_changes hash-checks the
+# TYPED feed (VersionedTable.row_changes) itself, etl_cdf_replay
+# hash-checks the feed APPLIED back onto the base snapshot (the
+# etl_cdc_apply semantics: latest change per key wins, deletes drop
+# the key) against a direct final-state oracle. Both reuse one
+# session-scoped table built from orders: base = o_orderkey % 3 != 2;
+# MERGE bumps price by +100 for every % 5 == 0 key (matched keys emit
+# pre/post pairs, % 3 == 2 keys become inserts); DELETE drops
+# % 7 == 0 keys from the merged snapshot.
+
+
+def _cdf_source(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf) the 3-commit CDF demo table:
+    v0 create, v1 merge (track_changes), v2 delete. Re-entrant: each
+    step only runs if its version is missing."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("cdf", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_cdf_{key[1]}_{abs(hash(key[2])) % 10**8}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("o_orderkey") % 3 != 2))
+    if t.latest_version() < 1:
+        upd = orders.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "priority",
+            (F.col("price") + 100).cast("decimal(28,6)").alias("price"),
+        )
+        t.merge(upd, ["o_orderkey"])
+    if t.latest_version() < 2:
+        t.delete_where(F.col("o_orderkey") % 7 == 0)
+    return t
+
+
+@register(
+    "etl_cdf_changes",
+    oracle=r"""
+WITH priced AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders),
+ch AS (
+  SELECT 'update_preimage' AS change_type, priority, price
+  FROM priced WHERE k % 3 <> 2 AND k % 5 = 0
+  UNION ALL
+  SELECT 'update_postimage', priority, price + 100
+  FROM priced WHERE k % 3 <> 2 AND k % 5 = 0
+  UNION ALL
+  SELECT 'insert', priority, price + 100
+  FROM priced WHERE k % 3 = 2 AND k % 5 = 0
+  UNION ALL
+  SELECT 'delete', priority,
+    CASE WHEN k % 5 = 0 THEN price + 100 ELSE price END
+  FROM priced WHERE k % 7 = 0 AND (k % 3 <> 2 OR k % 5 = 0)
+)
+SELECT change_type, priority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM ch GROUP BY 1, 2
+""",
+)
+def etl_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED row-level change feed of a lakehouse MERGE + DELETE,
+    hash-checked end-to-end: VersionedTable.row_changes() replays the
+    v1 merge's persisted pre/post/insert rows and the v2 delete's
+    removed rows; any mis-derivation (wrong matched set, preimage from
+    the wrong snapshot, delete rows taken pre-merge) shifts a count or
+    a decimal sum and breaks the hash against the set-logic oracle.
+
+    Scale posture: the feed reads ONLY the two commits' cdf files
+    (pytest-asserted on inputFiles in tests/test_table.py) — a nightly
+    CDC consumer of a 100 TB table scans the night's change dirs,
+    never the corpus; the aggregate is one shuffle at change-type x
+    priority cardinality (~20 groups)."""
+    t = _cdf_source(spark, sf_dir)
+    feed = t.row_changes(spark, 0, 2)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+@register(
+    "etl_cdf_replay",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey % 5 = 0
+    THEN CAST(o_totalprice AS DECIMAL(28,6)) + 100
+    ELSE CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE) AS amount
+FROM orders
+WHERE (o_orderkey % 3 <> 2 OR o_orderkey % 5 = 0) AND o_orderkey % 7 <> 0
+GROUP BY 1
+""",
+)
+def etl_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLAY twin (the etl_cdc_apply semantics applied to the
+    change feed): take the v0 snapshot, apply the typed feed — latest
+    change per key wins (postimage beats its same-commit preimage),
+    delete drops the key — and aggregate the replayed state. The
+    oracle computes the final state DIRECTLY from orders, so the
+    replay machinery (not the snapshot read) is what's being checked;
+    the replayed frame must equal read(latest) row-for-row for the
+    hash to match.
+
+    Scale posture: replay = one window over the feed (keyed by the
+    merge key) + one anti join against the base — both shuffle on the
+    key; the feed is night-sized, the base join is the only
+    corpus-touching stage (and prunable by key layout)."""
+    t = _cdf_source(spark, sf_dir)
+    feed = t.row_changes(spark, 0, 2)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("_commit_version"),
+        F.when(F.col("_change_type") == "update_preimage", 1).otherwise(0),
+    )
+    last = feed.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    alive = last.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("o_orderkey", "priority", "price")
+    replayed = (
+        t.read(spark, 0)
+        .join(last.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select("o_orderkey", "priority", "price")
+        .unionByName(alive)
+    )
+    return replayed.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )
