@@ -48,3 +48,65 @@ def fingerprint(col: str | Column) -> Column:
 def stopword_count(tokens: Column, stopwords: list[str] | None = None) -> Column:
     words = stopwords or STOPWORDS
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+# --------------- no-whitespace-script (CJK) tokenization -------------------
+#
+# Whitespace tokenization silently under-counts Chinese/Japanese/Korean
+# text (no spaces between words). The standard engine fallback (the
+# Lucene CJK analyzer shape) is overlapping CHARACTER BIGRAMS over
+# runs of no-space-script characters, with alphanumeric runs still
+# tokenizing as words. Everything below stays JVM-side (regex +
+# higher-order array functions inside codegen) — no Python UDF.
+
+# CJK Unified Ideographs, Hiragana+Katakana, Hangul syllables
+CJK_CLASS = "\u4e00-\u9fff\u3040-\u30ff\uac00-\ud7a3"
+
+
+def cjk_runs(col: str | Column) -> Column:
+    """Maximal runs of no-space-script characters."""
+    return F.regexp_extract_all(_c(col), F.lit(f"[{CJK_CLASS}]+"), 0)
+
+
+def cjk_char_count(col: str | Column) -> Column:
+    """Total no-space-script characters (sum of run lengths)."""
+    return F.aggregate(
+        cjk_runs(col),
+        F.lit(0),
+        lambda acc, r: acc + F.length(r),
+    )
+
+
+def cjk_char_bigrams(col: str | Column) -> Column:
+    """Overlapping char bigrams per CJK run (len-1 bigrams per run; a
+    single isolated char stays a 1-char token) — the CJK analyzer
+    tokenization, as one nested higher-order expression."""
+    return F.flatten(
+        F.transform(
+            cjk_runs(col),
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+
+
+def mixed_script_tokens(col: str | Column) -> Column:
+    """CJK-aware tokens: alphanumeric word runs PLUS char bigrams over
+    no-space-script runs — the fallback token stream for mixed or
+    space-free corpora (token counts, mixture reports, vocab sizing)."""
+    return F.concat(alnum_tokens(col), cjk_char_bigrams(col))
+
+
+def no_space_script_ratio(col: str | Column) -> Column:
+    """Detector: fraction of non-space characters that belong to a
+    no-space script — key a char-n-gram tokenization fallback on this
+    (e.g. ratio >= 0.3)."""
+    nonspace = F.length(F.regexp_replace(_c(col), r"\s+", ""))
+    return F.when(
+        nonspace > 0,
+        cjk_char_count(col).cast("double") / nonspace,
+    ).otherwise(F.lit(0.0))

@@ -2268,3 +2268,186 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, query_id=0, pool_n=_MMR_POOL, k=_MMR_K)
+
+
+# -------------------- CJK / no-whitespace tokenization ---------------------
+#
+# Whitespace token counts silently break on Chinese/Japanese/Korean
+# (no inter-word spaces). functions/text.py adds the engine fallback:
+# char BIGRAMS over no-space-script runs (the Lucene CJK analyzer
+# shape), keyed on a no-space-script detector ratio. The two queries
+# below drive it hash-checked over an in-plan mixed-script corpus
+# built deterministically from doc_id (the mm_header_probe pattern:
+# both engines construct the same strings from alphabet literals, so
+# the oracle replays the arithmetic — the synthetic documents table
+# itself is English-only).
+
+_HAN40 = "一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙业丛东丝丞丟丠両丢丣两严並丧"
+_KANA20 = "あぃいぅうぇえぉおかがきぎくぐけげこごさ"
+_HANG16 = "가갇갎강개갣갪갱갸갿걆걍걔걛걢걩"
+_CJK_RUNS_SQL = "regexp_extract_all(text, '[一-鿿぀-ヿ가-힣]+')"
+
+
+def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> mixed-script text: an ascii frame around a han run
+    (1-7 chars), then a kana run (1-5) immediately followed by a
+    hangul run (0-3) — adjacent kana+hangul merge into ONE no-space
+    run, exercising cross-script runs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    r1 = F.lit(_HAN40).substr(
+        (i % 20 + 1).cast("int"), (i % 7 + 1).cast("int")
+    )
+    r2 = F.lit(_KANA20).substr(
+        (i % 10 + 1).cast("int"), (i % 5 + 1).cast("int")
+    )
+    r3 = F.lit(_HANG16).substr((i % 8 + 1).cast("int"), (i % 4).cast("int"))
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha "), r1, F.lit(" beta99 "), r2, r3, F.lit(" gamma")
+        ).alias("text"),
+    )
+
+
+_CJK_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id,
+    'alpha ' ||
+    substr('一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙业丛东丝丞丟丠両丢丣两严並丧', CAST(doc_id % 20 + 1 AS INT),
+           CAST(doc_id % 7 + 1 AS INT)) ||
+    ' beta99 ' ||
+    substr('あぃいぅうぇえぉおかがきぎくぐけげこごさ', CAST(doc_id % 10 + 1 AS INT),
+           CAST(doc_id % 5 + 1 AS INT)) ||
+    substr('가갇갎강개갣갪갱갸갿걆걍걔걛걢걩', CAST(doc_id % 8 + 1 AS INT),
+           CAST(doc_id % 4 AS INT)) ||
+    ' gamma' AS text
+  FROM documents)
+"""
+
+
+@register(
+    "text_token_count_cjk",
+    oracle=f"""
+WITH {_CJK_CORPUS_SQL},
+r AS (SELECT doc_id, text, {_CJK_RUNS_SQL} AS runs FROM corpus),
+b AS (SELECT doc_id, text, runs, flatten(list_transform(runs, x -> CASE WHEN length(x) = 1 THEN [x] ELSE list_transform(range(1, length(x)), i -> substr(x, CAST(i AS INT), 2)) END)) AS bg FROM r)
+SELECT doc_id,
+  CAST(len(runs) AS INT) AS n_runs,
+  CAST(COALESCE(list_sum(list_transform(runs, x -> length(x))), 0) AS INT)
+    AS n_cjk_chars,
+  CAST(len(bg) AS INT) AS n_bigrams,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT)
+    AS n_words,
+  CAST(len(bg) + len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS INT) AS n_tokens_mixed,
+  bg[1] AS first_bigram,
+  bg[-1] AS last_bigram,
+  CAST(COALESCE(list_sum(list_transform(runs, x -> length(x))), 0)
+    * 1000000 // length(replace(text, ' ', '')) AS BIGINT)
+    AS cjk_ratio_ppm
+FROM b
+""",
+)
+def text_token_count_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the no-whitespace-script fallback
+    (functions/text.py: cjk_runs / cjk_char_bigrams / mixed tokens),
+    hash-checked per document: run count, CJK char count, bigram
+    count, alnum word count, the MIXED total a tokenizer-budget
+    pipeline would use, the actual first/last bigram STRINGS (so the
+    substring extraction itself is value-checked cross-engine, not
+    just counts), and the integer-exact detector ratio (ppm of
+    non-space chars in a no-space script) that keys the fallback.
+
+    Scale posture: zero shuffles — pure per-row codegen expressions
+    (regex + higher-order array lambdas) at scan speed; no Python."""
+    from python_etl_spark.functions.text import (
+        alnum_tokens,
+        cjk_char_bigrams,
+        cjk_char_count,
+        cjk_runs,
+    )
+
+    c = _cjk_corpus(spark, sf_dir)
+    bg = cjk_char_bigrams("text")
+    words = alnum_tokens("text")
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return c.select(
+        "doc_id",
+        F.size(cjk_runs("text")).alias("n_runs"),
+        cjk_char_count("text").cast("int").alias("n_cjk_chars"),
+        F.size(bg).alias("n_bigrams"),
+        F.size(words).alias("n_words"),
+        (F.size(bg) + F.size(words)).alias("n_tokens_mixed"),
+        F.element_at(bg, 1).alias("first_bigram"),
+        F.element_at(bg, -1).alias("last_bigram"),
+        F.floor(
+            cjk_char_count("text").cast("bigint")
+            * F.lit(1000000)
+            / nonspace
+        )
+        .cast("bigint")
+        .alias("cjk_ratio_ppm"),
+    )
+
+
+_CJK_VOCAB_K = 50
+
+
+@register(
+    "text_vocab_coverage_cjk",
+    oracle=f"""
+WITH {_CJK_CORPUS_SQL},
+r AS (SELECT doc_id, text, {_CJK_RUNS_SQL} AS runs FROM corpus),
+tok AS (
+  SELECT unnest(list_concat(
+    regexp_extract_all(lower(text), '[a-z0-9]+'), flatten(list_transform(runs, x -> CASE WHEN length(x) = 1 THEN [x] ELSE list_transform(range(1, length(x)), i -> substr(x, CAST(i AS INT), 2)) END)))) AS w
+  FROM r),
+c AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+rk AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk FROM c)
+SELECT
+  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_types,
+  CAST((SELECT SUM(n) FROM c) AS BIGINT) AS n_tokens,
+  CAST((SELECT COALESCE(SUM(n), 0) FROM rk WHERE rk <= {_CJK_VOCAB_K})
+       AS BIGINT) AS n_covered,
+  CAST((SELECT COALESCE(SUM(n), 0) FROM rk WHERE rk <= {_CJK_VOCAB_K})
+       * 1000000 // (SELECT SUM(n) FROM c) AS BIGINT) AS coverage_ppm
+""",
+)
+def text_vocab_coverage_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_vocab_coverage RE-BASED on the CJK-aware MIXED token
+    stream (alnum words + char bigrams): vocabulary coverage of the
+    top-{_CJK_VOCAB_K} token types over the mixed-script corpus —
+    the tokenizer-sizing question a multilingual pipeline actually
+    asks, where whitespace types would miss every CJK token. Integer
+    ppm, deterministic count-desc/token-asc head.
+
+    Scale posture: mirrors text_vocab_coverage — one type-count
+    shuffle; the top-K cut is a bounded orderBy+limit on the TYPE
+    table (Zipf-bounded), reduced to one row before the broadcast
+    join with the 1-row totals."""
+    from python_etl_spark.functions.text import mixed_script_tokens
+
+    c = (
+        _cjk_corpus(spark, sf_dir)
+        .select(F.explode(mixed_script_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    head = (
+        c.orderBy(F.desc("n"), F.asc("w"))
+        .limit(_CJK_VOCAB_K)
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_covered")
+        )
+    )
+    return totals.crossJoin(F.broadcast(head)).select(
+        "n_types",
+        "n_tokens",
+        "n_covered",
+        F.expr("n_covered * 1000000 div n_tokens").alias("coverage_ppm"),
+    )

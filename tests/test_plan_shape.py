@@ -473,3 +473,32 @@ def test_rolling_wau_no_per_event_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_rolling_wau")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cjk_token_count_zero_shuffle_scan_speed(spark, sf_dir):
+    """The CJK token-count query is pure per-row codegen (regex +
+    higher-order array lambdas): NO exchange anywhere — the 100 TB
+    plan is the scan itself."""
+    plan = _plan(spark, sf_dir, "text_token_count_cjk")
+    assert "Exchange" not in plan, plan
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_cjk_vocab_coverage_bounded_head_broadcast(spark, sf_dir):
+    """Vocab coverage over mixed tokens keeps the text_vocab_coverage
+    shape: the top-K head reduces to ONE row before joining the 1-row
+    totals — broadcast join, no cartesian, no single-partition sort of
+    the corpus (TakeOrdered handles the bounded head)."""
+    plan = _plan(spark, sf_dir, "text_vocab_coverage_cjk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cdf_replay_no_cartesian_keyed_shuffles(spark, sf_dir):
+    """CDC replay = one window over the feed + one anti join against
+    the base, both keyed on the merge key — never a cartesian, and the
+    feed scan reads cdf files only (asserted in tests/test_table.py)."""
+    plan = _plan(spark, sf_dir, "etl_cdf_replay")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin LeftAnti" in plan or "BroadcastHashJoin" in plan, plan

@@ -93,3 +93,53 @@ def test_quality_fit_cramer_weights_match_numpy(spark, sf_dir):
     # the fit is non-trivial: predictions correlate with the target
     gv = np.array([got[d] for d in ids])
     assert np.corrcoef(gv, y)[0, 1] > 0.5
+
+
+def test_cjk_bigrams_and_detector_on_real_scripts(spark):
+    """Char-bigram fallback on REAL CJK strings: Japanese (kana+han),
+    Chinese, Korean, mixed ascii+CJK, ascii-only, empty — bigram
+    lists, mixed token stream, and the no-space-script detector."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.functions.text import (
+        cjk_char_bigrams,
+        cjk_char_count,
+        mixed_script_tokens,
+        no_space_script_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "東京タワーは高い"),          # ja: one 8-char run
+            (2, "我爱北京天安门"),            # zh: one 7-char run
+            (3, "한국어 문서입니다"),          # ko: two runs (space)
+            (4, "use the 漢字 tokenizer"),   # mixed: isolated 2-char run
+            (5, "plain english only"),
+            (6, "字"),                       # single isolated char
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            cjk_char_bigrams("text").alias("bg"),
+            cjk_char_count("text").alias("nc"),
+            mixed_script_tokens("text").alias("mix"),
+            F.round(no_space_script_ratio("text"), 2).alias("ratio"),
+        ).collect()
+    }
+    assert rows[1]["bg"] == [
+        "東京", "京タ", "タワ", "ワー", "ーは", "は高", "高い",
+    ]
+    assert rows[2]["bg"] == ["我爱", "爱北", "北京", "京天", "天安", "安门"]
+    assert rows[3]["bg"] == ["한국", "국어", "문서", "서입", "입니", "니다"]
+    assert rows[3]["nc"] == 8
+    assert rows[4]["bg"] == ["漢字"]
+    assert rows[4]["mix"] == ["use", "the", "tokenizer", "漢字"]
+    assert rows[5]["bg"] == [] and rows[5]["ratio"] == 0.0
+    assert rows[6]["bg"] == ["字"]  # isolated char stays a token
+    assert rows[1]["ratio"] == 1.0
+    assert 0.0 < rows[4]["ratio"] < 0.3  # detector: mostly-ascii doc
+    # token counts: ja doc counts 7 mixed tokens, ws-split would say 1
+    assert len(rows[1]["mix"]) == 7
