@@ -191,6 +191,7 @@ _ROWS_ONLY_RECHECK = [
     "sim_topk_lsh", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
     "emb_pca_variance", "etl_approx_quantiles", "etl_approx_distinct",
     "events_audience_overlap_hll", "text_cms_topk", "text_bpe_tokens",
+    "text_unigram_lm_tokens",
 ]
 
 

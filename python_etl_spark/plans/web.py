@@ -910,3 +910,227 @@ def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_before",
         F.length("r.repaired").cast("int").alias("n_chars_after"),
     )
+
+
+# ------------------ unigram-LM (SentencePiece-style) tokens ----------------
+#
+# The second real tokenizer family next to BPE: operators/unigram.py
+# trains an EM-pruned unigram piece vocabulary over the same capped
+# type table and segments by Viterbi. text_unigram_lm_tokens is the
+# trained path (rows-only: EM + Viterbi DP are not SQL-expressible;
+# exactness pytest-pinned, tests/test_web.py). The checked twin swaps
+# Viterbi for GREEDY LONGEST-MATCH over a SQL-computable substring
+# vocabulary, which a DuckDB recursive CTE replays exactly — the BPE
+# checked-twin pattern.
+
+_UNI_VOCAB = 256     # trained model size ([R] path)
+_UNI_K = 64          # checked twin: substring-vocab head size
+_UNI_MAXLEN = 4      # max piece length (both paths)
+_UNI_MAXW = 16       # checked twin: word-length filter, keeps the SQL
+#                      substring enumeration complete and the greedy
+#                      recursion depth bounded (both engines filter
+#                      identically, so parity is exact)
+
+
+@register("text_unigram_lm_tokens")  # rows-only: EM/Viterbi isn't SQL
+def text_unigram_lm_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM token accounting: seed substring
+    vocabulary -> 2 EM rounds (Viterbi E-step over the capped type
+    table, count-ranked pruning M-step) -> per-document piece counts.
+    Plan shape identical to text_bpe_tokens: ONE corpus shuffle for
+    (doc, word) counts, the Arrow tokenizer touches only DISTINCT
+    types, broadcast join back, grouped sum — training state is
+    bounded (capped type table in, <= vocab_size pieces out)."""
+    from python_etl_spark.operators.unigram import (
+        doc_piece_counts,
+        train_unigram,
+        viterbi_tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(
+        corpus_word_counts(docs), _UNI_VOCAB, _UNI_MAXLEN, iters=2
+    )
+    out = doc_piece_counts(
+        docs, lambda w: viterbi_tokenize(w, model, _UNI_MAXLEN)
+    )
+    return out.select("doc_id", "n_ws_tokens", "n_unigram_tokens")
+
+
+def _greedy_vocab(docs: DataFrame) -> set[str]:
+    """The SQL-expressible piece vocabulary: top-K substrings (length
+    1..MAXLEN) of word types <= MAXW chars, weighted by corpus word
+    count, ties (count desc, piece asc) — plus every single char (the
+    greedy coverage floor). Two bounded collects (K rows + alphabet)."""
+    words = docs.select(
+        F.explode(F.split("text", r"\s+", -1)).alias("w")
+    ).where((F.col("w") != "") & (F.length("w") <= _UNI_MAXW))
+    types = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    subs = (
+        types.select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({_UNI_MAXLEN}, "
+                    f"length(w) - i + 1)), l -> substr(w, i, l))))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.sum("c").alias("n"))
+    )
+    head = subs.orderBy(F.desc("n"), F.asc("p")).limit(_UNI_K).collect()
+    chars = subs.where(F.length("p") == 1).select("p").collect()
+    return {r["p"] for r in head} | {r["p"] for r in chars}
+
+
+_UNI_SQL_CTES = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+  FROM documents),
+fw AS (
+  SELECT doc_id, w FROM toks
+  WHERE w <> '' AND length(w) <= {_UNI_MAXW}),
+per_doc AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM fw GROUP BY doc_id, w),
+types AS (SELECT w, SUM(n) AS c FROM per_doc GROUP BY w),
+subs AS (
+  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p, SUM(c) AS n
+  FROM types, range(1, {_UNI_MAXW + 1}) r(i),
+       range(1, {_UNI_MAXLEN + 1}) s(l)
+  WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= length(w)
+  GROUP BY 1),
+headv AS (SELECT p FROM subs ORDER BY n DESC, p LIMIT {_UNI_K}),
+vocab AS (
+  SELECT DISTINCT p FROM (
+    SELECT p FROM headv
+    UNION
+    SELECT p FROM subs WHERE length(p) = 1)),
+seg AS (
+  SELECT w, 1 AS pos, 0 AS ntok FROM types
+  UNION ALL
+  SELECT s.w,
+    s.pos + (SELECT MAX(length(v.p)) FROM vocab v
+             WHERE v.p = substr(s.w, s.pos, length(v.p))),
+    s.ntok + 1
+  FROM seg s WHERE s.pos <= length(s.w)),
+fin AS (SELECT w, ntok FROM seg WHERE pos = length(w) + 1)"""
+
+
+@register(
+    "text_unigram_tokens_checked",
+    oracle=f"""
+WITH RECURSIVE
+{_UNI_SQL_CTES}
+SELECT p.doc_id,
+  CAST(SUM(p.n) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(p.n * t.ntok) AS BIGINT) AS n_piece_tokens
+FROM per_doc p JOIN fin t ON t.w = p.w
+GROUP BY p.doc_id
+""",
+)
+def text_unigram_tokens_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_unigram_lm_tokens' plan shape with Viterbi swapped for
+    GREEDY longest-match over a fixed substring vocabulary (top-K
+    weighted substrings + all single chars — SQL-computable, unlike
+    the EM model), whose segmentation the oracle replays with a
+    recursive max-munch CTE. Words longer than {maxw} chars are
+    filtered on BOTH sides so the SQL substring enumeration stays
+    complete. Same 100 TB posture: one corpus shuffle, Arrow stage
+    over distinct types only, broadcast join back.""".format(
+        maxw=_UNI_MAXW
+    )
+    from python_etl_spark.operators.unigram import greedy_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = _greedy_vocab(docs)
+    fdocs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split("text", r"\s+", -1),
+                lambda w: (w != "") & (F.length(w) <= _UNI_MAXW),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    from python_etl_spark.operators.unigram import doc_piece_counts
+
+    out = doc_piece_counts(
+        fdocs,
+        lambda w: greedy_tokenize(w, vocab, _UNI_MAXLEN),
+        out_col="n_piece_tokens",
+    )
+    return out.select("doc_id", "n_ws_tokens", "n_piece_tokens")
+
+
+@register(
+    "etl_mixture_report_unigram",
+    oracle=f"""
+WITH RECURSIVE
+{_UNI_SQL_CTES},
+doc_tok AS (
+  SELECT p.doc_id, CAST(SUM(p.n * t.ntok) AS BIGINT) AS n_pieces
+  FROM per_doc p JOIN fin t ON t.w = p.w
+  GROUP BY p.doc_id),
+g AS (
+  SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(dt.n_pieces) AS BIGINT) AS n_piece_tokens
+  FROM documents d JOIN doc_tok dt ON dt.doc_id = d.doc_id
+  GROUP BY d.lang, d.source)
+SELECT lang, source, n_docs, n_piece_tokens,
+  ROUND(n_piece_tokens * 1.0 / SUM(n_piece_tokens) OVER (), 6)
+    AS token_share
+FROM g
+""",
+)
+def etl_mixture_report_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """etl_mixture_report RE-BASED on unigram pieces: mixture budgets
+    per (lang, source) counted in greedy unigram-LM tokens (the
+    SQL-replayable vocabulary, so the whole report stays
+    hash-checkable) — the second real-tokenizer unit for mixture specs
+    next to etl_mixture_report_bpe. Same plan: one corpus shuffle,
+    Arrow stage over distinct types, per-doc counts broadcast back to
+    the (lang, source) labels, share window over the tiny aggregate."""
+    from python_etl_spark.operators.unigram import (
+        doc_piece_counts,
+        greedy_tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = _greedy_vocab(docs)
+    fdocs = docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split("text", r"\s+", -1),
+                lambda w: (w != "") & (F.length(w) <= _UNI_MAXW),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    per_doc = doc_piece_counts(
+        fdocs,
+        lambda w: greedy_tokenize(w, vocab, _UNI_MAXLEN),
+        out_col="n_pieces",
+    ).select("doc_id", "n_pieces")
+    g = (
+        docs.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("n_piece_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_piece_tokens",
+        F.round(
+            F.col("n_piece_tokens") / F.sum("n_piece_tokens").over(w), 6
+        ).alias("token_share"),
+    )

@@ -326,6 +326,7 @@ def test_rows_only_queries_all_have_exactness_tests():
         "etl_approx_quantiles",  # test_scale_ops: value-band vs exact
         "text_cms_topk",         # test_curation: CMS over/under bounds
         "text_bpe_tokens",       # test_bpe: vs pure-Python reference
+        "text_unigram_lm_tokens",  # test_web: vs pure-Python reference
     }
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == ROWS_ONLY_WITH_PYTEST_ORACLE, (

@@ -390,3 +390,101 @@ def test_mojibake_corrupt_then_repair_round_trip(s):
         assert repaired == s_fix or repaired == s
     out2, _ = fix_mojibake_text(repaired)
     assert fix_mojibake_text(out2)[0] == out2  # fixpoint
+
+
+# ------------------------- unigram-LM tokenizer ----------------------------
+
+
+def test_unigram_training_learns_frequent_pieces():
+    from python_etl_spark.operators.unigram import (
+        train_unigram,
+        viterbi_tokenize,
+    )
+
+    wc = [("hello", 10), ("help", 5), ("world", 8), ("hold", 3), ("hell", 2)]
+    m = train_unigram(wc, vocab_size=16, iters=2)
+    # frequent whole words / stems survive pruning and segment as one
+    # or two pieces; a rerun is bit-identical (deterministic ties)
+    assert viterbi_tokenize("help", m) == ["help"]
+    assert len(viterbi_tokenize("hello", m)) <= 2
+    m2 = train_unigram(wc, vocab_size=16, iters=2)
+    assert m == m2
+
+
+def test_unigram_viterbi_unknown_char_fallback():
+    from python_etl_spark.operators.unigram import (
+        train_unigram,
+        viterbi_tokenize,
+    )
+
+    m = train_unigram([("abc", 5)], vocab_size=8, iters=1)
+    out = viterbi_tokenize("axbc", m)
+    assert "".join(out) == "axbc"  # lossless even with unseen 'x'
+
+
+def test_unigram_greedy_max_munch_spec():
+    from python_etl_spark.operators.unigram import greedy_tokenize
+
+    vocab = {"hel", "lo", "h", "e", "l", "o", "hell"}
+    # longest match from the LEFT: 'hell' (4) beats 'hel' (3); the
+    # leftover 'o' is a single char
+    assert greedy_tokenize("hello", vocab) == ["hell", "o"]
+    # missing char falls back to the 1-char branch losslessly
+    assert "".join(greedy_tokenize("zhel", vocab)) == "zhel"
+
+
+def test_unigram_lm_tokens_exact_vs_python_reference(spark, sf_dir):
+    """The EXACT pytest oracle for the rows-only
+    `text_unigram_lm_tokens`: replicate the capped type aggregation,
+    EM training, Viterbi application, and per-doc rollup in pure
+    Python over the same parquet and require identical rows."""
+    from python_etl_spark.operators.unigram import (
+        train_unigram,
+        viterbi_tokenize,
+    )
+    from python_etl_spark.plans.web import _UNI_MAXLEN, _UNI_VOCAB
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_unigram_tokens"])
+        for r in QUERIES["text_unigram_lm_tokens"](spark, sf_dir).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    types: Counter = Counter()
+    perdoc: dict[int, Counter] = {}
+    for r in rows:
+        ws = [w for w in re.split(r"\s+", r["text"]) if w]
+        perdoc[r["doc_id"]] = Counter(ws)
+        types.update(ws)
+    model = train_unigram(
+        sorted(types.items()), _UNI_VOCAB, _UNI_MAXLEN, iters=2
+    )
+    tok = {
+        w: len(viterbi_tokenize(w, model, _UNI_MAXLEN)) for w in types
+    }
+    want = {
+        did: (sum(c.values()), sum(n * tok[w] for w, n in c.items()))
+        for did, c in perdoc.items()
+    }
+    assert got == want
+
+
+def test_unigram_compresses_vs_chars_and_greedy_vs_viterbi(spark, sf_dir):
+    """Sanity of the learned model: trained Viterbi pieces per word
+    are far below character count (it learned multi-char pieces), and
+    the greedy checked twin is within 2x of the trained path's token
+    total (same order of magnitude — both real segmentations)."""
+    from pyspark.sql import functions as F
+
+    lm = QUERIES["text_unigram_lm_tokens"](spark, sf_dir)
+    agg = lm.agg(
+        F.sum("n_unigram_tokens").alias("pieces"),
+        F.sum("n_ws_tokens").alias("words"),
+    ).first()
+    chars = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(F.length("text")).alias("c"))
+        .first()["c"]
+    )
+    assert agg["pieces"] < 0.6 * chars  # learned real multi-char pieces
+    assert agg["pieces"] >= agg["words"]  # at least one piece per word
