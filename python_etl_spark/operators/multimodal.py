@@ -352,3 +352,48 @@ def vad_segments(
         )
         .drop("__grp")
     )
+
+
+def wht_sign_matrix(n: int) -> "np.ndarray":
+    """Walsh-Hadamard sign matrix S[k, j] = (-1)^popcount(k & j) —
+    the integer 'spectral' basis used by the audio fingerprint. WHT
+    coefficients are plain signed integer sums, so fingerprints stay
+    hash-exact cross-engine (a float DFT would not)."""
+    ks = np.arange(n)
+    pc = np.bitwise_and(ks[:, None], ks[None, :])
+    # vectorized popcount parity for values < 2**16
+    pc = (pc & 0x5555) + ((pc >> 1) & 0x5555)
+    pc = (pc & 0x3333) + ((pc >> 2) & 0x3333)
+    pc = (pc & 0x0F0F) + ((pc >> 4) & 0x0F0F)
+    pc = (pc & 0x00FF) + ((pc >> 8) & 0x00FF)
+    return (1 - 2 * (pc & 1)).astype(np.int64)
+
+
+def wav_spectral_peaks_col(payload_col: str, frame_len: int = 32):
+    """Fused decode + spectral fingerprint: WAV binary column ->
+    array<int> of per-frame SPECTRAL PEAK bands — for each consecutive
+    ``frame_len``-sample frame, the Walsh-Hadamard coefficient index
+    (DC band 0 excluded) with the largest |coefficient|, ties to the
+    smallest index. One Arrow pass in the scan stage (the
+    wav_frame_energies_col seam); integer-exact end-to-end, so a
+    DuckDB oracle can replay the transform via bit_count arithmetic."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    S = wht_sign_matrix(frame_len)
+
+    # no type annotations: postponed evaluation (future annotations)
+    # would leave them as unresolvable strings for pyspark's inspector
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def peaks(payloads):
+        out = []
+        for p in payloads:
+            s = wav_pcm(bytes(p)).astype(np.int64)
+            n = (len(s) // frame_len) * frame_len
+            frames = s[:n].reshape(-1, frame_len)
+            coeff = frames @ S.T  # [n_frames, frame_len] int64
+            mag = np.abs(coeff)
+            mag[:, 0] = -1  # exclude DC; peaks are bands 1..frame_len-1
+            out.append(np.argmax(mag, axis=1).astype(np.int32))
+        return pd.Series(out)
+
+    return peaks(F.col(payload_col))

@@ -2451,3 +2451,211 @@ def text_vocab_coverage_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covered",
         F.expr("n_covered * 1000000 div n_tokens").alias("coverage_ppm"),
     )
+
+
+# --------------------- audio spectral fingerprint --------------------------
+#
+# The audio near-dup family on the fused WAV Arrow seam: per-frame
+# Walsh-Hadamard SPECTRAL PEAKS (integer transform — hash-exact
+# cross-engine, unlike a float DFT) fingerprint each container;
+# banding the peak sequence gives LSH-style near-dup candidate pairs.
+# Corpus: every doc_id = 4 (mod 5) is an EXACT audio replica of
+# doc_id - 4 (the planted pairs); the noisy-replica recall path is
+# pytest-checked in tests/test_operators.py (hashes need exactness,
+# recall needs tolerance).
+
+_AFP_SAMPLE_SQL = """
+ck AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 4 THEN doc_id - 4 ELSE doc_id END AS c
+  FROM documents),
+samp AS (
+  SELECT k.doc_id, fr.f, CAST(s.i AS INT) AS n,
+    (CASE WHEN (k.c*3 + fr.f) % 7 < 3 THEN 8 ELSE 1 END) *
+    ((k.c*65531 + (fr.f*32 + s.i)*(fr.f*32 + s.i)*97 + (fr.f*32 + s.i)*(k.c % 193)) % 4001 - 2000) AS v
+  FROM ck k, range(16) fr(f), range(32) s(i)),
+co AS (
+  SELECT doc_id, f, CAST(kk.i AS INT) AS k,
+    SUM(v * (1 - 2 * (bit_count(CAST(kk.i AS INT) & n) % 2))) AS cf
+  FROM samp, range(32) kk(i) GROUP BY 1, 2, 3),
+pkr AS (
+  SELECT doc_id, f, k AS peak,
+    ROW_NUMBER() OVER (PARTITION BY doc_id, f
+                       ORDER BY ABS(cf) DESC, k) AS rn
+  FROM co WHERE k > 0),
+peaks AS (SELECT doc_id, f, peak FROM pkr WHERE rn = 1)
+"""
+
+
+def _afp_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, f, peak) spectral-peak frames over the replica-planted
+    WAV corpus — decode + WHT + argmax fused in ONE Arrow scan-stage
+    pass (operators/multimodal.wav_spectral_peaks_col)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from python_etl_spark.operators.multimodal import (
+        wav_payload,
+        wav_spectral_peaks_col,
+    )
+
+    # no type annotations: postponed evaluation (future annotations)
+    # leaves them as unresolvable strings for pyspark's inspector
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def build_wav(doc_ids):
+        j = np.arange(512, dtype=np.int64)
+        f = j // 32
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            c = d - 4 if d % 5 == 4 else d  # planted exact replicas
+            base = (c * 65531 + j * j * 97 + j * (c % 193)) % 4001 - 2000
+            w = np.where((c * 3 + f) % 7 < 3, 8, 1)
+            out.append(wav_payload(base * w))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", build_wav("doc_id").alias("payload"))
+    return payloads.select(
+        "doc_id",
+        F.posexplode(wav_spectral_peaks_col("payload", 32)).alias(
+            "f", "peak"
+        ),
+    ).select("doc_id", F.col("f").cast("long").alias("f"), "peak")
+
+
+@register(
+    "mm_audio_fingerprint",
+    oracle=f"""
+WITH {_AFP_SAMPLE_SQL},
+agg AS (
+  SELECT doc_id,
+    CAST(MAX(CASE WHEN f = 0 THEN peak END) AS INT) AS first_peak,
+    CAST(COUNT(DISTINCT peak) AS INT) AS n_distinct_peaks,
+    CAST(SUM(CASE WHEN f < 12
+      THEN peak * (CAST(1 AS BIGINT) << CAST(5 * (11 - f) AS INT))
+      ELSE 0 END) AS BIGINT) AS fp_hash
+  FROM peaks GROUP BY doc_id),
+dom AS (
+  SELECT doc_id, peak, COUNT(*) AS n FROM peaks GROUP BY 1, 2),
+domr AS (
+  SELECT doc_id, peak,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, peak) AS rn
+  FROM dom)
+SELECT a.doc_id, a.first_peak,
+  CAST(d.peak AS INT) AS dominant_peak,
+  a.n_distinct_peaks, a.fp_hash
+FROM agg a JOIN (SELECT doc_id, peak FROM domr WHERE rn = 1) d
+  USING (doc_id)
+""",
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-container audio spectral fingerprint over REAL WAV files,
+    hash-checked end-to-end: the Arrow seam decodes the RIFF container
+    and computes per-frame Walsh-Hadamard spectral peaks in ONE scan
+    pass; engine-side rollup emits the first frame's peak, the
+    dominant (modal) peak with deterministic ties, the distinct-peak
+    count, and a packed 12-frame fingerprint (5 bits/frame). The
+    oracle replays samples AND the transform via bit_count arithmetic,
+    so a wrong sign, a dropped frame, or an argmax tie-break slip all
+    hash-mismatch.
+
+    Scale posture: payloads never shuffle (binary -> 16 ints in the
+    scan); only (doc_id, f, peak) rows move; both aggregates are
+    doc-key shuffles of scalar features. At 100 TB of audio the same
+    plan holds — this is the fingerprint-extraction half of the
+    dedup pipeline, mm_audio_fingerprint_pairs is the matching half."""
+    frames = _afp_frames(spark, sf_dir)
+    agg = frames.groupBy("doc_id").agg(
+        F.max(F.when(F.col("f") == 0, F.col("peak")))
+        .cast("int")
+        .alias("first_peak"),
+        F.countDistinct("peak").cast("int").alias("n_distinct_peaks"),
+        F.sum(
+            F.when(
+                F.col("f") < 12,
+                F.col("peak").cast("long")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(5*(11-f) AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("fp_hash"),
+    )
+    dom = frames.groupBy("doc_id", "peak").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("peak"))
+    dom1 = (
+        dom.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("peak").cast("int").alias("dominant_peak"))
+    )
+    return agg.join(dom1, "doc_id").select(
+        "doc_id", "first_peak", "dominant_peak", "n_distinct_peaks",
+        "fp_hash",
+    )
+
+
+@register(
+    "mm_audio_fingerprint_pairs",
+    oracle=f"""
+WITH {_AFP_SAMPLE_SQL},
+bands AS (
+  SELECT doc_id, CAST(f // 4 AS INT) AS band,
+    CAST(SUM(peak * (CAST(1 AS BIGINT) << CAST(5 * (3 - f % 4) AS INT)))
+      AS BIGINT) AS val
+  FROM peaks GROUP BY 1, 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(COUNT(DISTINCT a.band) AS INT) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.band) >= 2
+""",
+)
+def mm_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded audio near-dup pairs (the matching half): the 16-frame
+    peak sequence splits into 4 bands of 4 packed peaks; documents
+    sharing a (band, value) bucket become candidates, and pairs
+    CONFIRMED by >= 2 shared bands are emitted — the LSH band trick
+    plus the multi-band confirmation that keeps single-band accidental
+    collisions (a lossy 20-bit feature WILL collide at corpus scale)
+    out of the output. Planted exact replicas
+    (doc_id = 4 mod 5 copies doc_id - 4) must surface with all 4 bands
+    shared; the oracle replays fingerprints AND banding, so both
+    engines also agree on any accidental bucket collision. Noisy
+    (near-exact) replica recall is pytest-checked with tolerance —
+    recall belongs in tests, exactness in hashes.
+
+    Scale posture: the only corpus-width shuffle is the bucket join on
+    (band, val) — fingerprints are 4 rows/doc, buckets are Zipf-flat
+    (peaks spread over 31 bands), and the pair aggregate is bounded by
+    collision count, the dedup_minhash_lsh shape."""
+    frames = _afp_frames(spark, sf_dir)
+    bands = frames.groupBy(
+        "doc_id", F.expr("CAST(f div 4 AS INT)").alias("band")
+    ).agg(
+        F.sum(
+            F.col("peak").cast("long")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(5*(3 - f % 4) AS INT))")
+        )
+        .cast("long")
+        .alias("val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.band").cast("int").alias("n_shared_bands"))
+        .where(F.col("n_shared_bands") >= 2)
+    )

@@ -445,3 +445,78 @@ def test_wav_frame_energies_and_vad_segments(spark):
         for r in vad_segments(frames, threshold=50).collect()
     }
     assert segs == {(1, 2), (4, 1), (6, 1)}
+
+
+def test_audio_fingerprint_noisy_replica_recall(spark):
+    """The tolerance half of the audio near-dup family (hashes need
+    exactness, recall needs tolerance): replicas perturbed by +-1 PCM
+    noise must still collide on >= 2 of 4 fingerprint bands for >= 70%
+    of planted pairs (observed ~0.78: an argmax peak flips when two
+    WHT coefficients are near-tied, and a band needs all 4 frames
+    intact), and confirmed pairs must be >= 90% planted."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from python_etl_spark.operators.multimodal import (
+        wav_payload,
+        wav_spectral_peaks_col,
+    )
+
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def build_wav(doc_ids):
+        j = np.arange(512, dtype=np.int64)
+        f = j // 32
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            c = d - 4 if d % 5 == 4 else d
+            base = (c * 65531 + j * j * 97 + j * (c % 193)) % 4001 - 2000
+            w = np.where((c * 3 + f) % 7 < 3, 8, 1)
+            v = base * w
+            if d % 5 == 4:  # NOISY replica: +-1 sample perturbation
+                v = v + ((d + j * 11) % 3 - 1)
+            out.append(wav_payload(v))
+        return pd.Series(out)
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    frames = (
+        docs.select("doc_id", build_wav("doc_id").alias("payload"))
+        .select(
+            "doc_id",
+            F.posexplode(wav_spectral_peaks_col("payload", 32)).alias(
+                "f", "peak"
+            ),
+        )
+    )
+    bands = frames.groupBy(
+        "doc_id", F.expr("CAST(f div 4 AS INT)").alias("band")
+    ).agg(
+        F.sum(
+            F.col("peak").cast("long")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(5*(3 - f % 4) AS INT))")
+        ).alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.band").alias("nb"))
+        .where(F.col("nb") >= 2)
+        .collect()
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    planted = {(d - 4, d) for d in range(4, 500, 5)}
+    recall = len(got & planted) / len(planted)
+    precision = len(got & planted) / max(len(got), 1)
+    assert recall >= 0.7, recall
+    assert precision >= 0.9, (precision, len(got))
