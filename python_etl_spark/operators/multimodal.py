@@ -397,3 +397,84 @@ def wav_spectral_peaks_col(payload_col: str, frame_len: int = 32):
         return pd.Series(out)
 
     return peaks(F.col(payload_col))
+
+
+def build_exif_jpeg(
+    width: int,
+    height: int,
+    orientation: int,
+    taken_at: str,
+    has_gps: bool,
+    little_endian: bool = True,
+) -> bytes:
+    """Construct a REAL JPEG header stream: SOI + APP1/Exif (TIFF IFD0
+    with Orientation 0x0112, DateTime 0x0132, optional GPS-IFD pointer
+    0x8825; either byte order) + SOF0 carrying the pixel shape. Enough
+    structure for any spec-conforming EXIF walker; no pixel data."""
+    e = "<" if little_endian else ">"
+    n = 3 if has_gps else 2
+    # TIFF origin: header(8) + ifd count(2) + n*12 entries + next(4)
+    dt_off = 8 + 2 + n * 12 + 4
+    dt = taken_at.encode("ascii") + b"\x00"
+    assert len(dt) == 20
+    entries = struct.pack(e + "HHIHH", 0x0112, 3, 1, orientation, 0)
+    entries += struct.pack(e + "HHII", 0x0132, 2, 20, dt_off)
+    if has_gps:
+        entries += struct.pack(e + "HHII", 0x8825, 4, 1, dt_off + 20)
+    tiff = (
+        (b"II" if little_endian else b"MM")
+        + struct.pack(e + "HI", 42, 8)
+        + struct.pack(e + "H", n)
+        + entries
+        + struct.pack(e + "I", 0)
+        + dt
+    )
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    return b"\xff\xd8" + app1 + sof0
+
+
+def parse_exif(payload: bytes) -> tuple[int | None, str | None, bool]:
+    """Walk a JPEG's APP1/Exif TIFF structure (both byte orders):
+    (orientation, taken_at, has_gps). Orientation tag 0x0112,
+    DateTime tag 0x0132 (offset-pointed ASCII), GPS presence = IFD
+    pointer tag 0x8825. O(header) like parse_media_header — never
+    touches pixel data, safe over billions of binaries."""
+    if payload[:3] != b"\xff\xd8\xff":
+        return None, None, False
+    i = 2
+    while i + 4 <= len(payload) and payload[i] == 0xFF:
+        marker = payload[i + 1]
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = i + 10  # TIFF origin
+            order = payload[t : t + 2]
+            if order not in (b"II", b"MM"):
+                return None, None, False
+            e = "<" if order == b"II" else ">"
+            ifd = t + struct.unpack(e + "I", payload[t + 4 : t + 8])[0]
+            cnt = struct.unpack(e + "H", payload[ifd : ifd + 2])[0]
+            orientation: int | None = None
+            taken: str | None = None
+            gps = False
+            for k in range(cnt):
+                ent = ifd + 2 + k * 12
+                tag, typ, _n = struct.unpack(
+                    e + "HHI", payload[ent : ent + 8]
+                )
+                if tag == 0x0112 and typ == 3:
+                    orientation = struct.unpack(
+                        e + "H", payload[ent + 8 : ent + 10]
+                    )[0]
+                elif tag == 0x0132 and typ == 2:
+                    off = t + struct.unpack(
+                        e + "I", payload[ent + 8 : ent + 12]
+                    )[0]
+                    raw = payload[off : off + 19]
+                    taken = raw.decode("ascii", errors="replace")
+                elif tag == 0x8825:
+                    gps = True
+            return orientation, taken, gps
+        i += 2 + seg_len
+    return None, None, False

@@ -2659,3 +2659,92 @@ def mm_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("a.band").cast("int").alias("n_shared_bands"))
         .where(F.col("n_shared_bands") >= 2)
     )
+
+
+@register(
+    "mm_exif_probe",
+    oracle="""
+SELECT doc_id,
+  'jpg' AS fmt,
+  CAST(64 + doc_id % 512 AS INT) AS width,
+  CAST(64 + doc_id % 256 AS INT) AS height,
+  CAST(1 + doc_id % 8 AS INT) AS orientation,
+  printf('2024:%02d:%02d %02d:%02d:%02d',
+         1 + doc_id % 12, 1 + doc_id % 28,
+         doc_id % 24, doc_id % 60, doc_id % 59) AS taken_at,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS has_gps
+FROM documents
+""",
+)
+def mm_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata walk in the `headers` decoder seam: REAL JPEG
+    streams (SOI + APP1/Exif TIFF IFD0 + SOF0) built from doc_id
+    arithmetic — half little-endian, half big-endian TIFF, GPS IFD
+    pointer present on every third doc — parsed back by the stdlib
+    spec walker (operators/multimodal.parse_exif): orientation tag
+    0x0112, offset-pointed DateTime 0x0132, GPS presence 0x8825, plus
+    the SOFn shape probe. The oracle predicts every field from the
+    same arithmetic, so a wrong endian branch, offset slip, or tag
+    mixup hash-mismatches on half the corpus at once.
+
+    Scale posture: identical to mm_header_probe — one Arrow pass,
+    O(header bytes) per payload, no pixel decode, payloads never
+    shuffle (binary -> 6 scalars in the scan stage)."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from python_etl_spark.operators.multimodal import (
+        build_exif_jpeg,
+        parse_exif,
+        parse_media_header,
+    )
+
+    # no type annotations: postponed evaluation (future annotations)
+    # leaves them as unresolvable strings for pyspark's inspector
+    @pandas_udf("binary", PandasUDFType.SCALAR)
+    def build_payload(doc_ids):
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            out.append(
+                build_exif_jpeg(
+                    64 + d % 512,
+                    64 + d % 256,
+                    1 + d % 8,
+                    f"2024:{1 + d % 12:02d}:{1 + d % 28:02d} "
+                    f"{d % 24:02d}:{d % 60:02d}:{d % 59:02d}",
+                    d % 3 == 0,
+                    little_endian=d % 2 == 0,
+                )
+            )
+        return pd.Series(out)
+
+    @pandas_udf(
+        "fmt string, width int, height int, orientation int,"
+        " taken_at string, has_gps int",
+        PandasUDFType.SCALAR,
+    )
+    def probe(payloads):
+        rows = []
+        for p in payloads:
+            b = bytes(p)
+            parsed = parse_media_header(b)
+            fmt, w, h = parsed if parsed else (None, None, None)
+            o, t, g = parse_exif(b)
+            rows.append((fmt, w, h, o, t, int(g)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "fmt", "width", "height", "orientation", "taken_at",
+                "has_gps",
+            ],
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id", probe(build_payload("doc_id")).alias("x")
+    )
+    return out.select(
+        "doc_id", "x.fmt", "x.width", "x.height", "x.orientation",
+        "x.taken_at", "x.has_gps",
+    )

@@ -520,3 +520,33 @@ def test_audio_fingerprint_noisy_replica_recall(spark):
     precision = len(got & planted) / max(len(got), 1)
     assert recall >= 0.7, recall
     assert precision >= 0.9, (precision, len(got))
+
+
+def test_exif_builder_parser_round_trip_both_endians():
+    """parse_exif walks real TIFF structures in either byte order and
+    tolerates non-JPEG / EXIF-less payloads."""
+    from python_etl_spark.operators.multimodal import (
+        build_exif_jpeg,
+        parse_exif,
+        parse_media_header,
+    )
+
+    for le in (True, False):
+        p = build_exif_jpeg(
+            640, 480, 6, "2024:03:15 10:22:33", True, little_endian=le
+        )
+        assert parse_exif(p) == (6, "2024:03:15 10:22:33", True)
+        assert parse_media_header(p) == ("jpg", 640, 480)
+    p2 = build_exif_jpeg(100, 50, 1, "2024:01:01 00:00:00", False)
+    assert parse_exif(p2) == (1, "2024:01:01 00:00:00", False)
+    assert parse_exif(b"\x89PNG\r\n\x1a\nxxxx") == (None, None, False)
+    # plain JPEG without APP1: no EXIF, shape probe still works
+    import struct
+
+    plain = (
+        b"\xff\xd8"
+        + b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, 50, 100, 1)
+    )
+    assert parse_exif(plain) == (None, None, False)
+    assert parse_media_header(plain) == ("jpg", 100, 50)
