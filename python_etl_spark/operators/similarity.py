@@ -1319,3 +1319,193 @@ def sq8_topk_from_index(
         .orderBy(F.desc("adc_micro"), F.asc("neighbor_id"))
         .limit(k)
     )
+
+
+def _ivfpq_encode(v: DataFrame, cn: np.ndarray, books: np.ndarray) -> DataFrame:
+    """Distributed IVFPQ encode: (id, vec) -> (id, vec, list_id,
+    codes) — coarse assignment + per-subspace residual code, one Arrow
+    pass; model state (centroids + codebooks, KBs) rides the closure."""
+    n_sub, _k_sub, sub_dim = books.shape
+
+    def enc(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in b["vec"]])
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            assign = (mn @ cn.T).argmax(axis=1)
+            res = (mn - cn[assign]).reshape(len(m), n_sub, sub_dim)
+            codes = np.empty((len(m), n_sub), dtype=np.int32)
+            for s in range(n_sub):
+                d = ((res[:, s, None, :] - books[None, s, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "vec": b["vec"],
+                    "list_id": assign.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return v.mapInPandas(
+        enc,
+        schema="id long, vec array<double>, list_id int, codes array<int>",
+    )
+
+
+def ivfpq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVFPQ index (the Faiss IVFPQ at-rest layout):
+    coarse k-means lists as parquet PARTITION DIRECTORIES, one row per
+    vector holding its residual-PQ code array (n_sub small ints) plus
+    the raw vector for the exact re-rank stage. Returns (centroids,
+    codebooks) — the driver-held model, persist next to the index in
+    production. Completes the persisted-index family (IVF, SQ8, now
+    IVFPQ): search = partition-pruned probe + ADC over codes + exact
+    re-rank, all reading ONLY probed list directories."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    cn = _normalize_rows(_kmeans_centroids(v, n_centroids))
+    books = _pq_train_residual(v, cn, n_sub, k_sub)
+    (
+        _ivfpq_encode(v, cn, books)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return cn, books
+
+
+def ivfpq_append_index(
+    embeddings: DataFrame,
+    path: str,
+    cn: np.ndarray,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a new batch into a materialized IVFPQ index WITHOUT
+    rebuilding: encode against the FROZEN quantizers (standard Faiss
+    add() maintenance) and parquet-append under partitionBy — existing
+    files untouched, new files land only in the affected list dirs.
+    Re-train when ivf_list_stats shows drift-skew."""
+    v = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    )
+    (
+        _ivfpq_encode(v, cn, books)
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    cn: np.ndarray,
+    books: np.ndarray,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 64,
+) -> DataFrame:
+    """ANN top-k over the STORED IVFPQ index: the queries' probe sets
+    become ONE partition-pruning predicate (only probed list dirs are
+    read — assert on inputFiles), candidates are ADC-scored from the
+    STORED codes (never re-encoded), the per-query ADC pool is capped
+    at ``rerank`` and exactly re-ranked by true cosine from the stored
+    vectors — the ivfpq_topk pipeline with the corpus scan replaced by
+    the at-rest index."""
+    n_sub, _k_sub, sub_dim = books.shape
+    idx = spark.read.parquet(path)
+    qrows = idx.where(F.col("id").isin(query_ids)).collect()
+    q_ids = np.array([r["id"] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0] = 1.0
+    qmn = qm / qn[:, None]
+    qc = qmn @ cn.T
+    probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    probe_sets = [set(row.tolist()) for row in probe]
+    probed_lists = sorted({int(x) for row in probe for x in row})
+    tables = np.einsum(
+        "qsd,skd->qsk", qmn.reshape(len(qmn), n_sub, sub_dim), books
+    )
+
+    pruned = idx.where(F.col("list_id").isin(probed_lists))
+
+    def scan(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].to_numpy(dtype=np.int64)
+            assign = b["list_id"].to_numpy(dtype=np.int64)
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in b["codes"]]
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(assign, list(probe_sets[qi])) & (ids != qid)
+                if not mask.any():
+                    continue
+                approx = qc[qi, assign[mask]].copy()
+                for s in range(n_sub):
+                    approx += tables[qi, s, codes[mask, s]]
+                top = min(rerank, int(mask.sum()))
+                sel = np.lexsort((ids[mask], -approx))[:top]
+                out_q.extend([int(qid)] * len(sel))
+                out_n.extend(ids[mask][sel].tolist())
+                out_s.extend(approx[sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx": out_s}
+            )
+
+    cands = pruned.select("id", "list_id", "codes").mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double"
+    )
+    exact = pruned.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        norm_sq_exact("vec").alias("cnsq"),
+    )
+    import pandas as _pd
+
+    qdf = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "query_id": [int(r["id"]) for r in qrows],
+                "qvec": [list(map(float, r["vec"])) for r in qrows],
+            }
+        )
+    ).withColumn("qnsq", norm_sq_exact("qvec"))
+    cos = cosine_from_parts(
+        dot_exact("qvec", "cvec"), F.col("qnsq"), F.col("cnsq")
+    )
+    scored = (
+        cands.select("query_id", "neighbor_id").distinct()
+        .join(exact, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -377,3 +377,130 @@ def test_ivf_append_maintains_index_without_rebuild(spark, tmp_path):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_ivfpq_index_write_search_recall_and_pruning(spark, tmp_path):
+    """The persisted IVFPQ index (completing the IVF/SQ8/IVFPQ index
+    family): write residual-PQ codes partitioned by list id, search =
+    partition-pruned probe + ADC over STORED codes + exact re-rank;
+    recall >= 0.8 vs brute force, and the pruned scan touches only
+    probed list directories."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((5, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "ivfpq_index")
+    cn, books = ivfpq_write_index(
+        emb, path, n_centroids=8, n_sub=4, k_sub=16
+    )
+    assert books.shape == (4, 16, 4)
+
+    queries = [0, 40, 80]
+    got = ivfpq_topk_from_index(
+        spark, path, cn, books, queries, k=5, nprobe=2, rerank=32
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+    # partition pruning: the probe scan reads ONLY probed list dirs
+    idx = spark.read.parquet(path)
+    qv = np.stack(
+        [
+            np.asarray(r["vec"], dtype=np.float64)
+            for r in idx.where(F.col("id").isin(queries)).collect()
+        ]
+    )
+    qn = np.sqrt((qv * qv).sum(axis=1))
+    qv = qv / qn[:, None]
+    probe = np.argsort(-(qv @ cn.T), axis=1, kind="stable")[:, :2]
+    probed = sorted({int(x) for row in probe for x in row})
+    pruned = idx.where(F.col("list_id").isin(probed))
+    touched = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched == {str(p) for p in probed}, (touched, probed)
+    assert len(touched) < 8
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_ivfpq_index_append_maintenance(spark, tmp_path):
+    """ivfpq_append_index encodes against the FROZEN quantizers and
+    parquet-appends into the affected list dirs only; appended vectors
+    are findable, earlier files untouched."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_append_index,
+        ivfpq_topk_from_index,
+        ivfpq_write_index,
+    )
+
+    rng = np.random.RandomState(29)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(40):
+            v = centers[c] + rng.standard_normal(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = full.where(F.col("vec_id") < 140)
+    batch = full.where(F.col("vec_id") >= 140)
+
+    path = str(tmp_path / "ivfpq_idx")
+    cn, books = ivfpq_write_index(base, path, n_centroids=4, n_sub=4)
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    ivfpq_append_index(batch, path, cn, books)
+    files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert files_before <= files_after
+    assert len(files_after) > len(files_before)
+    assert spark.read.parquet(path).count() == 160
+
+    queries = [150, 155, 159]
+    got = ivfpq_topk_from_index(
+        spark, path, cn, books, queries, k=5, nprobe=2, rerank=32
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(full, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(exact & approx) / len(exact) >= 0.8
