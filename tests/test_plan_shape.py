@@ -502,3 +502,29 @@ def test_cdf_replay_no_cartesian_keyed_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "etl_cdf_replay")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin LeftAnti" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_audio_fingerprint_payloads_never_shuffle(spark, sf_dir):
+    """The WAV fingerprint family's scale contract: binary payloads
+    are reduced to per-frame peaks IN THE SCAN STAGE — no Exchange
+    carries a binary column; only (doc_id, f, peak) scalars shuffle."""
+    plan = _plan(spark, sf_dir, "mm_audio_fingerprint")
+    for ex in plan.split("Exchange")[1:]:
+        # the first bracketed column list after each Exchange
+        cols = ex.split("[", 2)[-1][:400]
+        assert "payload" not in cols, cols
+
+
+def test_audio_pairs_bucket_join_no_cartesian(spark, sf_dir):
+    """Banded audio near-dup matching is a keyed bucket join on
+    (band, val) — never a cartesian/nested-loop pair scan."""
+    plan = _plan(spark, sf_dir, "mm_audio_fingerprint_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_exif_probe_zero_shuffle(spark, sf_dir):
+    """EXIF probing is one Arrow pass per row: no Exchange at all."""
+    plan = _plan(spark, sf_dir, "mm_exif_probe")
+    assert "Exchange" not in plan, plan
