@@ -2391,3 +2391,80 @@ def etl_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+@register(
+    "etl_scd2_from_cdf",
+    oracle=r"""
+WITH priced AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders),
+v AS (
+  SELECT k, priority, price, 0 AS vf,
+    CASE WHEN k % 5 = 0 THEN 1
+         WHEN k % 7 = 0 THEN 2
+         ELSE -1 END AS vt
+  FROM priced WHERE k % 3 <> 2
+  UNION ALL
+  SELECT k, priority, price + 100, 1,
+    CASE WHEN k % 7 = 0 THEN 2 ELSE -1 END
+  FROM priced WHERE k % 5 = 0
+)
+SELECT k AS o_orderkey, priority, CAST(price AS DOUBLE) AS price,
+  CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to
+FROM v
+""",
+)
+def etl_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history built FROM the change feed (the
+    CDC-to-warehouse pattern a lakehouse user actually runs): every
+    insert/update_postimage opens a version at its commit, every
+    update_preimage/delete closes the version that was open before it
+    (valid_to = the earliest later close; -1 = still current). The
+    builder is GENERIC over the feed — it never looks at the commits'
+    semantics, only typed rows — while the oracle derives the same
+    history directly from orders arithmetic, so an off-by-one in
+    open/close matching or a same-commit pre/post mixup breaks the
+    hash.
+
+    Scale posture: opens and closes are both night-sized feed frames
+    plus the base snapshot; the close-matching join and the min-
+    aggregate shuffle on the merge key only — the etl_scd2_history
+    family's cost shape, fed by cdf files instead of a staged
+    changelog."""
+    t = _cdf_source(spark, sf_dir)
+    feed = t.row_changes(spark, 0, 2)
+    base = t.read(spark, 0)
+    opens = base.select(
+        "o_orderkey", "priority", "price", F.lit(0).cast("long").alias("valid_from")
+    ).unionByName(
+        feed.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(
+            "o_orderkey", "priority", "price",
+            F.col("_commit_version").alias("valid_from"),
+        )
+    )
+    closes = feed.where(
+        F.col("_change_type").isin("update_preimage", "delete")
+    ).select(F.col("o_orderkey").alias("ck"), F.col("_commit_version").alias("cv"))
+    # the close-eligibility predicate (cv > valid_from) must live IN
+    # the join condition: an open whose only closes are <= valid_from
+    # is still current and must survive with cv NULL
+    joined = opens.join(
+        closes,
+        (opens["o_orderkey"] == closes["ck"])
+        & (closes["cv"] > opens["valid_from"]),
+        "left",
+    ).drop("ck")
+    return (
+        joined.groupBy("o_orderkey", "priority", "price", "valid_from")
+        .agg(F.min("cv").alias("vt"))
+        .select(
+            "o_orderkey",
+            "priority",
+            F.col("price").cast("double").alias("price"),
+            "valid_from",
+            F.coalesce(F.col("vt"), F.lit(-1)).cast("long").alias("valid_to"),
+        )
+    )

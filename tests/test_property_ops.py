@@ -435,3 +435,78 @@ def test_mmr_rerank_invariants(spark, ids):
     )
     assert out[0]["vec_id"] == pool[0]["vec_id"]
     assert rels[out[0]["vec_id"]] == pool[0]["rel"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["append", "merge", "delete", "compact"]),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(0, 1000),
+)
+def test_row_changes_replay_reproduces_snapshot_under_any_ops(
+    spark, tmp_path_factory, ops, seed
+):
+    """The change-feed CONTRACT as a property: for ANY interleaving of
+    append / merge / delete_where / compact, replaying row_changes(0)
+    onto the v0 snapshot (latest change per key, same-commit postimage
+    beats preimage, deletes drop the key) reproduces read(latest)
+    exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    root = tmp_path_factory.mktemp("cdfprop")
+    t = VersionedTable(str(root / "t"))
+    rng = seed
+
+    def frame(lo, n, tag):
+        return spark.range(lo, lo + n).selectExpr(
+            "id AS k", f"id * 10 AS v", f"'{tag}' AS s"
+        )
+
+    t.create(frame(0, 12, "base"))
+    # appended keys live in a high range disjoint from merge keys
+    # (id * 2 <= ~2010), so the table stays key-unique and the
+    # one-row-per-key replay semantics apply
+    lo = 100000
+    for op in ops:
+        rng = (rng * 1103515245 + 12345) % (2**31)
+        if op == "append":
+            n = rng % 8 + 1
+            t.append(frame(lo, n, "app"))
+            lo += n
+        elif op == "merge":
+            # touch a mix of existing and brand-new keys
+            upd = spark.range(rng % 5, rng % 5 + 6).selectExpr(
+                "id * 2 AS k", f"id + {rng % 100} AS v", "'upd' AS s"
+            )
+            t.merge(upd, ["k"])
+        elif op == "delete":
+            t.delete_where(F.col("k") % 5 == rng % 5)
+        else:
+            t.compact(spark)
+
+    feed = t.row_changes(spark, 0)
+    w = Window.partitionBy("k").orderBy(
+        F.desc("_commit_version"),
+        F.when(F.col("_change_type") == "update_preimage", 1).otherwise(0),
+    )
+    last = feed.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    alive = last.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "v", "s")
+    replayed = (
+        t.read(spark, 0)
+        .join(last.select("k"), "k", "left_anti")
+        .select("k", "v", "s")
+        .unionByName(alive)
+    )
+    got = sorted(tuple(r) for r in replayed.collect())
+    want = sorted(
+        tuple(r) for r in t.read(spark).select("k", "v", "s").collect()
+    )
+    assert got == want
