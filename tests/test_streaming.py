@@ -1051,3 +1051,88 @@ def test_foreach_batch_streaming_leaderboard(spark, tmp_path):
     }
     got = {tuple(r) for r in lead.read(spark).collect()}
     assert got == want and len(got) == 6
+
+
+def test_streaming_cdf_fold_equals_batch_recompute(spark, tmp_path):
+    """Structured Streaming over the change feed: the cdf dirs of a
+    VersionedTable are a FILE-SOURCE stream (new merge/delete commits
+    surface as micro-batches); foreachBatch folds the typed rows with
+    the signed-IVM rule (+insert/+post, -pre/-delete) into a running
+    per-group state, which must equal the one-shot recompute over the
+    final snapshot — the streaming face of MaterializedRollup's fold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.range(0, 60).selectExpr(
+            "id AS k", "id % 6 AS g", "id * 10 AS v"
+        )
+    )
+    t.merge(
+        spark.range(0, 30).selectExpr(
+            "id * 2 AS k", "(id * 2) % 6 AS g", "id * 1000 AS v"
+        ),
+        ["k"],
+    )
+    t.delete_where(F.col("k") % 7 == 3)
+
+    feed_schema = t.row_changes(spark, 0).drop("_commit_version").schema
+    stream = spark.readStream.schema(feed_schema).parquet(
+        os.path.join(t.root, "data", "cdf-*")
+    )
+    state: dict = {}
+
+    def fold(batch_df, _bid):
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        rows = (
+            batch_df.groupBy("g")
+            .agg(
+                F.sum(F.col("v") * w).alias("dv"),
+                F.sum(w).alias("dn"),
+            )
+            .collect()
+        )
+        for r in rows:
+            sv, sn = state.get(r["g"], (0, 0))
+            state[r["g"]] = (sv + r["dv"], sn + r["dn"])
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # fold state covers the merge+delete deltas; add the v0 baseline
+    base = {
+        r["g"]: (r["sv"], r["sn"])
+        for r in t.read(spark, 0)
+        .groupBy("g")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("sn"))
+        .collect()
+    }
+    folded = {
+        g: (
+            base.get(g, (0, 0))[0] + dv,
+            base.get(g, (0, 0))[1] + dn,
+        )
+        for g, (dv, dn) in state.items()
+    }
+    for g in base:
+        folded.setdefault(g, base[g])
+    want = {
+        r["g"]: (r["sv"], r["sn"])
+        for r in t.read(spark)
+        .groupBy("g")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("sn"))
+        .collect()
+    }
+    assert {g: v for g, v in folded.items() if v[1] != 0} == want
