@@ -33,6 +33,9 @@ def main() -> None:
         "events_autocorr",
         "events_changepoint",
         "events_seasonal_dow",
+        # round-9: per-row payload projections count() would prune
+        "text_token_count_cjk",
+        "mm_exif_probe",
     }
 
     rows = []
