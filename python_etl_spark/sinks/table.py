@@ -115,6 +115,65 @@ class VersionedTable:
 
     # ------------------------------ internals -----------------------------
     @staticmethod
+    def _dir_stats(path: str) -> dict:
+        """Per-column [min, max] over every parquet file under ``path``
+        from the FOOTERS (metadata-only, driver-side, no Spark job) —
+        the Iceberg/Delta file-statistics idea at commit-dir
+        granularity. Only JSON-safe column types are kept (ints,
+        floats, strings, date/timestamp as ISO strings); columns with
+        a missing stat in any file are dropped (conservative: no stat
+        means no pruning)."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        stats: dict[str, list] = {}
+        dropped: set[str] = set()
+
+        def _js(v):
+            if isinstance(v, (bool, int, float, str)):
+                return v
+            if isinstance(v, bytes):
+                try:
+                    return v.decode("utf-8")
+                except UnicodeDecodeError:
+                    return None
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return None
+
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if name in dropped or "." in name:
+                            continue
+                        st = col.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or _js(st.min) is None
+                            or _js(st.max) is None
+                        ):
+                            dropped.add(name)
+                            stats.pop(name, None)
+                            continue
+                        lo, hi = _js(st.min), _js(st.max)
+                        cur = stats.get(name)
+                        if cur is None:
+                            stats[name] = [lo, hi]
+                        else:
+                            cur[0] = min(cur[0], lo)
+                            cur[1] = max(cur[1], hi)
+        return stats
+
+    @staticmethod
     def _dir_rows(path: str) -> int:
         """Row count of every parquet file under ``path`` from the
         FOOTERS (metadata-only — no Spark job, no data read); the
@@ -180,9 +239,20 @@ class VersionedTable:
         meta: dict | None = None,
         num_rows: int | None = None,
         cdf_dir: str | None = None,
+        carry_stats: dict | None = None,
     ) -> int:
         import time
 
+        # dir-granularity data-skipping stats: footer-derived per-column
+        # [min, max] for every dir in this snapshot. Carried forward
+        # from the previous manifest (``carry_stats``) so each commit
+        # footer-walks ONLY its new dir; dirs absent from the carry
+        # (pre-stats manifests) are walked once and propagate.
+        carry = carry_stats or {}
+        dir_stats = {
+            d: (carry[d] if d in carry else self._dir_stats(d))
+            for d in dirs
+        }
         manifest = {
             "version": version,
             "op": op,
@@ -201,6 +271,7 @@ class VersionedTable:
             # after N's stamp) before stamping its own.
             "committed_at": time.time(),
         }
+        manifest["dir_stats"] = dir_stats
         if meta:
             manifest["meta"] = meta
         if cdf_dir:
@@ -481,7 +552,8 @@ class VersionedTable:
             v = cur["version"] + 1
             try:
                 return self._commit(
-                    cur["data_dirs"] + [d], "append", v, m or None
+                    cur["data_dirs"] + [d], "append", v, m or None,
+                    carry_stats=cur.get("dir_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -596,7 +668,12 @@ class VersionedTable:
                     raise
                 cur = self._read_manifest()
 
-    def compact(self, spark: SparkSession | None = None) -> int:
+    def compact(
+        self,
+        spark: SparkSession | None = None,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> int:
         """Rewrite the current snapshot into ONE commit dir (keeping
         the hive layout). A long-lived incremental table accretes one
         dir per nightly append, and the snapshot read unions one scan
@@ -605,11 +682,23 @@ class VersionedTable:
         resets that to a single scan; the bookmark metadata of the
         latest version is carried forward so incremental loads are
         unaffected. Conflict retry recomputes from the new snapshot
-        (the interleaved commit's rows must not be lost)."""
+        (the interleaved commit's rows must not be lost).
+
+        ``sort_by`` is the DATA-CLUSTERING knob (Delta OPTIMIZE
+        ZORDER's shape): range-repartition into ``n_files`` (default 8)
+        and sort within partitions, so each output file / row group
+        covers a TIGHT range of the sort key — parquet row-group
+        min-max pruning and :meth:`read_pruned`'s dir skipping both
+        sharpen. Pass a precomputed z-order/morton column (see
+        operators/layout.zorder_by) for multi-dimensional clustering."""
         spark = spark or SparkSession.getActiveSession()
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             base = self.read(spark, cur["version"])
+            if sort_by:
+                base = base.repartitionByRange(
+                    n_files or 8, *sort_by
+                ).sortWithinPartitions(*sort_by)
             v = cur["version"] + 1
             d = self._write_data(base, self.partition_columns() or None)
             try:
@@ -617,6 +706,84 @@ class VersionedTable:
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an old snapshot (the Delta RESTORE
+        command): a NEW commit whose dir list is exactly the old
+        manifest's — zero data copy, the interim versions stay
+        time-travelable until vacuum, and the restored dirs' skipping
+        stats carry over. A rewrite barrier for both change feeds
+        (a restore has no row lineage); incremental consumers
+        re-baseline from the restored snapshot."""
+        old = self._read_manifest(version)
+        rows = self.row_count(version)
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            v = cur["version"] + 1
+            try:
+                return self._commit(
+                    old["data_dirs"],
+                    "restore",
+                    v,
+                    meta={"restored_from": version},
+                    num_rows=rows,
+                    carry_stats=old.get("dir_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with DIR-GRANULARITY data skipping: commit
+        dirs whose footer-derived [min, max] for ``col`` cannot
+        intersect [lo, hi] are never opened (the Iceberg/Delta
+        file-statistics prune, one level up). The residual predicate
+        is still applied to the surviving dirs, so results equal
+        ``read().where(...)`` exactly; dirs with no recorded stat for
+        the column are read (conservative). The 100 TB win is the
+        nightly-append layout: each night's dir covers a tight
+        ingest-date range, so a date-window query opens last week's
+        dirs, never the corpus. Pass ``lo``/``hi`` in the stats' JSON
+        value space (numbers, strings, ISO date strings)."""
+        m = self._read_manifest(version)
+        stats = m.get("dir_stats", {})
+        dirs = []
+        for d in m["data_dirs"]:
+            s = stats.get(d, {}).get(col)
+            if s is not None:
+                dlo, dhi = s
+                if lo is not None and dhi < lo:
+                    continue
+                if hi is not None and dlo > hi:
+                    continue
+            dirs.append(d)
+        full = self.read(spark, m["version"])
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        if not dirs:
+            return spark.createDataFrame([], full.schema).where(cond)
+        evolved = self._schema_evolved(m["version"])
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        if len(dirs) == 1 or not self.partition_columns():
+            return reader.parquet(*dirs).where(cond)
+        out = reader.parquet(dirs[0])
+        for d in dirs[1:]:
+            out = out.unionByName(
+                reader.parquet(d), allowMissingColumns=evolved
+            )
+        return out.where(cond)
 
     @staticmethod
     def _tree_bytes(path: str) -> int:
@@ -676,6 +843,7 @@ class VersionedTable:
                     v,
                     cur.get("meta"),
                     num_rows=total,
+                    carry_stats=cur.get("dir_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:

@@ -61,7 +61,7 @@ def test_incremental_crash_between_extract_and_commit(spark, tmp_path):
 
     orig_commit = VersionedTable._commit
 
-    def dying_commit(self, dirs, op, version, meta=None):
+    def dying_commit(self, dirs, op, version, meta=None, **kw):
         raise RuntimeError("simulated crash after data write, before commit")
 
     VersionedTable._commit = dying_commit

@@ -809,3 +809,111 @@ def test_row_changes_vacuum_and_clean_metadata_retention(spark, tmp_path):
     t.vacuum()
     data_root = os.path.join(t.root, "data")
     assert not any(n.startswith("cdf-") for n in os.listdir(data_root))
+
+
+def test_read_pruned_skips_non_overlapping_dirs(spark, tmp_path):
+    """Dir-granularity data skipping: three nightly appends with
+    disjoint key ranges; a range read opens ONLY the overlapping
+    commit dir (inputFiles-asserted) and equals the unpruned filter."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"))
+    t.append(spark.range(100, 200).selectExpr("id AS k", "id * 2 AS v"))
+    t.append(spark.range(200, 300).selectExpr("id AS k", "id * 2 AS v"))
+
+    m = t._read_manifest()
+    assert len(m["dir_stats"]) == 3
+    for d in m["data_dirs"]:
+        assert "k" in m["dir_stats"][d]
+
+    pruned = t.read_pruned(spark, "k", lo=120, hi=180)
+    want = sorted(
+        tuple(r) for r in t.read(spark).where("k >= 120 AND k <= 180").collect()
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == want
+    # only the middle dir's files were eligible
+    mid = m["data_dirs"][1]
+    assert all(mid in f for f in pruned.inputFiles()), pruned.inputFiles()
+    # out-of-range probe opens nothing and returns empty
+    none = t.read_pruned(spark, "k", lo=1000)
+    assert none.count() == 0 and none.inputFiles() == []
+    # unknown-column probe is conservative: reads everything, filters
+    assert t.read_pruned(spark, "v", lo=0, hi=10).count() == 6
+
+
+def test_compact_sort_by_tightens_row_group_stats(spark, tmp_path):
+    """compact(sort_by=...) range-clusters the rewrite: every output
+    file covers a tight disjoint key range (footer-checked), which is
+    what makes parquet row-group pruning and read_pruned bite after
+    compaction."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    # interleaved appends: every dir spans nearly the full key range
+    t.create(
+        spark.range(0, 400).selectExpr("id % 97 AS k", "id AS v")
+    )
+    t.append(
+        spark.range(400, 800).selectExpr("id % 89 AS k", "id AS v")
+    )
+    t.compact(spark, sort_by=["k"], n_files=4)
+    d = t._read_manifest()["data_dirs"][0]
+    spans = []
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == "k":
+                        spans.append((c.statistics.min, c.statistics.max))
+    assert len(spans) >= 3
+    spans.sort()
+    full = max(s[1] for s in spans) - min(s[0] for s in spans)
+    # each file/row group covers a tight slice, and slices don't
+    # overlap (range repartition + sort within partitions)
+    for lo, hi in spans:
+        assert hi - lo <= full / 2
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi <= blo
+    # rows survive the clustered rewrite
+    assert t.read(spark).count() == 800
+
+
+def test_restore_rolls_back_without_data_copy(spark, tmp_path):
+    """RESTORE: a new commit pointing at the old snapshot's dirs —
+    content equals the old version, nothing is rewritten, row_count
+    stays metadata-only, the feeds treat it as a re-baseline barrier,
+    and writes continue normally afterwards."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"), ["k"])
+    t.delete_where(F.col("k") == 1)
+    n_dirs_before = len(os.listdir(os.path.join(t.root, "data")))
+
+    v = t.restore(0)
+    assert t._read_manifest(v)["op"] == "restore"
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+    # zero data copy: no new data dir appeared
+    n_dirs_after = len(
+        [n for n in os.listdir(os.path.join(t.root, "data"))]
+    )
+    assert n_dirs_after == n_dirs_before
+    assert t.row_count() == 2  # metadata-only count over the restore op
+    # feeds re-baseline across a restore
+    with pytest.raises(ValueError, match="re-baseline"):
+        t.row_changes(spark, 0)
+    with pytest.raises(ValueError, match="re-baseline"):
+        t.changes(spark, 2)  # (2, restore] — the restore IS the barrier
+    # life goes on: append after restore, interim still time-travelable
+    t.append(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (9, "z")]
+    assert _rows(t.read(spark, 2)) == [(2, "B"), (3, "c")]
+    # vacuum keeps the restored dirs (they're the live snapshot)
+    t.vacuum()
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (9, "z")]
