@@ -917,3 +917,35 @@ def test_restore_rolls_back_without_data_copy(spark, tmp_path):
     # vacuum keeps the restored dirs (they're the live snapshot)
     t.vacuum()
     assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_row_changes_on_hive_partitioned_table(spark, tmp_path):
+    """The change feed works on hive-partitioned tables: merge/delete
+    cdf rows carry the partition column, the feed replays, and the
+    post-merge snapshot keeps the layout."""
+    t = VersionedTable(str(tmp_path / "tp"))
+    src = spark.range(0, 40).selectExpr(
+        "id AS k", "id % 4 AS ds", "id * 10 AS v"
+    )
+    t.create(src, partition_by=["ds"])
+    t.merge(
+        spark.createDataFrame([(2, 2, 999), (100, 0, 1)], "k long, ds long, v long"),
+        ["k"],
+    )
+    t.delete_where(F.col("k") == 7)
+    feed = t.row_changes(spark, 0)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["ds"], r["v"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", 100, 0, 1),
+        (1, "update_postimage", 2, 2, 999),
+        (1, "update_preimage", 2, 2, 20),
+        (2, "delete", 7, 3, 70),
+    ]
+    # the snapshot kept the hive layout across the rewrites
+    import os
+
+    d = t._read_manifest()["data_dirs"][0]
+    assert any(x.startswith("ds=") for x in os.listdir(d))
