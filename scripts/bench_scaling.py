@@ -74,6 +74,22 @@ QUERIES_UNDER_TEST = [
     ("text_bm25_score", "linear", "checksum"),
     ("sim_topk_sq8", "linear", "checksum"),
     ("emb_random_projection", "linear"),
+    # round-9: change-feed family (the 3-commit demo table builds
+    # eagerly inside the timer — linear in corpus), audio fingerprint
+    # (fixed WHT fanout per doc), EXIF probe (O(header) per payload),
+    # CJK token counting (pure codegen projection), unigram tokenizer
+    # (capped-type EM + distinct-type Arrow stage). checksum where
+    # count() would prune the payload.
+    ("etl_cdf_changes", "linear", "checksum"),
+    ("etl_cdf_replay", "linear", "checksum"),
+    ("etl_scd2_from_cdf", "linear", "checksum"),
+    ("mm_audio_fingerprint", "linear", "checksum"),
+    # banded pairs: output scales with true near-dup volume plus the
+    # lossy-feature collision tail — the LSH "overlap" class
+    ("mm_audio_fingerprint_pairs", "overlap", "checksum"),
+    ("mm_exif_probe", "linear", "checksum"),
+    ("text_token_count_cjk", "linear", "checksum"),
+    ("text_unigram_lm_tokens", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
