@@ -53,6 +53,14 @@ DOC_QUERIES = [
     ("mm_audio_vad_segments", "linear", "checksum"),
     ("mm_video_shot_detect", "linear", "checksum"),
     ("text_bm25_score", "linear", "checksum"),
+    # round-9 (documents-only): WHT fingerprint + banded pairs, EXIF
+    # header walk, CJK token counting, unigram-LM tokenization
+    ("mm_audio_fingerprint", "linear", "checksum"),
+    ("mm_audio_fingerprint_pairs", "overlap", "checksum"),
+    ("mm_exif_probe", "linear", "checksum"),
+    ("text_token_count_cjk", "linear", "checksum"),
+    ("text_unigram_lm_tokens", "linear", "checksum"),
+    ("text_unigram_tokens_checked", "linear", "checksum"),
 ]
 
 pytestmark = [
