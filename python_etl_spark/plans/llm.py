@@ -2748,3 +2748,159 @@ def mm_exif_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "x.fmt", "x.width", "x.height", "x.orientation",
         "x.taken_at", "x.has_gps",
     )
+
+
+# ------------------ content-defined chunking (FastCDC shape) ---------------
+#
+# Sub-document dedup needs chunk boundaries that depend on CONTENT,
+# not position, so a shared paragraph chunks identically wherever it
+# appears (the rsync/FastCDC insight). Boundary rule here: a word ends
+# a chunk when its md5-derived 60-bit hash = 0 (mod 16) — expected
+# chunk length 16 words, deterministic in both engines (the
+# etl_table_checksum md5->int idiom). Chunks then dedup by md5 of
+# their text.
+
+_CDC_SQL_CTES = """
+w AS (
+  SELECT doc_id, u.pos, u.w
+  FROM (
+    SELECT doc_id,
+      generate_subscripts(string_split(text, ' '), 1) AS pos,
+      unnest(string_split(text, ' ')) AS w
+    FROM documents) u
+  WHERE u.w <> ''),
+f AS (
+  SELECT doc_id, pos, w,
+    CASE WHEN CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 16 = 0
+      THEN 1 ELSE 0 END AS b
+  FROM w),
+c AS (
+  SELECT doc_id, pos, w,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_id
+  FROM f),
+chunks AS (
+  SELECT doc_id, chunk_id,
+    md5(string_agg(w, ' ' ORDER BY pos)) AS chash,
+    CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM c GROUP BY doc_id, chunk_id),
+by_hash AS (
+  SELECT chash, CAST(COUNT(*) AS BIGINT) AS n_occ,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(MAX(n_words) AS BIGINT) AS n_words,
+    CAST(SUM(n_words) AS BIGINT) AS total_words
+  FROM chunks GROUP BY chash)
+"""
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chash, n_occ, n_docs, n_words, total_words) per distinct chunk
+    over the content-defined chunking of documents."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    h = F.conv(
+        F.substring(F.md5(F.encode("w", "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+    b = (h % 16 == 0).cast("long")
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    c = words.withColumn("chunk_id", F.sum(b).over(wnd) - b)
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.encode(
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(pos, w))), s -> s.w), ' ')"
+                ),
+                "UTF-8",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    return chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("n_words").cast("long").alias("n_words"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+
+
+@register(
+    "text_cdc_chunk_stats",
+    oracle=f"""
+WITH {_CDC_SQL_CTES}
+SELECT CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+  CAST(COUNT(*) FILTER (WHERE n_occ > 1) AS BIGINT) AS dup_chunks,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN n_occ ELSE 0 END) AS BIGINT)
+    AS dup_occurrences,
+  CAST(MAX(n_occ) AS BIGINT) AS max_chunk_reuse,
+  CAST(SUM(total_words) * 1000000 // SUM(n_occ) AS BIGINT)
+    AS avg_chunk_words_ppm,
+  CAST(SUM(CASE WHEN n_occ > 1 THEN total_words - n_words ELSE 0 END)
+    AS BIGINT) AS dedupable_words
+FROM by_hash
+""",
+)
+def text_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report (the FastCDC/rsync shape
+    at word granularity): chunk boundaries fire on word-hash content,
+    so repeated passages chunk identically at ANY offset — the
+    sub-document dedup exact_substr can't give you cheaply. Emits the
+    corpus chunk census: totals, duplicated chunks, the worst reuse,
+    integer-exact average chunk length, and the words a chunk-level
+    dedup would reclaim (total minus one kept copy per dup chunk).
+
+    Scale posture: one explode, one per-doc window (bounded partition),
+    one (doc, chunk) groupBy, one chunk-hash groupBy — all map-side
+    combinable; no all-pairs anywhere. The boundary rule is pure
+    per-word arithmetic in the scan stage."""
+    by_hash = _cdc_chunks(spark, sf_dir)
+    return by_hash.agg(
+        F.sum("n_occ").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum((F.col("n_occ") > 1).cast("long"))
+        .cast("long")
+        .alias("dup_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("dup_occurrences"),
+        F.max("n_occ").cast("long").alias("max_chunk_reuse"),
+        F.expr(
+            "CAST(SUM(total_words) * 1000000 div SUM(n_occ) AS BIGINT)"
+        ).alias("avg_chunk_words_ppm"),
+        F.sum(
+            F.when(
+                F.col("n_occ") > 1,
+                F.col("total_words") - F.col("n_words"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dedupable_words"),
+    )
+
+
+@register(
+    "text_cdc_chunk_topdup",
+    oracle=f"""
+WITH {_CDC_SQL_CTES}
+SELECT chash, n_occ, n_docs, n_words
+FROM by_hash
+WHERE n_occ > 1
+ORDER BY n_occ DESC, chash
+LIMIT 20
+""",
+)
+def text_cdc_chunk_topdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-reused content-defined chunks (deterministic
+    count-desc, hash-asc head) — the boilerplate report a chunk-level
+    dedup pass reviews before deleting. Same plan as the stats twin
+    plus one bounded orderBy+limit on the chunk-census frame."""
+    by_hash = _cdc_chunks(spark, sf_dir)
+    return (
+        by_hash.where(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), F.asc("chash"))
+        .limit(20)
+        .select("chash", "n_occ", "n_docs", "n_words")
+    )

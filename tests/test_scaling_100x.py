@@ -61,6 +61,7 @@ DOC_QUERIES = [
     ("text_token_count_cjk", "linear", "checksum"),
     ("text_unigram_lm_tokens", "linear", "checksum"),
     ("text_unigram_tokens_checked", "linear", "checksum"),
+    ("text_cdc_chunk_stats", "linear"),
 ]
 
 pytestmark = [
