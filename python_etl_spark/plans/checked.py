@@ -587,3 +587,130 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keeper_id").isNotNull().alias("is_dropped"),
         )
     )
+
+
+# --------------------- in-engine ANN quality evaluation ---------------------
+
+
+@register(
+    "sim_eval_recall_lsh",
+    oracle=f"""
+WITH {_VE_SQL},
+{_w_sql(_LSH_PLANES, _DIM, "lsh:", "w")},
+{_bucket_sql("w", "bkt")},
+exact_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT DISTINCT vec_id FROM ve WHERE vec_id < 10) q
+  JOIN (SELECT DISTINCT vec_id FROM ve) c ON c.vec_id <> q.vec_id),
+exact_dots AS (
+  SELECT e.query_id, e.neighbor_id, SUM(a.x * b.x) AS dot
+  FROM exact_cand e
+  JOIN ve a ON a.vec_id = e.query_id
+  JOIN ve b ON b.vec_id = e.neighbor_id AND b.i = a.i
+  GROUP BY e.query_id, e.neighbor_id),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY d.query_id
+        ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) DESC,
+                 d.neighbor_id) AS rnk
+    FROM exact_dots d
+    JOIN nrm nq ON nq.vec_id = d.query_id
+    JOIN nrm nb ON nb.vec_id = d.neighbor_id) r
+  WHERE rnk <= 5),
+lsh_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+lsh_dots AS (
+  SELECT e.query_id, e.neighbor_id, SUM(a.x * b.x) AS dot
+  FROM lsh_cand e
+  JOIN ve a ON a.vec_id = e.query_id
+  JOIN ve b ON b.vec_id = e.neighbor_id AND b.i = a.i
+  GROUP BY e.query_id, e.neighbor_id),
+lsh_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT d.query_id, d.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY d.query_id
+        ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nb.nsq)), 6) DESC,
+                 d.neighbor_id) AS rnk
+    FROM lsh_dots d
+    JOIN nrm nq ON nq.vec_id = d.query_id
+    JOIN nrm nb ON nb.vec_id = d.neighbor_id) r
+  WHERE rnk <= 5)
+SELECT e.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(l.neighbor_id) * 1000000 // COUNT(*) AS BIGINT)
+    AS recall_ppm
+FROM exact_top e
+LEFT JOIN lsh_top l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def sim_eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS AN ENGINE QUERY: per-query recall@5 of
+    the md5-Rademacher sign-LSH pipeline against the exact brute-force
+    top-5, computed entirely in-engine (both rankings + the hit join)
+    and hash-checked — the eval harness a retrieval team runs after
+    every index build, expressed as one plan instead of a notebook.
+    Integer-ppm recall; deterministic ranking ties throughout.
+
+    Scale posture: the exact side is the quadratic baseline RESTRICTED
+    to the 10 query rows (10 x N, not N^2 — the brute-force-per-query
+    shape); the LSH side is the usual bucket equijoin; the final hit
+    join runs on two 50-row frames."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _rademacher(_LSH_PLANES, _DIM, "lsh:")
+    v = emb.select(
+        F.col("vec_id").alias("id"), as_double("embedding").alias("vec")
+    ).select(
+        "id",
+        "vec",
+        norm_sq_exact("vec").alias("nsq"),
+        _bucket(F.col("vec"), planes).alias("bucket"),
+    )
+    queries = v.where(F.col("id") < 10).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nsq").alias("qnsq"),
+        "bucket",
+    )
+    corpus = v.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nsq").alias("cnsq"),
+        "bucket",
+    )
+    cos = cosine_from_parts(
+        dot_exact("qvec", "cvec"), F.col("qnsq"), F.col("cnsq")
+    )
+    exact_scored = (
+        corpus.crossJoin(F.broadcast(queries.drop("bucket")))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    exact_top = _topk(exact_scored, k=5).select("query_id", "neighbor_id")
+    lsh_scored = (
+        corpus.join(F.broadcast(queries), ["bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    lsh_top = (
+        _topk(lsh_scored, k=5)
+        .select("query_id", F.col("neighbor_id").alias("hit_id"))
+    )
+    joined = exact_top.join(
+        lsh_top,
+        (exact_top["query_id"] == lsh_top["query_id"])
+        & (exact_top["neighbor_id"] == lsh_top["hit_id"]),
+        "left",
+    ).select(exact_top["query_id"], "neighbor_id", "hit_id")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("hit_id").cast("long").alias("n_hit"),
+        F.expr(
+            "CAST(count(hit_id) * 1000000 div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
