@@ -2904,3 +2904,86 @@ def text_cdc_chunk_topdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("chash", "n_occ", "n_docs", "n_words")
     )
+
+
+@register(
+    "text_cdc_chunk_pairs",
+    oracle=f"""
+WITH {_CDC_SQL_CTES},
+shared AS (
+  SELECT chash FROM by_hash WHERE n_docs BETWEEN 2 AND 8),
+occ AS (
+  SELECT DISTINCT c.doc_id, c.chash
+  FROM (SELECT doc_id, chunk_id, chash FROM chunks) c
+  JOIN shared s ON s.chash = c.chash),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(DISTINCT a.chash) AS BIGINT) AS shared_chunks
+  FROM occ a JOIN occ b
+    ON a.chash = b.chash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared_chunks
+FROM pairs WHERE shared_chunks >= 2
+""",
+)
+def text_cdc_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matching half of content-defined chunking: documents become
+    near-dup candidates when they share a chunk, and pairs CONFIRMED
+    by >= 2 shared chunks are emitted. Boilerplate control: chunks
+    living in more than 8 documents are dropped from pair generation
+    (a navigation chunk shared by half the corpus would generate
+    O(n^2) pairs that mean "same template", not "same document") —
+    the same stop-list cap every shingle-based dedup here applies.
+
+    Scale posture: pair generation is a bucket equijoin on chunk hash
+    with per-bucket fanout capped at 8 docs (<= 28 pairs per chunk);
+    the confirm aggregate shuffles candidate pairs only."""
+    chunks_by_hash = _cdc_chunks(spark, sf_dir)
+    shared = chunks_by_hash.where(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= 8)
+    ).select("chash")
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    h = F.conv(
+        F.substring(F.md5(F.encode("w", "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+    b = (h % 16 == 0).cast("long")
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    c = words.withColumn("chunk_id", F.sum(b).over(wnd) - b)
+    occ = (
+        c.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.encode(
+                    F.expr(
+                        "array_join(transform(array_sort("
+                        "collect_list(struct(pos, w))), s -> s.w), ' ')"
+                    ),
+                    "UTF-8",
+                )
+            ).alias("chash")
+        )
+        .join(shared, "chash", "left_semi")
+        .select("doc_id", "chash")
+        .distinct()
+    )
+    a = occ.alias("a")
+    bb = occ.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.chash") == F.col("b.chash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.countDistinct("a.chash").cast("long").alias("shared_chunks")
+        )
+        .where(F.col("shared_chunks") >= 2)
+    )
