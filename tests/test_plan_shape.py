@@ -528,3 +528,32 @@ def test_exif_probe_zero_shuffle(spark, sf_dir):
     """EXIF probing is one Arrow pass per row: no Exchange at all."""
     plan = _plan(spark, sf_dir, "mm_exif_probe")
     assert "Exchange" not in plan, plan
+
+
+def test_scd2_from_cdf_broadcast_close_join_no_cartesian(spark, sf_dir):
+    """The SCD2 builder's open/close matching is a keyed broadcast
+    join (closes are night-sized), never a cartesian."""
+    plan = _plan(spark, sf_dir, "etl_scd2_from_cdf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_cdc_chunk_family_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """Content-defined chunking: census is pure groupBy algebra (no
+    joins at all); pair generation is a bucket equijoin on chunk hash
+    with the boilerplate fanout cap — never an all-pairs scan."""
+    stats = _plan(spark, sf_dir, "text_cdc_chunk_stats")
+    assert "CartesianProduct" not in stats and "Join" not in stats
+    pairs = _plan(spark, sf_dir, "text_cdc_chunk_pairs")
+    assert "CartesianProduct" not in pairs
+    assert "BroadcastNestedLoopJoin" not in pairs
+    assert "BroadcastHashJoin" in pairs or "SortMergeJoin" in pairs
+
+
+def test_recall_eval_exact_side_is_broadcast_not_cartesian(spark, sf_dir):
+    """The eval's exact side is brute-force-per-query: the 10 query
+    rows BROADCAST against the corpus (BroadcastNestedLoopJoin over a
+    broadcast side is 10xN work by design) — never a corpus-wide
+    CartesianProduct."""
+    plan = _plan(spark, sf_dir, "sim_eval_recall_lsh")
+    assert "CartesianProduct" not in plan, plan
