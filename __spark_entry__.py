@@ -168,7 +168,11 @@ _R08_CHECKED = frozenset(
         "events_rolling_wau", "events_forecast_backtest",
         "q27_ship_latency_quantiles", "events_ab_welch_ttest",
         "etl_gini_concentration", "text_exact_substr_dedup",
-        "etl_incremental_dedup", "etl_incremental_rollup",
+        "etl_incremental_dedup",
+        # etl_incremental_rollup was r8-green but is deliberately NOT
+        # carried: round 9 rewired its refresh through the change feed
+        # and added a restatement-MERGE night to the query itself, so
+        # it re-queues at the head for a fresh driver row.
         "text_quality_fit_moments", "text_quality_fit_predict",
         "text_decontaminate_spans", "events_decayed_engagement",
         "events_path_trigrams", "text_vocab_coverage", "emb_scalar_quantize",
