@@ -949,3 +949,148 @@ def test_row_changes_on_hive_partitioned_table(spark, tmp_path):
 
     d = t._read_manifest()["data_dirs"][0]
     assert any(x.startswith("ds=") for x in os.listdir(d))
+
+
+# -------------------- dir-pruned copy-on-write (r10) --------------------
+# MERGE/DELETE write cost must be O(touched dirs), not O(table): the
+# Iceberg/Delta CoW shape (VERDICT r9 #2). Untouched commit dirs are
+# carried by reference — bytes, paths and mtimes unchanged.
+
+
+def _tree_inventory(path):
+    """{relpath: (size, mtime_ns)} for every file under path."""
+    import os
+
+    inv = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            inv[os.path.relpath(full, path)] = (st.st_size, st.st_mtime_ns)
+    return inv
+
+
+def test_pruned_merge_leaves_untouched_dirs_by_reference(spark, tmp_path):
+    """A merge touching keys in ONE of three commit dirs rewrites only
+    that dir: the other two stay in the manifest verbatim with every
+    file byte-identical (size+mtime), their skipping stats carry over,
+    and the new dir holds only touched-dir survivors + inserts."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(20, 30).selectExpr("id AS k", "id * 10 AS v"))
+    m0 = t._read_manifest()
+    da, db, dc = m0["data_dirs"]
+    inv_a, inv_b = _tree_inventory(da), _tree_inventory(db)
+    t.merge(
+        spark.createDataFrame(
+            [(25, 9999), (27, 8888), (100, 1)], "k long, v long"
+        ),
+        ["k"],
+    )
+    m1 = t._read_manifest()
+    # dirs A and B carried by reference; C (touched) replaced
+    assert m1["data_dirs"][:2] == [da, db]
+    assert dc not in m1["data_dirs"]
+    assert len(m1["data_dirs"]) == 3
+    assert _tree_inventory(da) == inv_a
+    assert _tree_inventory(db) == inv_b
+    # carried stats are the same objects the old manifest had
+    assert m1["dir_stats"][da] == m0["dir_stats"][da]
+    assert m1["dir_stats"][db] == m0["dir_stats"][db]
+    # the rewritten dir holds ONLY touched-dir keys + the insert —
+    # proof the merge never read A/B's rows
+    new_dir = m1["data_dirs"][-1]
+    new_keys = {r["k"] for r in spark.read.parquet(new_dir).collect()}
+    assert new_keys == set(range(20, 30)) | {100}
+    # snapshot semantics unchanged
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    want = {(k, k * 10) for k in range(30)} - {(25, 250), (27, 270)}
+    want |= {(25, 9999), (27, 8888), (100, 1)}
+    assert got == want
+    # metadata-only row count sees the full snapshot
+    assert t.row_count() == 31
+
+
+def test_pruned_merge_all_inserts_touches_zero_dirs(spark, tmp_path):
+    """A batch of brand-new keys rewrites NOTHING: every existing dir
+    is carried by reference and the new dir is just the batch — the
+    nightly-ingest upsert becomes append-priced."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v"))
+    dirs0 = t._read_manifest()["data_dirs"]
+    invs = [_tree_inventory(d) for d in dirs0]
+    t.merge(
+        spark.range(50, 55).selectExpr("id AS k", "id AS v"), ["k"]
+    )
+    m = t._read_manifest()
+    assert m["data_dirs"][:2] == dirs0
+    assert [_tree_inventory(d) for d in dirs0] == invs
+    assert spark.read.parquet(m["data_dirs"][-1]).count() == 5
+    assert t.read(spark).count() == 25
+    # the feed records exactly the 5 inserts
+    feed = t.row_changes(spark, t.latest_version() - 1)
+    assert sorted(
+        (r["_change_type"], r["k"]) for r in feed.collect()
+    ) == [("insert", k) for k in range(50, 55)]
+
+
+def test_pruned_merge_stats_skip_nonoverlapping_dirs(spark, tmp_path):
+    """The metadata pass alone prunes dirs whose key range cannot hold
+    an update key: the exact-probe job never opens their files."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(1000, 1010).selectExpr("id AS k", "id * 10 AS v"))
+    m = t._read_manifest()
+    cand = t._stats_candidates(
+        m, {"k": (1002, 1003)}
+    )
+    assert cand == [m["data_dirs"][1]]
+    # and a cross-type bound degrades to keep (never raises)
+    cand = t._stats_candidates(m, {"k": ("a", "b")})
+    assert cand == m["data_dirs"]
+
+
+def test_pruned_delete_rewrites_only_matching_dirs(spark, tmp_path):
+    """DELETE's probe job finds the dirs holding matching rows; only
+    those are rewritten, the rest are carried by reference."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v"))
+    m0 = t._read_manifest()
+    da, db = m0["data_dirs"]
+    inv_a = _tree_inventory(da)
+    t.delete_where(F.col("k") == 15)
+    m1 = t._read_manifest()
+    assert m1["data_dirs"][0] == da
+    assert db not in m1["data_dirs"]
+    assert _tree_inventory(da) == inv_a
+    assert {r["k"] for r in spark.read.parquet(m1["data_dirs"][-1]).collect()} == (
+        set(range(10, 20)) - {15}
+    )
+    assert t.read(spark).count() == 19
+    assert t.row_count() == 19
+    feed = t.row_changes(spark, t.latest_version() - 1)
+    assert [(r["_change_type"], r["k"]) for r in feed.collect()] == [
+        ("delete", 15)
+    ]
+
+
+def test_pruned_delete_matching_nothing_rewrites_nothing(spark, tmp_path):
+    """A predicate matching zero rows rewrites ZERO data files: the
+    dir list is unchanged, the commit still lands (with an empty but
+    readable change feed), and row_changes folds straight across."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    dirs0 = t._read_manifest()["data_dirs"]
+    inv = [_tree_inventory(d) for d in dirs0]
+    v = t.delete_where(F.col("k") == 999)
+    m = t._read_manifest()
+    assert m["op"] == "delete" and m["version"] == v
+    assert m["data_dirs"] == dirs0
+    assert [_tree_inventory(d) for d in dirs0] == inv
+    assert t.read(spark).count() == 10
+    assert t.row_count() == 10
+    # the empty feed is readable and folds to zero rows, no barrier
+    assert t.row_changes(spark, 0).count() == 0
