@@ -246,6 +246,7 @@ class VersionedTable:
         num_rows: int | None = None,
         cdf_dir: str | None = None,
         carry_stats: dict | None = None,
+        dvs: list[dict] | None = None,
     ) -> int:
         import time
 
@@ -285,6 +286,12 @@ class VersionedTable:
             # typed change rows live OUTSIDE data_dirs — snapshot reads
             # never see them, row_changes() reads nothing else
             manifest["cdf_dir"] = cdf_dir
+        if dvs:
+            # live deletion vectors: [{"dir": tombstone parquet dir,
+            # "deleted": {data dir: rows removed}}] — reads anti-join
+            # each entry against exactly the dirs in its "deleted"
+            # scope; compaction materializes entries away
+            manifest["dvs"] = dvs
         os.makedirs(self._mdir, exist_ok=True)
         self._publish(
             self._manifest_path(version), json.dumps(manifest, indent=1)
@@ -560,6 +567,7 @@ class VersionedTable:
                 return self._commit(
                     cur["data_dirs"] + [d], "append", v, m or None,
                     carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),  # deleted rows stay deleted
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -572,6 +580,14 @@ class VersionedTable:
         attempt-owns-its-dir rule as ``_write_data``: a lost commit
         race orphans the dir and vacuum sweeps it."""
         out = os.path.join(self.root, "data", f"cdf-{uuid.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(out)
+        return out
+
+    def _write_dv(self, df: DataFrame) -> str:
+        """Persist a merge-on-read DELETE's tombstone rows (distinct
+        row values of the deleted rows) to ``data/dv-<uuid>``. Same
+        attempt-owns-its-dir rule as ``_write_data``."""
+        out = os.path.join(self.root, "data", f"dv-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(out)
         return out
 
@@ -790,7 +806,9 @@ class VersionedTable:
                 ]
             untouched = [d for d in cur["data_dirs"] if d not in touched]
             if touched:
-                base = self._union_dirs(spark, touched, evolved)
+                # DV-applied read: rows a merge-on-read delete removed
+                # must not be resurrected by the rewrite
+                base = self._read_snapshot_subset(spark, cur, touched)
                 if evolved:  # surface post-evolution columns as NULL
                     for c in snap_cols:
                         if c not in base.columns:
@@ -826,7 +844,7 @@ class VersionedTable:
                 cdf_dir = self._write_cdf(
                     pre.unionByName(post).unionByName(ins)
                 )
-            total = sum(self._dir_rows(u) for u in untouched)
+            total = sum(self._logical_dir_rows(cur, u) for u in untouched)
             total += self._dir_rows(d)
             try:
                 return self._commit(
@@ -837,6 +855,7 @@ class VersionedTable:
                     num_rows=total,
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, untouched),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -933,6 +952,7 @@ class VersionedTable:
                     meta={"restored_from": version},
                     num_rows=rows,
                     carry_stats=old.get("dir_stats"),
+                    dvs=old.get("dvs"),  # the old snapshot's tombstones
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -984,18 +1004,7 @@ class VersionedTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         if not dirs:
             return spark.createDataFrame([], full.schema).where(cond)
-        evolved = self._schema_evolved(m["version"])
-        reader = spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
-        if len(dirs) == 1 or not self.partition_columns():
-            return reader.parquet(*dirs).where(cond)
-        out = reader.parquet(dirs[0])
-        for d in dirs[1:]:
-            out = out.unionByName(
-                reader.parquet(d), allowMissingColumns=evolved
-            )
-        return out.where(cond)
+        return self._read_snapshot_subset(spark, m, dirs).where(cond)
 
     @staticmethod
     def _tree_bytes(path: str) -> int:
@@ -1033,21 +1042,14 @@ class VersionedTable:
             if len(small) < 2:
                 return None
             keep = [d for d in dirs if d not in small]
-            evolved = self._schema_evolved(cur["version"])
-            reader = spark.read
-            if evolved:
-                reader = reader.option("mergeSchema", "true")
-            if len(small) == 1 or not self.partition_columns():
-                df = reader.parquet(*small)
-            else:
-                df = reader.parquet(small[0])
-                for d in small[1:]:
-                    df = df.unionByName(
-                        reader.parquet(d), allowMissingColumns=evolved
-                    )
+            # DV-applied read: tombstoned rows in the packed dirs are
+            # materialized away, their DV scope drops with the dirs
+            df = self._read_snapshot_subset(spark, cur, small)
             v = cur["version"] + 1
             nd = self._write_data(df, self.partition_columns() or None)
-            total = sum(self._dir_rows(d) for d in keep) + self._dir_rows(nd)
+            total = sum(
+                self._logical_dir_rows(cur, d) for d in keep
+            ) + self._dir_rows(nd)
             try:
                 return self._commit(
                     keep + [nd],
@@ -1056,6 +1058,7 @@ class VersionedTable:
                     cur.get("meta"),
                     num_rows=total,
                     carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, keep),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1075,12 +1078,16 @@ class VersionedTable:
             return None
         return self.compact(spark)
 
-    def delete_where(self, condition, track_changes: bool = True) -> int:
-        """DIR-PRUNED copy-on-write DELETE: rewrite the snapshot
-        without matching rows. ``condition`` is a Column predicate.
+    def delete_where(
+        self,
+        condition,
+        track_changes: bool = True,
+        merge_on_read: bool = False,
+    ) -> int:
+        """DELETE matching rows. ``condition`` is a Column predicate.
         Conflict retry recomputes against the winner's snapshot.
 
-        Write cost is O(touched dirs), not O(table): a probe job scans
+        Default mode is DIR-PRUNED copy-on-write: a probe job scans
         the snapshot with only the predicate columns materialized
         (Catalyst prunes the rest; the parquet filter pushes down) and
         collects the DISTINCT commit dirs that hold a matching row;
@@ -1090,10 +1097,25 @@ class VersionedTable:
         (the commit still lands, with an empty change feed, so
         row_changes folds stay seamless).
 
+        ``merge_on_read=True`` is the DELETION-VECTOR mode (Delta DVs /
+        Iceberg positional deletes, at row-value granularity scoped to
+        immutable commit dirs): the matched rows' distinct values land
+        in a ``data/dv-*`` tombstone sidecar and NO data file is
+        rewritten at all; ``read`` anti-joins each tombstone set
+        against exactly the dirs that existed at delete time (so a row
+        re-inserted later is never touched), ``compact`` materializes
+        tombstones away, and the manifest records per-dir deleted
+        counts so ``row_count`` stays metadata-only. The delete-heavy
+        nightly pipeline pays O(matched rows) per delete instead of
+        O(touched dirs), trading read-side anti-join cost until the
+        next compaction.
+
         With ``track_changes`` (default) the commit persists the
         removed rows as ``delete`` change rows, so ``row_changes``
         consumers subtract them instead of re-baselining."""
         spark = SparkSession.getActiveSession()
+        if merge_on_read:
+            return self._delete_mor(spark, condition, track_changes)
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             evolved = self._schema_evolved(cur["version"])
@@ -1110,7 +1132,9 @@ class VersionedTable:
             v = cur["version"] + 1
             snap_schema = self.read(spark, cur["version"]).schema
             if touched:
-                base = self._union_dirs(spark, touched, evolved)
+                # DV-applied read: already-tombstoned rows must not be
+                # resurrected (or re-reported) by the rewrite
+                base = self._read_snapshot_subset(spark, cur, touched)
                 if evolved:
                     for f in snap_schema.fields:
                         if f.name not in base.columns:
@@ -1125,7 +1149,7 @@ class VersionedTable:
                 kept = base
                 removed = base
             new_dirs = list(untouched)
-            total = sum(self._dir_rows(u) for u in untouched)
+            total = sum(self._logical_dir_rows(cur, u) for u in untouched)
             if touched:
                 d = self._write_data(
                     kept, self.partition_columns() or None
@@ -1148,10 +1172,67 @@ class VersionedTable:
                     num_rows=total,
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, untouched),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
+
+    def _delete_mor(
+        self, spark: SparkSession, condition, track_changes: bool
+    ) -> int:
+        """Merge-on-read DELETE (see :meth:`delete_where`): writes a
+        tombstone sidecar + per-dir deleted counts, rewrites ZERO data
+        files. The probe applies EXISTING deletion vectors first, so
+        re-deleting an already-deleted row neither double-counts nor
+        re-emits a change row."""
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            dirs = cur["data_dirs"]
+            v = cur["version"] + 1
+            tagged = self._read_snapshot_subset(
+                spark, cur, dirs, tag_dir=True
+            )
+            matched = tagged.where(condition)
+            matched.persist()
+            try:
+                per_dir = {
+                    r["__dir"]: r["n"]
+                    for r in matched.groupBy("__dir")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_matched = sum(per_dir.values())
+                dvs = list(cur.get("dvs", []))
+                if per_dir:
+                    dv_dir = self._write_dv(
+                        matched.drop("__dir").distinct()
+                    )
+                    dvs.append({"dir": dv_dir, "deleted": per_dir})
+                cdf_dir = None
+                if track_changes:
+                    cdf = matched.drop("__dir").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                    if not per_dir:
+                        cdf = cdf.repartition(1)
+                    cdf_dir = self._write_cdf(cdf)
+                total = self.row_count(cur["version"]) - n_matched
+                try:
+                    return self._commit(
+                        dirs,
+                        "delete_mor",
+                        v,
+                        num_rows=total,
+                        cdf_dir=cdf_dir,
+                        carry_stats=cur.get("dir_stats"),
+                        dvs=dvs or None,
+                    )
+                except CommitConflictError:
+                    if attempt == self.max_retries:
+                        raise
+            finally:
+                matched.unpersist()
 
     def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time travel by wall clock: the snapshot of the LAST version
@@ -1196,27 +1277,16 @@ class VersionedTable:
         )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        # _read_snapshot_subset handles: mergeSchema when any commit
+        # evolved the schema (pre-evolution files surface the new
+        # columns as NULL); hive-partitioned commit dirs as separate
+        # partition roots (per-dir union — Spark refuses one multi-path
+        # read via CONFLICTING_DIRECTORY_STRUCTURES — with partition
+        # predicates still pushing into every branch); and deletion
+        # vectors (anti-join scoped to the dirs each tombstone set was
+        # committed against).
         m = self._read_manifest(version)
-        dirs = m["data_dirs"]
-        reader = spark.read
-        if self._schema_evolved(m["version"]):
-            # additive evolution happened somewhere in this snapshot's
-            # history: merge footer schemas so pre-evolution files
-            # surface the new columns as NULL
-            reader = reader.option("mergeSchema", "true")
-        if len(dirs) == 1 or not self.partition_columns():
-            return reader.parquet(*dirs)
-        # hive-partitioned commit dirs are separate partition roots —
-        # Spark refuses one multi-path read (CONFLICTING_DIRECTORY_
-        # STRUCTURES), so union per-dir scans; a partition predicate
-        # still pushes into EVERY branch (pruning preserved)
-        allow_missing = self._schema_evolved(m["version"])
-        out = reader.parquet(dirs[0])
-        for d in dirs[1:]:
-            out = out.unionByName(
-                reader.parquet(d), allowMissingColumns=allow_missing
-            )
-        return out
+        return self._read_snapshot_subset(spark, m, m["data_dirs"])
 
     def row_count(self, version: int | None = None) -> int:
         """Snapshot row count from COMMIT METADATA alone — no Spark
@@ -1456,7 +1526,7 @@ class VersionedTable:
                         )
             elif op in ("compact", "compact_bins"):
                 pass  # row-preserving rewrite: the feed is unaffected
-            elif op in ("merge", "delete") and m.get("cdf_dir"):
+            elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
                 frames.append(
                     reader.parquet(m["cdf_dir"]).withColumn(
                         "_commit_version", F.lit(i).cast("long")
@@ -1536,6 +1606,10 @@ class VersionedTable:
             m = doc.get("manifest", doc)  # ckpt carries a full manifest
             if m.get("cdf_dir"):
                 live.add(m["cdf_dir"])
+            for e in m.get("dvs", []):
+                # tombstone sidecars ride metadata retention like cdf
+                # dirs (and the LATEST snapshot's reads depend on them)
+                live.add(e["dir"])
         data_root = os.path.join(self.root, "data")
         cutoff = time.time() - grace_seconds
         removed = []

@@ -1094,3 +1094,121 @@ def test_pruned_delete_matching_nothing_rewrites_nothing(spark, tmp_path):
     assert t.row_count() == 10
     # the empty feed is readable and folds to zero rows, no barrier
     assert t.row_changes(spark, 0).count() == 0
+
+
+# ------------------- merge-on-read deletes (DVs, r10) -------------------
+# delete_where(merge_on_read=True) writes a tombstone sidecar and
+# rewrites ZERO data files; reads anti-join tombstones scoped to the
+# dirs that existed at delete time; compact materializes them away.
+
+
+def test_mor_delete_rewrites_zero_data_files(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v"))
+    m0 = t._read_manifest()
+    inv = {d: _tree_inventory(d) for d in m0["data_dirs"]}
+    v = t.delete_where(
+        (F.col("k") % 2 == 0) & (F.col("k") < 15), merge_on_read=True
+    )
+    m1 = t._read_manifest()
+    assert m1["op"] == "delete_mor" and m1["version"] == v
+    # dir list unchanged, every data file byte-identical
+    assert m1["data_dirs"] == m0["data_dirs"]
+    assert {d: _tree_inventory(d) for d in m0["data_dirs"]} == inv
+    # one DV entry, scoped per dir with per-dir deleted counts
+    (dv,) = m1["dvs"]
+    assert dv["deleted"] == {
+        m0["data_dirs"][0]: 5,  # 0,2,4,6,8
+        m0["data_dirs"][1]: 3,  # 10,12,14
+    }
+    # logical reads apply the tombstones
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == set(range(20)) - {0, 2, 4, 6, 8, 10, 12, 14}
+    # metadata-only row count and time travel unchanged
+    assert t.row_count() == 12
+    assert t.read(spark, version=1).count() == 20
+    # the typed feed records the deletes, no barrier
+    feed = t.row_changes(spark, 1)
+    assert sorted(r["k"] for r in feed.collect()) == [0, 2, 4, 6, 8, 10, 12, 14]
+    assert {r["_change_type"] for r in feed.collect()} == {"delete"}
+
+
+def test_mor_delete_reinserted_row_survives(spark, tmp_path):
+    """A row re-inserted AFTER a merge-on-read delete lives in a newer
+    dir, outside every tombstone's scope — the value-tombstone design
+    is positionally exact at dir granularity."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.delete_where(F.col("k") == 1, merge_on_read=True)
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
+    # re-insert the IDENTICAL row values via append and via merge
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b")]
+    t.delete_where(F.col("k") == 2, merge_on_read=True)
+    t.merge(spark.createDataFrame([(2, "b")], "k long, v string"), ["k"])
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_mor_delete_stacking_and_compact_materializes(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k"))
+    t.delete_where(F.col("k") < 2, merge_on_read=True)
+    t.delete_where(F.col("k") >= 8, merge_on_read=True)
+    m = t._read_manifest()
+    assert len(m["dvs"]) == 2
+    assert t.row_count() == 6
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(2, 8))
+    # re-deleting already-deleted rows: no-op commit, no double count
+    t.delete_where(F.col("k") < 2, merge_on_read=True)
+    assert t.row_count() == 6
+    assert len(t._read_manifest()["dvs"]) == 2  # no new entry
+    # compact materializes the tombstones away
+    t.compact(spark)
+    m = t._read_manifest()
+    assert "dvs" not in m
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(2, 8))
+    assert t.row_count() == 6
+
+
+def test_mor_delete_vacuum_keeps_sidecars(spark, tmp_path):
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k"))
+    t.delete_where(F.col("k") == 3, merge_on_read=True)
+    m = t._read_manifest()
+    dv_dir = m["dvs"][0]["dir"]
+    cdf_dir = m["cdf_dir"]
+    removed = t.vacuum()
+    assert dv_dir not in removed and os.path.isdir(dv_dir)
+    assert cdf_dir not in removed and os.path.isdir(cdf_dir)
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(10)) - {3}
+
+
+def test_mor_delete_then_pruned_merge_carries_scope(spark, tmp_path):
+    """A dir-pruned merge after a MOR delete: the rewritten dir's
+    tombstones are materialized (scope drops), untouched dirs keep
+    theirs, and deleted rows are never resurrected."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v"))
+    t.append(spark.range(100, 110).selectExpr("id AS k", "id * 10 AS v"))
+    da, db = t._read_manifest()["data_dirs"]
+    t.delete_where(F.col("k").isin(3, 103), merge_on_read=True)
+    # merge touches only dir B (key 105)
+    t.merge(spark.createDataFrame([(105, 1)], "k long, v long"), ["k"])
+    m = t._read_manifest()
+    assert da in m["data_dirs"] and db not in m["data_dirs"]
+    (dv,) = m["dvs"]
+    assert list(dv["deleted"]) == [da]  # B's scope materialized away
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == (set(range(10)) - {3}) | (set(range(100, 110)) - {103}) | set()
+    assert (105, 1) in {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert t.row_count() == 18
+    # restore back to the MOR-delete version brings its tombstones back
+    t.restore(2)
+    assert {r["k"] for r in t.read(spark).collect()} == (
+        set(range(10)) | set(range(100, 110))
+    ) - {3, 103}
