@@ -181,9 +181,36 @@ _R08_CHECKED = frozenset(
     ]
 )
 
+# r9 sample (CORRECTNESS_r09.json): the 14 round-9 oracled additions
+# hash-green, the 14 rows-only re-checks (in _ROWS_ONLY_RECHECK), and
+# the 22 TPC-H-adapted analytics re-certified.
+_R09_CHECKED = frozenset(
+    [
+        "etl_cdf_changes", "etl_cdf_replay", "etl_incremental_rollup",
+        "etl_mixture_report_unigram", "etl_scd2_from_cdf",
+        "mm_audio_fingerprint", "mm_audio_fingerprint_pairs",
+        "mm_exif_probe", "sim_eval_recall_lsh", "text_cdc_chunk_pairs",
+        "text_cdc_chunk_stats", "text_cdc_chunk_topdup",
+        "text_token_count_cjk", "text_unigram_tokens_checked",
+        "text_vocab_coverage_cjk",
+        # re-certified carries (r1-green, re-sampled r9):
+        "q01_pricing_summary", "q03_shipping_priority",
+        "q04_order_priority", "q05_local_supplier_volume",
+        "q06_forecast_revenue", "q07_volume_shipping", "q08_market_share",
+        "q09_product_profit", "q10_returned_items",
+        "q11_supplier_balance_share", "q12_priority_by_linestatus",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_part_supplier_counts",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_bracketed_revenue", "q20_parts_promo_suppliers",
+        "q21_high_value_open_orders", "q22_inactive_customers",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
+    | _R09_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the

@@ -76,6 +76,82 @@ def latest_by_key(
     )
 
 
+def merge_clauses(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    matched_update=None,
+    matched_delete=None,
+    not_matched_insert=True,
+    return_actions: bool = False,
+):
+    """Full conditional MERGE (the public Delta/ANSI MERGE surface):
+
+    * ``WHEN MATCHED AND <matched_delete> THEN DELETE`` — evaluated
+      FIRST (the conventional clause order when both are given),
+    * ``WHEN MATCHED AND <matched_update> THEN UPDATE SET *``,
+    * otherwise matched target rows pass through unchanged,
+    * ``WHEN NOT MATCHED AND <not_matched_insert> THEN INSERT *`` —
+      pass ``True`` (default) for unconditional insert, ``False``/
+      ``None`` to drop unmatched source rows.
+
+    Conditions are Column expressions or SQL strings over the aliases
+    ``t`` (target/base) and ``s`` (source/updates), e.g.
+    ``"s.price > t.price"``. Omitting a clause (None/False) means that
+    clause never fires — a MERGE with only ``matched_delete`` deletes
+    matched rows and touches nothing else.
+
+    One full-outer join on the key (single shuffle, no driver state):
+    each row gets an action — delete / update / keep / insert / skip —
+    and the output projects source columns for update+insert, target
+    columns otherwise. Both sides should be key-unique (the invariant
+    a MERGE-maintained table upholds; Delta raises on multi-source
+    matches for the same reason). With ``return_actions`` also returns
+    a ``(keys..., action)`` frame so a change-feed writer can type its
+    rows per clause."""
+
+    def _cond(c, default: bool):
+        if c is None or c is False:
+            return F.lit(default) if default else F.lit(False)
+        if c is True:
+            return F.lit(True)
+        return F.expr(c) if isinstance(c, str) else c
+
+    cols = base.columns
+    t = base.withColumn("__t", F.lit(1)).alias("t")
+    s = updates.withColumn("__s", F.lit(1)).alias("s")
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    s_only = F.col("__t").isNull() & F.col("__s").isNotNull()
+    action = (
+        F.when(matched & _cond(matched_delete, False), F.lit("delete"))
+        .when(matched & _cond(matched_update, False), F.lit("update"))
+        .when(matched, F.lit("keep"))
+        .when(s_only & _cond(not_matched_insert, False), F.lit("insert"))
+        .when(s_only, F.lit("skip"))
+        .otherwise(F.lit("keep"))  # target-only row
+    )
+    tagged = j.withColumn("__action", action)
+    from_source = F.col("__action").isin("update", "insert")
+    out_cols = [
+        F.col(c)  # join key: already coalesced by the named-key join
+        if c in keys
+        else F.when(from_source, F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    merged = tagged.where(
+        F.col("__action").isin("keep", "update", "insert")
+    ).select(*out_cols)
+    if not return_actions:
+        return merged
+    actions = tagged.where(F.col("__action") != "keep").select(
+        *keys, F.col("__action").alias("action")
+    )
+    return merged, actions
+
+
 def conform_schema(df, target_ddl: str, strict: bool = False):
     """Conform a frame to a target schema: reorder, cast, and add
     missing columns as NULLs; drop extras unless ``strict`` (then

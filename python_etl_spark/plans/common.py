@@ -47,6 +47,16 @@ from python_etl_spark.functions.exact import (  # noqa: F401
 )
 
 
+def stable_digest(s: str, n: int = 8) -> str:
+    """Deterministic short digest for on-disk cache-root names.
+    Python's built-in ``hash`` is PYTHONHASHSEED-salted, so a path
+    named with it changes every driver process and leaks the previous
+    run's directory (ADVICE r9); md5 is stable across processes."""
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()[:n]
+
+
 # ----------------------- broadcast-hint policy ----------------------------
 #
 # Two classes of "dimension" frame, two rules:

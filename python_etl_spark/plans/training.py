@@ -50,7 +50,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_spark.plans.checked import _rademacher, _w_sql
-from python_etl_spark.plans.common import dmean_sql, dsum, dsum_sql, register
+from python_etl_spark.plans.common import (
+    dmean_sql,
+    dsum,
+    dsum_sql,
+    register,
+    stable_digest,
+)
 from python_etl_spark.sources.tables import load_table
 
 
@@ -1555,7 +1561,7 @@ def etl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if root is None:
         root = os.path.join(
             tempfile.gettempdir(),
-            f"spark_graft_incr_{key[0]}_{abs(hash(key[1])) % 10**8}",
+            f"spark_graft_incr_{key[0]}_{stable_digest(key[1])}",
         )
         _INCR_STORE_CACHE[key] = root
     d = IncrementalDeduper(root)
@@ -1626,7 +1632,7 @@ def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if root is None:
         root = os.path.join(
             tempfile.gettempdir(),
-            f"spark_graft_mroll_{key[1]}_{abs(hash(key[2])) % 10**8}",
+            f"spark_graft_mroll_{key[1]}_{stable_digest(key[2])}",
         )
         _INCR_STORE_CACHE[key] = root
     source = VersionedTable(os.path.join(root, "source"))
@@ -2283,7 +2289,7 @@ def _cdf_source(spark: SparkSession, sf_dir: str):
     if root is None:
         root = os.path.join(
             tempfile.gettempdir(),
-            f"spark_graft_cdf_{key[1]}_{abs(hash(key[2])) % 10**8}",
+            f"spark_graft_cdf_{key[1]}_{stable_digest(key[2])}",
         )
         _INCR_STORE_CACHE[key] = root
     orders = _t(spark, sf_dir, "orders").select(
@@ -2478,4 +2484,141 @@ def etl_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
             F.coalesce(F.col("vt"), F.lit(-1)).cast("long").alias("valid_to"),
         )
+    )
+
+
+# ----------------- conditional MERGE clauses (full surface) -----------------
+#
+# Round 10: the full public MERGE surface (WHEN MATCHED AND cond THEN
+# UPDATE / DELETE, WHEN NOT MATCHED AND cond THEN INSERT) exercised in
+# ONE commit against a VersionedTable built from orders, with both the
+# final snapshot and the per-clause-typed change feed hash-checked by
+# set-logic oracles. Clause arithmetic: base = k % 3 != 2; source =
+# k % 5 == 0 with price+100; matched & k % 11 == 0 -> DELETE (clause
+# order puts delete first), matched & k % 2 == 0 -> UPDATE, unmatched
+# & k % 2 == 1 -> INSERT; everything else passes through untouched.
+
+
+def _mclause_source(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf) the 2-commit clause-MERGE table:
+    v0 create, v1 conditional merge. Re-entrant like _cdf_source."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("mclause", spark.sparkContext.applicationId,
+           os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_mclause_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("o_orderkey") % 3 != 2))
+    if t.latest_version() < 1:
+        src = orders.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            "priority",
+            (F.col("price") + 100).cast("decimal(28,6)").alias("price"),
+        )
+        t.merge(
+            src,
+            ["o_orderkey"],
+            when_matched_delete="t.o_orderkey % 11 = 0",
+            when_matched_update="t.o_orderkey % 2 = 0",
+            when_not_matched_insert="s.o_orderkey % 2 = 1",
+        )
+    return t
+
+
+@register(
+    "etl_merge_clauses",
+    oracle=r"""
+WITH priced AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders),
+final AS (
+  SELECT k, priority,
+    CASE WHEN k % 5 = 0 AND k % 2 = 0 THEN price + 100
+         ELSE price END AS price
+  FROM priced
+  WHERE k % 3 <> 2 AND NOT (k % 5 = 0 AND k % 11 = 0)
+  UNION ALL
+  SELECT k, priority, price + 100
+  FROM priced WHERE k % 3 = 2 AND k % 5 = 0 AND k % 2 = 1
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM final GROUP BY 1
+""",
+)
+def etl_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-MERGE final state, hash-checked: one MERGE commit
+    fires update+delete+insert clauses (operators.upsert.merge_clauses
+    through VersionedTable.merge) and the snapshot read must equal the
+    oracle's direct set-logic derivation from orders — a clause
+    misfire (wrong order, wrong side's columns, an unmatched row
+    leaking through skip) shifts a count or a decimal sum.
+
+    Scale posture: the MERGE itself is the dir-pruned CoW path (one
+    full-outer join on the key over touched dirs only); the check
+    aggregate is one shuffle at priority cardinality."""
+    t = _mclause_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+@register(
+    "etl_merge_clauses_feed",
+    oracle=r"""
+WITH priced AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders),
+ch AS (
+  SELECT 'update_preimage' AS change_type, priority, price
+  FROM priced WHERE k % 3 <> 2 AND k % 5 = 0 AND k % 11 <> 0 AND k % 2 = 0
+  UNION ALL
+  SELECT 'update_postimage', priority, price + 100
+  FROM priced WHERE k % 3 <> 2 AND k % 5 = 0 AND k % 11 <> 0 AND k % 2 = 0
+  UNION ALL
+  SELECT 'delete', priority, price
+  FROM priced WHERE k % 3 <> 2 AND k % 5 = 0 AND k % 11 = 0
+  UNION ALL
+  SELECT 'insert', priority, price + 100
+  FROM priced WHERE k % 3 = 2 AND k % 5 = 0 AND k % 2 = 1
+)
+SELECT change_type, priority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM ch GROUP BY 1, 2
+""",
+)
+def etl_merge_clauses_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional MERGE's change feed, typed PER FIRED CLAUSE and
+    hash-checked: updated keys emit pre/post pairs, matched-delete
+    keys emit ``delete`` rows carrying the pre-delete values, inserted
+    keys emit ``insert`` — and matched keys whose conditions all
+    missed emit NOTHING (the silent-keep property: a spurious pre/post
+    pair for a kept row breaks the hash).
+
+    Scale posture: identical to etl_cdf_changes — the feed reads only
+    the commit's cdf files; the aggregate is change-type x priority
+    cardinality."""
+    t = _mclause_source(spark, sf_dir)
+    feed = t.row_changes(spark, 0, 1)
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("amount"),
     )

@@ -21,7 +21,12 @@ from python_etl_spark.operators.bpe import (
     train_bpe,
 )
 from python_etl_spark.operators.html import html_extract_col, html_links_col
-from python_etl_spark.plans.common import dmean, dmean_sql, register
+from python_etl_spark.plans.common import (
+    dmean,
+    dmean_sql,
+    register,
+    stable_digest,
+)
 from python_etl_spark.sources.tables import load_table
 
 
@@ -755,7 +760,7 @@ def _warc_dir(spark: SparkSession, sf_dir: str) -> str:
         return hit
     out = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_warc_{key[0]}_{abs(hash(key[1])) % 10**8}",
+        f"spark_graft_warc_{key[0]}_{stable_digest(key[1])}",
     )
     pages = _html_docs(spark, sf_dir).select(
         F.concat(

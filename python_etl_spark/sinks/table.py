@@ -732,6 +732,9 @@ class VersionedTable:
         version_col: str | None = None,
         meta: dict | None = None,
         track_changes: bool = True,
+        when_matched_update=None,
+        when_matched_delete=None,
+        when_not_matched_insert=None,
     ) -> int:
         """DIR-PRUNED copy-on-write MERGE: update rows win on key
         collision, new keys are inserted (upsert semantics;
@@ -766,9 +769,26 @@ class VersionedTable:
         whose update lost a ``version_col`` tie still emits a pre/post
         pair with identical values — additive folds net it to zero.
         Pass ``track_changes=False`` to skip the extra joins; that
-        commit then becomes a re-baseline barrier for row_changes."""
-        from python_etl_spark.operators.upsert import upsert
+        commit then becomes a re-baseline barrier for row_changes.
 
+        CONDITIONAL CLAUSES: passing any of ``when_matched_update`` /
+        ``when_matched_delete`` / ``when_not_matched_insert`` switches
+        to the full MERGE surface (operators.upsert.merge_clauses —
+        conditions are Columns or SQL over ``t``/``s`` aliases; clause
+        order delete, update, keep; insert only if its clause is
+        given). The change feed types rows per fired clause: update
+        pre/post pairs for updated keys, ``delete`` rows for
+        matched-delete keys, ``insert`` for inserted keys — matched
+        keys whose conditions all miss emit nothing. Dir pruning is
+        identical (all clause effects live where the update keys
+        live); ``version_col`` does not apply to the clause path."""
+        from python_etl_spark.operators.upsert import merge_clauses, upsert
+
+        clauses = not (
+            when_matched_update is None
+            and when_matched_delete is None
+            and when_not_matched_insert is None
+        )
         spark = updates.sparkSession
         # per-key-column bounds of the updates batch: one tiny agg job,
         # 2 scalars per key column, powers the metadata prune
@@ -818,32 +838,69 @@ class VersionedTable:
                 base = spark.createDataFrame(
                     [], self.read(spark, cur["version"]).schema
                 )
-            merged = upsert(
-                base, updates.select(*snap_cols), keys, version_col
-            )
+            actions = None
+            if clauses:
+                merged, actions = merge_clauses(
+                    base,
+                    updates.select(*snap_cols),
+                    keys,
+                    matched_update=when_matched_update,
+                    matched_delete=when_matched_delete,
+                    not_matched_insert=when_not_matched_insert,
+                    return_actions=True,
+                )
+            else:
+                merged = upsert(
+                    base, updates.select(*snap_cols), keys, version_col
+                )
             v = cur["version"] + 1
             d = self._write_data(merged, self.partition_columns() or None)
             cdf_dir = None
             if track_changes:
                 written = spark.read.parquet(d)
-                matched = upd_keys.join(
-                    base.select(*keys).distinct(), keys, "left_semi"
-                )
                 ct = "_change_type"
-                pre = base.join(matched, keys, "left_semi").withColumn(
-                    ct, F.lit("update_preimage")
-                )
-                post = written.join(matched, keys, "left_semi").withColumn(
-                    ct, F.lit("update_postimage")
-                )
-                ins = (
-                    written.join(upd_keys, keys, "left_semi")
-                    .join(matched, keys, "left_anti")
-                    .withColumn(ct, F.lit("insert"))
-                )
-                cdf_dir = self._write_cdf(
-                    pre.unionByName(post).unionByName(ins)
-                )
+                if clauses:
+                    # per-clause typing: the actions frame names which
+                    # clause fired for each key; values still come from
+                    # the written files (post/insert) or the base (pre/
+                    # delete)
+                    k_upd = actions.where("action = 'update'").select(*keys)
+                    k_del = actions.where("action = 'delete'").select(*keys)
+                    k_ins = actions.where("action = 'insert'").select(*keys)
+                    pre = base.join(k_upd, keys, "left_semi").withColumn(
+                        ct, F.lit("update_preimage")
+                    )
+                    post = written.join(
+                        k_upd, keys, "left_semi"
+                    ).withColumn(ct, F.lit("update_postimage"))
+                    dele = base.join(k_del, keys, "left_semi").withColumn(
+                        ct, F.lit("delete")
+                    )
+                    ins = written.join(
+                        k_ins, keys, "left_semi"
+                    ).withColumn(ct, F.lit("insert"))
+                    cdf = (
+                        pre.unionByName(post)
+                        .unionByName(dele)
+                        .unionByName(ins)
+                    )
+                else:
+                    matched = upd_keys.join(
+                        base.select(*keys).distinct(), keys, "left_semi"
+                    )
+                    pre = base.join(matched, keys, "left_semi").withColumn(
+                        ct, F.lit("update_preimage")
+                    )
+                    post = written.join(
+                        matched, keys, "left_semi"
+                    ).withColumn(ct, F.lit("update_postimage"))
+                    ins = (
+                        written.join(upd_keys, keys, "left_semi")
+                        .join(matched, keys, "left_anti")
+                        .withColumn(ct, F.lit("insert"))
+                    )
+                    cdf = pre.unionByName(post).unionByName(ins)
+                cdf_dir = self._write_cdf(cdf)
             total = sum(self._logical_dir_rows(cur, u) for u in untouched)
             total += self._dir_rows(d)
             try:

@@ -1212,3 +1212,83 @@ def test_mor_delete_then_pruned_merge_carries_scope(spark, tmp_path):
     assert {r["k"] for r in t.read(spark).collect()} == (
         set(range(10)) | set(range(100, 110))
     ) - {3, 103}
+
+
+# ------------------- conditional MERGE clauses (r10) --------------------
+
+
+def test_merge_clauses_operator_semantics(spark):
+    from python_etl_spark.operators.upsert import merge_clauses
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, g string, v long",
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 99), (3, "C", 1), (4, "D", 999), (5, "E", 50), (6, "F", 60)],
+        "k long, g string, v long",
+    )
+    m, a = merge_clauses(
+        base,
+        upd,
+        ["k"],
+        matched_update="s.v > t.v",
+        matched_delete="t.k = 4",  # delete clause FIRST: k=4 dies even
+        not_matched_insert="s.k % 2 = 1",  # though 999 > 40
+        return_actions=True,
+    )
+    assert _rows(m) == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (5, "E", 50)]
+    assert sorted((r["k"], r["action"]) for r in a.collect()) == [
+        (2, "update"), (4, "delete"), (5, "insert"), (6, "skip"),
+    ]
+    # a delete-only MERGE touches nothing else (insert clause off;
+    # the standalone operator's default inserts unmatched sources)
+    only_del = merge_clauses(
+        base, upd, ["k"], matched_delete="t.k = 2", not_matched_insert=False
+    )
+    assert _rows(only_del) == [(1, "a", 10), (3, "c", 30), (4, "d", 40)]
+
+
+def test_merge_clauses_through_table_with_typed_feed(spark, tmp_path):
+    """update+delete+insert clauses in ONE MERGE commit: snapshot,
+    per-clause CDF typing, silent-keep (no change rows for matched
+    keys whose conditions missed), metadata row_count, dir pruning."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, g string, v long",
+        )
+    )
+    t.append(spark.createDataFrame([(10, "z", 100)], "k long, g string, v long"))
+    da, db = t._read_manifest()["data_dirs"]
+    inv_b = _tree_inventory(db)
+    t.merge(
+        spark.createDataFrame(
+            [(2, "B", 99), (3, "C", 1), (4, "D", 999), (5, "E", 50), (6, "F", 60)],
+            "k long, g string, v long",
+        ),
+        ["k"],
+        when_matched_update="s.v > t.v",
+        when_matched_delete="t.k = 4",
+        when_not_matched_insert="s.k % 2 = 1",
+    )
+    got = sorted((r["k"], r["g"], r["v"]) for r in t.read(spark).collect())
+    assert got == [
+        (1, "a", 10), (2, "B", 99), (3, "c", 30), (5, "E", 50), (10, "z", 100)
+    ]
+    assert t.row_count() == 5
+    # dir pruning: the update keys never touch dir B (k=10)
+    m = t._read_manifest()
+    assert db in m["data_dirs"] and _tree_inventory(db) == inv_b
+    # typed feed: pre/post for k=2, delete for k=4, insert for k=5;
+    # NOTHING for kept k=3 or skipped k=6
+    feed = t.row_changes(spark, 1)
+    assert sorted(
+        (r["_change_type"], r["k"], r["v"]) for r in feed.collect()
+    ) == [
+        ("delete", 4, 40),
+        ("insert", 5, 50),
+        ("update_postimage", 2, 99),
+        ("update_preimage", 2, 20),
+    ]
