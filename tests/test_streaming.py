@@ -1054,18 +1054,22 @@ def test_foreach_batch_streaming_leaderboard(spark, tmp_path):
 
 
 def test_streaming_cdf_fold_equals_batch_recompute(spark, tmp_path):
-    """Structured Streaming over the change feed: the cdf dirs of a
-    VersionedTable are a FILE-SOURCE stream (new merge/delete commits
-    surface as micro-batches); foreachBatch folds the typed rows with
-    the signed-IVM rule (+insert/+post, -pre/-delete) into a running
-    per-group state, which must equal the one-shot recompute over the
-    final snapshot — the streaming face of MaterializedRollup's fold."""
-    import os
-
+    """Structured Streaming over the change feed via the REGISTERED
+    table_changes source (r10 upgrade of the cdf file-source glob:
+    offsets are COMMIT VERSIONS, so compaction/vacuum races and
+    re-baseline barriers are first-class instead of accidental);
+    foreachBatch folds the typed rows with the signed-IVM rule
+    (+insert/+post, -pre/-delete) into a running per-group state,
+    which must equal the one-shot recompute over the final snapshot —
+    the streaming face of MaterializedRollup's fold."""
     from pyspark.sql import functions as F
 
     from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
 
+    spark.dataSource.register(TableChangesDataSource)
     t = VersionedTable(str(tmp_path / "t"))
     t.create(
         spark.range(0, 60).selectExpr(
@@ -1080,9 +1084,10 @@ def test_streaming_cdf_fold_equals_batch_recompute(spark, tmp_path):
     )
     t.delete_where(F.col("k") % 7 == 3)
 
-    feed_schema = t.row_changes(spark, 0).drop("_commit_version").schema
-    stream = spark.readStream.schema(feed_schema).parquet(
-        os.path.join(t.root, "data", "cdf-*")
+    stream = (
+        spark.readStream.format("table_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
     )
     state: dict = {}
 
@@ -1136,3 +1141,134 @@ def test_streaming_cdf_fold_equals_batch_recompute(spark, tmp_path):
         .collect()
     }
     assert {g: v for g, v in folded.items() if v[1] != 0} == want
+
+
+def test_table_changes_checkpoint_restart_resumes_at_version(
+    spark, tmp_path
+):
+    """Commit-version offsets survive a checkpointed restart: run the
+    stream over v1-v2, commit MORE versions (including a compact,
+    which must contribute nothing), restart with the SAME checkpoint —
+    only the new versions' changes arrive, none replayed, and the
+    union equals the batch feed."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 20).selectExpr("id AS k", "id * 10 AS v"))
+    t.merge(
+        spark.range(0, 5).selectExpr("id * 2 AS k", "id * 1000 AS v"), ["k"]
+    )
+    seen: list[tuple] = []
+    batches: list[int] = []
+
+    def sink(batch_df, _bid):
+        rows = batch_df.select(
+            "k", "v", "_change_type", "_commit_version"
+        ).collect()
+        if rows:
+            batches.append(len(rows))
+        seen.extend(tuple(r) for r in rows)
+
+    def run_once():
+        q = (
+            spark.readStream.format("table_changes")
+            .option("startingVersion", 0)
+            .load(t.root)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = len(seen)
+    assert n_first == 10  # 5 pre + 5 post
+    # new commits while the stream is down; compact must emit nothing
+    t.append(spark.range(100, 103).selectExpr("id AS k", "id AS v"))
+    t.compact(spark)
+    t.delete_where(F.col("k") == 100)
+    run_once()
+    replays = [s for s in seen[:n_first] if seen.count(s) > 1]
+    assert not replays, replays
+    assert len(seen) == n_first + 3 + 1  # 3 inserts + 1 delete
+    want = sorted(
+        tuple(r)
+        for r in t.row_changes(spark, 0)
+        .select("k", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert sorted(seen) == want
+
+
+def test_table_changes_barrier_surfaces_as_stream_error(spark, tmp_path):
+    """An overwrite (re-baseline barrier) inside the pending range
+    fails the stream with a descriptive error instead of a silent
+    gap — the contract consumers re-baseline on."""
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 10).selectExpr("id AS k", "id AS v"))
+    t.append(spark.range(10, 15).selectExpr("id AS k", "id AS v"))
+    t.overwrite(spark.range(0, 3).selectExpr("id AS k", "id AS v"))
+    q = (
+        spark.readStream.format("table_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    with _pytest.raises(Exception, match="re-baseline"):
+        q.awaitTermination(120)
+
+
+def test_table_changes_batch_face_equals_row_changes(spark, tmp_path):
+    """The batch reader over a version range returns exactly
+    row_changes(start, end) — including MOR-delete commits."""
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.range(0, 30).selectExpr("id AS k", "id * 10 AS v"))
+    t.merge(
+        spark.range(0, 40, 3).selectExpr("id AS k", "id * 100 AS v"), ["k"]
+    )
+    t.delete_where(F.col("k") % 5 == 1, merge_on_read=True)
+    got = (
+        spark.read.format("table_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+        .select("k", "v", "_change_type", "_commit_version")
+    )
+    want = t.row_changes(spark, 0).select(
+        "k", "v", "_change_type", "_commit_version"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # and the create itself surfaces with startingVersion=-1
+    full = (
+        spark.read.format("table_changes")
+        .option("startingVersion", -1)
+        .load(t.root)
+    )
+    assert full.where("_commit_version = 0").count() == 30
