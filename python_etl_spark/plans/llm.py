@@ -402,6 +402,92 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANGS5 = ["de", "en", "es", "fr", "zh"]
+_TRI_B = (
+    "(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096)"
+)
+
+
+@register(
+    "text_langid_trained",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+tri AS (
+  SELECT doc_id, lang, {_TRI_B} AS b
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_transform(range(1, greatest(length(txt) - 1, 1)),
+             i -> substr(txt, CAST(i AS INT), 3))) AS g
+    FROM t)),
+train AS (
+  SELECT b, lang, COUNT(*) AS c FROM tri
+  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+tot AS (SELECT b, SUM(c) AS s FROM train GROUP BY 1),
+w AS (SELECT train.b,
+  {", ".join(
+    f"SUM(CASE WHEN lang = '{lg}' THEN (1000000 * c) // s ELSE 0 END)"
+    f" AS w_{lg}" for lg in _LANGS5)}
+  FROM train JOIN tot ON tot.b = train.b GROUP BY 1),
+sc AS (
+  SELECT tri.doc_id,
+    {", ".join(f"SUM(w_{lg}) AS s_{lg}" for lg in _LANGS5)}
+  FROM tri JOIN w ON w.b = tri.b
+  WHERE tri.doc_id % 5 = 0 GROUP BY 1),
+p AS (
+  SELECT d.doc_id, d.lang,
+    CASE WHEN COALESCE(GREATEST(s_de, s_en, s_es, s_fr, s_zh), 0) <= 0
+           THEN 'unknown'
+    {" ".join(
+      f"WHEN s_{lg} = GREATEST(s_de, s_en, s_es, s_fr, s_zh)"
+      f" THEN '{lg}'" for lg in _LANGS5[:-1])}
+         ELSE '{_LANGS5[-1]}' END AS pred_lang
+  FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0) d
+  LEFT JOIN sc ON sc.doc_id = d.doc_id)
+SELECT doc_id, lang, pred_lang, (pred_lang = lang) AS is_correct FROM p
+""",
+)
+def text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED char-trigram language ID (the fastText shape, replacing
+    guesswork with learning; text_langid's marker heuristic stays as
+    the simpler twin): hashed character trigrams -> integer affinity
+    weights fit on the doc_id %% 5 != 0 split -> linear vote scores on
+    the held-out split, argmax with lexicographic ties, 'unknown' when
+    every trigram misses the table. Weights and scores are INTEGERS
+    ((SCALE*c) div total and occurrence-weighted sums), so the oracle
+    replays training AND inference bit-for-bit — a wrong count, hash,
+    split, or tie-break flips a prediction and breaks the hash. On
+    this synthetic corpus the label is independent of the text, so
+    accuracy here is chance (the hash checks the machinery); the
+    model's actual skill is pytest-proven on a planted multilingual
+    corpus where it beats the marker heuristic
+    (tests/test_operators.py).
+
+    Scale posture: training is one (bucket, lang) count shuffle over
+    O(chars) trigram rows; the weight table is <= 4096 x 5 rows,
+    BROADCAST to the predict join; scoring reduces per-doc partials —
+    no driver data path beyond the bounded distinct-language set."""
+    from python_etl_spark.operators.langid import fit_langid, predict_langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )
+    weights = fit_langid(train)
+    pred = predict_langid(test, weights, langs)
+    return (
+        test.select("doc_id", "lang")
+        .join(pred.select("doc_id", "pred_lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).alias("is_correct"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle=r"""

@@ -557,3 +557,12 @@ def test_recall_eval_exact_side_is_broadcast_not_cartesian(spark, sf_dir):
     CartesianProduct."""
     plan = _plan(spark, sf_dir, "sim_eval_recall_lsh")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_trained_langid_broadcasts_weight_table(spark, sf_dir):
+    """Trained langid's predict join: the <=4096 x L weight table is
+    BROADCAST against the doc trigram partials — never a shuffled join
+    of the corpus against the model, never a cartesian."""
+    plan = _plan(spark, sf_dir, "text_langid_trained")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
