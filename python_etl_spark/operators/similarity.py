@@ -1056,6 +1056,7 @@ def ivf_write_index(
         .partitionBy("list_id")
         .parquet(path)
     )
+    _write_quantizer(path, cn, version=1)
     return cn
 
 
@@ -1154,6 +1155,132 @@ def ivf_list_stats(spark, path: str) -> DataFrame:
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def _write_quantizer(path: str, cn: np.ndarray, version: int) -> None:
+    """Persist the coarse quantizer next to its index (underscore name
+    — parquet readers ignore it). The version is the reader
+    re-baseline barrier: a cached centroid matrix older than the
+    sidecar's version must be reloaded before probing."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizer.json"), "w") as f:
+        json.dump(
+            {"version": version, "centroids": [list(map(float, c)) for c in cn]},
+            f,
+        )
+
+
+def load_quantizer(path: str) -> tuple[np.ndarray, int]:
+    """(centroid matrix, version) from the index sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_quantizer.json")) as f:
+        doc = json.load(f)
+    return (
+        np.asarray(doc["centroids"], dtype=np.float64),
+        int(doc["version"]),
+    )
+
+
+def ivf_rebalance_index(
+    spark,
+    path: str,
+    cn: np.ndarray,
+    skew_threshold: float = 4.0,
+    sample_fraction: float = 0.25,
+    n_centroids: int | None = None,
+    seed: int = 7,
+) -> np.ndarray | None:
+    """Re-cluster MAINTENANCE for a drifted IVF index (VERDICT r9 #7 —
+    ``ivf_list_stats`` observes skew, this acts on it). Frozen-
+    quantizer appends eventually pile new-distribution vectors into
+    whichever old lists are nearest: lists go hot (probe cost) and
+    clusters STRADDLE lists (recall loss — a query probing its nearest
+    list finds only the fraction of its true cluster that landed
+    there).
+
+    Mechanics: no-op (returns None) unless the max list exceeds
+    ``skew_threshold`` x the mean. Otherwise recompute centroids over
+    a SAMPLE of the index (bounded driver model state, like the
+    original fit), re-assign every vector in one scan, and rewrite
+    ONLY the lists whose membership changed — dynamic partition
+    overwrite touches exactly the gaining lists, losing-only list dirs
+    are dropped; untouched list directories keep their files. The new
+    quantizer lands in the ``_quantizer.json`` sidecar with a bumped
+    version — the READER RE-BASELINE BARRIER: probes computed against
+    the old centroid matrix are invalid for the new layout, so cached
+    matrices must reload when the sidecar version moves (readers pass
+    ``cn`` explicitly; ``load_quantizer`` is the source of truth).
+    Returns the new centroid matrix; ``ivf_append_index`` keeps
+    working against it unchanged."""
+    import os
+    import shutil
+
+    stats = {
+        int(r["list_id"]): int(r["n_vectors"])
+        for r in ivf_list_stats(spark, path).collect()
+    }
+    mean = sum(stats.values()) / max(len(stats), 1)
+    if not stats or max(stats.values()) <= skew_threshold * mean:
+        return None
+    idx = spark.read.parquet(path).select("id", "vec", "list_id")
+    k = n_centroids or len(cn)
+    sample = (
+        idx.select("id", "vec")
+        if sample_fraction >= 1.0
+        else idx.select("id", "vec").sample(
+            fraction=sample_fraction, seed=seed
+        )
+    )
+    new_cn = _normalize_rows(_kmeans_centroids(sample, k))
+    reassigned = idx.withColumn("new_list", _assign_udf(new_cn)("vec"))
+    moved_lists = reassigned.where(
+        F.col("new_list") != F.col("list_id")
+    ).select("list_id", "new_list")
+    affected: set[int] = set()
+    for r in moved_lists.distinct().collect():  # bounded: <= 2k values
+        affected.add(int(r["list_id"]))
+        affected.add(int(r["new_list"]))
+    # every driver-side set derives BEFORE the rewrite (the old files
+    # are still intact here)
+    kept = {
+        int(r["new_list"])
+        for r in reassigned.select("new_list").distinct().collect()
+    }
+    try:
+        _cn_old, ver = load_quantizer(path)
+    except FileNotFoundError:
+        ver = 1
+    if not affected:  # retrained quantizer agrees with the layout
+        _write_quantizer(path, new_cn, ver + 1)
+        return new_cn
+    # localCheckpoint materializes the rewrite subset (touched lists
+    # only) and SEVERS the file lineage — without it the dynamic
+    # partition overwrite would read the very files it is replacing
+    # (FAILED_READ_FILE on task retry). Production note: on a real
+    # cluster stage to a sibling dir and swap for full atomicity.
+    to_write = (
+        reassigned.where(F.col("new_list").isin(sorted(affected)))
+        .select("id", "vec", F.col("new_list").alias("list_id"))
+        .localCheckpoint()
+    )
+    (
+        to_write.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    # a list that only LOST vectors gets no new files — dynamic
+    # overwrite never touches it, so drop its stale directory
+    for lid in sorted(affected - kept):
+        d = os.path.join(path, f"list_id={lid}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    _write_quantizer(path, new_cn, ver + 1)
+    return new_cn
 
 
 def mmr_rerank(
