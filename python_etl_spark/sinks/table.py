@@ -101,6 +101,30 @@ _DEFAULT_RETRIES = 3
 _DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint"]  # simpleString names
+
+
+def _is_widening(src, dst) -> bool:
+    """Is src -> dst a lossless type widening (the public
+    Delta/Iceberg type-evolution set): integer up-casts, float ->
+    double, decimal precision growth that keeps every old value
+    representable (scale grows no faster than precision headroom)."""
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(src, DecimalType) and isinstance(dst, DecimalType):
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+            and (dst.precision, dst.scale) != (src.precision, src.scale)
+        )
+    s, d = src.simpleString(), dst.simpleString()
+    if s in _WIDEN_ORDER and d in _WIDEN_ORDER:
+        return _WIDEN_ORDER.index(s) < _WIDEN_ORDER.index(d)
+    if s in _WIDEN_ORDER and d == "double":
+        return s in ("tinyint", "smallint", "int")  # exact in a double
+    return (s, d) == ("float", "double")
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first. The losing
     attempt's data dir is unreachable (vacuum sweeps it); retry
@@ -160,13 +184,19 @@ class VersionedTable:
                         name = col.path_in_schema
                         if name in dropped or "." in name:
                             continue
-                        st = col.statistics
-                        if (
-                            st is None
-                            or not st.has_min_max
-                            or _js(st.min) is None
-                            or _js(st.max) is None
-                        ):
+                        try:
+                            st = col.statistics
+                            bad = (
+                                st is None
+                                or not st.has_min_max
+                                or _js(st.min) is None
+                                or _js(st.max) is None
+                            )
+                        except Exception:
+                            # pyarrow can't extract stats for some
+                            # physical types (e.g. fixed-len decimals)
+                            bad = True
+                        if bad:
                             dropped.add(name)
                             stats.pop(name, None)
                             continue
@@ -328,6 +358,7 @@ class VersionedTable:
         prev = self._latest_checkpoint(version - 1)
         commits: list[dict] = list(prev["commits"]) if prev else []
         evolved = bool(prev["schema_evolved"]) if prev else False
+        schema_json = prev.get("schema_json") if prev else None
         start = commits[-1]["version"] + 1 if commits else 0
         for i in range(start, version):
             m = self._read_manifest(i)
@@ -340,6 +371,9 @@ class VersionedTable:
                 }
             )
             evolved = evolved or bool(m.get("meta", {}).get("schema_evolved"))
+            schema_json = (
+                m.get("meta", {}).get("schema_json") or schema_json
+            )
         commits.append(
             {
                 "version": version,
@@ -351,10 +385,14 @@ class VersionedTable:
         evolved = evolved or bool(
             manifest.get("meta", {}).get("schema_evolved")
         )
+        schema_json = (
+            manifest.get("meta", {}).get("schema_json") or schema_json
+        )
         ckpt = {
             "version": version,
             "manifest": manifest,
             "schema_evolved": evolved,
+            "schema_json": schema_json,
             "partition_by": self.partition_columns(),
             "commits": commits,
         }
@@ -534,28 +572,74 @@ class VersionedTable:
         meta: dict | None = None,
         allow_evolution: bool = False,
     ) -> int:
+        from pyspark.sql.types import StructType
+
         cur = self._read_manifest()
         # schema guard: an append with drifted columns would poison the
         # snapshot read (parquet union mismatch) — fail at commit time
         # with names, not at some later read with a cast error.
-        # allow_evolution=True opts into additive drift instead: the
-        # batch is written as-is and snapshot reads switch to
-        # mergeSchema, so old rows surface the new columns as NULL
-        # (the unionByName(allowMissingColumns) lakehouse semantics).
-        have = set(
-            df.sparkSession.read.parquet(cur["data_dirs"][-1]).columns
-        )
-        got = set(df.columns)
+        # allow_evolution=True opts into additive drift AND type
+        # WIDENING (int->long, float->double, decimal growth): additive
+        # batches are written as-is and snapshot reads switch to
+        # mergeSchema (old rows surface the new columns as NULL); a
+        # widening batch records the widened snapshot schema in the
+        # manifest and reads conform every dir to it by CAST (parquet
+        # mergeSchema cannot merge int with long). A batch NARROWER
+        # than the table is always fine: it is up-cast before writing,
+        # so the on-disk dirs never regress the schema.
+        snap_schema = self.read(df.sparkSession, cur["version"]).schema
+        have = {f.name: f.dataType for f in snap_schema.fields}
+        got = {f.name: f.dataType for f in df.schema.fields}
         m = dict(meta or {})
-        if got != have:
+        widened = False
+        target_fields = []
+        for f in snap_schema.fields:
+            g = got.get(f.name)
+            if g is None or g == f.dataType:
+                target_fields.append(f)
+            elif _is_widening(g, f.dataType):
+                target_fields.append(f)  # batch narrower: up-cast it
+            elif _is_widening(f.dataType, g):
+                widened = True  # table column widens to the batch type
+                target_fields.append(type(f)(f.name, g, True))
+            else:
+                raise ValueError(
+                    f"append type drift on '{f.name}': table has "
+                    f"{f.dataType.simpleString()}, batch has "
+                    f"{g.simpleString()} — not a supported widening"
+                )
+        extra = [n for n in df.columns if n not in have]
+        for n in extra:
+            target_fields.append(
+                next(f for f in df.schema.fields if f.name == n)
+            )
+        target = StructType(target_fields)
+        if set(got) != set(have) or widened:
             if not allow_evolution:
                 raise ValueError(
                     f"append schema drift: table has {sorted(have)}, "
                     f"batch has {sorted(got)} "
-                    f"(missing {sorted(have - got)}, extra {sorted(got - have)}) "
+                    f"(missing {sorted(set(have) - set(got))}, "
+                    f"extra {sorted(set(got) - set(have))}"
+                    f"{', widened types' if widened else ''}) "
                     f"— pass allow_evolution=True for additive evolution"
                 )
             m["schema_evolved"] = True
+            if widened:
+                # the widened snapshot schema: the read-side cast target
+                m["schema_json"] = target.json()
+        if any(got.get(f.name) not in (None, f.dataType) for f in target_fields):
+            # conform the batch to the target types (up-casts narrower
+            # batch columns; no-op otherwise). Extra columns keep their
+            # batch types; missing columns stay missing (mergeSchema /
+            # the cast path null-fills them at read).
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target_fields
+                    if f.name in got
+                ]
+            )
         # the batch's data dir is written ONCE; only the manifest is
         # retried. An append does not depend on the base's CONTENT,
         # just its dir list, so a conflict retry re-reads the winner's
@@ -636,8 +720,34 @@ class VersionedTable:
         union), so existing plan-shape pins hold."""
         evolved = self._schema_evolved(manifest["version"])
         dvs = manifest.get("dvs", [])
+        wjson = self._widened_schema(manifest["version"])
 
         def _scan(gdirs: list[str]) -> DataFrame:
+            if wjson is not None:
+                # TYPE-WIDENED table: parquet mergeSchema cannot merge
+                # int with long, so every dir conforms to the recorded
+                # widened schema by CAST (missing columns null-fill)
+                from pyspark.sql.types import StructType
+
+                target = StructType.fromJson(json.loads(wjson))
+                frames = []
+                for d in gdirs:
+                    f = spark.read.parquet(d)
+                    f = f.select(
+                        *[
+                            F.col(x.name).cast(x.dataType).alias(x.name)
+                            if x.name in f.columns
+                            else F.lit(None).cast(x.dataType).alias(x.name)
+                            for x in target.fields
+                        ]
+                    )
+                    if tag_dir:
+                        f = f.withColumn("__dir", F.lit(d))
+                    frames.append(f)
+                out = frames[0]
+                for f in frames[1:]:
+                    out = out.unionByName(f)
+                return out
             if not tag_dir and (
                 len(gdirs) == 1 or not self.partition_columns()
             ):
@@ -1319,6 +1429,19 @@ class VersionedTable:
             f"no version committed at or before {ts} "
             f"(earliest is {earliest})"
         )
+
+    def _widened_schema(self, upto: int) -> str | None:
+        """The newest recorded widened-snapshot schema (StructType
+        json) at or below ``upto`` — manifest tail first, then the
+        checkpoint's carried value. None until a widening append
+        happens; reads stay on the untouched fast paths then."""
+        ckpt = self._latest_checkpoint(upto)
+        start = ckpt["version"] + 1 if ckpt else 0
+        for i in range(upto, start - 1, -1):
+            sj = self._read_manifest(i).get("meta", {}).get("schema_json")
+            if sj:
+                return sj
+        return ckpt.get("schema_json") if ckpt else None
 
     def _schema_evolved(self, upto: int) -> bool:
         """Has any commit <= upto evolved the schema? Scans the newest

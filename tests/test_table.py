@@ -1292,3 +1292,98 @@ def test_merge_clauses_through_table_with_typed_feed(spark, tmp_path):
         ("update_postimage", 2, 99),
         ("update_preimage", 2, 20),
     ]
+
+
+# ------------------- type-widening schema evolution (r10) ----------------
+
+
+def test_append_type_widening_round_trip(spark, tmp_path):
+    """int->long, float->double, decimal growth (the public
+    Delta/Iceberg widening set): a widening append records the target
+    schema; reads conform every dir by cast (mergeSchema cannot merge
+    int with long), old values survive exactly, time travel below the
+    widening keeps the old schema, and narrower batches up-cast
+    silently without a new flag."""
+    from decimal import Decimal
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 1.5, Decimal("10.25"))],
+            "k int, v float, d decimal(10,2)",
+        )
+    )
+    with pytest.raises(ValueError, match="widen"):
+        t.append(
+            spark.createDataFrame(
+                [(2**40, 2.5, Decimal("20.50"))],
+                "k long, v double, d decimal(20,2)",
+            )
+        )
+    t.append(
+        spark.createDataFrame(
+            [(2**40, 2.5, Decimal("20.50"))],
+            "k long, v double, d decimal(20,2)",
+        ),
+        allow_evolution=True,
+    )
+    got = t.read(spark)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "double", "decimal(20,2)",
+    ]
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 1.5, Decimal("10.25")), (2**40, 2.5, Decimal("20.50")),
+    ]
+    # time travel BELOW the widening: the original schema
+    assert [
+        f.dataType.simpleString() for f in t.read(spark, 0).schema.fields
+    ] == ["int", "float", "decimal(10,2)"]
+    # a narrower batch up-casts silently (no new evolution flag)
+    v = t.append(
+        spark.createDataFrame(
+            [(3, 3.5, Decimal("30.75"))], "k int, v float, d decimal(10,2)"
+        )
+    )
+    m = t._read_manifest(v)
+    assert "schema_json" not in m.get("meta", {})
+    assert t.read(spark).count() == 3
+    assert t.row_count() == 3
+    # an actually-incompatible type still fails loudly
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.append(
+            spark.createDataFrame([("x", 1.0, Decimal("1.00"))],
+                                  "k string, v float, d decimal(10,2)"),
+            allow_evolution=True,
+        )
+
+
+def test_type_widening_survives_merge_delete_checkpoint(spark, tmp_path):
+    """The widened read path composes with the rest of the table:
+    dir-pruned merge and delete run against the cast-conformed
+    snapshot, the change feed stays typed, and the recorded schema
+    survives checkpoint + clean_metadata dropping old manifests."""
+    t = VersionedTable(str(tmp_path / "t"), checkpoint_interval=4)
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.append(
+        spark.createDataFrame([(3, 2**35)], "k int, v long"),
+        allow_evolution=True,
+    )
+    t.merge(spark.createDataFrame([(2, 99), (4, 40)], "k int, v long"), ["k"])
+    t.delete_where(F.col("k") == 1)
+    feed = t.row_changes(spark, 1)
+    assert sorted(
+        (r["_change_type"], r["k"], r["v"]) for r in feed.collect()
+    ) == [
+        ("delete", 1, 10),
+        ("insert", 4, 40),
+        ("update_postimage", 2, 99),
+        ("update_preimage", 2, 20),
+    ]
+    t.checkpoint()
+    t.clean_metadata()
+    got = t.read(spark)
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    assert sorted(map(tuple, got.collect())) == [
+        (2, 99), (3, 2**35), (4, 40),
+    ]
+    assert t.row_count() == 3
