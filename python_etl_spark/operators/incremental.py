@@ -79,6 +79,31 @@ def text_signature(text_col, normalized: bool = True):
     return F.md5(c)
 
 
+def _migrate_legacy_id(table: VersionedTable, spark, new_rows: DataFrame) -> None:
+    """One-time store migration (ADVICE r9): stores created before
+    native-typed provenance ids persisted ``id`` as BIGINT (string ids
+    were cast to NULL long). A post-upgrade batch with string ids
+    would append a string ``id`` into the same table and the next
+    snapshot read would die on the long-vs-string conflict. Mirror of
+    MaterializedRollup's rebuild-once guard: when the incoming ``id``
+    is a string and the store's is not, rewrite the store ONCE with
+    ``id`` cast to string (legacy NULLs stay NULL — their provenance
+    was already lost at the original cast; dedup keys on sig/bucket,
+    never on id). Numeric-vs-numeric drift is left to append's type
+    widening; incompatible drift still fails loudly there."""
+    from pyspark.sql.types import StringType
+
+    store = table.read(spark)
+    old_t = store.schema["id"].dataType
+    new_t = new_rows.schema["id"].dataType
+    if old_t == new_t or not isinstance(new_t, StringType):
+        return
+    table.overwrite(
+        store.withColumn("id", F.col("id").cast("string")),
+        meta={"id_type_migrated": "string"},
+    )
+
+
 class IncrementalDeduper:
     """Signature store + batch filter. One instance per logical corpus."""
 
@@ -152,6 +177,7 @@ class IncrementalDeduper:
         if store is None:
             self.table.create(new_sigs, meta={"batch_id": batch_id})
         elif not self.batch_committed(spark, batch_id):
+            _migrate_legacy_id(self.table, spark, new_sigs)
             self.table.append(new_sigs, meta={"batch_id": batch_id})
             # nightly maintenance: a store accretes one commit dir per
             # batch; compact when the union-scan cost has actually
@@ -479,6 +505,7 @@ class IncrementalMinHashDeduper:
         if not self.table.exists():
             self.table.create(new_rows, meta={"batch_id": batch_id})
         elif not self.batch_committed(spark, batch_id):
+            _migrate_legacy_id(self.table, spark, new_rows)
             self.table.append(new_rows, meta={"batch_id": batch_id})
             self.table.compact_if_needed(spark)
         return accepted

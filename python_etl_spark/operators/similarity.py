@@ -1549,17 +1549,35 @@ def ivfpq_topk_from_index(
     k: int = 5,
     nprobe: int = 4,
     rerank: int = 64,
+    query_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over the STORED IVFPQ index: the queries' probe sets
-    become ONE partition-pruning predicate (only probed list dirs are
-    read — assert on inputFiles), candidates are ADC-scored from the
-    STORED codes (never re-encoded), the per-query ADC pool is capped
-    at ``rerank`` and exactly re-ranked by true cosine from the stored
-    vectors — the ivfpq_topk pipeline with the corpus scan replaced by
-    the at-rest index."""
+    become ONE partition-pruning predicate on the CANDIDATE scan (only
+    probed list dirs are read — assert on inputFiles), candidates are
+    ADC-scored from the STORED codes (never re-encoded), the ADC pool
+    is capped per Arrow batch AND then globally at ``rerank`` per
+    query, and the capped pool is exactly re-ranked by true cosine
+    from the stored vectors — the ivfpq_topk pipeline with the corpus
+    scan replaced by the at-rest index.
+
+    Query-vector fetch (ADVICE r9): pass ``query_vecs`` (an
+    ``(id, vec)`` frame, e.g. the caller's query batch) to avoid any
+    index lookup; without it the vectors are looked up from the index
+    by an id-pushdown scan of the two needed columns — row-group
+    stats prune within files, but every list dir is still opened, so
+    callers with the vectors in hand should pass them."""
     n_sub, _k_sub, sub_dim = books.shape
     idx = spark.read.parquet(path)
-    qrows = idx.where(F.col("id").isin(query_ids)).collect()
+    if query_vecs is not None:
+        qrows = query_vecs.where(
+            F.col("id").isin(query_ids)
+        ).select("id", "vec").collect()
+    else:
+        qrows = (
+            idx.where(F.col("id").isin(query_ids))
+            .select("id", "vec")
+            .collect()
+        )
     q_ids = np.array([r["id"] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
     qn = np.sqrt((qm * qm).sum(axis=1))
@@ -1603,6 +1621,18 @@ def ivfpq_topk_from_index(
 
     cands = pruned.select("id", "list_id", "codes").mapInPandas(
         scan, schema="query_id long, neighbor_id long, approx double"
+    )
+    # GLOBAL per-query cap (ADVICE r9): the in-scan cap is per Arrow
+    # batch, so a many-batch index could hand the exact re-rank up to
+    # batches x rerank rows; one bounded window trims it to the
+    # documented rerank-per-query pool before the join
+    wg = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    cands = (
+        cands.withColumn("__rn", F.row_number().over(wg))
+        .where(F.col("__rn") <= rerank)
+        .drop("__rn")
     )
     exact = pruned.select(
         F.col("id").alias("neighbor_id"),

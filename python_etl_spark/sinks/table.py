@@ -593,9 +593,16 @@ class VersionedTable:
         m = dict(meta or {})
         widened = False
         target_fields = []
+        part_cols = set(self.partition_columns())
         for f in snap_schema.fields:
             g = got.get(f.name)
-            if g is None or g == f.dataType:
+            if f.name in part_cols and g is not None:
+                # hive partition columns: the snapshot type is PATH-
+                # INFERRED (an int-looking dir value reads back int
+                # whatever the batch wrote), so type comparison here
+                # would flag phantom drift — name match suffices
+                target_fields.append(type(f)(f.name, g, True))
+            elif g is None or g == f.dataType:
                 target_fields.append(f)
             elif _is_widening(g, f.dataType):
                 target_fields.append(f)  # batch narrower: up-cast it

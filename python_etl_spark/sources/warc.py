@@ -634,15 +634,26 @@ try:  # pragma: no cover - import surface depends on pyspark version
             for m in sorted(
                 (m for m in messages if m and m.rows), key=lambda m: m.file
             ):
-                final = os.path.join(self.path, f"part-{i:05d}.warc.gz")
-                if os.path.exists(final):
-                    if not self.overwrite:
-                        raise FileExistsError(
-                            f"warc commit collision on {final}"
-                        )
-                    os.remove(final)
-                os.rename(m.file, final)
-                i += 1
+                # ATOMIC publish (ADVICE r9): the old exists-check +
+                # os.rename was check-then-act — two concurrent append
+                # jobs could compute the same next index, both pass the
+                # check, and the second rename silently replaced the
+                # first writer's part. os.link fails with EEXIST
+                # atomically on POSIX (the VersionedTable manifest
+                # trick), so a taken index just advances to the next.
+                while True:
+                    final = os.path.join(
+                        self.path, f"part-{i:05d}.warc.gz"
+                    )
+                    if self.overwrite and os.path.exists(final):
+                        os.remove(final)  # dir was cleared above; ours
+                    try:
+                        os.link(m.file, final)
+                        os.remove(m.file)
+                        i += 1
+                        break
+                    except FileExistsError:
+                        i += 1  # concurrent appender took this index
             # sweep debris from THIS job's aborted attempts only — a
             # concurrent writer's _tmp-<other_run_id>-* files are its
             # own to commit or abort.

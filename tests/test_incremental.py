@@ -919,3 +919,42 @@ def test_rollup_folds_across_compaction_without_rebaseline(spark, tmp_path):
     roll.refresh(src, spark)
     assert roll.source_version() == src.latest_version()
     assert sum(r["n"] for r in roll.read(spark).collect()) == 100
+
+
+def test_incremental_store_migrates_legacy_bigint_id(spark, tmp_path):
+    """ADVICE r9: a store created before native-typed ids persisted
+    `id` as bigint. The first post-upgrade append with STRING ids must
+    migrate the store once (id cast to string) instead of poisoning
+    the next snapshot read with a long-vs-string conflict — and the
+    cross-batch dedup semantics must hold across the migration."""
+    from python_etl_spark.operators.incremental import IncrementalDeduper
+    from python_etl_spark.sinks.table import VersionedTable
+
+    root = str(tmp_path / "store")
+    # legacy store: id persisted as BIGINT (the pre-r9 layout)
+    legacy = spark.createDataFrame(
+        [("sig-a", 1, "b1"), ("sig-b", 2, "b1")],
+        "sig string, id long, batch_id string",
+    )
+    VersionedTable(root).create(legacy, meta={"batch_id": "b1"})
+
+    d = IncrementalDeduper(root, id_col="url", text_col="text")
+    batch = spark.createDataFrame(
+        [("u/1", "fresh text one"), ("u/2", "fresh text two")],
+        "url string, text string",
+    )
+    accepted = d.accept_batch(batch, "b2")
+    assert {r["url"] for r in accepted.collect()} == {"u/1", "u/2"}
+    store = VersionedTable(root).read(spark)
+    assert store.schema["id"].dataType.simpleString() == "string"
+    # legacy rows survive (ids stringified), new rows appended
+    assert store.count() == 4
+    # and the migrated store still kills a cross-batch duplicate
+    dup = spark.createDataFrame(
+        [("u/9", "fresh text one")], "url string, text string"
+    )
+    assert d.accept_batch(dup, "b3").count() == 0
+    # re-running a committed batch stays idempotent post-migration
+    again = d.accept_batch(batch, "b2")
+    assert {r["url"] for r in again.collect()} == {"u/1", "u/2"}
+    assert VersionedTable(root).read(spark).count() == 4
