@@ -90,6 +90,13 @@ QUERIES_UNDER_TEST = [
     ("mm_exif_probe", "linear", "checksum"),
     ("text_token_count_cjk", "linear", "checksum"),
     ("text_unigram_lm_tokens", "linear", "checksum"),
+    # round-10: conditional MERGE clauses (the 2-commit demo table
+    # builds eagerly inside the timer — dir-pruned CoW, linear in the
+    # touched base), trained langid (trigram count shuffle + broadcast
+    # weight join, linear in chars)
+    ("etl_merge_clauses", "linear", "checksum"),
+    ("etl_merge_clauses_feed", "linear", "checksum"),
+    ("text_langid_trained", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

@@ -62,6 +62,9 @@ DOC_QUERIES = [
     ("text_unigram_lm_tokens", "linear", "checksum"),
     ("text_unigram_tokens_checked", "linear", "checksum"),
     ("text_cdc_chunk_stats", "linear"),
+    # round-10 (documents-only): trained char-trigram langid — train
+    # count shuffle + broadcast weight join, linear in chars
+    ("text_langid_trained", "linear", "checksum"),
 ]
 
 pytestmark = [
