@@ -566,3 +566,12 @@ def test_trained_langid_broadcasts_weight_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_langid_trained")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_clauses_single_keyed_join_no_cartesian(spark, sf_dir):
+    """The conditional-MERGE surface is ONE full-outer join keyed on
+    the merge key — never a cartesian/nested-loop clause evaluation;
+    the snapshot aggregate stays a keyed hash/sort-merge plan."""
+    plan = _plan(spark, sf_dir, "etl_merge_clauses")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
