@@ -2622,3 +2622,213 @@ def etl_merge_clauses_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+# ------------- merge-on-read deletes + table_changes + widening -------------
+#
+# Round 10 part 2: the new lakehouse surfaces promoted from [T]-only to
+# driver-hash-certified queries — a deletion-vector DELETE whose
+# snapshot read proves both the tombstone anti-join AND re-insert
+# safety, the registered table_changes source's batch face against the
+# same oracle the row_changes query uses, and a type-widening append
+# read back through the cast-conforming snapshot path.
+
+
+def _mor_source(spark: SparkSession, sf_dir: str):
+    """v0 create (k % 3 != 2), v1 MERGE-ON-READ delete (k % 7 == 0 —
+    zero data files rewritten, tombstone sidecar only), v2 append
+    RE-INSERTING value-identical rows for the deleted k % 11 == 0
+    subset (they live in a newer dir, outside the tombstone's scope,
+    and must survive). Re-entrant like _cdf_source."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("mor", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_mor_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("o_orderkey") % 3 != 2))
+    if t.latest_version() < 1:
+        t.delete_where(F.col("o_orderkey") % 7 == 0, merge_on_read=True)
+    if t.latest_version() < 2:
+        t.append(
+            orders.where(
+                (F.col("o_orderkey") % 3 != 2)
+                & (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderkey") % 11 == 0)
+            )
+        )
+    return t
+
+
+@register(
+    "etl_mor_delete",
+    oracle=r"""
+WITH priced AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders
+  WHERE o_orderkey % 3 <> 2),
+final AS (
+  SELECT k, priority, price FROM priced WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k, priority, price FROM priced
+  WHERE k % 7 = 0 AND k % 11 = 0
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM final GROUP BY 1
+""",
+)
+def etl_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE certified end-to-end: the v1 delete writes
+    ONLY a deletion-vector sidecar (zero data files rewritten —
+    inventory-asserted in tests/test_table.py), so the snapshot read's
+    scoped tombstone anti-join is what produces these numbers; the v2
+    append RE-INSERTS value-identical rows for the k %% 11 == 0
+    deleted subset, which a naive value-tombstone design would
+    re-delete — they must survive (dir-scoped DVs never touch newer
+    dirs) or the per-priority counts and exact decimal sums break the
+    hash against the set-logic oracle.
+
+    Scale posture: the read is the corpus scan plus ONE anti-join of
+    a night-sized tombstone set against only the dirs that existed at
+    delete time; the delete itself cost O(matched rows), the
+    delete-heavy nightly shape."""
+    t = _mor_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+@register("etl_table_changes_batch", oracle=None)
+def etl_table_changes_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered table_changes source's BATCH face over the same
+    3-commit table etl_cdf_changes reads through row_changes(): one
+    InputPartition per change file, executor-side Arrow reads, commit
+    versions stamped by the planner. Registered with the IDENTICAL
+    oracle SQL (set below), so the Python DataSource path is held to
+    the same hash as the library path — a drift between the two
+    implementations (missed commit, wrong typing, double-read) breaks
+    this query while etl_cdf_changes stays green, pinpointing the
+    source."""
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = _cdf_source(spark, sf_dir)
+    feed = (
+        spark.read.format("table_changes")
+        .option("startingVersion", 0)
+        .option("endingVersion", 2)
+        .load(t.root)
+    )
+    return feed.groupBy(
+        F.col("_change_type").alias("change_type"), "priority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+# same typed-feed truth as the library path: hold the registered
+# source to etl_cdf_changes' exact oracle
+_ORACLES["etl_table_changes_batch"] = _ORACLES["etl_cdf_changes"]
+
+
+def _widen_source(spark: SparkSession, sf_dir: str):
+    """v0 create with (int, int, decimal(12,2)); v1 append widened
+    (long keys, long qty, decimal(18,2)) + a NEW column — additive
+    evolution and type widening in one batch. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("widen", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_widen_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            orders.select(
+                F.col("o_orderkey").cast("int").alias("k"),
+                (F.col("o_orderkey") % 50).cast("int").alias("qty"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            )
+        )
+    if t.latest_version() < 1:
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                (F.col("o_orderkey") + 3000000).cast("long").alias("k"),
+                (F.lit(3000000000) + F.col("o_orderkey") % 1000)
+                .cast("long")
+                .alias("qty"),
+                (F.col("o_totalprice") + 0.25)
+                .cast("decimal(18,2)")
+                .alias("price"),
+                F.lit("b2").alias("src"),
+            ),
+            allow_evolution=True,
+        )
+    return t
+
+
+@register(
+    "etl_schema_widening",
+    oracle=r"""
+WITH v0 AS (
+  SELECT 'base' AS src, o_orderkey % 50 AS qty,
+    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,2)) AS price
+  FROM orders),
+v1 AS (
+  SELECT 'b2' AS src, 3000000000 + o_orderkey % 1000 AS qty,
+    CAST(o_totalprice + 0.25 AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(qty) AS BIGINT) AS total_qty,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM u GROUP BY 1
+""",
+)
+def etl_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening evolution read back end-to-end: v0 files hold
+    (int, int, decimal(12,2)), the v1 append widened every column
+    (long, long, decimal(18,2)) and added a new one — parquet
+    mergeSchema cannot merge int with long, so these numbers only come
+    out right if the snapshot read conforms each dir by CAST to the
+    manifest-recorded widened schema and null-fills the pre-evolution
+    column. Exact decimal sums + long counts per source batch against
+    the union-arithmetic oracle.
+
+    Scale posture: the cast is a zero-shuffle projection per dir
+    scan; nothing about the table rewrites at evolution time."""
+    t = _widen_source(spark, sf_dir)
+    return t.read(spark).groupBy(
+        F.coalesce(F.col("src"), F.lit("base")).alias("src")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("price").cast("double").alias("amount"),
+    )

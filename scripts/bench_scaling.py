@@ -97,6 +97,12 @@ QUERIES_UNDER_TEST = [
     ("etl_merge_clauses", "linear", "checksum"),
     ("etl_merge_clauses_feed", "linear", "checksum"),
     ("text_langid_trained", "linear", "checksum"),
+    # round-10 part 2: MOR delete (tombstone anti-join read), the
+    # registered table_changes batch face, widened-schema cast reads —
+    # each builds its table eagerly inside the timer
+    ("etl_mor_delete", "linear", "checksum"),
+    ("etl_table_changes_batch", "linear", "checksum"),
+    ("etl_schema_widening", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

@@ -575,3 +575,13 @@ def test_merge_clauses_single_keyed_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "etl_merge_clauses")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mor_delete_read_is_keyed_antijoin_no_cartesian(spark, sf_dir):
+    """A deletion-vector read is the snapshot scan plus a null-safe
+    KEYED anti-join of the tombstone sidecar — never a cartesian or
+    nested-loop filter."""
+    plan = _plan(spark, sf_dir, "etl_mor_delete")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, plan
