@@ -147,6 +147,36 @@ def main() -> None:
     assert t.read(spark).exceptAll(replayed).count() == 0
     print("CDC replay of (v0 + feed) == latest snapshot")
 
+    # -- 3d. the same feed as a REGISTERED STREAM (r10) -------------------
+    # offsets are commit versions, so checkpoint restarts resume at the
+    # right commit and a re-baseline barrier would fail the stream
+    # loudly instead of leaving a silent gap
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    folded = []
+
+    def fold(batch_df, _bid):
+        folded.append(batch_df.count())
+
+    q = (
+        spark.readStream.format("table_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(folded) == feed.count()
+    print(
+        f"table_changes stream (commit-version offsets) folded "
+        f"{sum(folded)} change rows == the batch feed"
+    )
+
     # -- 4. maintenance under the consumers ------------------------------
     t.compact(spark, sort_by=["o_orderkey"], n_files=4)
     roll.refresh(t, spark)  # compaction is feed-invariant: no rebuild
@@ -177,7 +207,60 @@ def main() -> None:
         print(f"RESTORE is an explicit re-baseline barrier: {e}")
     roll.rebuild(t, spark)
     print(f"rollup re-baselined on the restored snapshot "
-          f"({roll.read(spark).count()} keys) — pipeline complete")
+          f"({roll.read(spark).count()} keys)")
+
+    # -- 5. the round-10 write path ---------------------------------------
+    # conditional MERGE: update only where the source is newer, drop
+    # flagged rows, insert the rest — one commit, feed typed per clause
+    v = t.latest_version()
+    t.merge(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "priority",
+            (F.col("price") + 1).cast("decimal(28,6)").alias("price"),
+        ),
+        ["o_orderkey"],
+        when_matched_update="s.price > t.price",
+        when_matched_delete="t.o_orderkey % 13 = 0",
+        when_not_matched_insert=True,
+    )
+    per_clause = {
+        r["_change_type"]: r["n"]
+        for r in t.row_changes(spark, v)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"conditional MERGE feed, typed per fired clause: {per_clause}")
+
+    # merge-on-read delete: a tombstone sidecar, ZERO data files
+    # rewritten — the delete-heavy nightly shape
+    dirs_before = list(t._read_manifest()["data_dirs"])
+    t.delete_where(F.col("o_orderkey") % 17 == 0, merge_on_read=True)
+    assert t._read_manifest()["data_dirs"] == dirs_before
+    print(
+        f"merge-on-read delete rewrote 0 data files; "
+        f"metadata-only row_count = {t.row_count()}"
+    )
+
+    # type-widening nightly append: decimal grows, a column appears —
+    # no rewrite, reads conform by cast
+    t.append(
+        orders.select(
+            (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+            "priority",
+            F.col("price").cast("decimal(30,6)").alias("price"),
+            F.lit("night-31").alias("src_batch"),
+        ),
+        allow_evolution=True,
+    )
+    got = t.read(spark)
+    assert got.schema["price"].dataType.simpleString() == "decimal(30,6)"
+    print(
+        f"widened append: snapshot schema now "
+        f"{[f.dataType.simpleString() for f in got.schema.fields]}, "
+        f"{got.count()} rows — pipeline complete"
+    )
 
 
 if __name__ == "__main__":
