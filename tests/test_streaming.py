@@ -1272,3 +1272,36 @@ def test_table_changes_batch_face_equals_row_changes(spark, tmp_path):
         .load(t.root)
     )
     assert full.where("_commit_version = 0").count() == 30
+
+
+def test_table_changes_batch_across_type_widening(spark, tmp_path):
+    """Change files written BEFORE a type widening carry the narrow
+    types; the source's executor-side read casts every file to the
+    feed schema, so a consumer sees one coherent widened stream."""
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.append(
+        spark.createDataFrame([(3, 2**35)], "k long, v long"),
+        allow_evolution=True,
+    )
+    feed = (
+        spark.read.format("table_changes")
+        .option("startingVersion", -1)
+        .load(t.root)
+    )
+    assert feed.schema["v"].dataType.simpleString() == "bigint"
+    got = sorted(
+        (r["_commit_version"], r["k"], r["v"], r["_change_type"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (0, 1, 10, "insert"),
+        (0, 2, 20, "insert"),
+        (1, 3, 2**35, "insert"),
+    ]

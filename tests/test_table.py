@@ -1387,3 +1387,40 @@ def test_type_widening_survives_merge_delete_checkpoint(spark, tmp_path):
         (2, 99), (3, 2**35), (4, 40),
     ]
     assert t.row_count() == 3
+
+
+def test_mor_delete_on_hive_partitioned_table(spark, tmp_path):
+    """Deletion vectors compose with the hive layout: the probe's
+    per-dir union carries partition columns, tombstones match across
+    partition subdirectories, zero files rewrite, and the feed stays
+    typed."""
+    t = VersionedTable(str(tmp_path / "t"))
+    src = spark.range(0, 40).selectExpr(
+        "id AS k", "id % 4 AS ds", "id * 10 AS v"
+    )
+    t.create(src, partition_by=["ds"])
+    t.append(
+        spark.range(40, 60).selectExpr("id AS k", "id % 4 AS ds", "id * 10 AS v")
+    )
+    inv = {d: _tree_inventory(d) for d in t._read_manifest()["data_dirs"]}
+    t.delete_where(F.col("k") % 5 == 0, merge_on_read=True)
+    m = t._read_manifest()
+    assert m["data_dirs"] == list(inv) and {
+        d: _tree_inventory(d) for d in inv
+    } == inv
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {k for k in range(60) if k % 5 != 0}
+    assert t.row_count() == 48
+    feed = t.row_changes(spark, t.latest_version() - 1)
+    assert sorted(r["k"] for r in feed.collect()) == [
+        k for k in range(60) if k % 5 == 0
+    ]
+    # snapshot keeps partition pruning on the hive column
+    pr = t.read(spark).where("ds = 2")
+    assert {r["k"] for r in pr.collect()} == {
+        k for k in range(60) if k % 4 == 2 and k % 5 != 0
+    }
+    # compact materializes the DVs and keeps the layout
+    t.compact(spark)
+    assert "dvs" not in t._read_manifest()
+    assert t.read(spark).count() == 48
