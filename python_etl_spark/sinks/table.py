@@ -225,6 +225,18 @@ class VersionedTable:
                     ).metadata.num_rows
         return total
 
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """Does the tree under ``path`` hold at least one parquet
+        file? A (hive-partitioned) dynamic writer given an EMPTY frame
+        emits zero part files, and listing such a dir in a manifest
+        bricks every later snapshot read (UNABLE_TO_INFER_SCHEMA) —
+        rewrite commits must drop the dir instead."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._mdir, f"v{version:08d}.json")
 
@@ -632,8 +644,16 @@ class VersionedTable:
                     f"— pass allow_evolution=True for additive evolution"
                 )
             m["schema_evolved"] = True
-            if widened:
-                # the widened snapshot schema: the read-side cast target
+            if widened or self._widened_schema(cur["version"]) is not None:
+                # the widened snapshot schema: the read-side cast
+                # target. Refreshed on EVERY evolving append once the
+                # table has ever widened, not only when this batch
+                # widens — an additive-only append after a widening
+                # would otherwise leave the stale (pre-additive)
+                # widened schema in force, and the cast-conforming
+                # read would silently drop the new column from every
+                # snapshot read (a later rewrite then makes the loss
+                # durable on disk).
                 m["schema_json"] = target.json()
         if any(got.get(f.name) not in (None, f.dataType) for f in target_fields):
             # conform the batch to the target types (up-casts narrower
@@ -972,9 +992,18 @@ class VersionedTable:
                 )
             v = cur["version"] + 1
             d = self._write_data(merged, self.partition_columns() or None)
+            if not self._has_parquet(d):
+                # a clause-MERGE can delete every row of the touched
+                # dirs and insert nothing — drop the file-less dir
+                # rather than brick later reads
+                d = None
             cdf_dir = None
             if track_changes:
-                written = spark.read.parquet(d)
+                written = (
+                    spark.read.parquet(d)
+                    if d is not None
+                    else spark.createDataFrame([], merged.schema)
+                )
                 ct = "_change_type"
                 if clauses:
                     # per-clause typing: the actions frame names which
@@ -1018,11 +1047,20 @@ class VersionedTable:
                     )
                     cdf = pre.unionByName(post).unionByName(ins)
                 cdf_dir = self._write_cdf(cdf)
+            new_dirs = untouched + ([d] if d is not None else [])
+            if not new_dirs:
+                # whole table emptied: keep one schema-carrying file so
+                # the snapshot stays readable (plain repartition(1)
+                # write — a partitioned writer emits nothing for an
+                # empty frame); the first file-less attempt dir is an
+                # orphan vacuum sweeps
+                d = self._write_data(merged.repartition(1))
+                new_dirs = [d]
             total = sum(self._logical_dir_rows(cur, u) for u in untouched)
-            total += self._dir_rows(d)
+            total += self._dir_rows(d) if d is not None else 0
             try:
                 return self._commit(
-                    untouched + [d],
+                    new_dirs,
                     "merge",
                     v,
                     meta,
@@ -1316,7 +1354,13 @@ class VersionedTable:
                                 f.name, F.lit(None).cast(f.dataType)
                             )
                 base = base.select(*[f.name for f in snap_schema.fields])
-                kept = base.where(~condition)
+                # delete only where the predicate is TRUE: a row whose
+                # condition evaluates NULL is KEPT (Delta DELETE and
+                # the merge-on-read path's semantics) — plain
+                # ``~condition`` is NULL for those rows and would
+                # silently drop any NULL-condition row that shares a
+                # commit dir with a true match
+                kept = base.where(~condition | condition.isNull())
                 removed = base.where(condition)
             else:
                 base = spark.createDataFrame([], snap_schema)
@@ -1328,8 +1372,16 @@ class VersionedTable:
                 d = self._write_data(
                     kept, self.partition_columns() or None
                 )
-                new_dirs.append(d)
-                total += self._dir_rows(d)
+                if self._has_parquet(d):
+                    new_dirs.append(d)
+                    total += self._dir_rows(d)
+            if not new_dirs:
+                # the predicate emptied the whole snapshot: force one
+                # schema-carrying file (plain repartition(1) write — a
+                # hive-partitioned writer emits zero files for an
+                # empty frame, and an empty/absent dir list bricks
+                # every later read with UNABLE_TO_INFER_SCHEMA)
+                new_dirs.append(self._write_data(kept.repartition(1)))
             cdf_dir = None
             if track_changes:
                 cdf = removed.withColumn("_change_type", F.lit("delete"))

@@ -104,6 +104,64 @@ def _plan_partitions(
     return parts
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_value(path: str, col: str) -> str | None:
+    """Raw ``col=value`` segment of a hive path, URL-unescaped the way
+    Spark's partition discovery does (Spark escapes ``/ : %`` etc. as
+    ``%XX`` when writing); ``__HIVE_DEFAULT_PARTITION__`` is NULL."""
+    from urllib.parse import unquote
+
+    mm = re.search(f"/{re.escape(col)}=([^/]+)/", path)
+    if not mm:
+        return None
+    raw = unquote(mm.group(1))
+    return None if raw == _HIVE_NULL else raw
+
+
+def _infer_part_type(values: list[str]):
+    """Spark-shaped partition-column type inference over the observed
+    path values (the subset the library read path produces for this
+    repo's tables): int32 -> IntegerType, int64 -> LongType, float ->
+    DoubleType, ISO date -> DateType, else StringType — so the feed's
+    partition columns carry the SAME types a hive-discovering
+    ``spark.read.parquet(dir)`` infers, keeping the registered source
+    hash-identical to the library ``row_changes`` path."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return StringType()
+
+    def _all(fn) -> bool:
+        for v in vals:
+            try:
+                fn(v)
+            except (ValueError, TypeError):
+                return False
+        return True
+
+    if _all(int):
+        ints = [int(v) for v in vals]
+        if all(-(2**31) <= i < 2**31 for i in ints):
+            return IntegerType()
+        return LongType()
+    if _all(float):
+        return DoubleType()
+    if _all(datetime.date.fromisoformat):
+        return DateType()
+    return StringType()
+
+
 def _feed_struct(root: str):
     """Data schema from the newest commit dir's parquet footer (the
     most evolved one) + the two change columns."""
@@ -123,12 +181,19 @@ def _feed_struct(root: str):
     if not files:
         raise FileNotFoundError(f"no parquet files under {root}")
     st = from_arrow_schema(pq.ParquetFile(files[-1]).schema_arrow)
-    # hive layout: partition columns live in the paths, not the file
-    from pyspark.sql.types import StringType as _S
-
-    for col in t.partition_columns():
-        if col not in st.names:
-            st = st.add(StructField(col, _S()))
+    # hive layout: partition columns live in the PATHS, not the files —
+    # type them by Spark-shaped inference over the observed (unescaped)
+    # path values so the feed matches the library read's hive types
+    part_cols = [c for c in t.partition_columns() if c not in st.names]
+    if part_cols:
+        samples: dict[str, list] = {c: [] for c in part_cols}
+        for d in m["data_dirs"]:
+            for f in _parquet_files(d):
+                for c in part_cols:
+                    if len(samples[c]) < 256:
+                        samples[c].append(_part_value(f, c))
+        for col in part_cols:
+            st = st.add(StructField(col, _infer_part_type(samples[col])))
     st = st.add(StructField(CHANGE_TYPE, StringType()))
     st = st.add(StructField(COMMIT_VERSION, LongType()))
     return st
@@ -157,18 +222,18 @@ def _read_partition(partition: _ChangeFilePartition, spark_schema):
             arrays.append(
                 tbl.column(field.name).cast(field.type).combine_chunks()
             )
-        else:
-            mm = re.search(
-                f"/{re.escape(field.name)}=([^/]+)/", partition.path
-            )
-            if mm:  # hive partition value from the path
-                arrays.append(
-                    pa.array([mm.group(1)] * n, pa.string()).cast(
-                        field.type
-                    )
-                )
-            else:  # pre-evolution file: surface the column as NULL
+        elif f"/{field.name}=" in partition.path:
+            # hive partition value from the path, URL-unescaped (and
+            # __HIVE_DEFAULT_PARTITION__ -> NULL) like Spark discovery
+            raw = _part_value(partition.path, field.name)
+            if raw is None:
                 arrays.append(pa.nulls(n, field.type))
+            else:
+                arrays.append(
+                    pa.array([raw] * n, pa.string()).cast(field.type)
+                )
+        else:  # pre-evolution file: surface the column as NULL
+            arrays.append(pa.nulls(n, field.type))
     out = pa.Table.from_arrays(arrays, schema=arrow_schema)
     yield from out.to_batches()
 
@@ -202,34 +267,112 @@ class _TableChangesStreamReader(DataSourceStreamReader):
     to the table's current latest; partitions() plans the manifest
     range exactly, so a checkpoint restart resumes at the right
     version no matter what compaction/vacuum did in between (cdf and
-    append dirs are retained while their manifests live)."""
+    append dirs are retained while their manifests live).
+
+    ADMISSION CONTROL (r10 verdict #1): ``maxCommitsPerTrigger``
+    bounds each micro-batch to at most N commits past the stream's
+    position — a backfill from version 0 of a long-history table
+    proceeds in bounded, individually-checkpointed micro-batches
+    (failure redoes one slice; state pressure scales with the trigger,
+    not table history), the Delta ``maxFilesPerTrigger`` idea at
+    commit granularity. The position is tracked from partitions() /
+    commit() (the Python stream-reader API passes no start to
+    latestOffset, and calls latestOffset BEFORE initialOffset on new
+    queries). One seam remains: the FIRST batch of a fresh-or-
+    restarted query is constructed before any partitions() call, so
+    the in-memory position is unknown then — pass a ``streamId`` and
+    the reader persists its committed position to
+    ``<root>/_streams/<streamId>`` (atomic replace; advisory — never
+    ahead of the checkpoint, so the cap stays correct; a missing
+    sidecar means a fresh stream whose position is startingVersion),
+    keeping even that first batch bounded. Without a streamId that
+    one batch falls back to unbounded — bounding blindly could hand
+    Spark an end below a restart's checkpointed start, regressing the
+    offset log into replay duplicates (correctness of the ranges is
+    unaffected either way)."""
 
     def __init__(self, options, schema):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("table_changes requires a table root path")
         self.start_v = int(options.get("startingVersion", 0))
+        mct = options.get("maxCommitsPerTrigger")
+        self.max_commits = int(mct) if mct is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self.stream_id = options.get("streamId")
+        self._pos: int | None = None
         self.spark_schema = schema
 
+    def _sidecar(self) -> str:
+        return os.path.join(self.root, "_streams", str(self.stream_id))
+
     def initialOffset(self) -> dict:
+        self._pos = self.start_v
         return {"version": self.start_v}
 
     def latestOffset(self) -> dict:
         from python_etl_spark.sinks.table import VersionedTable
 
         v = VersionedTable(self.root).latest_version()
-        return {"version": v if v is not None else self.start_v}
+        latest = v if v is not None else self.start_v
+        if self.max_commits is None:
+            return {"version": latest}
+        base = self._pos
+        if base is None and self.stream_id:
+            try:
+                with open(self._sidecar()) as f:
+                    base = int(f.read().strip())
+            except (OSError, ValueError):
+                # no sidecar yet: a FRESH stream (Spark calls
+                # latestOffset before initialOffset on new queries) —
+                # the position is startingVersion by definition
+                base = self.start_v
+        if base is None:
+            # no streamId and no in-memory position (a restart at a
+            # committed boundary): bounding blindly could return an
+            # end BELOW the checkpointed start, and Spark would log a
+            # REGRESSED offset whose later replay duplicates rows —
+            # one unbounded batch, then partitions() re-teaches the
+            # position and the cap resumes
+            return {"version": latest}
+        # NEVER self-advance the position here: Spark may call
+        # latestOffset several times before a batch runs (the
+        # availableNow wrapper captures its target this way), and a
+        # self-advancing position would coalesce those calls into one
+        # giant batch — only partitions()/commit() (a batch actually
+        # planned/landed) move the position. Under availableNow each
+        # RUN therefore drains one bounded slice (restart-safe; rerun
+        # to drain more); a continuous trigger paces the whole
+        # backfill in bounded batches.
+        return {"version": max(base, min(latest, base + self.max_commits))}
 
     def partitions(self, start: dict, end: dict):
-        return _plan_partitions(
-            self.root, int(start["version"]), int(end["version"])
-        )
+        s, e = int(start["version"]), int(end["version"])
+        pos = max(s, e)  # a degenerate e < s must not drag _pos back
+        self._pos = pos if self._pos is None else max(self._pos, pos)
+        if e <= s:
+            return []
+        return _plan_partitions(self.root, s, e)
 
     def read(self, partition):
         yield from _read_partition(partition, self.spark_schema)
 
     def commit(self, end: dict) -> None:
-        pass  # retention rides the table's metadata, not the stream
+        # retention rides the table's metadata, not the stream; the
+        # committed position lands in the advisory sidecar so a
+        # restarted bounded stream stays bounded from its first batch
+        v = int(end["version"])
+        self._pos = v if self._pos is None else max(self._pos, v)
+        if self.stream_id:
+            try:
+                os.makedirs(os.path.dirname(self._sidecar()), exist_ok=True)
+                tmp = f"{self._sidecar()}.tmp-{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(str(v))
+                os.replace(tmp, self._sidecar())
+            except OSError:
+                pass  # advisory only
 
 
 class TableChangesDataSource(DataSource):
@@ -237,7 +380,11 @@ class TableChangesDataSource(DataSource):
     ``spark.read/readStream.format("table_changes").load(root)``.
     Options: ``startingVersion`` (exclusive; stream default 0, batch
     default -1 = include the create), ``endingVersion`` (batch only,
-    default latest)."""
+    default latest), ``maxCommitsPerTrigger`` (stream only: admission
+    control — each micro-batch covers at most N commits; default
+    unbounded for compat), ``streamId`` (stream only: name for the
+    advisory position sidecar that keeps the cap effective across
+    restarts at committed boundaries)."""
 
     @classmethod
     def name(cls) -> str:
