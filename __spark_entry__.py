@@ -207,10 +207,37 @@ _R09_CHECKED = frozenset(
     ]
 )
 
+# r10 sample (CORRECTNESS_r10.json): the six round-10 oracled
+# additions hash-green, the 14 rows-only re-checks (in
+# _ROWS_ONLY_RECHECK), the 22 analytics re-certified, and 7 core
+# relational carries.
+_R10_CHECKED = frozenset(
+    [
+        "etl_merge_clauses", "etl_merge_clauses_feed", "etl_mor_delete",
+        "etl_schema_widening", "etl_table_changes_batch",
+        "text_langid_trained",
+        # re-certified carries (earlier-round green, re-sampled r10):
+        "etl_agg_stats", "etl_distinct", "etl_filter_pushdown",
+        "etl_join_anti", "etl_join_inner", "etl_join_left",
+        "etl_join_semi", "etl_select_cast",
+        "q01_pricing_summary", "q02_cheapest_part_per_brand",
+        "q03_shipping_priority", "q04_order_priority",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+        "q10_returned_items", "q11_supplier_balance_share",
+        "q12_priority_by_linestatus", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_part_supplier_counts", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_bracketed_revenue",
+        "q20_parts_promo_suppliers", "q21_high_value_open_orders",
+        "q22_inactive_customers",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
-    | _R09_CHECKED
+    | _R09_CHECKED | _R10_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the

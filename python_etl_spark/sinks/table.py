@@ -872,6 +872,7 @@ class VersionedTable:
         when_matched_update=None,
         when_matched_delete=None,
         when_not_matched_insert=None,
+        allow_evolution: bool = False,
     ) -> int:
         """DIR-PRUNED copy-on-write MERGE: update rows win on key
         collision, new keys are inserted (upsert semantics;
@@ -908,6 +909,21 @@ class VersionedTable:
         Pass ``track_changes=False`` to skip the extra joins; that
         commit then becomes a re-baseline barrier for row_changes.
 
+        SCHEMA EVOLUTION (r10 verdict #2): an updates batch whose
+        schema DRIFTS from the snapshot (a new column, or a widened
+        type) RAISES by default — the old behavior silently dropped
+        unknown update columns (``updates.select(*snap_cols)``), losing
+        data on the write path with no error. With
+        ``allow_evolution=True`` the merge EVOLVES instead, reusing the
+        append path's contract: new columns join the snapshot schema
+        (rows in untouched dirs surface them as NULL via the
+        mergeSchema/cast-conforming read), widened types record the
+        widened snapshot schema in the manifest, and the change feed is
+        written in the evolved schema. A batch NARROWER in type is
+        up-cast as always; a batch MISSING a snapshot column raises
+        either way (MERGE updates carry full rows — column-subset
+        update semantics are a different operation).
+
         CONDITIONAL CLAUSES: passing any of ``when_matched_update`` /
         ``when_matched_delete`` / ``when_not_matched_insert`` switches
         to the full MERGE surface (operators.upsert.merge_clauses —
@@ -942,9 +958,66 @@ class VersionedTable:
         bounds = {k: (brow[f"__lo_{k}"], brow[f"__hi_{k}"]) for k in keys}
         upd_keys = updates.select(*keys).distinct()
         for attempt in range(self.max_retries + 1):
+            from pyspark.sql.types import StructType
+
             cur = self._read_manifest()
             evolved = self._schema_evolved(cur["version"])
-            snap_cols = self.read(spark, cur["version"]).columns
+            snap_schema = self.read(spark, cur["version"]).schema
+            have = {f.name: f.dataType for f in snap_schema.fields}
+            got = {f.name: f.dataType for f in updates.schema.fields}
+            miss = [f.name for f in snap_schema.fields if f.name not in got]
+            if miss:
+                raise ValueError(
+                    f"merge updates batch is missing snapshot columns "
+                    f"{miss} — MERGE updates must carry full rows"
+                )
+            part_cols = set(self.partition_columns())
+            widened = False
+            target_fields = []
+            for f in snap_schema.fields:
+                g = got[f.name]
+                if f.name in part_cols:
+                    # hive partition column: snapshot type is path-
+                    # inferred, name match suffices (the append rule)
+                    target_fields.append(type(f)(f.name, g, True))
+                elif g == f.dataType:
+                    target_fields.append(f)
+                elif _is_widening(g, f.dataType):
+                    target_fields.append(f)  # batch narrower: up-cast
+                elif _is_widening(f.dataType, g):
+                    widened = True
+                    target_fields.append(type(f)(f.name, g, True))
+                else:
+                    raise ValueError(
+                        f"merge type drift on '{f.name}': table has "
+                        f"{f.dataType.simpleString()}, batch has "
+                        f"{g.simpleString()} — not a supported widening"
+                    )
+            extra = [n for n in updates.columns if n not in have]
+            if (extra or widened) and not allow_evolution:
+                raise ValueError(
+                    f"merge schema drift: batch has new columns {extra}"
+                    f"{' and widened types' if widened else ''} — the "
+                    f"snapshot schema is {sorted(have)}. Refusing to "
+                    f"silently drop update data; pass "
+                    f"allow_evolution=True to evolve the table schema"
+                )
+            for n in extra:
+                target_fields.append(
+                    next(f for f in updates.schema.fields if f.name == n)
+                )
+            target = StructType(target_fields)
+            upd = updates.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in target_fields
+                ]
+            )
+            m = dict(meta or {})
+            if extra or widened:
+                m["schema_evolved"] = True
+                if widened or self._widened_schema(cur["version"]) is not None:
+                    m["schema_json"] = target.json()
             candidates = self._stats_candidates(cur, bounds)
             touched: list[str] = []
             if candidates:
@@ -964,22 +1037,27 @@ class VersionedTable:
             untouched = [d for d in cur["data_dirs"] if d not in touched]
             if touched:
                 # DV-applied read: rows a merge-on-read delete removed
-                # must not be resurrected by the rewrite
+                # must not be resurrected by the rewrite. Conforming to
+                # the TARGET schema in one projection handles all three
+                # read shapes: post-evolution columns null-fill, widened
+                # types cast, and this batch's new columns appear NULL
+                # for pre-existing rows.
                 base = self._read_snapshot_subset(spark, cur, touched)
-                if evolved:  # surface post-evolution columns as NULL
-                    for c in snap_cols:
-                        if c not in base.columns:
-                            base = base.withColumn(c, F.lit(None))
-                base = base.select(*snap_cols)
-            else:
-                base = spark.createDataFrame(
-                    [], self.read(spark, cur["version"]).schema
+                base = base.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in base.columns
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target_fields
+                    ]
                 )
+            else:
+                base = spark.createDataFrame([], target)
             actions = None
             if clauses:
                 merged, actions = merge_clauses(
                     base,
-                    updates.select(*snap_cols),
+                    upd,
                     keys,
                     matched_update=when_matched_update,
                     matched_delete=when_matched_delete,
@@ -987,9 +1065,7 @@ class VersionedTable:
                     return_actions=True,
                 )
             else:
-                merged = upsert(
-                    base, updates.select(*snap_cols), keys, version_col
-                )
+                merged = upsert(base, upd, keys, version_col)
             v = cur["version"] + 1
             d = self._write_data(merged, self.partition_columns() or None)
             if not self._has_parquet(d):
@@ -1063,7 +1139,7 @@ class VersionedTable:
                     new_dirs,
                     "merge",
                     v,
-                    meta,
+                    m or None,
                     num_rows=total,
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),

@@ -1559,3 +1559,102 @@ def test_table_changes_hive_partition_values_match_library(spark, tmp_path):
         lib2.select(cols2).dtypes
     )
     assert _rows(feed2.select(cols2)) == _rows(lib2.select(cols2))
+
+
+def test_merge_schema_drift_raises_instead_of_dropping(spark, tmp_path):
+    """MERGE with a drifted updates batch must refuse loudly (r10
+    verdict #2): an unknown update column was silently DISCARDED
+    before (select(*snap_cols)) — silent data loss on the write path —
+    and a widened batch type sailed through union coercion without a
+    manifest record."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"))
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, 11, "n")], "k long, v int, src string"
+            ),
+            keys=["k"],
+        )
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.merge(
+            spark.createDataFrame([(1, 2**40)], "k long, v long"),
+            keys=["k"],
+        )
+    # a batch MISSING a snapshot column raises either way
+    with pytest.raises(ValueError, match="missing"):
+        t.merge(
+            spark.createDataFrame([(1,)], "k long"),
+            keys=["k"],
+            allow_evolution=True,
+        )
+    # and the table is untouched by the refused merges
+    assert t.latest_version() == 0
+    assert _rows(t.read(spark)) == [(1, 10), (2, 20)]
+
+
+def test_merge_evolves_schema_with_flag(spark, tmp_path):
+    """allow_evolution=True: the merge unions new columns into the
+    snapshot schema (old rows surface NULL), records widened types in
+    the manifest, and writes the change feed in the evolved schema —
+    the append path's evolution contract on the MERGE path."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    upd = spark.createDataFrame(
+        [(2, 2**40, "m1"), (9, 99, "m1")], "k long, v long, src string"
+    )
+    t.merge(upd, keys=["k"], allow_evolution=True)
+    got = _rows(t.read(spark).select("k", "v", "src"))
+    assert got == [
+        (1, 10, None),
+        (2, 2**40, "m1"),
+        (3, 30, None),
+        (9, 99, "m1"),
+    ]
+    # untouched dir (k=3's) carried by reference, still readable + typed
+    assert dict(t.read(spark).dtypes) == {
+        "k": "bigint", "v": "bigint", "src": "string"
+    }
+    # the feed rides the evolved schema
+    feed = t.row_changes(spark, t.latest_version() - 1)
+    assert sorted(
+        (r["k"], r["v"], r["src"], r["_change_type"])
+        for r in feed.collect()
+    ) == [
+        (2, 20, None, "update_preimage"),
+        (2, 2**40, "m1", "update_postimage"),
+        (9, 99, "m1", "insert"),
+    ]
+    # a later plain append in the evolved schema composes
+    t.append(
+        spark.createDataFrame([(50, 5, "a2")], "k long, v long, src string")
+    )
+    assert t.read(spark).where("src = 'a2'").count() == 1
+
+
+def test_merge_clauses_evolve_schema(spark, tmp_path):
+    """Conditional-clause MERGE composes with evolution: clause
+    conditions fire on the conformed frames and the per-clause feed is
+    typed in the evolved schema."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    )
+    upd = spark.createDataFrame(
+        [(1, 100, "u"), (2, 200, "u"), (7, 700, "u")],
+        "k long, v long, src string",
+    )
+    t.merge(
+        upd,
+        keys=["k"],
+        when_matched_update="s.k = 1",
+        when_matched_delete="s.k = 2",
+        when_not_matched_insert=True,
+        allow_evolution=True,
+    )
+    assert _rows(t.read(spark).select("k", "v", "src")) == [
+        (1, 100, "u"),
+        (3, 30, None),
+        (7, 700, "u"),
+    ]
