@@ -2986,3 +2986,73 @@ def etl_merge_evolve_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("long").alias("total_qty"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _mor_keyed_source(spark: SparkSession, sf_dir: str):
+    """_mor_source's twin with KEY-COLUMN deletion vectors
+    (key_cols=['o_orderkey']): same v0 create / v1 MOR delete / v2
+    re-insert shape, but the tombstone sidecar stores only the key —
+    the wide-row DV economy. Final state is value-identical to
+    _mor_source's, so the query shares etl_mor_delete's oracle
+    verbatim."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("mork", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_mork_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("o_orderkey") % 3 != 2))
+    if t.latest_version() < 1:
+        t.delete_where(
+            F.col("o_orderkey") % 7 == 0,
+            merge_on_read=True,
+            key_cols=["o_orderkey"],
+        )
+    if t.latest_version() < 2:
+        t.append(
+            orders.where(
+                (F.col("o_orderkey") % 3 != 2)
+                & (F.col("o_orderkey") % 7 == 0)
+                & (F.col("o_orderkey") % 11 == 0)
+            )
+        )
+    return t
+
+
+@register("etl_mor_delete_keyed", oracle=None)
+def etl_mor_delete_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE with KEY-COLUMN tombstones (r10 verdict
+    #7): the sidecar stores only o_orderkey (pytest-asserted schema),
+    so the read-side anti-join shuffles a 1-column frame instead of
+    the full row width — the wide-table DV economy. Held to
+    etl_mor_delete's EXACT oracle (set below): same delete + re-insert
+    semantics, same per-priority counts and decimal sums; a keyed
+    tombstone that over-deletes (non-identifying key) or misses the
+    dir scoping breaks the hash while the full-row twin stays green.
+
+    Scale posture: identical to etl_mor_delete except the anti-join's
+    build side is keys-only — the shape that matters when rows are
+    KB-wide documents rather than order headers."""
+    t = _mor_keyed_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+# same final-state truth as the full-row-tombstone path
+_ORACLES["etl_mor_delete_keyed"] = _ORACLES["etl_mor_delete"]

@@ -1371,6 +1371,7 @@ class VersionedTable:
         condition,
         track_changes: bool = True,
         merge_on_read: bool = False,
+        key_cols: list[str] | None = None,
     ) -> int:
         """DELETE matching rows. ``condition`` is a Column predicate.
         Conflict retry recomputes against the winner's snapshot.
@@ -1398,12 +1399,28 @@ class VersionedTable:
         O(touched dirs), trading read-side anti-join cost until the
         next compaction.
 
+        ``key_cols`` (merge-on-read only) is the WIDE-ROW ECONOMY
+        (r10 verdict #7): tombstones store only the named key columns
+        instead of full row values, so the read-side anti-join
+        shuffles a narrow frame and the sidecar stays compact on wide
+        tables. The caller asserts the keys are row-identifying within
+        the snapshot (the invariant a MERGE-maintained table upholds)
+        — with duplicate keys a key tombstone would remove every
+        co-keyed row in the scoped dirs, not just the predicate's
+        matches. Re-insert safety is unchanged (dir scoping, not
+        values, is what protects newer rows). Default None keeps
+        full-row tombstones, correct for any table.
+
         With ``track_changes`` (default) the commit persists the
         removed rows as ``delete`` change rows, so ``row_changes``
         consumers subtract them instead of re-baselining."""
         spark = SparkSession.getActiveSession()
         if merge_on_read:
-            return self._delete_mor(spark, condition, track_changes)
+            return self._delete_mor(spark, condition, track_changes, key_cols)
+        if key_cols:
+            raise ValueError(
+                "key_cols applies to merge_on_read=True deletes only"
+            )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             evolved = self._schema_evolved(cur["version"])
@@ -1481,7 +1498,11 @@ class VersionedTable:
                     raise
 
     def _delete_mor(
-        self, spark: SparkSession, condition, track_changes: bool
+        self,
+        spark: SparkSession,
+        condition,
+        track_changes: bool,
+        key_cols: list[str] | None = None,
     ) -> int:
         """Merge-on-read DELETE (see :meth:`delete_where`): writes a
         tombstone sidecar + per-dir deleted counts, rewrites ZERO data
@@ -1507,9 +1528,14 @@ class VersionedTable:
                 n_matched = sum(per_dir.values())
                 dvs = list(cur.get("dvs", []))
                 if per_dir:
-                    dv_dir = self._write_dv(
-                        matched.drop("__dir").distinct()
-                    )
+                    # key-column tombstones when the caller declares
+                    # row-identifying keys; full-row values otherwise —
+                    # the read anti-join keys on whatever columns the
+                    # sidecar carries, so both shapes share one path
+                    tomb = matched.drop("__dir")
+                    if key_cols:
+                        tomb = tomb.select(*key_cols)
+                    dv_dir = self._write_dv(tomb.distinct())
                     dvs.append({"dir": dv_dir, "deleted": per_dir})
                 cdf_dir = None
                 if track_changes:

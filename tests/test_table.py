@@ -1658,3 +1658,41 @@ def test_merge_clauses_evolve_schema(spark, tmp_path):
         (3, 30, None),
         (7, 700, "u"),
     ]
+
+
+def test_mor_delete_key_column_tombstones(spark, tmp_path):
+    """key_cols MOR delete (r10 verdict #7): the tombstone sidecar
+    holds ONLY the key columns (wide rows never shuffle through the
+    anti-join), dir scoping still protects re-inserted rows, zero data
+    files rewrite, and the feed still carries full deleted rows."""
+    t = VersionedTable(str(tmp_path / "t"))
+    wide = spark.range(0, 40).selectExpr(
+        "id AS k", "id * 10 AS v", "repeat('x', 50) AS pad"
+    )
+    t.create(wide)
+    inv = list(t._read_manifest()["data_dirs"])
+    t.delete_where(
+        F.col("k") % 5 == 0, merge_on_read=True, key_cols=["k"]
+    )
+    m = t._read_manifest()
+    assert m["data_dirs"] == inv  # zero files rewritten
+    dv = m["dvs"][0]["dir"]
+    assert spark.read.parquet(dv).columns == ["k"]  # keys only
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {k for k in range(40) if k % 5 != 0}
+    # re-insert a deleted key: newer dir, outside the DV scope
+    t.append(
+        spark.createDataFrame([(10, 999, "y")], "k long, v long, pad string")
+    )
+    assert {r["v"] for r in t.read(spark).where("k = 10").collect()} == {999}
+    # the change feed carries the FULL deleted rows regardless
+    feed = t.row_changes(spark, 0, 1)
+    assert set(feed.columns) >= {"k", "v", "pad", "_change_type"}
+    assert sorted(r["k"] for r in feed.collect()) == [0, 5, 10, 15, 20, 25, 30, 35]
+    # key_cols without merge_on_read is a user error
+    with pytest.raises(ValueError, match="merge_on_read"):
+        t.delete_where(F.col("k") == 1, key_cols=["k"])
+    # compaction materializes keyed DVs away like full-row ones
+    t.compact(spark)
+    assert "dvs" not in t._read_manifest()
+    assert t.read(spark).count() == 33
