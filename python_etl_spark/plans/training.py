@@ -3056,3 +3056,153 @@ def etl_mor_delete_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same final-state truth as the full-row-tombstone path
 _ORACLES["etl_mor_delete_keyed"] = _ORACLES["etl_mor_delete"]
+
+
+def _rename_source(spark: SparkSession, sf_dir: str):
+    """v0 create (even keys, column ``v``); v1 METADATA-ONLY rename
+    v -> price (zero files rewritten); v2 append the odd keys under
+    the NEW name. Half the table's files carry the old physical name,
+    half the new — only the manifest name-mapping makes them one
+    column. Re-entrant like _cdf_source."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("rename", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_rename_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+            )
+        )
+    if t.latest_version() < 1:
+        t.rename_column("v", "price")
+    if t.latest_version() < 2:
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            )
+        )
+    return t
+
+
+@register(
+    "etl_rename_evolution",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME as metadata-only evolution, certified end-to-end
+    (r10 verdict #3): the snapshot unions dirs written under the OLD
+    physical name with dirs written under the new one, and only the
+    manifest name-mapping (the Iceberg field-id idea) surfaces them as
+    one ``price`` column — a broken conform either loses the
+    pre-rename half (count drops) or nulls its values (sum drops)
+    against the whole-orders oracle.
+
+    Scale posture: the rename commit is O(1) metadata (zero files
+    touched on a 100 TB table); the read-side conform is a per-dir
+    column alias, no shuffle, and carried dir stats are re-keyed so
+    min-max pruning keeps working across the rename."""
+    t = _rename_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+def _bloom_merge_source(spark: SparkSession, sf_dir: str):
+    """v0 create with bloom_keys on an md5-shaped key (min-max stats
+    are USELESS on it — every dir spans the whole hash range), v1
+    append, v2 keyed MERGE (updates + inserts). The merge's touched-dir
+    discovery exercises the bloom pass end-to-end. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("bloomm", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_bloomm_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("id") % 3 == 0), bloom_keys=["k"])
+    if t.latest_version() < 1:
+        t.append(orders.where(F.col("id") % 3 == 1))
+    if t.latest_version() < 2:
+        t.merge(
+            orders.where(F.col("id") % 5 == 0).withColumn(
+                "price", (F.col("price") + 100).cast("decimal(28,6)")
+            ),
+            keys=["k"],
+        )
+    return t
+
+
+@register(
+    "etl_merge_bloom_pruned",
+    oracle=r"""
+WITH src AS (
+  SELECT o_orderkey AS id, o_orderpriority AS priority,
+    CAST(o_totalprice AS DECIMAL(28,6)) AS price FROM orders),
+final AS (
+  SELECT priority,
+    CASE WHEN id % 5 = 0 THEN price + 100 ELSE price END AS price
+  FROM src WHERE id % 3 <> 2
+  UNION ALL
+  SELECT priority, price + 100 FROM src WHERE id % 3 = 2 AND id % 5 = 0
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(price) AS DOUBLE) AS amount
+FROM final GROUP BY 1
+""",
+)
+def etl_merge_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE on md5-shaped keys through the per-dir BLOOM prune
+    (r10 verdict #4), certified by final state: updates must override
+    exactly the matched hash keys and inserts land once — a bloom false
+    NEGATIVE (a matched key's dir pruned away) would duplicate its key
+    (the untouched dir keeps the old row while the insert path adds a
+    new one), shifting counts and the decimal sum against the set-logic
+    oracle; false positives only cost a key scan (the exact semi-join
+    stays authoritative).
+
+    Scale posture: the nightly-upsert shape on a hash-keyed 100 TB
+    table — min-max stats cannot prune, so without blooms every merge
+    key-scans the corpus; with them it scans only admitting dirs
+    (pytest pins the dir list). Bloom build is one job over the new
+    dir's key column per commit; probes are a capped driver-side bit
+    test."""
+    t = _bloom_merge_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

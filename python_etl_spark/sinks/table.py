@@ -103,6 +103,15 @@ _DEFAULT_CHECKPOINT_INTERVAL = 10
 
 _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint"]  # simpleString names
 
+# per-dir key-bloom sizing (opt-in via create(bloom_keys=...)): the
+# bitmap is manifest-embedded (base64), so it is SIZE-CAPPED — dirs
+# with more distinct probe positions than the cap supports simply get
+# no bloom and degrade to the min-max + exact-probe path
+_BLOOM_K = 4  # probe count
+_BLOOM_MAX_BITS = 1 << 21  # 2 Mbit = 256 KiB bitmap ceiling per dir
+_BLOOM_MAX_KEYS = 200_000  # rows above this: skip (FP would be useless)
+_BLOOM_PROBE_CAP = 100_000  # driver-side update-key probe bound
+
 
 def _is_widening(src, dst) -> bool:
     """Is src -> dst a lossless type widening (the public
@@ -237,6 +246,134 @@ class VersionedTable:
                 return True
         return False
 
+    def bloom_columns(self) -> list[str]:
+        """Key columns declared for per-dir bloom stats at create time
+        (``bloom_keys=``), sticky like partition_by and carried by
+        checkpoints. Empty list = feature off."""
+        if not self.exists():
+            return []
+        try:
+            return (
+                self._read_manifest(0).get("meta", {}).get("bloom_keys", [])
+            )
+        except FileNotFoundError:
+            ckpt = self._latest_checkpoint()
+            return ckpt.get("bloom_keys", []) if ckpt else []
+
+    @staticmethod
+    def _bloom_probe_exprs(cols: list[str], m: int) -> list:
+        """The k probe-position expressions for one key: SPARK-side
+        xxhash64 with the probe index as an extra hashed literal, so
+        the commit path and the merge probe can never drift (same
+        engine, same expression)."""
+        return [
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in cols], F.lit(i)),
+                F.lit(m),
+            ).cast("long")
+            for i in range(_BLOOM_K)
+        ]
+
+    def _dir_bloom(self, path: str, cols: list[str]) -> dict | None:
+        """Bloom filter over the key columns of one commit dir:
+        ``{"cols", "m", "k", "b64"}`` with a power-of-two bit count
+        ~8x the dir's rows (FP ~2-3%), or None when the dir is too big
+        for the manifest-embedded cap / the columns are absent — no
+        bloom means no pruning, never wrong answers. One Spark job
+        over just the key columns of the new dir per commit (the
+        Delta stats-collection shape, opt-in)."""
+        import base64
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        n = self._dir_rows(path)
+        if n == 0 or n > _BLOOM_MAX_KEYS:
+            return None
+        df = spark.read.parquet(path)
+        if any(c not in df.columns for c in cols):
+            return None
+        m = max(1024, 1 << (n * 8 - 1).bit_length())
+        m = min(m, _BLOOM_MAX_BITS)
+        pos = (
+            df.select(
+                F.explode(
+                    F.array(*self._bloom_probe_exprs(cols, m))
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        bits = bytearray(m // 8)
+        for r in pos:
+            p = r["p"]
+            bits[p >> 3] |= 1 << (p & 7)
+        return {
+            "cols": list(cols),
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+
+    def _bloom_candidates(
+        self, manifest: dict, keys: list[str], upd_keys: DataFrame,
+        dirs: list[str],
+    ) -> list[str]:
+        """Second metadata pass of touched-dir discovery (r10 verdict
+        #4): min-max stats never prune uuid/hash-shaped keys, so dirs
+        that survived the stats pass are tested against their per-dir
+        key BLOOMS — a dir stays a candidate only if some update key
+        hits all k bits (or it has no usable bloom). The update keys'
+        probe positions are collected driver-side under a hard cap
+        (the nightly-batch shape); a bigger batch skips this pass —
+        the exact semi-join probe downstream is always exact, so a
+        bloom false positive only costs that dir's key scan."""
+        import base64
+
+        kcols = sorted(keys)
+        blooms = manifest.get("dir_blooms") or {}
+        usable = {
+            d: b
+            for d, b in blooms.items()
+            if d in dirs
+            and sorted(b.get("cols", [])) == kcols
+            and b.get("k") == _BLOOM_K
+        }
+        if not usable:
+            return dirs
+        ms = sorted({b["m"] for b in usable.values()})
+        rows = (
+            upd_keys.select(
+                *[
+                    F.array(*self._bloom_probe_exprs(kcols, m)).alias(
+                        f"p{m}"
+                    )
+                    for m in ms
+                ]
+            )
+            .limit(_BLOOM_PROBE_CAP + 1)
+            .collect()
+        )
+        if len(rows) > _BLOOM_PROBE_CAP:
+            return dirs  # corpus-scale batch: the cap keeps the driver safe
+        probes = {
+            m: [tuple(r[f"p{m}"]) for r in rows] for m in ms
+        }
+        out = []
+        for d in dirs:
+            b = usable.get(d)
+            if b is None:
+                out.append(d)
+                continue
+            bits = base64.b64decode(b["b64"])
+            hit = any(
+                all(bits[p >> 3] & (1 << (p & 7)) for p in ps)
+                for ps in probes[b["m"]]
+            )
+            if hit:
+                out.append(d)
+        return out
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._mdir, f"v{version:08d}.json")
 
@@ -289,6 +426,7 @@ class VersionedTable:
         cdf_dir: str | None = None,
         carry_stats: dict | None = None,
         dvs: list[dict] | None = None,
+        carry_blooms: dict | None = None,
     ) -> int:
         import time
 
@@ -321,6 +459,24 @@ class VersionedTable:
             "committed_at": time.time(),
         }
         manifest["dir_stats"] = dir_stats
+        # per-dir key blooms (opt-in): carried for untouched dirs, one
+        # Spark job over the commit's own new dir; dirs that lost
+        # their bloom (size cap, pre-bloom manifests) just don't prune
+        bcols = (meta or {}).get("bloom_keys") or (
+            self.bloom_columns() if version > 0 else []
+        )
+        if bcols:
+            carry_b = carry_blooms or {}
+            dir_blooms = {}
+            for d in dirs:
+                if d in carry_b:
+                    dir_blooms[d] = carry_b[d]
+                elif d == dirs[-1]:
+                    b = self._dir_bloom(d, bcols)
+                    if b:
+                        dir_blooms[d] = b
+            if dir_blooms:
+                manifest["dir_blooms"] = dir_blooms
         if meta:
             manifest["meta"] = meta
         if cdf_dir:
@@ -371,6 +527,7 @@ class VersionedTable:
         commits: list[dict] = list(prev["commits"]) if prev else []
         evolved = bool(prev["schema_evolved"]) if prev else False
         schema_json = prev.get("schema_json") if prev else None
+        renames: list[dict] = list(prev.get("renames") or []) if prev else []
         start = commits[-1]["version"] + 1 if commits else 0
         for i in range(start, version):
             m = self._read_manifest(i)
@@ -386,6 +543,8 @@ class VersionedTable:
             schema_json = (
                 m.get("meta", {}).get("schema_json") or schema_json
             )
+            if m.get("meta", {}).get("rename"):
+                renames.append(m["meta"]["rename"])
         commits.append(
             {
                 "version": version,
@@ -400,12 +559,16 @@ class VersionedTable:
         schema_json = (
             manifest.get("meta", {}).get("schema_json") or schema_json
         )
+        if manifest.get("meta", {}).get("rename"):
+            renames.append(manifest["meta"]["rename"])
         ckpt = {
             "version": version,
             "manifest": manifest,
             "schema_evolved": evolved,
             "schema_json": schema_json,
+            "renames": renames,
             "partition_by": self.partition_columns(),
+            "bloom_keys": self.bloom_columns(),
             "commits": commits,
         }
         self._atomic_write(self._ckpt_path(version), json.dumps(ckpt))
@@ -543,13 +706,24 @@ class VersionedTable:
         df: DataFrame,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        bloom_keys: list[str] | None = None,
     ) -> int:
+        """``bloom_keys`` declares key columns for PER-DIR BLOOM stats
+        (r10 verdict #4): every commit then embeds a size-capped bloom
+        over those columns for its new dir in the manifest, and MERGE's
+        touched-dir discovery tests update keys against the blooms
+        between the min-max pass (useless for uuid/hash-shaped keys)
+        and the exact semi-join probe — a nightly keyed upsert into a
+        many-dir table then key-scans only the dirs that could hold a
+        matched key."""
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
         d = self._write_data(df, partition_by)
         m = dict(meta or {})
         if partition_by:
             m["partition_by"] = list(partition_by)
+        if bloom_keys:
+            m["bloom_keys"] = list(bloom_keys)
         try:
             return self._commit([d], "create", 0, m or None)
         except CommitConflictError:
@@ -679,6 +853,7 @@ class VersionedTable:
                     cur["data_dirs"] + [d], "append", v, m or None,
                     carry_stats=cur.get("dir_stats"),
                     dvs=cur.get("dvs"),  # deleted rows stay deleted
+                    carry_blooms=cur.get("dir_blooms"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -702,24 +877,69 @@ class VersionedTable:
         df.write.mode("errorifexists").parquet(out)
         return out
 
+    @staticmethod
+    def _apply_renames(frame: DataFrame, renames: dict | None) -> DataFrame:
+        """Conform a per-dir (or per-sidecar) frame to the CURRENT
+        logical column names: ``renames`` maps each logical name to
+        its older on-disk names (newest first) — a file written before
+        a rename surfaces its old physical column under the new
+        logical name, the Iceberg field-id/name-mapping idea with the
+        mapping carried in manifests instead of parquet metadata."""
+        if not renames:
+            return frame
+        cols = set(frame.columns)
+        for logical, aliases in renames.items():
+            if logical in cols:
+                continue
+            for a in aliases:
+                if a in cols:
+                    frame = frame.withColumnRenamed(a, logical)
+                    cols.discard(a)
+                    cols.add(logical)
+                    break
+        return frame
+
+    def _name_mapping(self, upto: int) -> dict:
+        """Cumulative column-rename mapping at or below ``upto``:
+        ``{logical_name: [older names, newest first]}``. Rename events
+        ride manifest meta (one per ``rename`` commit) and the
+        checkpoint carries the prefix, so the walk is O(tail) like
+        _schema_evolved. Empty dict when the table never renamed —
+        every read path skips the conform entirely then."""
+        ckpt = self._latest_checkpoint(upto)
+        events = list(ckpt.get("renames") or []) if ckpt else []
+        start = ckpt["version"] + 1 if ckpt else 0
+        for i in range(start, upto + 1):
+            r = self._read_manifest(i).get("meta", {}).get("rename")
+            if r:
+                events.append(r)
+        mapping: dict[str, list[str]] = {}
+        for ev in events:
+            old, new = ev["from"], ev["to"]
+            mapping[new] = [old] + mapping.pop(old, [])
+        return mapping
+
     def _union_dirs(
         self,
         spark: SparkSession,
         dirs: list[str],
         evolved: bool,
         tag_dir: bool = False,
+        renames: dict | None = None,
     ) -> DataFrame:
         """Union per-dir parquet scans (the multi-root shape ``read``
         uses for hive-partitioned dir lists), optionally tagging every
         row with its commit dir (``__dir``) so a driver can learn which
         dirs actually hold matching rows — the exact-touched-dirs probe
-        behind dir-pruned MERGE/DELETE."""
+        behind dir-pruned MERGE/DELETE. Pre-rename dirs conform to the
+        current logical names first, so key probes and unions see one
+        schema."""
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")
         frames = []
         for d in dirs:
-            f = reader.parquet(d)
+            f = self._apply_renames(reader.parquet(d), renames)
             if tag_dir:
                 f = f.withColumn("__dir", F.lit(d))
             frames.append(f)
@@ -748,18 +968,21 @@ class VersionedTable:
         evolved = self._schema_evolved(manifest["version"])
         dvs = manifest.get("dvs", [])
         wjson = self._widened_schema(manifest["version"])
+        renames = self._name_mapping(manifest["version"])
 
         def _scan(gdirs: list[str]) -> DataFrame:
             if wjson is not None:
                 # TYPE-WIDENED table: parquet mergeSchema cannot merge
                 # int with long, so every dir conforms to the recorded
-                # widened schema by CAST (missing columns null-fill)
+                # widened schema by CAST (missing columns null-fill);
+                # pre-rename dirs conform names FIRST (the rename
+                # commit re-records schema_json under the new name)
                 from pyspark.sql.types import StructType
 
                 target = StructType.fromJson(json.loads(wjson))
                 frames = []
                 for d in gdirs:
-                    f = spark.read.parquet(d)
+                    f = self._apply_renames(spark.read.parquet(d), renames)
                     f = f.select(
                         *[
                             F.col(x.name).cast(x.dataType).alias(x.name)
@@ -775,14 +998,24 @@ class VersionedTable:
                 for f in frames[1:]:
                     out = out.unionByName(f)
                 return out
-            if not tag_dir and (
+            if not tag_dir and not renames and (
                 len(gdirs) == 1 or not self.partition_columns()
             ):
+                # single multi-path scan — only safe when no rename is
+                # in force (a mixed pre/post-rename path list would
+                # take one file's schema and misread the others)
                 reader = spark.read
                 if evolved:
                     reader = reader.option("mergeSchema", "true")
                 return reader.parquet(*gdirs)
-            return self._union_dirs(spark, gdirs, evolved, tag_dir=tag_dir)
+            if not tag_dir and renames and len(gdirs) == 1:
+                reader = spark.read
+                if evolved:
+                    reader = reader.option("mergeSchema", "true")
+                return self._apply_renames(reader.parquet(*gdirs), renames)
+            return self._union_dirs(
+                spark, gdirs, evolved, tag_dir=tag_dir, renames=renames
+            )
 
         if not dvs:
             return _scan(dirs)
@@ -796,7 +1029,11 @@ class VersionedTable:
         for key, gdirs in groups.items():
             f = _scan(gdirs)
             for dvdir in key:
-                tomb = spark.read.parquet(dvdir)
+                # tombstones written before a rename conform too, so
+                # the anti-join keys on current logical names
+                tomb = self._apply_renames(
+                    spark.read.parquet(dvdir), renames
+                )
                 cond = None
                 for c in tomb.columns:
                     e = f[c].eqNullSafe(tomb[c])
@@ -1019,10 +1256,17 @@ class VersionedTable:
                 if widened or self._widened_schema(cur["version"]) is not None:
                     m["schema_json"] = target.json()
             candidates = self._stats_candidates(cur, bounds)
+            candidates = self._bloom_candidates(
+                cur, keys, upd_keys, candidates
+            )
             touched: list[str] = []
             if candidates:
                 probe = self._union_dirs(
-                    spark, candidates, evolved, tag_dir=True
+                    spark,
+                    candidates,
+                    evolved,
+                    tag_dir=True,
+                    renames=self._name_mapping(cur["version"]),
                 ).select("__dir", *keys)
                 # AQE broadcasts the (typically tiny) update-key side
                 # on its own; no forced hint, so a corpus-scale updates
@@ -1144,6 +1388,7 @@ class VersionedTable:
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, untouched),
+                    carry_blooms=cur.get("dir_blooms"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1241,6 +1486,7 @@ class VersionedTable:
                     num_rows=rows,
                     carry_stats=old.get("dir_stats"),
                     dvs=old.get("dvs"),  # the old snapshot's tombstones
+                    carry_blooms=old.get("dir_blooms"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1347,6 +1593,7 @@ class VersionedTable:
                     num_rows=total,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, keep),
+                    carry_blooms=cur.get("dir_blooms"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1425,7 +1672,13 @@ class VersionedTable:
             cur = self._read_manifest()
             evolved = self._schema_evolved(cur["version"])
             dirs = cur["data_dirs"]
-            probe = self._union_dirs(spark, dirs, evolved, tag_dir=True)
+            probe = self._union_dirs(
+                spark,
+                dirs,
+                evolved,
+                tag_dir=True,
+                renames=self._name_mapping(cur["version"]),
+            )
             touched = [
                 r["__dir"]
                 for r in probe.where(condition)
@@ -1492,6 +1745,7 @@ class VersionedTable:
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, untouched),
+                    carry_blooms=cur.get("dir_blooms"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1555,12 +1809,77 @@ class VersionedTable:
                         cdf_dir=cdf_dir,
                         carry_stats=cur.get("dir_stats"),
                         dvs=dvs or None,
+                        carry_blooms=cur.get("dir_blooms"),
                     )
                 except CommitConflictError:
                     if attempt == self.max_retries:
                         raise
             finally:
                 matched.unpersist()
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column as a METADATA-ONLY commit (r10 verdict #3 —
+        the Iceberg field-id idea, realized as a manifest-carried
+        name-mapping): no data file is touched; every read consults
+        the cumulative mapping and surfaces pre-rename files' old
+        physical column under the new logical name with full history.
+        Appends/merges after the rename use the new name (an old-name
+        batch fails the drift guard loudly); time travel BELOW the
+        rename keeps the old name (the mapping is walked only up to
+        the read version); ``row_changes`` across the rename conforms;
+        ``changes`` (appends-only) raises at the rename commit like
+        any non-append — re-baseline. Carried dir stats and any
+        recorded widened schema are re-keyed to the new name so
+        stats pruning and the cast-conforming read keep working.
+        Renaming a hive partition column is refused (the name is baked
+        into every data path)."""
+        from pyspark.sql.types import StructType
+
+        spark = SparkSession.getActiveSession()
+        if old in self.partition_columns():
+            raise ValueError(
+                f"cannot rename hive partition column '{old}' — its "
+                f"name is baked into every data path"
+            )
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            names = self.read(spark, cur["version"]).columns
+            if old not in names:
+                raise ValueError(f"no column '{old}' to rename")
+            if new in names:
+                raise ValueError(f"column '{new}' already exists")
+            m: dict = {"rename": {"from": old, "to": new}}
+            wjson = self._widened_schema(cur["version"])
+            if wjson is not None:
+                # keep the cast-conforming read's target in the new
+                # name space (it is applied AFTER the rename conform)
+                target = StructType.fromJson(json.loads(wjson))
+                m["schema_json"] = StructType(
+                    [
+                        type(f)(new, f.dataType, True)
+                        if f.name == old
+                        else f
+                        for f in target.fields
+                    ]
+                ).json()
+            carry = {
+                d: {new if c == old else c: v for c, v in st.items()}
+                for d, st in (cur.get("dir_stats") or {}).items()
+            }
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "rename",
+                    cur["version"] + 1,
+                    m,
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=carry,
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time travel by wall clock: the snapshot of the LAST version
@@ -1820,6 +2139,7 @@ class VersionedTable:
         if since_version == upto:
             return _empty()
         evolved = self._schema_evolved(upto)
+        renames = self._name_mapping(upto)
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")
@@ -1858,18 +2178,22 @@ class VersionedTable:
                                 f"re-baseline from a current snapshot"
                             )
                         frames.append(
-                            reader.parquet(d)
+                            self._apply_renames(reader.parquet(d), renames)
                             .withColumn("_change_type", F.lit("insert"))
                             .withColumn(
                                 "_commit_version",
                                 F.lit(i).cast("long"),
                             )
                         )
-            elif op in ("compact", "compact_bins"):
-                pass  # row-preserving rewrite: the feed is unaffected
+            elif op in ("compact", "compact_bins", "rename"):
+                pass  # row-preserving rewrite / metadata-only rename:
+                # the feed is unaffected (pre-rename change files
+                # conform to the current names via the mapping)
             elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
                 frames.append(
-                    reader.parquet(m["cdf_dir"]).withColumn(
+                    self._apply_renames(
+                        reader.parquet(m["cdf_dir"]), renames
+                    ).withColumn(
                         "_commit_version", F.lit(i).cast("long")
                     )
                 )

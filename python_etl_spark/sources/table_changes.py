@@ -51,10 +51,22 @@ COMMIT_VERSION = "_commit_version"
 
 
 class _ChangeFilePartition(InputPartition):
-    def __init__(self, path: str, change_type: str | None, version: int):
+    def __init__(
+        self,
+        path: str,
+        change_type: str | None,
+        version: int,
+        renames: dict | None = None,
+    ):
         self.path = path
         self.change_type = change_type  # None: the file carries its own
         self.version = version
+        # column-rename mapping as of the planned end version:
+        # {logical name: [older physical names, newest first]} — lets
+        # the executor read a pre-rename file's old column under the
+        # current logical name (planner-attached so the executor needs
+        # no manifest access)
+        self.renames = renames
 
 
 def _parquet_files(d: str) -> list[str]:
@@ -76,6 +88,7 @@ def _plan_partitions(
     from python_etl_spark.sinks.table import VersionedTable
 
     t = VersionedTable(root)
+    renames = t._name_mapping(end_v) or None
     parts: list[_ChangeFilePartition] = []
     prev_dirs: set[str] = (
         set(t._read_manifest(start_v)["data_dirs"]) if start_v >= 0 else set()
@@ -87,12 +100,14 @@ def _plan_partitions(
             for d in m["data_dirs"]:
                 if d not in prev_dirs:
                     for f in _parquet_files(d):
-                        parts.append(_ChangeFilePartition(f, "insert", v))
-        elif op in ("compact", "compact_bins"):
-            pass  # row-preserving rewrite: nothing to emit
+                        parts.append(
+                            _ChangeFilePartition(f, "insert", v, renames)
+                        )
+        elif op in ("compact", "compact_bins", "rename"):
+            pass  # row-preserving rewrite / metadata-only: no rows
         elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
             for f in _parquet_files(m["cdf_dir"]):
-                parts.append(_ChangeFilePartition(f, None, v))
+                parts.append(_ChangeFilePartition(f, None, v, renames))
         else:
             raise ValueError(
                 f"table_changes: commit v{v} is a '{op}' with no change "
@@ -181,6 +196,25 @@ def _feed_struct(root: str):
     if not files:
         raise FileNotFoundError(f"no parquet files under {root}")
     st = from_arrow_schema(pq.ParquetFile(files[-1]).schema_arrow)
+    renames = t._name_mapping(m["version"])
+    if renames:
+        # the sampled footer may predate a rename: surface its old
+        # physical columns under the current logical names
+        from pyspark.sql.types import StructType as _ST
+
+        st = _ST(
+            [
+                next(
+                    (
+                        type(f)(logical, f.dataType, True)
+                        for logical, aliases in renames.items()
+                        if f.name in aliases and logical not in st.names
+                    ),
+                    f,
+                )
+                for f in st.fields
+            ]
+        )
     # hive layout: partition columns live in the PATHS, not the files —
     # type them by Spark-shaped inference over the observed (unescaped)
     # path values so the feed matches the library read's hive types
@@ -222,6 +256,18 @@ def _read_partition(partition: _ChangeFilePartition, spark_schema):
             arrays.append(
                 tbl.column(field.name).cast(field.type).combine_chunks()
             )
+        elif partition.renames is not None and any(
+            a in tbl.column_names
+            for a in partition.renames.get(field.name, [])
+        ):
+            # pre-rename file: its old physical column carries the
+            # current logical name's values
+            a = next(
+                a
+                for a in partition.renames[field.name]
+                if a in tbl.column_names
+            )
+            arrays.append(tbl.column(a).cast(field.type).combine_chunks())
         elif f"/{field.name}=" in partition.path:
             # hive partition value from the path, URL-unescaped (and
             # __HIVE_DEFAULT_PARTITION__ -> NULL) like Spark discovery

@@ -1696,3 +1696,171 @@ def test_mor_delete_key_column_tombstones(spark, tmp_path):
     t.compact(spark)
     assert "dvs" not in t._read_manifest()
     assert t.read(spark).count() == 33
+
+
+def test_rename_column_round_trip(spark, tmp_path):
+    """Metadata-only column rename (r10 verdict #3): write, rename,
+    append under the NEW name — reads show ONE column with full
+    history, zero data files rewritten; time travel below the rename
+    keeps the old name; an old-name append after the rename fails the
+    drift guard loudly."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+    inv = list(t._read_manifest()["data_dirs"])
+    t.rename_column("v", "val")
+    m = t._read_manifest()
+    assert m["data_dirs"] == inv and m["op"] == "rename"  # zero rewrite
+    t.append(spark.createDataFrame([(3, 30)], "k long, val long"))
+    assert t.read(spark).columns == ["k", "val"]
+    assert _rows(t.read(spark)) == [(1, 10), (2, 20), (3, 30)]
+    # stats pruning survives the re-keyed carry
+    pruned = t.read_pruned(spark, "k", lo=3, hi=3)
+    assert _rows(pruned.select("k", "val")) == [(3, 30)]
+    # time travel below the rename keeps the old name
+    assert t.read(spark, version=1).columns == ["k", "v"]
+    # old-name appends are drift, loudly
+    with pytest.raises(ValueError, match="drift"):
+        t.append(spark.createDataFrame([(4, 40)], "k long, v long"))
+    # invalid renames
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "val")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("nope", "x")
+    # chained rename keeps resolving the oldest files
+    t.rename_column("val", "price")
+    assert _rows(t.read(spark).select("k", "price")) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+    # compaction materializes the logical names; mapping then no-ops
+    t.compact(spark)
+    assert _rows(t.read(spark).select("k", "price")) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+
+
+def test_rename_column_feeds_and_merge(spark, tmp_path):
+    """The rename composes with the rest of the surface: row_changes
+    across the rename conforms old change files to the new name, the
+    registered table_changes source agrees, a MERGE after the rename
+    finds keys in pre-rename dirs, and DV tombstones written before
+    the rename still anti-join."""
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.delete_where(F.col("k") == 2, merge_on_read=True)  # v1: DV
+    t.rename_column("v", "val")  # v2
+    t.append(spark.createDataFrame([(3, 30)], "k long, val long"))  # v3
+    # feed across the rename: one schema, old files conformed
+    feed = t.row_changes(spark, 0)
+    assert set(feed.columns) == {"k", "val", "_change_type", "_commit_version"}
+    assert sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in feed.collect()
+    ) == [(2, 20, "delete"), (3, 30, "insert")]
+    batch = (
+        spark.read.format("table_changes")
+        .option("startingVersion", 0)
+        .load(t.root)
+        .select("k", "val", "_change_type", "_commit_version")
+    )
+    assert _rows(batch) == _rows(
+        feed.select("k", "val", "_change_type", "_commit_version")
+    )
+    # DV written pre-rename still applies post-rename
+    assert _rows(t.read(spark)) == [(1, 10), (3, 30)]
+    # MERGE keyed after the rename touches the pre-rename dir
+    t.merge(
+        spark.createDataFrame([(1, 100, ), (9, 900)], "k long, val long"),
+        keys=["k"],
+    )
+    assert _rows(t.read(spark)) == [(1, 100), (3, 30), (9, 900)]
+
+
+def test_rename_column_with_widening_and_checkpoint(spark, tmp_path):
+    """Rename re-records the widened cast target under the new name
+    (a stale old-name schema_json would null the column out), and the
+    mapping survives clean_metadata via the checkpoint carry."""
+    t = VersionedTable(str(tmp_path / "t"), checkpoint_interval=0)
+    t.create(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.append(
+        spark.createDataFrame([(2**40, 20)], "k long, v int"),
+        allow_evolution=True,
+    )  # widening: schema_json recorded
+    t.rename_column("k", "key")
+    assert _rows(t.read(spark).select("key", "v")) == [
+        (1, 10), (2**40, 20)
+    ]
+    assert dict(t.read(spark).dtypes)["key"] == "bigint"
+    # checkpoint + clean_metadata: the mapping rides the checkpoint
+    t.append(spark.createDataFrame([(7, 70)], "key long, v int"))
+    t.checkpoint()
+    t.clean_metadata()
+    assert _rows(t.read(spark).select("key", "v")) == [
+        (1, 10), (7, 70), (2**40, 20)
+    ]
+    with pytest.raises(ValueError, match="partition"):
+        t2 = VersionedTable(str(tmp_path / "p"))
+        t2.create(
+            spark.createDataFrame([(1, "a")], "k long, ds string"),
+            partition_by=["ds"],
+        )
+        t2.rename_column("ds", "day")
+
+
+def test_merge_bloom_prunes_uuid_shaped_keys(spark, tmp_path, monkeypatch):
+    """Per-dir key blooms (r10 verdict #4): min-max stats never prune
+    md5/uuid-shaped keys (every dir spans the whole hash range), so a
+    small keyed merge used to key-scan EVERY dir. With
+    create(bloom_keys=...), the bloom pass admits only dirs that could
+    hold an update key — the exact semi-join probe then opens a strict
+    subset. A dir lacking a bloom (or a giant batch) degrades to the
+    old posture; the downstream exact probe keeps FPs harmless."""
+    t = VersionedTable(str(tmp_path / "t"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "md5(CAST(id AS STRING)) AS k", "id AS v"
+        )
+
+    t.create(batch(0, 200), bloom_keys=["k"])
+    for i in range(1, 6):
+        t.append(batch(i * 1000, i * 1000 + 200))
+    m = t._read_manifest()
+    all_dirs = m["data_dirs"]
+    assert set(m["dir_blooms"]) == set(all_dirs)
+    # keys that live only in the 4th commit's dir
+    upd = spark.range(3000, 3005).selectExpr(
+        "md5(CAST(id AS STRING)) AS k", "id * 2 AS v"
+    )
+    probed: list[list] = []
+    orig = VersionedTable._union_dirs
+
+    def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None):
+        if tag_dir:
+            probed.append(list(dirs))
+        return orig(
+            self, spark_, dirs, evolved, tag_dir=tag_dir, renames=renames
+        )
+
+    monkeypatch.setattr(VersionedTable, "_union_dirs", spy)
+    t.merge(upd, keys=["k"])
+    target = all_dirs[3]  # batch(3000..3200)'s dir (create + appends 1,2)
+    assert probed, "merge never probed"
+    assert target in probed[0]  # no false negative, ever
+    assert len(probed[0]) < len(all_dirs), (
+        "bloom pass pruned nothing on uuid keys"
+    )
+    # end-to-end correctness: updated values landed, rest untouched
+    got = t.read(spark)
+    assert got.where("v >= 6000").count() == 5
+    assert got.count() == 1200
+    # and the rewritten dir got a FRESH bloom; untouched carried
+    m2 = t._read_manifest()
+    assert set(m2["dir_blooms"]) == set(m2["data_dirs"])
+    for d in m2["data_dirs"]:
+        if d in all_dirs:
+            assert m2["dir_blooms"][d] == m["dir_blooms"][d]
