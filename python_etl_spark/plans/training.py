@@ -3206,3 +3206,141 @@ def etl_merge_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _fileskip_source(spark: SparkSession, sf_dir: str):
+    """One commit dir holding lineitem CLUSTERED on l_orderkey into 8
+    range-partitioned, sorted files — each file's footer covers a
+    tight key range, so the manifest's per-file stats can prune inside
+    the dir. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("fskip", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_fskip_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        t.create(
+            li.repartitionByRange(8, "k").sortWithinPartitions("k")
+        )
+    return t
+
+
+@register(
+    "etl_read_pruned_files",
+    oracle=r"""
+SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+GROUP BY 1
+""",
+)
+def etl_read_pruned_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range read through PER-FILE skipping stats (r10 verdict #5):
+    the table is one commit dir of 8 key-clustered files, and
+    read_pruned opens only the files whose footer [min, max] intersect
+    the key range (a strict inputFiles subset, pytest-pinned) — the
+    residual predicate keeps results exactly equal to the oracle's
+    plain WHERE, so a prune that drops a file it shouldn't (or keeps
+    rows outside the range) breaks the hash.
+
+    Scale posture: the Delta add-file shape — on a 100 TB clustered
+    table the manifest prune eliminates files BEFORE any Spark job
+    plans, so a narrow range query schedules tasks for a handful of
+    files instead of listing the corpus; degrade path (no file stats)
+    is the dir-level scan, never a wrong answer."""
+    t = _fileskip_source(spark, sf_dir)
+    return (
+        t.read_pruned(spark, "k", lo=1000, hi=3000)
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("total_qty"),
+            F.sum("price").cast("double").alias("amount"),
+        )
+    )
+
+
+def _optimize_source(spark: SparkSession, sf_dir: str):
+    """A table driven through the pressures optimize() plans for:
+    v0 create (even keys), three small appends (odd keys in slices),
+    a MOR delete (k %% 7 == 0), then ONE optimize() call that
+    materializes the DVs and bin-packs the small dirs. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("optim", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_optim_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(28,6)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(orders.where(F.col("k") % 2 == 0))
+    for i, r in enumerate((1, 3, 5), start=1):
+        if t.latest_version() < i:
+            t.append(orders.where(F.col("k") % 6 == r))
+    if t.latest_version() < 4:
+        t.delete_where(F.col("k") % 7 == 0, merge_on_read=True)
+    if t.latest_version() < 5:
+        # one planner call: materialize_dvs fires (tombstones present),
+        # then compact_bins packs the small append dirs
+        t.optimize(
+            spark, small_bytes=1 << 26, max_dirs=64, dv_ratio=0.01
+        )
+    return t
+
+
+@register(
+    "etl_optimize_table",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS amount
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY 1
+""",
+)
+def etl_optimize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimize() maintenance planner certified ROW-PRESERVING
+    end-to-end (r10 verdict #6): after append-heavy and delete-heavy
+    phases, one planner call materializes the deletion vectors and
+    bin-packs the small commit dirs — the post-maintenance snapshot
+    must equal the logical content exactly (per-priority counts and
+    decimal sums of all orders minus the deleted keys); a planner
+    action that loses or resurrects rows breaks the hash.
+
+    Scale posture: the planner's decision pass is metadata-only
+    (manifest read + os.walks, no Spark job on a healthy table);
+    each fixing action touches only the dirs its pressure names —
+    DV'd dirs for materialization, small dirs for bin-packing —
+    never the corpus."""
+    t = _optimize_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

@@ -153,21 +153,30 @@ class VersionedTable:
         self.checkpoint_interval = checkpoint_interval
 
     # ------------------------------ internals -----------------------------
-    @staticmethod
-    def _dir_stats(path: str) -> dict:
-        """Per-column [min, max] over every parquet file under ``path``
-        from the FOOTERS (metadata-only, driver-side, no Spark job) —
-        the Iceberg/Delta file-statistics idea at commit-dir
-        granularity. Only JSON-safe column types are kept (ints,
-        floats, strings, date/timestamp as ISO strings); columns with
-        a missing stat in any file are dropped (conservative: no stat
-        means no pruning)."""
+    # per-FILE stats are manifest-embedded: cap the files-per-dir so a
+    # pathological many-file commit cannot bloat the metadata (dirs
+    # over the cap keep dir-level stats only — prune granularity
+    # degrades, correctness does not)
+    _FILE_STATS_MAX_FILES = 64
+
+    @classmethod
+    def _dir_stats_full(cls, path: str) -> tuple[dict, dict]:
+        """One footer walk, two granularities (metadata-only, driver-
+        side, no Spark job): the dir-level per-column [min, max]
+        rollup, and PER-FILE stats ``{relpath: {"rows": n, "cols":
+        {col: [min, max]}}}`` (the Delta add-file shape; r10 verdict
+        #5) so readers can open a strict subset of a dir's files.
+        Only JSON-safe column types are kept (ints, floats, strings,
+        date/timestamp as ISO strings); columns with a missing stat in
+        any row group of a file are dropped from that file (and from
+        the dir rollup — conservative: no stat means no pruning)."""
         import datetime
 
         import pyarrow.parquet as pq
 
         stats: dict[str, list] = {}
         dropped: set[str] = set()
+        files_out: dict[str, dict] = {}
 
         def _js(v):
             if isinstance(v, (bool, int, float, str)):
@@ -185,13 +194,16 @@ class VersionedTable:
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
-                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                full = os.path.join(root, f)
+                md = pq.ParquetFile(full).metadata
+                fstats: dict[str, list] = {}
+                fdropped: set[str] = set()
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
                         col = g.column(ci)
                         name = col.path_in_schema
-                        if name in dropped or "." in name:
+                        if "." in name or name in fdropped:
                             continue
                         try:
                             st = col.statistics
@@ -206,17 +218,38 @@ class VersionedTable:
                             # physical types (e.g. fixed-len decimals)
                             bad = True
                         if bad:
+                            fdropped.add(name)
+                            fstats.pop(name, None)
                             dropped.add(name)
                             stats.pop(name, None)
                             continue
                         lo, hi = _js(st.min), _js(st.max)
-                        cur = stats.get(name)
+                        cur = fstats.get(name)
                         if cur is None:
-                            stats[name] = [lo, hi]
+                            fstats[name] = [lo, hi]
                         else:
                             cur[0] = min(cur[0], lo)
                             cur[1] = max(cur[1], hi)
-        return stats
+                        if name not in dropped:
+                            cur = stats.get(name)
+                            if cur is None:
+                                stats[name] = [lo, hi]
+                            else:
+                                cur[0] = min(cur[0], lo)
+                                cur[1] = max(cur[1], hi)
+                files_out[os.path.relpath(full, path)] = {
+                    "rows": md.num_rows,
+                    "cols": fstats,
+                }
+        if len(files_out) > cls._FILE_STATS_MAX_FILES:
+            files_out = {}
+        return stats, files_out
+
+    @classmethod
+    def _dir_stats(cls, path: str) -> dict:
+        """Dir-level rollup of :meth:`_dir_stats_full` (kept for the
+        carry path and callers that only need the coarse stats)."""
+        return cls._dir_stats_full(path)[0]
 
     @staticmethod
     def _dir_rows(path: str) -> int:
@@ -427,6 +460,7 @@ class VersionedTable:
         carry_stats: dict | None = None,
         dvs: list[dict] | None = None,
         carry_blooms: dict | None = None,
+        carry_files: dict | None = None,
     ) -> int:
         import time
 
@@ -436,10 +470,19 @@ class VersionedTable:
         # footer-walks ONLY its new dir; dirs absent from the carry
         # (pre-stats manifests) are walked once and propagate.
         carry = carry_stats or {}
-        dir_stats = {
-            d: (carry[d] if d in carry else self._dir_stats(d))
-            for d in dirs
-        }
+        carry_f = carry_files or {}
+        dir_stats = {}
+        file_stats = {}
+        for d in dirs:
+            if d in carry:
+                dir_stats[d] = carry[d]
+                if d in carry_f:
+                    file_stats[d] = carry_f[d]
+            else:
+                ds, fs = self._dir_stats_full(d)
+                dir_stats[d] = ds
+                if fs:
+                    file_stats[d] = fs
         manifest = {
             "version": version,
             "op": op,
@@ -459,6 +502,11 @@ class VersionedTable:
             "committed_at": time.time(),
         }
         manifest["dir_stats"] = dir_stats
+        if file_stats:
+            # per-FILE [min, max] + row counts (the Delta add-file
+            # shape): read_pruned and the merge probe open a strict
+            # subset of a dir's files when these can prune
+            manifest["file_stats"] = file_stats
         # per-dir key blooms (opt-in): carried for untouched dirs, one
         # Spark job over the commit's own new dir; dirs that lost
         # their bloom (size cap, pre-bloom manifests) just don't prune
@@ -854,6 +902,7 @@ class VersionedTable:
                     carry_stats=cur.get("dir_stats"),
                     dvs=cur.get("dvs"),  # deleted rows stay deleted
                     carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -919,6 +968,27 @@ class VersionedTable:
             mapping[new] = [old] + mapping.pop(old, [])
         return mapping
 
+    @staticmethod
+    def _read_dir(
+        spark: SparkSession,
+        d: str,
+        file_subsets: dict | None,
+        evolved: bool = False,
+    ):
+        """One commit-dir scan, narrowed to a per-file subset when the
+        caller's stats pruned inside the dir: ``basePath`` keeps hive
+        partition columns resolving exactly as the whole-dir read.
+        Builds a FRESH DataFrameReader per dir — pyspark's
+        ``reader.option`` mutates the reader in place, so a shared
+        reader would leak one dir's basePath into its siblings."""
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        files = (file_subsets or {}).get(d)
+        if files:
+            return reader.option("basePath", d).parquet(*files)
+        return reader.parquet(d)
+
     def _union_dirs(
         self,
         spark: SparkSession,
@@ -926,6 +996,7 @@ class VersionedTable:
         evolved: bool,
         tag_dir: bool = False,
         renames: dict | None = None,
+        file_subsets: dict | None = None,
     ) -> DataFrame:
         """Union per-dir parquet scans (the multi-root shape ``read``
         uses for hive-partitioned dir lists), optionally tagging every
@@ -933,13 +1004,13 @@ class VersionedTable:
         dirs actually hold matching rows — the exact-touched-dirs probe
         behind dir-pruned MERGE/DELETE. Pre-rename dirs conform to the
         current logical names first, so key probes and unions see one
-        schema."""
-        reader = spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
+        schema; ``file_subsets`` narrows a dir's scan to the files its
+        per-file stats admitted."""
         frames = []
         for d in dirs:
-            f = self._apply_renames(reader.parquet(d), renames)
+            f = self._apply_renames(
+                self._read_dir(spark, d, file_subsets, evolved), renames
+            )
             if tag_dir:
                 f = f.withColumn("__dir", F.lit(d))
             frames.append(f)
@@ -948,12 +1019,55 @@ class VersionedTable:
             out = out.unionByName(f, allowMissingColumns=evolved)
         return out
 
+    def _prune_files(
+        self, manifest: dict, dirs: list[str], bounds: dict[str, tuple]
+    ) -> tuple[list[str], dict]:
+        """Per-FILE refinement of a dir-level prune (r10 verdict #5):
+        for dirs carrying manifest ``file_stats``, drop files whose
+        [min, max] provably miss ``bounds``; a dir whose every file
+        prunes drops entirely, a strict subset records a file list for
+        the scan, and dirs without per-file stats (old manifests,
+        over-cap commits) pass through whole — same conservative
+        posture as the dir pass."""
+        fstats = manifest.get("file_stats") or {}
+        kept_dirs: list[str] = []
+        subsets: dict[str, list[str]] = {}
+        for d in dirs:
+            fs = fstats.get(d)
+            if not fs:
+                kept_dirs.append(d)
+                continue
+            keep = []
+            for rel, rec in fs.items():
+                admit = True
+                for col, (lo, hi) in bounds.items():
+                    s = rec.get("cols", {}).get(col)
+                    if s is None or (lo is None and hi is None):
+                        continue
+                    try:
+                        if (lo is not None and s[1] < lo) or (
+                            hi is not None and s[0] > hi
+                        ):
+                            admit = False
+                            break
+                    except TypeError:
+                        continue  # cross-type stat: keep the file
+                if admit:
+                    keep.append(rel)
+            if not keep:
+                continue  # every file pruned: drop the whole dir
+            kept_dirs.append(d)
+            if len(keep) < len(fs):
+                subsets[d] = [os.path.join(d, rel) for rel in keep]
+        return kept_dirs, subsets
+
     def _read_snapshot_subset(
         self,
         spark: SparkSession,
         manifest: dict,
         dirs: list[str],
         tag_dir: bool = False,
+        file_subsets: dict | None = None,
     ) -> DataFrame:
         """Read a subset of a snapshot's data dirs with DELETION
         VECTORS applied (the merge-on-read half of delete_where):
@@ -982,7 +1096,10 @@ class VersionedTable:
                 target = StructType.fromJson(json.loads(wjson))
                 frames = []
                 for d in gdirs:
-                    f = self._apply_renames(spark.read.parquet(d), renames)
+                    f = self._apply_renames(
+                        self._read_dir(spark, d, file_subsets),
+                        renames,
+                    )
                     f = f.select(
                         *[
                             F.col(x.name).cast(x.dataType).alias(x.name)
@@ -998,23 +1115,30 @@ class VersionedTable:
                 for f in frames[1:]:
                     out = out.unionByName(f)
                 return out
-            if not tag_dir and not renames and (
+            subset_hit = file_subsets and any(d in file_subsets for d in gdirs)
+            if not tag_dir and not renames and not subset_hit and (
                 len(gdirs) == 1 or not self.partition_columns()
             ):
                 # single multi-path scan — only safe when no rename is
                 # in force (a mixed pre/post-rename path list would
-                # take one file's schema and misread the others)
+                # take one file's schema and misread the others) and no
+                # per-file subset narrows a dir
                 reader = spark.read
                 if evolved:
                     reader = reader.option("mergeSchema", "true")
                 return reader.parquet(*gdirs)
-            if not tag_dir and renames and len(gdirs) == 1:
-                reader = spark.read
-                if evolved:
-                    reader = reader.option("mergeSchema", "true")
-                return self._apply_renames(reader.parquet(*gdirs), renames)
+            if not tag_dir and len(gdirs) == 1:
+                return self._apply_renames(
+                    self._read_dir(spark, gdirs[0], file_subsets, evolved),
+                    renames,
+                )
             return self._union_dirs(
-                spark, gdirs, evolved, tag_dir=tag_dir, renames=renames
+                spark,
+                gdirs,
+                evolved,
+                tag_dir=tag_dir,
+                renames=renames,
+                file_subsets=file_subsets,
             )
 
         if not dvs:
@@ -1259,6 +1383,11 @@ class VersionedTable:
             candidates = self._bloom_candidates(
                 cur, keys, upd_keys, candidates
             )
+            # per-file refinement cuts the PROBE's scan only — a
+            # touched dir still rewrites whole (CoW is dir-granular)
+            candidates, probe_subsets = self._prune_files(
+                cur, candidates, bounds
+            )
             touched: list[str] = []
             if candidates:
                 probe = self._union_dirs(
@@ -1267,6 +1396,7 @@ class VersionedTable:
                     evolved,
                     tag_dir=True,
                     renames=self._name_mapping(cur["version"]),
+                    file_subsets=probe_subsets,
                 ).select("__dir", *keys)
                 # AQE broadcasts the (typically tiny) update-key side
                 # on its own; no forced hint, so a corpus-scale updates
@@ -1389,6 +1519,7 @@ class VersionedTable:
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, untouched),
                     carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1487,6 +1618,7 @@ class VersionedTable:
                     carry_stats=old.get("dir_stats"),
                     dvs=old.get("dvs"),  # the old snapshot's tombstones
                     carry_blooms=old.get("dir_blooms"),
+                    carry_files=old.get("file_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1530,6 +1662,9 @@ class VersionedTable:
                     # same "no stat means no pruning" posture
                     pass
             dirs.append(d)
+        # per-FILE refinement: inside surviving dirs, open only the
+        # files whose footer stats admit the range (r10 verdict #5)
+        dirs, subsets = self._prune_files(m, dirs, {col: (lo, hi)})
         full = self.read(spark, m["version"])
         cond = F.lit(True)
         if lo is not None:
@@ -1538,7 +1673,9 @@ class VersionedTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         if not dirs:
             return spark.createDataFrame([], full.schema).where(cond)
-        return self._read_snapshot_subset(spark, m, dirs).where(cond)
+        return self._read_snapshot_subset(
+            spark, m, dirs, file_subsets=subsets
+        ).where(cond)
 
     @staticmethod
     def _tree_bytes(path: str) -> int:
@@ -1594,10 +1731,171 @@ class VersionedTable:
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, keep),
                     carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
+
+    def _materialize_dvs(self, spark: SparkSession | None = None) -> int | None:
+        """Rewrite ONLY the dirs that have deletion vectors applied
+        (DV-applied read, so the tombstoned rows vanish physically),
+        carry every clean dir by reference, and drop the emptied DV
+        scopes. Row-preserving (logical rows unchanged), so it commits
+        as a ``compact_bins`` op — change feeds are unaffected. No-op
+        (None) when no DVs exist."""
+        spark = spark or SparkSession.getActiveSession()
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            dvs = cur.get("dvs", [])
+            hit = [
+                d
+                for d in cur["data_dirs"]
+                if any(d in e["deleted"] for e in dvs)
+            ]
+            if not hit:
+                return None
+            keep = [d for d in cur["data_dirs"] if d not in hit]
+            df = self._read_snapshot_subset(spark, cur, hit)
+            v = cur["version"] + 1
+            nd = self._write_data(df, self.partition_columns() or None)
+            if not self._has_parquet(nd):
+                nd = None
+            new_dirs = keep + ([nd] if nd else [])
+            if not new_dirs:
+                nd = self._write_data(df.repartition(1))
+                new_dirs = [nd]
+            total = sum(self._logical_dir_rows(cur, d) for d in keep)
+            total += self._dir_rows(nd) if nd else 0
+            try:
+                return self._commit(
+                    new_dirs,
+                    "compact_bins",
+                    v,
+                    cur.get("meta"),
+                    num_rows=total,
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, keep),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    def optimize(
+        self,
+        spark: SparkSession | None = None,
+        small_bytes: int = 32 * 1024 * 1024,
+        max_dirs: int = 16,
+        dv_ratio: float = 0.10,
+        vacuum_grace: float | None = None,
+    ) -> list[dict]:
+        """MAINTENANCE PLANNER (r10 verdict #6): one entrypoint that
+        reads the table's own observables and schedules the cheapest
+        fixing action for each pressure, in dependency order — the
+        operational face a nightly pipeline calls unconditionally.
+
+        * deletion-vector pressure — tombstoned rows >= ``dv_ratio``
+          of the physical rows: materialize DVs by rewriting only the
+          DV'd dirs (read-side anti-join cost returns to zero);
+        * small-file accretion — >= 2 commit dirs under
+          ``small_bytes``: bin-packing partial compaction
+          (:meth:`compact_bins`);
+        * dir-count — more than ``max_dirs`` dirs even after
+          bin-packing: full :meth:`compact` (the union-scan liability);
+        * metadata growth — manifest files exceed 2x the checkpoint
+          interval: :meth:`checkpoint` + :meth:`clean_metadata`;
+        * optionally ``vacuum_grace`` (seconds): sweep unreachable
+          dirs — opt-in because it ends time travel.
+
+        Returns one record per action taken (``[]`` on a healthy
+        table — the no-op path costs a manifest read and a few
+        os.walks, no Spark job). Thresholds are per-call so an
+        operator can tighten them for hot tables."""
+        spark = spark or SparkSession.getActiveSession()
+        actions: list[dict] = []
+        cur = self._read_manifest()
+        dvs = cur.get("dvs", [])
+        if dvs:
+            deleted = sum(sum(e["deleted"].values()) for e in dvs)
+            total = self.row_count(cur["version"])
+            if deleted and deleted / max(total + deleted, 1) >= dv_ratio:
+                v = self._materialize_dvs(spark)
+                if v is not None:
+                    actions.append(
+                        {
+                            "action": "materialize_dvs",
+                            "version": v,
+                            "reason": (
+                                f"{deleted} tombstoned rows >= "
+                                f"{dv_ratio:.0%} of physical rows"
+                            ),
+                        }
+                    )
+        cur = self._read_manifest()
+        small = [
+            d
+            for d in cur["data_dirs"]
+            if self._tree_bytes(d) < small_bytes
+        ]
+        if len(small) >= 2:
+            v = self.compact_bins(spark, small_bytes)
+            if v is not None:
+                actions.append(
+                    {
+                        "action": "compact_bins",
+                        "version": v,
+                        "reason": (
+                            f"{len(small)} commit dirs under "
+                            f"{small_bytes} bytes"
+                        ),
+                    }
+                )
+        cur = self._read_manifest()
+        if len(cur["data_dirs"]) > max_dirs:
+            v = self.compact(spark)
+            actions.append(
+                {
+                    "action": "compact",
+                    "version": v,
+                    "reason": (
+                        f"{len(cur['data_dirs'])} dirs > max_dirs="
+                        f"{max_dirs} after bin-packing"
+                    ),
+                }
+            )
+        if self.checkpoint_interval > 0:
+            n_manifests = sum(
+                1
+                for n in os.listdir(self._mdir)
+                if _MANIFEST_RE.fullmatch(n)
+            )
+            if n_manifests > 2 * self.checkpoint_interval:
+                self.checkpoint()
+                removed = self.clean_metadata()
+                if removed:
+                    actions.append(
+                        {
+                            "action": "clean_metadata",
+                            "removed": len(removed),
+                            "reason": (
+                                f"{n_manifests} manifests > 2x "
+                                f"checkpoint interval"
+                            ),
+                        }
+                    )
+        if vacuum_grace is not None:
+            removed = self.vacuum(vacuum_grace)
+            if removed:
+                actions.append(
+                    {
+                        "action": "vacuum",
+                        "removed": len(removed),
+                        "reason": "unreachable data dirs",
+                    }
+                )
+        return actions
 
     def compact_if_needed(
         self, spark: SparkSession | None = None, max_dirs: int = 16
@@ -1746,6 +2044,7 @@ class VersionedTable:
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, untouched),
                     carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:
@@ -1810,6 +2109,7 @@ class VersionedTable:
                         carry_stats=cur.get("dir_stats"),
                         dvs=dvs or None,
                         carry_blooms=cur.get("dir_blooms"),
+                        carry_files=cur.get("file_stats"),
                     )
                 except CommitConflictError:
                     if attempt == self.max_retries:
@@ -1866,6 +2166,19 @@ class VersionedTable:
                 d: {new if c == old else c: v for c, v in st.items()}
                 for d, st in (cur.get("dir_stats") or {}).items()
             }
+            carry_f = {
+                d: {
+                    rel: {
+                        "rows": rec.get("rows"),
+                        "cols": {
+                            new if c == old else c: v
+                            for c, v in rec.get("cols", {}).items()
+                        },
+                    }
+                    for rel, rec in fs.items()
+                }
+                for d, fs in (cur.get("file_stats") or {}).items()
+            }
             try:
                 return self._commit(
                     cur["data_dirs"],
@@ -1876,6 +2189,7 @@ class VersionedTable:
                     carry_stats=carry,
                     dvs=cur.get("dvs"),
                     carry_blooms=cur.get("dir_blooms"),
+                    carry_files=carry_f,
                 )
             except CommitConflictError:
                 if attempt == self.max_retries:

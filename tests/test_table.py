@@ -1839,11 +1839,13 @@ def test_merge_bloom_prunes_uuid_shaped_keys(spark, tmp_path, monkeypatch):
     probed: list[list] = []
     orig = VersionedTable._union_dirs
 
-    def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None):
+    def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None,
+            file_subsets=None):
         if tag_dir:
             probed.append(list(dirs))
         return orig(
-            self, spark_, dirs, evolved, tag_dir=tag_dir, renames=renames
+            self, spark_, dirs, evolved, tag_dir=tag_dir,
+            renames=renames, file_subsets=file_subsets,
         )
 
     monkeypatch.setattr(VersionedTable, "_union_dirs", spy)
@@ -1864,3 +1866,117 @@ def test_merge_bloom_prunes_uuid_shaped_keys(spark, tmp_path, monkeypatch):
     for d in m2["data_dirs"]:
         if d in all_dirs:
             assert m2["dir_blooms"][d] == m["dir_blooms"][d]
+
+
+def test_read_pruned_opens_file_subset(spark, tmp_path):
+    """Per-FILE skipping stats (r10 verdict #5): inside a surviving
+    dir, a range read opens only the files whose footer [min, max]
+    admit the range (inputFiles-asserted strict subset), results equal
+    the unpruned filter exactly, and manifests without file stats keep
+    the dir-level behavior."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # one commit dir, 4 files, each covering a tight k range
+    src = (
+        spark.range(0, 400)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(src)
+    m = t._read_manifest()
+    d = m["data_dirs"][0]
+    assert d in m.get("file_stats", {}), "per-file stats not recorded"
+    assert len(m["file_stats"][d]) == 4
+    pruned = t.read_pruned(spark, "k", lo=120, hi=130)
+    opened = pruned.inputFiles()
+    assert 0 < len(opened) < 4, opened  # strict subset of the dir
+    assert _rows(pruned) == [(k, k * 10) for k in range(120, 131)]
+    # dir whose EVERY file prunes drops entirely
+    nothing = t.read_pruned(spark, "k", lo=10_000)
+    assert nothing.count() == 0
+    # a manifest with the per-file stats stripped degrades to dir scans
+    import json as _json
+
+    mf = t._manifest_path(m["version"])
+    doc = _json.loads(open(mf).read())
+    doc.pop("file_stats")
+    open(mf, "w").write(_json.dumps(doc))
+    legacy = t.read_pruned(spark, "k", lo=120, hi=130)
+    assert len(legacy.inputFiles()) == 4  # whole dir again
+    assert _rows(legacy) == [(k, k * 10) for k in range(120, 131)]
+
+
+def test_merge_probe_uses_file_subset(spark, tmp_path, monkeypatch):
+    """The MERGE touched-dir probe reads only the files the update
+    keys' bounds admit; the rewrite still covers the whole touched
+    dir (no row loss)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.range(0, 400)
+        .selectExpr("id AS k", "id AS v")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    seen = {}
+    orig = VersionedTable._union_dirs
+
+    def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None,
+            file_subsets=None):
+        if tag_dir:
+            seen["subsets"] = file_subsets
+        return orig(self, spark_, dirs, evolved, tag_dir=tag_dir,
+                    renames=renames, file_subsets=file_subsets)
+
+    monkeypatch.setattr(VersionedTable, "_union_dirs", spy)
+    t.merge(
+        spark.createDataFrame([(150, 999), (900, 900)], "k long, v long"),
+        keys=["k"],
+    )
+    d = t._read_manifest(0)["data_dirs"][0]
+    assert seen.get("subsets") and len(seen["subsets"][d]) < 4
+    got = t.read(spark)
+    assert got.count() == 401  # 400 kept (one updated) + 1 insert
+    assert _rows(got.where("k in (150, 900)")) == [(150, 999), (900, 900)]
+
+
+def test_optimize_planner_picks_expected_actions(spark, tmp_path):
+    """optimize() (r10 verdict #6) reads the table's observables and
+    fires exactly the expected action per pressure phase: a healthy
+    table no-ops; a delete-heavy phase materializes DVs (and only
+    that); an append-heavy phase bin-packs; a dir-count blowup full-
+    compacts; metadata growth checkpoints + cleans. Rows are preserved
+    through every action."""
+    t = VersionedTable(str(tmp_path / "t"), checkpoint_interval=5)
+    t.create(spark.range(0, 100).selectExpr("id AS k", "id AS v"))
+    # phase 0: healthy table -> no actions (big small_bytes would see
+    # tiny dirs, so pass a tiny threshold to call it healthy)
+    assert t.optimize(spark, small_bytes=1, max_dirs=16) == []
+    # phase 1: delete-heavy -> materialize_dvs only
+    t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+    acts = t.optimize(spark, small_bytes=1, max_dirs=16, dv_ratio=0.10)
+    assert [a["action"] for a in acts] == ["materialize_dvs"]
+    assert "dvs" not in t._read_manifest()
+    assert t.read(spark).count() == 66
+    # phase 2: append-heavy small files -> compact_bins only
+    for i in range(4):
+        t.append(spark.range(1000 + i, 1001 + i).selectExpr("id AS k", "id AS v"))
+    acts = t.optimize(spark, small_bytes=1 << 20, max_dirs=16)
+    assert [a["action"] for a in acts] == ["compact_bins"]
+    assert t.read(spark).count() == 70
+    # phase 3: dir-count blowup -> full compact (small_bytes=1 keeps
+    # the bin-packer out of the way)
+    for i in range(6):
+        t.append(spark.range(2000 + i, 2001 + i).selectExpr("id AS k", "id AS v"))
+    acts = t.optimize(spark, small_bytes=1, max_dirs=4)
+    # 15 manifests have accreted by now (> 2x interval), so the
+    # planner also cleans metadata in the same pass — both fire
+    assert [a["action"] for a in acts] == ["compact", "clean_metadata"]
+    assert len(t._read_manifest()["data_dirs"]) == 1
+    assert t.read(spark).count() == 76
+    # post-clean the table still reads and a fresh optimize no-ops
+    assert t.optimize(spark, small_bytes=1, max_dirs=16) == []
+    # vacuum is opt-in and reports what it swept
+    t.compact(spark)
+    acts = t.optimize(spark, small_bytes=1, max_dirs=16, vacuum_grace=0.0)
+    assert any(a["action"] == "vacuum" for a in acts)
+    assert t.read(spark).count() == 76
