@@ -259,8 +259,63 @@ def main() -> None:
     print(
         f"widened append: snapshot schema now "
         f"{[f.dataType.simpleString() for f in got.schema.fields]}, "
-        f"{got.count()} rows — pipeline complete"
+        f"{got.count()} rows"
     )
+
+    # -- 6. the round-11 write path ---------------------------------------
+    # schema-EVOLVING merge: the feed schema grew a column upstream —
+    # without the flag this RAISES (no more silent column drops);
+    # with it the new column joins the snapshot schema
+    v = t.latest_version()
+    evolved_batch = orders.where(F.col("o_orderkey") % 30 == 1).select(
+        "o_orderkey",
+        "priority",
+        F.col("price").cast("decimal(30,6)").alias("price"),
+        F.lit("night-31").alias("src_batch"),
+        F.lit("restated").alias("reason"),
+    )
+    try:
+        t.merge(evolved_batch, ["o_orderkey"])
+        raise AssertionError("drift should have raised")
+    except ValueError as e:
+        print(f"drifted MERGE refused loudly: {str(e)[:84]}...")
+    t.merge(evolved_batch, ["o_orderkey"], allow_evolution=True)
+    print(
+        f"evolving MERGE added 'reason'; feed rows in the evolved "
+        f"schema: {t.row_changes(spark, v).columns[-3:]}"
+    )
+
+    # metadata-only column RENAME: zero files touched, full history
+    dirs_before = list(t._read_manifest()["data_dirs"])
+    t.rename_column("price", "amount")
+    assert t._read_manifest()["data_dirs"] == dirs_before
+    print(
+        f"renamed price -> amount metadata-only; "
+        f"columns now {t.read(spark).columns}"
+    )
+
+    # keyed MOR delete: the tombstone sidecar holds ONLY the key
+    t.delete_where(
+        F.col("o_orderkey") % 19 == 0,
+        merge_on_read=True,
+        key_cols=["o_orderkey"],
+    )
+    dv = t._read_manifest()["dvs"][-1]["dir"]
+    print(
+        f"keyed MOR delete: tombstone schema = "
+        f"{spark.read.parquet(dv).columns} (wide rows never shuffle)"
+    )
+
+    # one optimize() call reads the pressures this pipeline created
+    # (DV tombstones + small commit dirs) and fixes them in order
+    actions = t.optimize(spark, small_bytes=1 << 26, dv_ratio=0.001)
+    print(
+        "optimize() planned: "
+        + (", ".join(f"{a['action']} ({a['reason']})" for a in actions)
+           or "nothing (healthy table)")
+    )
+    assert "dvs" not in t._read_manifest()
+    print(f"post-maintenance snapshot: {t.row_count()} rows — pipeline complete")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,19 @@ QUERIES_UNDER_TEST = [
     ("etl_mor_delete", "linear", "checksum"),
     ("etl_table_changes_batch", "linear", "checksum"),
     ("etl_schema_widening", "linear", "checksum"),
+    # round-11: schema-evolving MERGE + its typed feed, keyed-tombstone
+    # MOR delete, rename-conform read (per-dir alias, zero shuffle),
+    # bloom-pruned merge (bloom build is one job over the new dir;
+    # probe is a capped driver bit test), per-file-stats range read,
+    # and the optimize() planner run (materialize+bin-pack inside the
+    # timer) — each builds its table eagerly inside the timer
+    ("etl_merge_evolve", "linear", "checksum"),
+    ("etl_merge_evolve_feed", "linear", "checksum"),
+    ("etl_mor_delete_keyed", "linear", "checksum"),
+    ("etl_rename_evolution", "linear", "checksum"),
+    ("etl_merge_bloom_pruned", "linear", "checksum"),
+    ("etl_read_pruned_files", "linear", "checksum"),
+    ("etl_optimize_table", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

@@ -585,3 +585,40 @@ def test_mor_delete_read_is_keyed_antijoin_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan, plan
+
+
+# --------------------------- round-11 families ---------------------------
+
+
+def test_rename_read_zero_shuffle_no_join(spark, sf_dir):
+    """The rename conform is a per-dir column ALIAS inside the scan
+    projection — a renamed table's snapshot aggregate plans exactly
+    like an unrenamed one: no extra Exchange beyond the aggregate's
+    own, no join, no cartesian."""
+    plan = _plan(spark, sf_dir, "etl_rename_evolution")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    # scan + partial agg + ONE exchange + final agg
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_merge_evolve_read_casts_not_joins(spark, sf_dir):
+    """The evolved-schema snapshot read conforms dirs by CAST
+    projection (null-filling the new column) — never a join against
+    metadata, never a cartesian; the certifying aggregate keeps the
+    one-exchange shape."""
+    plan = _plan(spark, sf_dir, "etl_merge_evolve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_file_pruned_read_scans_subset_with_pushdown(spark, sf_dir):
+    """The per-file-stats read keeps parquet pushdown on the residual
+    predicate (the range filter reaches the scan) and plans no join;
+    the file subset itself is pinned by inputFiles in
+    tests/test_table.py."""
+    plan = _plan(spark, sf_dir, "etl_read_pruned_files")
+    assert "PushedFilters: [" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan

@@ -1376,3 +1376,92 @@ def test_table_changes_max_commits_per_trigger_bounds_backfill(
         .collect()
     )
     assert sorted(seen) == want
+
+
+def test_foreach_batch_clause_merge_and_mor_delete_parity(spark, tmp_path):
+    """Stream-face parity for the round-10 write surfaces (r10 verdict
+    #8): a CDC stream drives CONDITIONAL MERGE CLAUSES and MERGE-ON-
+    READ deletes through the foreachBatch sink into a VersionedTable,
+    and the streamed snapshot must equal a batch twin that applies the
+    same micro-batches in the same observed order — checkpointing,
+    per-batch clause evaluation, and DV accretion all on the line."""
+    import os as _os
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+    files = []
+    # file0: inserts; file1: monotone upgrades + deletes; file2: more
+    batches = [
+        [(k, k * 10, "U", 0) for k in range(20)],
+        [(k, k * 10 + 1000, "U", 1) for k in range(10, 30)]
+        + [(0, -1, "D", 1), (5, -1, "D", 1)],
+        [(k, k * 10 + 2000, "U", 2) for k in range(30, 40)]
+        + [(12, -1, "D", 2), (25, -1, "D", 2)],
+    ]
+    stage = tmp_path / "stage"
+    for i, rows in enumerate(batches):
+        sdir = str(stage / f"b{i}")
+        spark.createDataFrame(
+            rows, "k long, v long, op string, src int"
+        ).coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(
+            f for f in _os.listdir(sdir) if f.endswith(".parquet")
+        )
+        p = str(src_dir / f"b{i}.parquet")  # flat FILE the stream sees
+        _os.rename(_os.path.join(sdir, part), p)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        files.append(p)
+
+    def apply_cdc(t: VersionedTable, batch_df):
+        ups = batch_df.where("op = 'U'").select("k", "v")
+        if not t.exists():
+            t.create(ups)
+        else:
+            t.merge(
+                ups,
+                keys=["k"],
+                when_matched_update="s.v > t.v",
+                when_not_matched_insert=True,
+            )
+        dels = [r["k"] for r in batch_df.where("op = 'D'").select("k").collect()]
+        if dels:
+            t.delete_where(
+                F.col("k").isin(dels), merge_on_read=True, key_cols=["k"]
+            )
+
+    streamed = VersionedTable(str(tmp_path / "streamed"))
+    order: list[int] = []
+
+    def sink(batch_df, _bid):
+        srcs = sorted(
+            r["src"] for r in batch_df.select("src").distinct().collect()
+        )
+        order.extend(srcs)
+        apply_cdc(streamed, batch_df)
+
+    schema = "k long, v long, op string, src int"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(order) == [0, 1, 2]
+    # batch twin replays the SAME batches in the observed order
+    twin = VersionedTable(str(tmp_path / "twin"))
+    for i in order:
+        apply_cdc(twin, spark.read.parquet(files[i]))
+    got = sorted(tuple(r) for r in streamed.read(spark).select("k", "v").collect())
+    want = sorted(tuple(r) for r in twin.read(spark).select("k", "v").collect())
+    assert got == want and len(got) > 0
+    # the streamed table really took the MOR path: tombstones live
+    # unless a later CoW merge materialized the deleted dirs away
+    feed = streamed.row_changes(spark, 0)
+    dels = feed.where("_change_type = 'delete'").select("k").collect()
+    assert {r["k"] for r in dels} == {0, 5, 12, 25}
