@@ -3344,3 +3344,74 @@ def etl_optimize_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _drop_source(spark: SparkSession, sf_dir: str):
+    """v0 create (even keys + a scratch column), v1 METADATA-ONLY
+    drop of the scratch column, v2 append of the odd keys WITHOUT it —
+    the v2 append only passes the (strict, no-evolution) drift guard
+    because the drop really took effect, so the final state certifies
+    the whole chain. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("dropc", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_dropc_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+                F.lit("staging-junk").alias("scratch"),
+            )
+        )
+    if t.latest_version() < 1:
+        t.drop_column("scratch")
+    if t.latest_version() < 2:
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            )
+        )
+    return t
+
+
+@register(
+    "etl_drop_evolution",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DROP as metadata-only evolution, certified end-to-end
+    (rename's sibling, r10 verdict #3): the pre-drop files still hold
+    the dropped column's bytes, the post-drop append carries a
+    narrower schema, and only the manifest retirement makes them one
+    table — a broken projection either fails the union or fails the
+    v2 append's drift guard, and a miscounted read breaks the
+    whole-orders hash. The dropped NAME is retired (re-adding would
+    resurrect old values from never-rewritten files — pytest-pinned).
+
+    Scale posture: the drop commit is O(1) metadata on a 100 TB
+    table; the read-side projection is free (Catalyst column pruning
+    already skips unread columns); nothing rewrites."""
+    t = _drop_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

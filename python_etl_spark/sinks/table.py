@@ -576,6 +576,7 @@ class VersionedTable:
         evolved = bool(prev["schema_evolved"]) if prev else False
         schema_json = prev.get("schema_json") if prev else None
         renames: list[dict] = list(prev.get("renames") or []) if prev else []
+        drops: list[str] = list(prev.get("drops") or []) if prev else []
         start = commits[-1]["version"] + 1 if commits else 0
         for i in range(start, version):
             m = self._read_manifest(i)
@@ -593,6 +594,8 @@ class VersionedTable:
             )
             if m.get("meta", {}).get("rename"):
                 renames.append(m["meta"]["rename"])
+            if m.get("meta", {}).get("drop"):
+                drops.append(m["meta"]["drop"])
         commits.append(
             {
                 "version": version,
@@ -609,12 +612,15 @@ class VersionedTable:
         )
         if manifest.get("meta", {}).get("rename"):
             renames.append(manifest["meta"]["rename"])
+        if manifest.get("meta", {}).get("drop"):
+            drops.append(manifest["meta"]["drop"])
         ckpt = {
             "version": version,
             "manifest": manifest,
             "schema_evolved": evolved,
             "schema_json": schema_json,
             "renames": renames,
+            "drops": drops,
             "partition_by": self.partition_columns(),
             "bloom_keys": self.bloom_columns(),
             "commits": commits,
@@ -824,6 +830,13 @@ class VersionedTable:
         snap_schema = self.read(df.sparkSession, cur["version"]).schema
         have = {f.name: f.dataType for f in snap_schema.fields}
         got = {f.name: f.dataType for f in df.schema.fields}
+        retired = sorted(set(got) & self._dropped_columns(cur["version"]))
+        if retired:
+            raise ValueError(
+                f"append columns {retired} were dropped and their "
+                f"names are retired (re-adding would resurrect the "
+                f"old values from pre-drop files) — use a new name"
+            )
         m = dict(meta or {})
         widened = False
         target_fields = []
@@ -927,46 +940,43 @@ class VersionedTable:
         return out
 
     @staticmethod
-    def _apply_renames(frame: DataFrame, renames: dict | None) -> DataFrame:
+    def _apply_renames(
+        frame: DataFrame,
+        renames: dict | None,
+        drops: set | None = None,
+    ) -> DataFrame:
         """Conform a per-dir (or per-sidecar) frame to the CURRENT
         logical column names: ``renames`` maps each logical name to
         its older on-disk names (newest first) — a file written before
         a rename surfaces its old physical column under the new
         logical name, the Iceberg field-id/name-mapping idea with the
-        mapping carried in manifests instead of parquet metadata."""
-        if not renames:
-            return frame
-        cols = set(frame.columns)
-        for logical, aliases in renames.items():
-            if logical in cols:
-                continue
-            for a in aliases:
-                if a in cols:
-                    frame = frame.withColumnRenamed(a, logical)
-                    cols.discard(a)
-                    cols.add(logical)
-                    break
+        mapping carried in manifests instead of parquet metadata.
+        ``drops`` are RETIRED logical names (drop_column): projected
+        out of pre-drop files after the rename conform, so the column
+        vanishes from every read without touching a byte on disk."""
+        if renames:
+            cols = set(frame.columns)
+            for logical, aliases in renames.items():
+                if logical in cols:
+                    continue
+                for a in aliases:
+                    if a in cols:
+                        frame = frame.withColumnRenamed(a, logical)
+                        cols.discard(a)
+                        cols.add(logical)
+                        break
+        if drops:
+            gone = [c for c in frame.columns if c in drops]
+            if gone:
+                frame = frame.drop(*gone)
         return frame
 
     def _name_mapping(self, upto: int) -> dict:
         """Cumulative column-rename mapping at or below ``upto``:
-        ``{logical_name: [older names, newest first]}``. Rename events
-        ride manifest meta (one per ``rename`` commit) and the
-        checkpoint carries the prefix, so the walk is O(tail) like
-        _schema_evolved. Empty dict when the table never renamed —
-        every read path skips the conform entirely then."""
-        ckpt = self._latest_checkpoint(upto)
-        events = list(ckpt.get("renames") or []) if ckpt else []
-        start = ckpt["version"] + 1 if ckpt else 0
-        for i in range(start, upto + 1):
-            r = self._read_manifest(i).get("meta", {}).get("rename")
-            if r:
-                events.append(r)
-        mapping: dict[str, list[str]] = {}
-        for ev in events:
-            old, new = ev["from"], ev["to"]
-            mapping[new] = [old] + mapping.pop(old, [])
-        return mapping
+        ``{logical_name: [older names, newest first]}``. Empty dict
+        when the table never renamed — every read path skips the
+        conform entirely then."""
+        return self._evolution_state(upto)[2]
 
     @staticmethod
     def _read_dir(
@@ -989,6 +999,14 @@ class VersionedTable:
             return reader.option("basePath", d).parquet(*files)
         return reader.parquet(d)
 
+    def _dropped_columns(self, upto: int) -> set:
+        """RETIRED logical column names at or below ``upto``
+        (drop_column commits). A dropped name may never be re-added —
+        with files never rewritten, a re-added name would resurrect
+        the old values through mergeSchema — so the drift guards
+        refuse it."""
+        return self._evolution_state(upto)[3]
+
     def _union_dirs(
         self,
         spark: SparkSession,
@@ -997,6 +1015,7 @@ class VersionedTable:
         tag_dir: bool = False,
         renames: dict | None = None,
         file_subsets: dict | None = None,
+        drops: set | None = None,
     ) -> DataFrame:
         """Union per-dir parquet scans (the multi-root shape ``read``
         uses for hive-partitioned dir lists), optionally tagging every
@@ -1009,7 +1028,9 @@ class VersionedTable:
         frames = []
         for d in dirs:
             f = self._apply_renames(
-                self._read_dir(spark, d, file_subsets, evolved), renames
+                self._read_dir(spark, d, file_subsets, evolved),
+                renames,
+                drops,
             )
             if tag_dir:
                 f = f.withColumn("__dir", F.lit(d))
@@ -1079,10 +1100,10 @@ class VersionedTable:
         never touched. Tables with no DVs take the exact scan shapes
         ``read`` always produced (multi-path scan / hive per-dir
         union), so existing plan-shape pins hold."""
-        evolved = self._schema_evolved(manifest["version"])
+        evolved, wjson, renames, drops = self._evolution_state(
+            manifest["version"]
+        )
         dvs = manifest.get("dvs", [])
-        wjson = self._widened_schema(manifest["version"])
-        renames = self._name_mapping(manifest["version"])
 
         def _scan(gdirs: list[str]) -> DataFrame:
             if wjson is not None:
@@ -1099,6 +1120,7 @@ class VersionedTable:
                     f = self._apply_renames(
                         self._read_dir(spark, d, file_subsets),
                         renames,
+                        drops,
                     )
                     f = f.select(
                         *[
@@ -1116,7 +1138,7 @@ class VersionedTable:
                     out = out.unionByName(f)
                 return out
             subset_hit = file_subsets and any(d in file_subsets for d in gdirs)
-            if not tag_dir and not renames and not subset_hit and (
+            if not tag_dir and not renames and not drops and not subset_hit and (
                 len(gdirs) == 1 or not self.partition_columns()
             ):
                 # single multi-path scan — only safe when no rename is
@@ -1131,6 +1153,7 @@ class VersionedTable:
                 return self._apply_renames(
                     self._read_dir(spark, gdirs[0], file_subsets, evolved),
                     renames,
+                    drops,
                 )
             return self._union_dirs(
                 spark,
@@ -1139,6 +1162,7 @@ class VersionedTable:
                 tag_dir=tag_dir,
                 renames=renames,
                 file_subsets=file_subsets,
+                drops=drops,
             )
 
         if not dvs:
@@ -1156,7 +1180,7 @@ class VersionedTable:
                 # tombstones written before a rename conform too, so
                 # the anti-join keys on current logical names
                 tomb = self._apply_renames(
-                    spark.read.parquet(dvdir), renames
+                    spark.read.parquet(dvdir), renames, drops
                 )
                 cond = None
                 for c in tomb.columns:
@@ -1322,10 +1346,20 @@ class VersionedTable:
             from pyspark.sql.types import StructType
 
             cur = self._read_manifest()
-            evolved = self._schema_evolved(cur["version"])
+            evolved, _wj, _renames, _drops = self._evolution_state(
+                cur["version"]
+            )
             snap_schema = self.read(spark, cur["version"]).schema
             have = {f.name: f.dataType for f in snap_schema.fields}
             got = {f.name: f.dataType for f in updates.schema.fields}
+            retired = sorted(
+                set(got) & self._dropped_columns(cur["version"])
+            )
+            if retired:
+                raise ValueError(
+                    f"merge columns {retired} were dropped and their "
+                    f"names are retired — use a new name"
+                )
             miss = [f.name for f in snap_schema.fields if f.name not in got]
             if miss:
                 raise ValueError(
@@ -1395,8 +1429,9 @@ class VersionedTable:
                     candidates,
                     evolved,
                     tag_dir=True,
-                    renames=self._name_mapping(cur["version"]),
+                    renames=_renames,
                     file_subsets=probe_subsets,
+                    drops=_drops,
                 ).select("__dir", *keys)
                 # AQE broadcasts the (typically tiny) update-key side
                 # on its own; no forced hint, so a corpus-scale updates
@@ -1783,6 +1818,39 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def _clustering_overlap(self, manifest: dict, col: str) -> float | None:
+        """Clustering quality from footer ranges, METADATA-ONLY: the
+        fraction of file pairs whose per-file [min, max] for ``col``
+        intersect (0 = perfectly range-clustered, ->1 = every file
+        spans the whole domain so range reads open everything).
+        Sweep-line over the manifest's file_stats — no Spark job; None
+        when fewer than two files carry the stat."""
+        import heapq
+
+        spans = []
+        live = set(manifest["data_dirs"])
+        for d, fs in (manifest.get("file_stats") or {}).items():
+            if d not in live:
+                continue
+            for rec in fs.values():
+                s = rec.get("cols", {}).get(col)
+                if s is not None:
+                    spans.append((s[0], s[1]))
+        if len(spans) < 2:
+            return None
+        try:
+            spans.sort()
+        except TypeError:
+            return None  # mixed-type stats: cannot judge, do not act
+        heap: list = []
+        overlapping = 0
+        for lo, hi in spans:
+            while heap and heap[0] < lo:
+                heapq.heappop(heap)
+            overlapping += len(heap)
+            heapq.heappush(heap, hi)
+        return overlapping / (len(spans) * (len(spans) - 1) // 2)
+
     def optimize(
         self,
         spark: SparkSession | None = None,
@@ -1790,6 +1858,8 @@ class VersionedTable:
         max_dirs: int = 16,
         dv_ratio: float = 0.10,
         vacuum_grace: float | None = None,
+        cluster_by: str | None = None,
+        overlap_threshold: float = 0.5,
     ) -> list[dict]:
         """MAINTENANCE PLANNER (r10 verdict #6): one entrypoint that
         reads the table's own observables and schedules the cheapest
@@ -1804,6 +1874,12 @@ class VersionedTable:
           (:meth:`compact_bins`);
         * dir-count — more than ``max_dirs`` dirs even after
           bin-packing: full :meth:`compact` (the union-scan liability);
+        * clustering drift — with ``cluster_by``: when more than
+          ``overlap_threshold`` of file pairs' footer ranges for the
+          column intersect (metadata-only sweep over file_stats),
+          rewrite clustered (:meth:`compact` with ``sort_by``) so
+          range reads and per-file pruning sharpen again — the Delta
+          OPTIMIZE ZORDER trigger, decided from the manifest alone;
         * metadata growth — manifest files exceed 2x the checkpoint
           interval: :meth:`checkpoint` + :meth:`clean_metadata`;
         * optionally ``vacuum_grace`` (seconds): sweep unreachable
@@ -1833,6 +1909,22 @@ class VersionedTable:
                             ),
                         }
                     )
+        if cluster_by:
+            cur = self._read_manifest()
+            ov = self._clustering_overlap(cur, cluster_by)
+            if ov is not None and ov >= overlap_threshold:
+                v = self.compact(spark, sort_by=[cluster_by])
+                actions.append(
+                    {
+                        "action": "compact_clustered",
+                        "version": v,
+                        "reason": (
+                            f"{ov:.0%} of file pairs overlap on "
+                            f"'{cluster_by}' (threshold "
+                            f"{overlap_threshold:.0%})"
+                        ),
+                    }
+                )
         cur = self._read_manifest()
         small = [
             d
@@ -1968,14 +2060,17 @@ class VersionedTable:
             )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
-            evolved = self._schema_evolved(cur["version"])
+            evolved, _wj, _renames, _drops = self._evolution_state(
+                cur["version"]
+            )
             dirs = cur["data_dirs"]
             probe = self._union_dirs(
                 spark,
                 dirs,
                 evolved,
                 tag_dir=True,
-                renames=self._name_mapping(cur["version"]),
+                renames=_renames,
+                drops=_drops,
             )
             touched = [
                 r["__dir"]
@@ -2148,6 +2243,10 @@ class VersionedTable:
                 raise ValueError(f"no column '{old}' to rename")
             if new in names:
                 raise ValueError(f"column '{new}' already exists")
+            if new in self._dropped_columns(cur["version"]):
+                raise ValueError(
+                    f"column name '{new}' was dropped and is retired"
+                )
             m: dict = {"rename": {"from": old, "to": new}}
             wjson = self._widened_schema(cur["version"])
             if wjson is not None:
@@ -2195,6 +2294,78 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def drop_column(self, name: str) -> int:
+        """DROP a column as a METADATA-ONLY commit (the rename's
+        sibling): no file is touched; every read projects the column
+        out of pre-drop files, time travel below the drop still shows
+        it, and the NAME IS RETIRED — an append/merge/rename
+        re-introducing it is refused, because with files never
+        rewritten a re-added name would resurrect the old values
+        through the schema-merging read. (Iceberg re-adds under a new
+        field id; a manifest NAME-mapping has no second id space, so
+        retirement is the sound contract.) Partition columns and the
+        last remaining column are refused."""
+        spark = SparkSession.getActiveSession()
+        if name in self.partition_columns():
+            raise ValueError(
+                f"cannot drop hive partition column '{name}' — its "
+                f"name is baked into every data path"
+            )
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            names = self.read(spark, cur["version"]).columns
+            if name not in names:
+                raise ValueError(f"no column '{name}' to drop")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            # live deletion vectors that CONTAIN the column would lose
+            # anti-join selectivity after the drop (two rows differing
+            # only in the dropped column collapse — the survivor would
+            # be wrongly deleted); materialize them first. Time travel
+            # is unaffected either way (the drop set is walked only up
+            # to the read version).
+            import pyarrow.parquet as pq
+
+            for e in cur.get("dvs", []):
+                files = [
+                    os.path.join(r, f)
+                    for r, _d, fs in os.walk(e["dir"])
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+                if files and name in set(
+                    pq.ParquetFile(files[0]).schema_arrow.names
+                ):
+                    raise ValueError(
+                        f"cannot drop '{name}': live deletion vectors "
+                        f"key on it — materialize them first "
+                        f"(optimize() / compact())"
+                    )
+            m: dict = {"drop": name}
+            wjson = self._widened_schema(cur["version"])
+            if wjson is not None:
+                from pyspark.sql.types import StructType
+
+                target = StructType.fromJson(json.loads(wjson))
+                m["schema_json"] = StructType(
+                    [f for f in target.fields if f.name != name]
+                ).json()
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "drop",
+                    cur["version"] + 1,
+                    m,
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
     def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
         """Time travel by wall clock: the snapshot of the LAST version
         committed at or before ``ts`` (epoch seconds). Commit stamps
@@ -2224,31 +2395,44 @@ class VersionedTable:
             f"(earliest is {earliest})"
         )
 
-    def _widened_schema(self, upto: int) -> str | None:
-        """The newest recorded widened-snapshot schema (StructType
-        json) at or below ``upto`` — manifest tail first, then the
-        checkpoint's carried value. None until a widening append
-        happens; reads stay on the untouched fast paths then."""
-        ckpt = self._latest_checkpoint(upto)
-        start = ckpt["version"] + 1 if ckpt else 0
-        for i in range(upto, start - 1, -1):
-            sj = self._read_manifest(i).get("meta", {}).get("schema_json")
-            if sj:
-                return sj
-        return ckpt.get("schema_json") if ckpt else None
-
-    def _schema_evolved(self, upto: int) -> bool:
-        """Has any commit <= upto evolved the schema? Scans the newest
-        checkpoint at-or-below ``upto`` plus the manifest TAIL — so a
-        snapshot read on a 10k-commit table opens <= interval manifests
-        instead of all 10k."""
+    def _evolution_state(self, upto: int) -> tuple:
+        """ALL schema-evolution facts at or below ``upto`` in ONE
+        checkpoint load + ONE manifest-tail pass: (evolved flag,
+        newest widened schema_json, rename mapping {logical: [older
+        names, newest first]}, dropped-name set). Every read needs
+        several of these — walking the tail once per read instead of
+        once per fact keeps manifest opens O(interval), not
+        O(facts x interval)."""
         ckpt = self._latest_checkpoint(upto)
         evolved = bool(ckpt and ckpt.get("schema_evolved"))
+        schema_json = ckpt.get("schema_json") if ckpt else None
+        events = list(ckpt.get("renames") or []) if ckpt else []
+        drops = set(ckpt.get("drops") or []) if ckpt else set()
         start = ckpt["version"] + 1 if ckpt else 0
-        return evolved or any(
-            self._read_manifest(i).get("meta", {}).get("schema_evolved")
-            for i in range(start, upto + 1)
-        )
+        for i in range(start, upto + 1):
+            meta = self._read_manifest(i).get("meta", {})
+            evolved = evolved or bool(meta.get("schema_evolved"))
+            if meta.get("schema_json"):
+                schema_json = meta["schema_json"]
+            if meta.get("rename"):
+                events.append(meta["rename"])
+            if meta.get("drop"):
+                drops.add(meta["drop"])
+        mapping: dict[str, list[str]] = {}
+        for ev in events:
+            mapping[ev["to"]] = [ev["from"]] + mapping.pop(ev["from"], [])
+        return evolved, schema_json, mapping, drops
+
+    def _widened_schema(self, upto: int) -> str | None:
+        """The newest recorded widened-snapshot schema (StructType
+        json) at or below ``upto``. None until a widening append
+        happens; reads stay on the untouched fast paths then."""
+        return self._evolution_state(upto)[1]
+
+    def _schema_evolved(self, upto: int) -> bool:
+        """Has any commit <= upto evolved the schema? One
+        checkpoint-bounded tail walk via _evolution_state."""
+        return self._evolution_state(upto)[0]
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         # _read_snapshot_subset handles: mergeSchema when any commit
@@ -2452,8 +2636,7 @@ class VersionedTable:
 
         if since_version == upto:
             return _empty()
-        evolved = self._schema_evolved(upto)
-        renames = self._name_mapping(upto)
+        evolved, _wj, renames, drops = self._evolution_state(upto)
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")
@@ -2492,21 +2675,24 @@ class VersionedTable:
                                 f"re-baseline from a current snapshot"
                             )
                         frames.append(
-                            self._apply_renames(reader.parquet(d), renames)
+                            self._apply_renames(
+                                reader.parquet(d), renames, drops
+                            )
                             .withColumn("_change_type", F.lit("insert"))
                             .withColumn(
                                 "_commit_version",
                                 F.lit(i).cast("long"),
                             )
                         )
-            elif op in ("compact", "compact_bins", "rename"):
-                pass  # row-preserving rewrite / metadata-only rename:
-                # the feed is unaffected (pre-rename change files
-                # conform to the current names via the mapping)
+            elif op in ("compact", "compact_bins", "rename", "drop"):
+                pass  # row-preserving rewrite / metadata-only rename
+                # or drop: the feed is unaffected (pre-rename change
+                # files conform to the current names via the mapping;
+                # dropped columns project out)
             elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
                 frames.append(
                     self._apply_renames(
-                        reader.parquet(m["cdf_dir"]), renames
+                        reader.parquet(m["cdf_dir"]), renames, drops
                     ).withColumn(
                         "_commit_version", F.lit(i).cast("long")
                     )

@@ -103,7 +103,7 @@ def _plan_partitions(
                         parts.append(
                             _ChangeFilePartition(f, "insert", v, renames)
                         )
-        elif op in ("compact", "compact_bins", "rename"):
+        elif op in ("compact", "compact_bins", "rename", "drop"):
             pass  # row-preserving rewrite / metadata-only: no rows
         elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
             for f in _parquet_files(m["cdf_dir"]):
@@ -196,6 +196,7 @@ def _feed_struct(root: str):
     if not files:
         raise FileNotFoundError(f"no parquet files under {root}")
     st = from_arrow_schema(pq.ParquetFile(files[-1]).schema_arrow)
+    drops = t._dropped_columns(m["version"])
     renames = t._name_mapping(m["version"])
     if renames:
         # the sampled footer may predate a rename: surface its old
@@ -215,6 +216,12 @@ def _feed_struct(root: str):
                 for f in st.fields
             ]
         )
+    if drops:
+        # dropped (retired) columns never surface in the feed; the
+        # executor read ignores file columns absent from this schema
+        from pyspark.sql.types import StructType as _ST2
+
+        st = _ST2([f for f in st.fields if f.name not in drops])
     # hive layout: partition columns live in the PATHS, not the files —
     # type them by Spark-shaped inference over the observed (unescaped)
     # path values so the feed matches the library read's hive types

@@ -116,6 +116,7 @@ QUERIES_UNDER_TEST = [
     ("etl_merge_bloom_pruned", "linear", "checksum"),
     ("etl_read_pruned_files", "linear", "checksum"),
     ("etl_optimize_table", "linear", "checksum"),
+    ("etl_drop_evolution", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

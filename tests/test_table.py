@@ -1840,12 +1840,12 @@ def test_merge_bloom_prunes_uuid_shaped_keys(spark, tmp_path, monkeypatch):
     orig = VersionedTable._union_dirs
 
     def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None,
-            file_subsets=None):
+            file_subsets=None, drops=None):
         if tag_dir:
             probed.append(list(dirs))
         return orig(
             self, spark_, dirs, evolved, tag_dir=tag_dir,
-            renames=renames, file_subsets=file_subsets,
+            renames=renames, file_subsets=file_subsets, drops=drops,
         )
 
     monkeypatch.setattr(VersionedTable, "_union_dirs", spy)
@@ -1921,11 +1921,12 @@ def test_merge_probe_uses_file_subset(spark, tmp_path, monkeypatch):
     orig = VersionedTable._union_dirs
 
     def spy(self, spark_, dirs, evolved, tag_dir=False, renames=None,
-            file_subsets=None):
+            file_subsets=None, drops=None):
         if tag_dir:
             seen["subsets"] = file_subsets
         return orig(self, spark_, dirs, evolved, tag_dir=tag_dir,
-                    renames=renames, file_subsets=file_subsets)
+                    renames=renames, file_subsets=file_subsets,
+                    drops=drops)
 
     monkeypatch.setattr(VersionedTable, "_union_dirs", spy)
     t.merge(
@@ -1980,3 +1981,126 @@ def test_optimize_planner_picks_expected_actions(spark, tmp_path):
     acts = t.optimize(spark, small_bytes=1, max_dirs=16, vacuum_grace=0.0)
     assert any(a["action"] == "vacuum" for a in acts)
     assert t.read(spark).count() == 76
+
+
+def test_drop_column_round_trip(spark, tmp_path):
+    """Metadata-only column DROP (rename's sibling): zero files
+    touched, reads project the column out, time travel below the drop
+    still shows it, and the NAME IS RETIRED — append/merge/rename
+    re-introducing it refuse (a re-added name would resurrect old
+    values from never-rewritten files)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 10, "x")], "k long, v long, scratch string")
+    )
+    t.append(
+        spark.createDataFrame([(2, 20, "y")], "k long, v long, scratch string")
+    )
+    inv = list(t._read_manifest()["data_dirs"])
+    t.drop_column("scratch")
+    m = t._read_manifest()
+    assert m["data_dirs"] == inv and m["op"] == "drop"
+    assert t.read(spark).columns == ["k", "v"]
+    assert _rows(t.read(spark)) == [(1, 10), (2, 20)]
+    # an old-schema append (still carrying scratch) is refused
+    with pytest.raises(ValueError, match="retired"):
+        t.append(
+            spark.createDataFrame([(3, 30, "z")], "k long, v long, scratch string")
+        )
+    with pytest.raises(ValueError, match="retired"):
+        t.merge(
+            spark.createDataFrame([(1, 9, "z")], "k long, v long, scratch string"),
+            keys=["k"],
+            allow_evolution=True,
+        )
+    with pytest.raises(ValueError, match="retired"):
+        t.rename_column("v", "scratch")
+    # new-schema appends and feeds just work
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    assert _rows(t.read(spark)) == [(1, 10), (2, 20), (3, 30)]
+    feed = t.row_changes(spark, 0)
+    assert set(feed.columns) == {"k", "v", "_change_type", "_commit_version"}
+    # time travel below the drop keeps the column
+    assert t.read(spark, version=1).columns == ["k", "v", "scratch"]
+    # guards: last column, partition column
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("scratch")
+    t2 = VersionedTable(str(tmp_path / "p"))
+    t2.create(
+        spark.createDataFrame([(1, "a")], "k long, ds string"),
+        partition_by=["ds"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        t2.drop_column("ds")
+
+
+def test_drop_column_guards_live_deletion_vectors(spark, tmp_path):
+    """Dropping a column that live FULL-ROW tombstones key on would
+    collapse rows differing only in that column (wrong deletions) —
+    refused until materialized; KEY-column tombstones not referencing
+    it stay compatible."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b")], "k long, v long, tag string"
+        )
+    )
+    t.delete_where(F.col("k") == 1, merge_on_read=True)  # full-row DV
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.drop_column("tag")
+    t.compact(spark)  # materializes
+    t.drop_column("tag")
+    assert _rows(t.read(spark)) == [(2, 10)]
+    # keyed tombstone on k only: dropping an unrelated column is fine
+    t.append(spark.createDataFrame([(5, 50)], "k long, v long"))
+    t.delete_where(
+        F.col("k") == 5, merge_on_read=True, key_cols=["k"]
+    )
+    t.drop_column("v")
+    assert t.read(spark).columns == ["k"]
+    assert _rows(t.read(spark)) == [(2,)]
+
+
+def test_rename_then_drop_chain(spark, tmp_path):
+    """Rename then drop the renamed name: the drop retires the NEW
+    name, old files' physical column stays invisible through both
+    mappings, and the widened cast target follows."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10, 5)], "k int, v long, u int"))
+    t.append(
+        spark.createDataFrame([(2**40, 20, 6)], "k long, v long, u int"),
+        allow_evolution=True,
+    )  # widening records schema_json
+    t.rename_column("u", "aux")
+    t.drop_column("aux")
+    assert t.read(spark).columns == ["k", "v"]
+    assert _rows(t.read(spark)) == [(1, 10), (2**40, 20)]
+    t.compact(spark)
+    assert _rows(t.read(spark)) == [(1, 10), (2**40, 20)]
+
+
+def test_optimize_clustering_observable(spark, tmp_path):
+    """optimize(cluster_by=...) reads clustering quality from the
+    manifest's per-file footer ranges (metadata-only sweep): a table
+    whose files all span the key domain rewrites clustered; the
+    re-clustered table no-ops and its range reads open fewer files."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # every file spans ~the whole key range: worst clustering
+    t.create(
+        spark.range(0, 300).selectExpr("id AS k", "id AS v").repartition(4)
+    )
+    m = t._read_manifest()
+    ov = t._clustering_overlap(m, "k")
+    assert ov is not None and ov > 0.9
+    before = len(
+        t.read_pruned(spark, "k", lo=10, hi=20).inputFiles()
+    )
+    acts = t.optimize(spark, small_bytes=1, max_dirs=64, cluster_by="k")
+    assert [a["action"] for a in acts] == ["compact_clustered"]
+    after_read = t.read_pruned(spark, "k", lo=10, hi=20)
+    assert len(after_read.inputFiles()) < before
+    assert _rows(after_read) == [(k, k) for k in range(10, 21)]
+    # the clustered table is healthy now: no further action
+    assert (
+        t.optimize(spark, small_bytes=1, max_dirs=64, cluster_by="k") == []
+    )
