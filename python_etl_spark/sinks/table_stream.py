@@ -1,0 +1,271 @@
+"""``versioned_table``: the VersionedTable lakehouse sink as a
+REGISTERED Spark format — batch (``df.write.format("versioned_table")
+.option("path", root).save()``) and STREAMING
+(``df.writeStream.format("versioned_table")...start()``) faces, so a
+pipeline lands in the manifest-committed table without hand-written
+foreachBatch plumbing.
+
+Exactly-once contract (streaming): every micro-batch commits as ONE
+append manifest carrying ``{"stream_sink_id", "stream_batch_id"}`` in
+its meta — the idempotence record and the data land in the SAME atomic
+manifest publish, so a replayed batch (Spark re-runs the last epoch
+after a crash between sink commit and checkpoint write) is detected by
+scanning back for this sink's newest committed batch id and skipped.
+A sidecar file could drift from the manifests across a crash; the
+manifest itself cannot.
+
+Scale shape: executor tasks stream their Arrow record batches straight
+to parquet part files in a task-owned tmp path (no driver data path);
+the driver commit MOVES the files into a fresh commit dir (same-fs
+rename) and publishes the manifest — O(files) driver work, zero data
+through the driver. Table maintenance (optimize(), compaction, change
+feeds) composes: the sink's commits are ordinary appends.
+
+Limitations (documented, loud): hive-partitioned tables are refused
+(the sink writes unpartitioned part files — use foreachBatch +
+``append`` for a partitioned layout); schema is checked by column NAME
+against the live snapshot footer (a drifted stream fails the commit,
+never poisons the table).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FilesMsg(WriterCommitMessage):
+    files: list = field(default_factory=list)
+
+
+def _write_partition(root: str, iterator) -> _FilesMsg:
+    """Executor side: one task's Arrow batches -> one parquet part
+    file under ``data/_tmp-sink/`` (task-owned name; abandoned files
+    are swept by vacuum like any other orphan)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows > 0]
+    if not batches:
+        return _FilesMsg([])
+    tbl = pa.Table.from_batches(batches)
+    tmpdir = os.path.join(root, "data", "_tmp-sink")
+    os.makedirs(tmpdir, exist_ok=True)
+    path = os.path.join(tmpdir, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, path)
+    return _FilesMsg([path])
+
+
+def _first_footer_names(table) -> set | None:
+    """Column names of the newest commit dir's footer (None if the
+    table is empty) — the sink's name-level schema guard."""
+    import pyarrow.parquet as pq
+
+    m = table._read_manifest()
+    for d in reversed(m["data_dirs"]):
+        for r, _dd, fs in os.walk(d):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    return set(
+                        pq.ParquetFile(os.path.join(r, f)).schema_arrow.names
+                    )
+    return None
+
+
+def _commit_files(
+    root: str,
+    files: list[str],
+    op_meta: dict | None,
+    overwrite: bool = False,
+) -> int | None:
+    """Driver side: move the tasks' part files into a fresh commit dir
+    and publish the manifest (append semantics; ``overwrite`` replaces
+    the snapshot). Returns the committed version, or None when there
+    were no rows (no empty commits)."""
+    from python_etl_spark.sinks.table import (
+        CommitConflictError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(root)
+    if not files:
+        return None
+    if t.exists() and t.partition_columns():
+        raise ValueError(
+            "versioned_table sink writes unpartitioned part files — "
+            "use foreachBatch + VersionedTable.append for a "
+            "hive-partitioned table"
+        )
+    import pyarrow.parquet as pq
+
+    if t.exists():
+        want = _first_footer_names(t)
+        got = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        if want is not None and got != want:
+            raise ValueError(
+                f"versioned_table sink schema drift: table has "
+                f"{sorted(want)}, stream has {sorted(got)}"
+            )
+    d = os.path.join(root, "data", f"commit-{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    for i, f in enumerate(sorted(files)):
+        os.replace(f, os.path.join(d, f"part-{i:05d}.parquet"))
+    if not t.exists():
+        try:
+            return t._commit([d], "create", 0, op_meta)
+        except CommitConflictError:
+            raise RuntimeError(
+                f"lost create race on {root} to a concurrent writer"
+            ) from None
+    for attempt in range(t.max_retries + 1):
+        cur = t._read_manifest()
+        v = cur["version"] + 1
+        try:
+            if overwrite:
+                return t._commit([d], "overwrite", v, op_meta)
+            return t._commit(
+                cur["data_dirs"] + [d],
+                "append",
+                v,
+                op_meta,
+                carry_stats=cur.get("dir_stats"),
+                dvs=cur.get("dvs"),
+                carry_blooms=cur.get("dir_blooms"),
+                carry_files=cur.get("file_stats"),
+            )
+        except CommitConflictError:
+            if attempt == t.max_retries:
+                raise
+
+
+class _VTBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("versioned_table requires a table root path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_partition(self.root, iterator)
+
+    def commit(self, messages):
+        files = [f for m in messages if m is not None for f in m.files]
+        _commit_files(self.root, files, None, overwrite=self.overwrite)
+
+    def abort(self, messages):
+        for m in messages:
+            for f in m.files if m is not None else []:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+
+
+class _VTStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once streaming appends: the micro-batch's id rides the
+    manifest meta, and a replayed epoch is skipped by consulting the
+    newest committed id for this sink (walked once on restart, cached
+    after)."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("versioned_table requires a table root path")
+        # one logical sink per (table, sinkId): lets two different
+        # queries append to one table without confusing their epochs
+        self.sink_id = options.get("sinkId", "default")
+        self._last: int | None = None
+        self._scanned = False
+
+    def _last_committed(self) -> int | None:
+        """Newest stream_batch_id this sink committed — walk the
+        manifest tail back from latest (bounded by the metadata-
+        cleanup horizon; cached after the first call, so steady-state
+        commits never re-walk)."""
+        from python_etl_spark.sinks.table import VersionedTable
+
+        t = VersionedTable(self.root)
+        latest = t.latest_version()
+        if latest is None:
+            return None
+        for v in range(latest, -1, -1):
+            try:
+                meta = t._read_manifest(v).get("meta", {})
+            except FileNotFoundError:
+                return None  # cleaned below the checkpoint: no record
+            if (
+                meta.get("stream_sink_id") == self.sink_id
+                and meta.get("stream_batch_id") is not None
+            ):
+                return int(meta["stream_batch_id"])
+        return None
+
+    def write(self, iterator):
+        return _write_partition(self.root, iterator)
+
+    def commit(self, messages, batchId: int):
+        if not self._scanned:
+            self._last = self._last_committed()
+            self._scanned = True
+        files = [f for m in messages if m is not None for f in m.files]
+        if self._last is not None and batchId <= self._last:
+            # replayed epoch (crash between sink commit and checkpoint
+            # write): the data is already in a manifest — drop the
+            # duplicate part files
+            for f in files:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+            return
+        v = _commit_files(
+            self.root,
+            files,
+            {"stream_sink_id": self.sink_id, "stream_batch_id": batchId},
+        )
+        if v is not None:
+            self._last = batchId
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            for f in m.files if m is not None else []:
+                try:
+                    os.unlink(f)
+                except OSError:
+                    pass
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.dataSource.register(VersionedTableDataSource)`` then
+    ``df.write.format("versioned_table").option("path", root).save()``
+    or ``df.writeStream.format("versioned_table").option("path", root)
+    .option("sinkId", "nightly").start()``. Write-only — read the
+    table via :class:`VersionedTable` / the ``table_changes`` source.
+    Options: ``path`` (table root), ``sinkId`` (stream epoch
+    namespace, default "default")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self):
+        raise NotImplementedError(
+            "versioned_table is a write-only format — read snapshots "
+            "via VersionedTable.read / changes via the table_changes "
+            "source"
+        )
+
+    def writer(self, schema, overwrite: bool):
+        return _VTBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _VTStreamWriter(self.options)

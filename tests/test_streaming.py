@@ -1465,3 +1465,109 @@ def test_foreach_batch_clause_merge_and_mor_delete_parity(spark, tmp_path):
     feed = streamed.row_changes(spark, 0)
     dels = feed.where("_change_type = 'delete'").select("k").collect()
     assert {r["k"] for r in dels} == {0, 5, 12, 25}
+
+
+def test_versioned_table_registered_sink(spark, tmp_path):
+    """The ``versioned_table`` REGISTERED sink: batch writes land as
+    create/append/overwrite manifest commits, streaming micro-batches
+    commit exactly-once (the batch id rides the manifest meta — a
+    replayed epoch is skipped even with NO sidecar state), schema
+    drift and hive tables are refused loudly."""
+    import os as _os
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+        _VTStreamWriter,
+        _write_partition,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    # batch face: first append creates, second appends
+    spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    t = VersionedTable(root)
+    assert [m["op"] for m in t.history()] == ["create", "append"]
+    assert t.row_count() == 15
+    # streaming face: 3 bounded micro-batches -> 3 append commits
+    src = tmp_path / "src"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {"k": [100 + i * 10 + j for j in range(5)], "v": [1] * 5}
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.format("versioned_table")
+            .option("path", root)
+            .option("sinkId", "s1")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert t.row_count() == 30
+    ids = [
+        m.get("meta", {}).get("stream_batch_id") for m in t.history()
+    ]
+    assert ids == [None, None, 0, 1, 2]
+    # idle restart with the same checkpoint: nothing duplicates
+    run()
+    assert t.row_count() == 30
+    # new data arrives: exactly the delta lands
+    pq.write_table(
+        pa.table({"k": [900], "v": [9]}), str(src / "b3.parquet")
+    )
+    run()
+    assert t.row_count() == 31
+    # REPLAYED EPOCH unit-level: committing the same batchId twice
+    # appends once (the manifest meta is the idempotence record)
+    w = _VTStreamWriter({"path": root, "sinkId": "s1"})
+    msg = _write_partition(
+        root,
+        iter(pa.table({"k": [1000], "v": [1]}).to_batches()),
+    )
+    w.commit([msg], batchId=99)
+    before = t.row_count()
+    msg2 = _write_partition(
+        root,
+        iter(pa.table({"k": [1000], "v": [1]}).to_batches()),
+    )
+    w2 = _VTStreamWriter({"path": root, "sinkId": "s1"})  # fresh restart
+    w2.commit([msg2], batchId=99)  # replay: must skip
+    assert t.row_count() == before
+    # schema drift refused, table not poisoned
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="schema drift"):
+        spark.range(0, 3).selectExpr("id AS other").write.format(
+            "versioned_table"
+        ).option("path", root).mode("append").save()
+    assert t.read(spark).columns == ["k", "v"]
+    # hive-partitioned tables are refused
+    hive = VersionedTable(str(tmp_path / "h"))
+    hive.create(
+        spark.createDataFrame([(1, "a")], "k long, ds string"),
+        partition_by=["ds"],
+    )
+    with _pytest.raises(Exception, match="foreachBatch"):
+        spark.createDataFrame([(2, "b")], "k long, ds string").write.format(
+            "versioned_table"
+        ).option("path", hive.root).mode("append").save()
