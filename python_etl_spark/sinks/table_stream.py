@@ -21,11 +21,18 @@ rename) and publishes the manifest — O(files) driver work, zero data
 through the driver. Table maintenance (optimize(), compaction, change
 feeds) composes: the sink's commits are ordinary appends.
 
-Limitations (documented, loud): hive-partitioned tables are refused
-(the sink writes unpartitioned part files — use foreachBatch +
-``append`` for a partitioned layout); schema is checked by column NAME
-against the live snapshot footer (a drifted stream fails the commit,
-never poisons the table).
+Hive-partitioned targets compose: an existing table's recorded layout
+is reused automatically, a new table takes ``option("partitionBy",
+"ds,hour")`` — each executor task splits its Arrow batches by the
+partition values (vectorized string-cast + one groupby over ONLY the
+partition columns, never the payload) and writes one part file per
+(task, partition) under escaped ``name=value`` subpaths that match
+Spark's own hive writer byte-for-byte (same escaping, same
+``__HIVE_DEFAULT_PARTITION__`` null dir), so sink commits and library
+``append`` commits interleave in one table and prune identically.
+Schema is checked by column NAME against the live snapshot footer plus
+the partition columns (a drifted stream fails the commit, never
+poisons the table).
 """
 
 from __future__ import annotations
@@ -47,10 +54,66 @@ class _FilesMsg(WriterCommitMessage):
     files: list = field(default_factory=list)
 
 
-def _write_partition(root: str, iterator) -> _FilesMsg:
+# characters Spark's hive path writer escapes (ExternalCatalogUtils.
+# escapePathName's set): matching it exactly keeps sink-written
+# partition dirs byte-identical to library ``append`` dirs, so the
+# path parser reads both back the same way
+_NEEDS_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_hive(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _NEEDS_ESCAPE or ord(ch) < 0x20 else ch
+        for ch in value
+    )
+
+
+def _hive_subpaths(tbl, part_cols: list) -> list:
+    """Group a task's rows by partition value: ``[(hive subpath, row
+    indices)]``. Vectorized — each partition column is Arrow-cast to
+    its canonical string form (ISO dates, ``true``/``false`` bools:
+    the same rendering Spark's hive writer uses) and the groupby runs
+    over ONLY those string columns, never the payload."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = {}
+    for c in part_cols:
+        arr = tbl.column(c)
+        if pa.types.is_boolean(arr.type):
+            s = pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
+        else:
+            s = pc.cast(arr, pa.string())
+        cols[c] = s.to_pandas()
+    groups = (
+        pd.DataFrame(cols)
+        .groupby(list(part_cols), dropna=False, sort=False)
+        .indices
+    )
+    out = []
+    for key, idx in groups.items():
+        vals = key if isinstance(key, tuple) else (key,)
+        segs = []
+        for c, v in zip(part_cols, vals):
+            if v is None or (isinstance(v, float) and v != v):
+                segs.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
+            else:
+                segs.append(f"{c}={_escape_hive(str(v))}")
+        out.append(("/".join(segs), idx))
+    return out
+
+
+def _write_partition(
+    root: str, iterator, part_cols: list | None = None
+) -> _FilesMsg:
     """Executor side: one task's Arrow batches -> one parquet part
-    file under ``data/_tmp-sink/`` (task-owned name; abandoned files
-    are swept by vacuum like any other orphan)."""
+    file per hive partition (or one file total, unpartitioned) under
+    ``data/_tmp-sink/`` (task-owned names; abandoned files are swept
+    by vacuum like any other orphan). Returns ``(tmp path, hive
+    subpath)`` pairs so the driver places files without reopening
+    them; partition columns are dropped from the file bytes — the
+    path carries them, exactly like Spark's own hive layout."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -60,9 +123,26 @@ def _write_partition(root: str, iterator) -> _FilesMsg:
     tbl = pa.Table.from_batches(batches)
     tmpdir = os.path.join(root, "data", "_tmp-sink")
     os.makedirs(tmpdir, exist_ok=True)
-    path = os.path.join(tmpdir, f"part-{uuid.uuid4().hex}.parquet")
-    pq.write_table(tbl, path)
-    return _FilesMsg([path])
+    files = []
+    if part_cols:
+        missing = [c for c in part_cols if c not in tbl.column_names]
+        if missing:
+            raise ValueError(
+                f"versioned_table sink: partition columns {missing} "
+                f"missing from the stream (has {tbl.column_names})"
+            )
+        data = tbl.drop_columns(list(part_cols))
+        for sub, idx in _hive_subpaths(tbl, part_cols):
+            path = os.path.join(
+                tmpdir, f"part-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(data.take(pa.array(idx)), path)
+            files.append([path, sub])
+    else:
+        path = os.path.join(tmpdir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path)
+        files.append([path, ""])
+    return _FilesMsg(files)
 
 
 def _first_footer_names(table) -> set | None:
@@ -83,14 +163,16 @@ def _first_footer_names(table) -> set | None:
 
 def _commit_files(
     root: str,
-    files: list[str],
+    files: list,
     op_meta: dict | None,
     overwrite: bool = False,
+    part_cols: list | None = None,
 ) -> int | None:
-    """Driver side: move the tasks' part files into a fresh commit dir
-    and publish the manifest (append semantics; ``overwrite`` replaces
-    the snapshot). Returns the committed version, or None when there
-    were no rows (no empty commits)."""
+    """Driver side: move the tasks' ``(tmp path, hive subpath)`` part
+    files into a fresh commit dir and publish the manifest (append
+    semantics; ``overwrite`` replaces the snapshot). Returns the
+    committed version, or None when there were no rows (no empty
+    commits)."""
     from python_etl_spark.sinks.table import (
         CommitConflictError,
         VersionedTable,
@@ -99,29 +181,34 @@ def _commit_files(
     t = VersionedTable(root)
     if not files:
         return None
-    if t.exists() and t.partition_columns():
-        raise ValueError(
-            "versioned_table sink writes unpartitioned part files — "
-            "use foreachBatch + VersionedTable.append for a "
-            "hive-partitioned table"
-        )
     import pyarrow.parquet as pq
 
     if t.exists():
         want = _first_footer_names(t)
-        got = set(pq.ParquetFile(files[0]).schema_arrow.names)
-        if want is not None and got != want:
-            raise ValueError(
-                f"versioned_table sink schema drift: table has "
-                f"{sorted(want)}, stream has {sorted(got)}"
-            )
+        got = set(pq.ParquetFile(files[0][0]).schema_arrow.names) | set(
+            part_cols or []
+        )
+        if want is not None:
+            want = want | set(t.partition_columns())
+            if got != want:
+                raise ValueError(
+                    f"versioned_table sink schema drift: table has "
+                    f"{sorted(want)}, stream has {sorted(got)}"
+                )
     d = os.path.join(root, "data", f"commit-{uuid.uuid4().hex[:12]}")
     os.makedirs(d)
-    for i, f in enumerate(sorted(files)):
-        os.replace(f, os.path.join(d, f"part-{i:05d}.parquet"))
+    for i, (f, sub) in enumerate(sorted(files)):
+        dest = os.path.join(d, sub) if sub else d
+        os.makedirs(dest, exist_ok=True)
+        os.replace(f, os.path.join(dest, f"part-{i:05d}.parquet"))
     if not t.exists():
+        meta0 = dict(op_meta or {})
+        if part_cols:
+            # recorded exactly like create(partition_by=...): appends
+            # from either face then reuse one sticky hive layout
+            meta0["partition_by"] = list(part_cols)
         try:
-            return t._commit([d], "create", 0, op_meta)
+            return t._commit([d], "create", 0, meta0 or None)
         except CommitConflictError:
             raise RuntimeError(
                 f"lost create race on {root} to a concurrent writer"
@@ -147,23 +234,54 @@ def _commit_files(
                 raise
 
 
+def _resolve_part_cols(root: str, options) -> list | None:
+    """The commit's hive layout: an existing table's recorded
+    ``partition_by`` wins (and a disagreeing ``partitionBy`` option is
+    refused — a silently ignored option would shadow-write the wrong
+    layout); a new table takes the option."""
+    from python_etl_spark.sinks.table import VersionedTable
+
+    opt = options.get("partitionBy") or options.get("partitionby")
+    opt_cols = (
+        [c.strip() for c in opt.split(",") if c.strip()] if opt else None
+    )
+    t = VersionedTable(root)
+    if t.exists():
+        have = t.partition_columns()
+        if opt_cols is not None and opt_cols != have:
+            raise ValueError(
+                f"versioned_table sink: option partitionBy={opt_cols} "
+                f"disagrees with the table's recorded hive layout "
+                f"{have}"
+            )
+        return have or None
+    return opt_cols
+
+
 class _VTBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("versioned_table requires a table root path")
         self.overwrite = overwrite
+        self.part_cols = _resolve_part_cols(self.root, options)
 
     def write(self, iterator):
-        return _write_partition(self.root, iterator)
+        return _write_partition(self.root, iterator, self.part_cols)
 
     def commit(self, messages):
         files = [f for m in messages if m is not None for f in m.files]
-        _commit_files(self.root, files, None, overwrite=self.overwrite)
+        _commit_files(
+            self.root,
+            files,
+            None,
+            overwrite=self.overwrite,
+            part_cols=self.part_cols,
+        )
 
     def abort(self, messages):
         for m in messages:
-            for f in m.files if m is not None else []:
+            for f, _sub in m.files if m is not None else []:
                 try:
                     os.unlink(f)
                 except OSError:
@@ -183,6 +301,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         # one logical sink per (table, sinkId): lets two different
         # queries append to one table without confusing their epochs
         self.sink_id = options.get("sinkId", "default")
+        self.part_cols = _resolve_part_cols(self.root, options)
         self._last: int | None = None
         self._scanned = False
 
@@ -210,7 +329,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         return None
 
     def write(self, iterator):
-        return _write_partition(self.root, iterator)
+        return _write_partition(self.root, iterator, self.part_cols)
 
     def commit(self, messages, batchId: int):
         if not self._scanned:
@@ -221,7 +340,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
             # replayed epoch (crash between sink commit and checkpoint
             # write): the data is already in a manifest — drop the
             # duplicate part files
-            for f in files:
+            for f, _sub in files:
                 try:
                     os.unlink(f)
                 except OSError:
@@ -231,13 +350,14 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
             self.root,
             files,
             {"stream_sink_id": self.sink_id, "stream_batch_id": batchId},
+            part_cols=self.part_cols,
         )
         if v is not None:
             self._last = batchId
 
     def abort(self, messages, batchId: int):
         for m in messages:
-            for f in m.files if m is not None else []:
+            for f, _sub in m.files if m is not None else []:
                 try:
                     os.unlink(f)
                 except OSError:
@@ -251,7 +371,9 @@ class VersionedTableDataSource(DataSource):
     .option("sinkId", "nightly").start()``. Write-only — read the
     table via :class:`VersionedTable` / the ``table_changes`` source.
     Options: ``path`` (table root), ``sinkId`` (stream epoch
-    namespace, default "default")."""
+    namespace, default "default"), ``partitionBy`` (comma-separated
+    hive layout for a table the sink CREATES; an existing table's
+    recorded layout is reused and a disagreeing option refused)."""
 
     @classmethod
     def name(cls) -> str:

@@ -1561,13 +1561,141 @@ def test_versioned_table_registered_sink(spark, tmp_path):
             "versioned_table"
         ).option("path", root).mode("append").save()
     assert t.read(spark).columns == ["k", "v"]
-    # hive-partitioned tables are refused
+    # hive-partitioned target: the sink reuses the recorded layout
     hive = VersionedTable(str(tmp_path / "h"))
     hive.create(
         spark.createDataFrame([(1, "a")], "k long, ds string"),
         partition_by=["ds"],
     )
-    with _pytest.raises(Exception, match="foreachBatch"):
-        spark.createDataFrame([(2, "b")], "k long, ds string").write.format(
-            "versioned_table"
-        ).option("path", hive.root).mode("append").save()
+    spark.createDataFrame([(2, "b")], "k long, ds string").write.format(
+        "versioned_table"
+    ).option("path", hive.root).mode("append").save()
+    assert sorted(
+        (r.k, r.ds) for r in hive.read(spark).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_versioned_table_sink_partitioned(spark, tmp_path):
+    """Hive-partitioned writes through the registered sink: the
+    executor splits Arrow batches by partition value into escaped
+    ``name=value`` subpaths byte-identical to Spark's own hive writer,
+    so sink commits and library ``append`` commits interleave in one
+    table, prune identically, and special/null partition values round-
+    trip. Streaming face stays exactly-once on a partitioned target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+        _escape_hive,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "pt")
+    # sink CREATES a partitioned table via option
+    df0 = spark.createDataFrame(
+        [(1, 10, "2026-01-01"), (2, 20, "2026-01-02"), (3, 30, None)],
+        "k long, v long, ds string",
+    )
+    df0.write.format("versioned_table").option("path", root).option(
+        "partitionBy", "ds"
+    ).mode("append").save()
+    t = VersionedTable(root)
+    assert t.partition_columns() == ["ds"]
+    # null partition value landed in Spark's default-partition dir
+    m = t._read_manifest()
+    import os as _os
+
+    subs = sorted(
+        d
+        for d in _os.listdir(m["data_dirs"][0])
+        if d.startswith("ds=")
+    )
+    assert "ds=__HIVE_DEFAULT_PARTITION__" in subs
+    # library append interleaves with sink append: one layout
+    t.append(
+        spark.createDataFrame([(4, 40, "2026-01-01")], df0.schema)
+    )
+    spark.createDataFrame(
+        [(5, 50, "2026-01-02")], df0.schema
+    ).write.format("versioned_table").option("path", root).mode(
+        "append"
+    ).save()
+    import datetime as _dt
+
+    # partition values are PATH-INFERRED on read (a date-looking dir
+    # value reads back as a date) — identical for sink + library dirs
+    got = sorted(
+        (r.k, r.v, r.ds) for r in t.read(spark).collect()
+    )
+    d1, d2 = _dt.date(2026, 1, 1), _dt.date(2026, 1, 2)
+    assert got == [
+        (1, 10, d1),
+        (2, 20, d2),
+        (3, 30, None),
+        (4, 40, d1),
+        (5, 50, d2),
+    ]
+    # partition pruning: the ds predicate reaches PartitionFilters in
+    # the scan (sink-written dirs parse as hive partitions like any)
+    pruned = t.read(spark).where(F.col("ds") == "2026-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ds" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    assert sorted(r.k for r in pruned.collect()) == [1, 4]
+    # special characters escape exactly like Spark's hive writer
+    assert _escape_hive("a/b:c=d") == "a%2Fb%3Ac%3Dd"
+    r2 = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "a/b:c")], "k long, ds string"
+    ).write.format("versioned_table").option("path", r2).option(
+        "partitionBy", "ds"
+    ).mode("append").save()
+    t2 = VersionedTable(r2)
+    assert [r.ds for r in t2.read(spark).collect()] == ["a/b:c"]
+    # a disagreeing partitionBy option is refused loudly
+    with _pytest.raises(Exception, match="disagrees"):
+        spark.createDataFrame(
+            [(9, "x")], "k long, ds string"
+        ).write.format("versioned_table").option("path", r2).option(
+            "partitionBy", "k"
+        ).mode("append").save()
+    # streaming face on the partitioned table: bounded micro-batches
+    src = tmp_path / "psrc"
+    src.mkdir()
+    for i in range(2):
+        pq.write_table(
+            pa.table(
+                {
+                    "k": [100 + i, 101 + i],
+                    "v": [1, 2],
+                    "ds": ["2026-02-01", "2026-02-02"],
+                }
+            ),
+            str(src / f"b{i}.parquet"),
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v long, ds string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.format("versioned_table")
+            .option("path", root)
+            .option("sinkId", "ps")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "pckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    before = t.row_count()
+    run()
+    assert t.row_count() == before + 4
+    run()  # idle restart: exactly-once holds on the partitioned face
+    assert t.row_count() == before + 4
+    feb = t.read(spark).where(F.col("ds") >= "2026-02-01")
+    assert feb.count() == 4
