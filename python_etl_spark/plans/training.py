@@ -3415,3 +3415,106 @@ def etl_drop_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _constraints_source(spark: SparkSession, sf_dir: str):
+    """Constraint lifecycle fixture: v0 create with two CHECK
+    constraints, a violating append REFUSED (table must stay
+    unchanged — silent acceptance inflates the count and breaks the
+    hash), v1 valid append, v2 add_constraint (validated against the
+    live snapshot), a violating merge REFUSED, v3 valid merge insert.
+    Re-entrant across driver/oracle replays."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    key = ("cons", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_cons_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            base.where(F.col("k") % 3 == 0),
+            constraints={
+                "pos_price": "price > 0",
+                "has_priority": "priority IS NOT NULL",
+            },
+        )
+    if t.latest_version() < 1:
+        # enforcement certified IN the query: a violating batch must
+        # be refused with the table unchanged
+        try:
+            t.append(
+                base.where(F.col("k") % 3 == 1).withColumn(
+                    "price", F.lit(-1).cast("decimal(12,2)")
+                )
+            )
+            raise RuntimeError(
+                "constraint enforcement failed: violating append landed"
+            )
+        except ConstraintViolationError:
+            pass
+        t.append(base.where(F.col("k") % 3 == 1))
+    if t.latest_version() < 2:
+        t.add_constraint("k_nonneg", "k >= 0")
+    if t.latest_version() < 3:
+        try:
+            t.merge(
+                base.where(F.col("k") % 3 == 2).withColumn(
+                    "k", -F.col("k")
+                ),
+                keys=["k"],
+            )
+            raise RuntimeError(
+                "constraint enforcement failed: violating merge landed"
+            )
+        except ConstraintViolationError:
+            pass
+        t.merge(base.where(F.col("k") % 3 == 2), keys=["k"])
+    return t
+
+
+@register(
+    "etl_constraints",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on VersionedTable certified end-to-end: two
+    constraints declared at create, one added later as a metadata-only
+    commit (snapshot-validated first), a violating append AND a
+    violating merge each refused pre-publish with the table unchanged
+    — if enforcement silently passed, the refused rows would land and
+    break the whole-orders hash; if it over-rejected, the valid
+    batches would be missing and break it the other way.
+
+    Scale posture: enforcement is ONE extra codegen scan of the batch
+    being written (all constraints checked in a single action, Delta's
+    invariant shape) — never a scan of the table; add_constraint
+    validates the snapshot once at declaration time."""
+    t = _constraints_source(spark, sf_dir)
+    assert sorted(t.constraints()) == [
+        "has_priority", "k_nonneg", "pos_price",
+    ]
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

@@ -140,6 +140,13 @@ class CommitConflictError(RuntimeError):
     against a re-read snapshot or abort."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A write carried rows that fail a table CHECK constraint. The
+    write is refused BEFORE any manifest publish — the table is
+    unchanged. Carries the constraint name, its expression, and up to
+    three sample violating rows."""
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -292,6 +299,125 @@ class VersionedTable:
         except FileNotFoundError:
             ckpt = self._latest_checkpoint()
             return ckpt.get("bloom_keys", []) if ckpt else []
+
+    def constraints(self, version: int | None = None) -> dict:
+        """Live CHECK constraints at ``version`` (default latest):
+        ``{name: sql expr}``. SQL-standard semantics — a row VIOLATES
+        when the expression evaluates FALSE (NULL passes, so NOT NULL
+        is spelled ``"col IS NOT NULL"``). Declared at ``create(
+        constraints=...)`` or added/dropped later as metadata-only
+        commits; enforced on every row-adding write path (append,
+        overwrite, merge, the registered sink) BEFORE any manifest
+        publish."""
+        if not self.exists():
+            return {}
+        v = self.latest_version() if version is None else version
+        return dict(self._evolution_state(v)[4])
+
+    def _enforce_constraints(self, df: DataFrame, cons: dict) -> None:
+        """ONE Spark action checks every constraint: each row gets the
+        array of constraint names whose expression IS FALSE for it;
+        the first <=3 violating rows come back as the error sample.
+        Cost: one extra scan of the batch being written (the Delta
+        invariant-check shape)."""
+        if not cons:
+            return
+        tags = [
+            F.when(F.expr(f"({e}) IS FALSE"), F.lit(n))
+            for n, e in sorted(cons.items())
+        ]
+        bad = (
+            df.withColumn("_violated", F.array_compact(F.array(*tags)))
+            .where(F.size("_violated") > 0)
+            .limit(3)
+            .collect()
+        )
+        if bad:
+            names = sorted({n for r in bad for n in r["_violated"]})
+            sample = [
+                {k: v for k, v in r.asDict().items() if k != "_violated"}
+                for r in bad
+            ]
+            raise ConstraintViolationError(
+                f"constraint(s) {names} violated "
+                f"({ {n: cons[n] for n in names} }); "
+                f"sample rows: {sample}"
+            )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint as a METADATA-ONLY commit. The whole
+        current snapshot is validated first (one Spark job) — a table
+        already carrying violating rows refuses the constraint, like
+        Delta's ADD CONSTRAINT."""
+        spark = SparkSession.active()
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            cons = self.constraints(cur["version"])
+            if name in cons:
+                raise ValueError(
+                    f"constraint '{name}' already exists: {cons[name]}"
+                )
+            # validates the expression parses AND the snapshot passes
+            self._enforce_constraints(
+                self.read(spark, cur["version"]), {name: expr}
+            )
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "add_constraint",
+                    cur["version"] + 1,
+                    {"constraint_add": {"name": name, "expr": expr}},
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    def _constraint_refs(
+        self, col: str, version: int | None = None
+    ) -> list[str]:
+        """Names of constraints whose expression mentions ``col`` as a
+        standalone identifier (plain or backticked) — the rename/drop
+        guard: mutating a referenced column would silently break or
+        skew the check."""
+        if not self.exists():
+            return []
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])"
+        )
+        return sorted(
+            n
+            for n, e in self.constraints(version).items()
+            if pat.search(e)
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Drop a CHECK constraint (metadata-only commit). Unknown
+        names raise — a typo silently 'succeeding' would leave the
+        constraint enforced."""
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            if name not in self.constraints(cur["version"]):
+                raise ValueError(f"no constraint named '{name}'")
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "drop_constraint",
+                    cur["version"] + 1,
+                    {"constraint_drop": name},
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     @staticmethod
     def _bloom_probe_exprs(cols: list[str], m: int) -> list:
@@ -577,6 +703,25 @@ class VersionedTable:
         schema_json = prev.get("schema_json") if prev else None
         renames: list[dict] = list(prev.get("renames") or []) if prev else []
         drops: list[str] = list(prev.get("drops") or []) if prev else []
+        cons: dict = dict(prev.get("constraints") or {}) if prev else {}
+
+        def _fold(meta: dict) -> None:
+            nonlocal evolved, schema_json, cons
+            evolved = evolved or bool(meta.get("schema_evolved"))
+            if meta.get("schema_json"):
+                schema_json = meta["schema_json"]
+            if meta.get("rename"):
+                renames.append(meta["rename"])
+            if meta.get("drop"):
+                drops.append(meta["drop"])
+            if meta.get("constraints"):
+                cons = dict(meta["constraints"])
+            if meta.get("constraint_add"):
+                ev = meta["constraint_add"]
+                cons[ev["name"]] = ev["expr"]
+            if meta.get("constraint_drop"):
+                cons.pop(meta["constraint_drop"], None)
+
         start = commits[-1]["version"] + 1 if commits else 0
         for i in range(start, version):
             m = self._read_manifest(i)
@@ -588,14 +733,7 @@ class VersionedTable:
                     "num_rows": m.get("num_rows"),
                 }
             )
-            evolved = evolved or bool(m.get("meta", {}).get("schema_evolved"))
-            schema_json = (
-                m.get("meta", {}).get("schema_json") or schema_json
-            )
-            if m.get("meta", {}).get("rename"):
-                renames.append(m["meta"]["rename"])
-            if m.get("meta", {}).get("drop"):
-                drops.append(m["meta"]["drop"])
+            _fold(m.get("meta", {}))
         commits.append(
             {
                 "version": version,
@@ -604,16 +742,7 @@ class VersionedTable:
                 "num_rows": manifest.get("num_rows"),
             }
         )
-        evolved = evolved or bool(
-            manifest.get("meta", {}).get("schema_evolved")
-        )
-        schema_json = (
-            manifest.get("meta", {}).get("schema_json") or schema_json
-        )
-        if manifest.get("meta", {}).get("rename"):
-            renames.append(manifest["meta"]["rename"])
-        if manifest.get("meta", {}).get("drop"):
-            drops.append(manifest["meta"]["drop"])
+        _fold(manifest.get("meta", {}))
         ckpt = {
             "version": version,
             "manifest": manifest,
@@ -621,6 +750,7 @@ class VersionedTable:
             "schema_json": schema_json,
             "renames": renames,
             "drops": drops,
+            "constraints": cons,
             "partition_by": self.partition_columns(),
             "bloom_keys": self.bloom_columns(),
             "commits": commits,
@@ -761,6 +891,7 @@ class VersionedTable:
         meta: dict | None = None,
         partition_by: list[str] | None = None,
         bloom_keys: list[str] | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """``bloom_keys`` declares key columns for PER-DIR BLOOM stats
         (r10 verdict #4): every commit then embeds a size-capped bloom
@@ -772,12 +903,16 @@ class VersionedTable:
         matched key."""
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
+        if constraints:
+            self._enforce_constraints(df, constraints)
         d = self._write_data(df, partition_by)
         m = dict(meta or {})
         if partition_by:
             m["partition_by"] = list(partition_by)
         if bloom_keys:
             m["bloom_keys"] = list(bloom_keys)
+        if constraints:
+            m["constraints"] = dict(constraints)
         try:
             return self._commit([d], "create", 0, m or None)
         except CommitConflictError:
@@ -902,6 +1037,9 @@ class VersionedTable:
                     if f.name in got
                 ]
             )
+        self._enforce_constraints(
+            df, self.constraints(cur["version"])
+        )
         # the batch's data dir is written ONCE; only the manifest is
         # retried. An append does not depend on the base's CONTENT,
         # just its dir list, so a conflict retry re-reads the winner's
@@ -1100,7 +1238,7 @@ class VersionedTable:
         never touched. Tables with no DVs take the exact scan shapes
         ``read`` always produced (multi-path scan / hive per-dir
         union), so existing plan-shape pins hold."""
-        evolved, wjson, renames, drops = self._evolution_state(
+        evolved, wjson, renames, drops, _cons = self._evolution_state(
             manifest["version"]
         )
         dvs = manifest.get("dvs", [])
@@ -1346,7 +1484,7 @@ class VersionedTable:
             from pyspark.sql.types import StructType
 
             cur = self._read_manifest()
-            evolved, _wj, _renames, _drops = self._evolution_state(
+            evolved, _wj, _renames, _drops, _cons = self._evolution_state(
                 cur["version"]
             )
             snap_schema = self.read(spark, cur["version"]).schema
@@ -1475,6 +1613,11 @@ class VersionedTable:
                 )
             else:
                 merged = upsert(base, upd, keys, version_col)
+            # constraints check the WRITTEN frame (clause expressions
+            # can mint violating values an input-only check would miss)
+            self._enforce_constraints(
+                merged, self.constraints(cur["version"])
+            )
             v = cur["version"] + 1
             d = self._write_data(merged, self.partition_columns() or None)
             if not self._has_parquet(d):
@@ -1581,6 +1724,7 @@ class VersionedTable:
         themselves; :meth:`MaterializedRollup.refresh` does exactly
         that."""
         cur = self._read_manifest()
+        self._enforce_constraints(df, self.constraints(cur["version"]))
         d = self._write_data(df, self.partition_columns() or None)
         for attempt in range(self.max_retries + 1):
             v = cur["version"] + 1
@@ -2060,7 +2204,7 @@ class VersionedTable:
             )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
-            evolved, _wj, _renames, _drops = self._evolution_state(
+            evolved, _wj, _renames, _drops, _cons = self._evolution_state(
                 cur["version"]
             )
             dirs = cur["data_dirs"]
@@ -2247,6 +2391,13 @@ class VersionedTable:
                 raise ValueError(
                     f"column name '{new}' was dropped and is retired"
                 )
+            refs = self._constraint_refs(old, cur["version"])
+            if refs:
+                raise ValueError(
+                    f"cannot rename '{old}': referenced by constraint"
+                    f"(s) {refs} — drop_constraint first, re-add "
+                    f"against the new name"
+                )
             m: dict = {"rename": {"from": old, "to": new}}
             wjson = self._widened_schema(cur["version"])
             if wjson is not None:
@@ -2310,6 +2461,12 @@ class VersionedTable:
             raise ValueError(
                 f"cannot drop hive partition column '{name}' — its "
                 f"name is baked into every data path"
+            )
+        refs = self._constraint_refs(name)
+        if refs:
+            raise ValueError(
+                f"cannot drop '{name}': referenced by constraint(s) "
+                f"{refs} — drop_constraint first"
             )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
@@ -2399,15 +2556,16 @@ class VersionedTable:
         """ALL schema-evolution facts at or below ``upto`` in ONE
         checkpoint load + ONE manifest-tail pass: (evolved flag,
         newest widened schema_json, rename mapping {logical: [older
-        names, newest first]}, dropped-name set). Every read needs
-        several of these — walking the tail once per read instead of
-        once per fact keeps manifest opens O(interval), not
-        O(facts x interval)."""
+        names, newest first]}, dropped-name set, constraint dict
+        {name: check expr}). Every read needs several of these —
+        walking the tail once per read instead of once per fact keeps
+        manifest opens O(interval), not O(facts x interval)."""
         ckpt = self._latest_checkpoint(upto)
         evolved = bool(ckpt and ckpt.get("schema_evolved"))
         schema_json = ckpt.get("schema_json") if ckpt else None
         events = list(ckpt.get("renames") or []) if ckpt else []
         drops = set(ckpt.get("drops") or []) if ckpt else set()
+        cons = dict(ckpt.get("constraints") or {}) if ckpt else {}
         start = ckpt["version"] + 1 if ckpt else 0
         for i in range(start, upto + 1):
             meta = self._read_manifest(i).get("meta", {})
@@ -2418,10 +2576,17 @@ class VersionedTable:
                 events.append(meta["rename"])
             if meta.get("drop"):
                 drops.add(meta["drop"])
+            if meta.get("constraints"):
+                cons = dict(meta["constraints"])  # create-time full set
+            if meta.get("constraint_add"):
+                ev = meta["constraint_add"]
+                cons[ev["name"]] = ev["expr"]
+            if meta.get("constraint_drop"):
+                cons.pop(meta["constraint_drop"], None)
         mapping: dict[str, list[str]] = {}
         for ev in events:
             mapping[ev["to"]] = [ev["from"]] + mapping.pop(ev["from"], [])
-        return evolved, schema_json, mapping, drops
+        return evolved, schema_json, mapping, drops, cons
 
     def _widened_schema(self, upto: int) -> str | None:
         """The newest recorded widened-snapshot schema (StructType
@@ -2636,7 +2801,7 @@ class VersionedTable:
 
         if since_version == upto:
             return _empty()
-        evolved, _wj, renames, drops = self._evolution_state(upto)
+        evolved, _wj, renames, drops, _cons = self._evolution_state(upto)
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")

@@ -104,8 +104,39 @@ def _hive_subpaths(tbl, part_cols: list) -> list:
     return out
 
 
+def _check_constraints_arrow(tbl, cons: dict) -> None:
+    """Executor-side CHECK-constraint gate for the sink: DuckDB
+    evaluates each expression straight over the task's Arrow batch
+    (partition columns still present — they are dropped only at file
+    write). Violation fails the task BEFORE any file lands, and the
+    abort path sweeps nothing. Constraints must be ANSI-portable
+    expressions (the same contract the oracle suite already imposes
+    repo-wide); SQL semantics — only FALSE violates."""
+    if not cons:
+        return
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("batch", tbl)
+    for name, expr in sorted(cons.items()):
+        n = con.execute(
+            f"SELECT count(*) FROM batch WHERE ({expr}) IS FALSE"
+        ).fetchone()[0]
+        if n:
+            sample = con.execute(
+                f"SELECT * FROM batch WHERE ({expr}) IS FALSE LIMIT 3"
+            ).fetchall()
+            raise ValueError(
+                f"versioned_table sink: constraint '{name}' "
+                f"({expr}) violated by {n} row(s); sample: {sample}"
+            )
+
+
 def _write_partition(
-    root: str, iterator, part_cols: list | None = None
+    root: str,
+    iterator,
+    part_cols: list | None = None,
+    cons: dict | None = None,
 ) -> _FilesMsg:
     """Executor side: one task's Arrow batches -> one parquet part
     file per hive partition (or one file total, unpartitioned) under
@@ -121,6 +152,7 @@ def _write_partition(
     if not batches:
         return _FilesMsg([])
     tbl = pa.Table.from_batches(batches)
+    _check_constraints_arrow(tbl, cons or {})
     tmpdir = os.path.join(root, "data", "_tmp-sink")
     os.makedirs(tmpdir, exist_ok=True)
     files = []
@@ -258,6 +290,13 @@ def _resolve_part_cols(root: str, options) -> list | None:
     return opt_cols
 
 
+def _resolve_constraints(root: str) -> dict:
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(root)
+    return t.constraints() if t.exists() else {}
+
+
 class _VTBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool):
         self.root = options.get("path")
@@ -265,9 +304,12 @@ class _VTBatchWriter(DataSourceArrowWriter):
             raise ValueError("versioned_table requires a table root path")
         self.overwrite = overwrite
         self.part_cols = _resolve_part_cols(self.root, options)
+        self.cons = _resolve_constraints(self.root)
 
     def write(self, iterator):
-        return _write_partition(self.root, iterator, self.part_cols)
+        return _write_partition(
+            self.root, iterator, self.part_cols, self.cons
+        )
 
     def commit(self, messages):
         files = [f for m in messages if m is not None for f in m.files]
@@ -302,6 +344,9 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         # queries append to one table without confusing their epochs
         self.sink_id = options.get("sinkId", "default")
         self.part_cols = _resolve_part_cols(self.root, options)
+        # resolved once at stream start: a constraint added MID-stream
+        # applies from the next (re)start, like Delta's per-query snap
+        self.cons = _resolve_constraints(self.root)
         self._last: int | None = None
         self._scanned = False
 
@@ -329,7 +374,9 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         return None
 
     def write(self, iterator):
-        return _write_partition(self.root, iterator, self.part_cols)
+        return _write_partition(
+            self.root, iterator, self.part_cols, self.cons
+        )
 
     def commit(self, messages, batchId: int):
         if not self._scanned:

@@ -2104,3 +2104,99 @@ def test_optimize_clustering_observable(spark, tmp_path):
     assert (
         t.optimize(spark, small_bytes=1, max_dirs=64, cluster_by="k") == []
     )
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """CHECK constraints (SQL semantics: only FALSE violates, NULL
+    passes): declared at create or added later as metadata-only
+    commits after full-snapshot validation; enforced on append/
+    overwrite/merge BEFORE any manifest publish; rename/drop of a
+    referenced column refused; carried by checkpoints across
+    clean_metadata."""
+    from python_etl_spark.sinks.table import ConstraintViolationError
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    # create-time validation refuses a violating initial frame
+    with pytest.raises(ConstraintViolationError, match="pos_v"):
+        t.create(
+            spark.createDataFrame([(1, -5)], "k long, v long"),
+            constraints={"pos_v": "v > 0"},
+        )
+    assert not t.exists()
+    t.create(
+        spark.createDataFrame([(1, 5), (2, None)], "k long, v long"),
+        constraints={"pos_v": "v > 0"},  # NULL v passes (SQL CHECK)
+    )
+    assert t.constraints() == {"pos_v": "v > 0"}
+    # violating append refused, table unchanged
+    with pytest.raises(ConstraintViolationError, match="pos_v"):
+        t.append(spark.createDataFrame([(3, 0)], "k long, v long"))
+    assert t.row_count() == 2
+    t.append(spark.createDataFrame([(3, 7)], "k long, v long"))
+    # add_constraint validates the CURRENT snapshot first
+    with pytest.raises(ConstraintViolationError, match="small_k"):
+        t.add_constraint("small_k", "k < 3")
+    t.add_constraint("small_k", "k < 100")
+    assert sorted(t.constraints()) == ["pos_v", "small_k"]
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("small_k", "k < 50")
+    # a merge writing a violating value is refused pre-publish
+    with pytest.raises(ConstraintViolationError, match="pos_v"):
+        t.merge(
+            spark.createDataFrame([(1, -100)], "k long, v long"),
+            keys=["k"],
+        )
+    assert t.read(spark).where("v < 0").count() == 0
+    # overwrite enforces too
+    with pytest.raises(ConstraintViolationError, match="small_k"):
+        t.overwrite(spark.createDataFrame([(500, 1)], "k long, v long"))
+    # rename/drop of a referenced column is refused loudly
+    with pytest.raises(ValueError, match="pos_v"):
+        t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="pos_v"):
+        t.drop_column("v")
+    # drop_constraint frees the column and the writes
+    t.drop_constraint("pos_v")
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("pos_v")
+    t.append(spark.createDataFrame([(4, -1)], "k long, v long"))
+    assert t.constraints() == {"small_k": "k < 100"}
+    # checkpoint carry: roll past the interval, drop old manifests —
+    # a fresh handle still resolves the constraint set
+    t2 = VersionedTable(root, checkpoint_interval=2)
+    for i in range(5, 11):
+        t2.append(spark.createDataFrame([(i, 1)], "k long, v long"))
+    t2.clean_metadata()
+    assert VersionedTable(root).constraints() == {"small_k": "k < 100"}
+    with pytest.raises(ConstraintViolationError, match="small_k"):
+        VersionedTable(root).append(
+            spark.createDataFrame([(200, 1)], "k long, v long")
+        )
+
+
+def test_check_constraints_sink_face(spark, tmp_path):
+    """The registered sink enforces the table's constraints executor-
+    side (DuckDB over the task's Arrow batch) before any file lands."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame([(1, 5)], "k long, v long"),
+        constraints={"pos_v": "v > 0"},
+    )
+    with pytest.raises(Exception, match="pos_v"):
+        spark.createDataFrame(
+            [(2, -1)], "k long, v long"
+        ).write.format("versioned_table").option("path", root).mode(
+            "append"
+        ).save()
+    assert t.row_count() == 1
+    spark.createDataFrame([(2, 2)], "k long, v long").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    assert t.row_count() == 2
