@@ -171,3 +171,69 @@ def morton_decode(code: Column, bits: int = 16) -> tuple[Column, Column]:
     property-tested in tests/test_bucketing.py)."""
     _check_bits(bits)
     return _unspread(code), _unspread(F.shiftright(code.cast("long"), 1))
+
+
+def zorder_quantile(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """Z-order clustering for ARBITRARY numeric/date/timestamp
+    columns: each column is first reduced to a quantile bucket id in
+    ``[0, 2^bits)`` (one driver-bounded ``approxQuantile`` sample per
+    column — the Delta OPTIMIZE ZORDER range-id idea), the ids are
+    bit-interleaved, and the frame is range-partitioned + sorted on
+    the code. Quantile bucketing (not min/max linear scaling) keeps
+    the Z-curve balanced under skew: every bucket holds ~1/2^bits of
+    the rows, so every output file is a tight hyper-rectangle even
+    when one key is power-law distributed.
+
+    NULLs land in the top bucket (documented; layout-only — never a
+    correctness concern). String columns are refused loudly: a
+    lexicographic prefix has no bounded-width rank. One shuffle."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (sort for one)")
+    B = 1 << bits
+    types = dict(df.dtypes)
+    num = df
+    tmp = []
+    for c in cols:
+        dt = types.get(c)
+        if dt is None:
+            raise ValueError(f"no column '{c}' in {sorted(types)}")
+        col = F.col(c)
+        if dt == "date":
+            col = F.datediff(col, F.lit("1970-01-01").cast("date"))
+        elif dt == "string" or dt.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"zorder_quantile on '{c}' ({dt}): only numeric/"
+                f"date/timestamp columns have bounded-width ranks"
+            )
+        num = num.withColumn(f"__zq_{c}", col.cast("double"))
+        tmp.append(f"__zq_{c}")
+    # one pass, all columns: B-1 quantile boundaries each, sampled to
+    # a driver-bounded sketch (Greenwald-Khanna inside Spark)
+    qs = num.stat.approxQuantile(
+        tmp, [i / B for i in range(1, B)], 1.0 / (4 * B)
+    )
+    from pyspark.ml.feature import Bucketizer
+
+    splits = [
+        [float("-inf")] + sorted(set(q)) + [float("inf")] for q in qs
+    ]
+    bucketed = Bucketizer(
+        inputCols=tmp,
+        outputCols=[f"{t}_b" for t in tmp],
+        splitsArray=splits,
+        handleInvalid="keep",  # null/NaN -> one extra bucket, clamped
+    ).transform(num)
+    ids = [
+        F.least(F.col(f"{t}_b").cast("long"), F.lit(B - 1)) for t in tmp
+    ]
+    coded = bucketed.withColumn("__z", morton_code_n(ids, bits))
+    return (
+        coded.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *tmp, *[f"{t}_b" for t in tmp])
+    )

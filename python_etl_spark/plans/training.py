@@ -3518,3 +3518,86 @@ def etl_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _zorder_source(spark: SparkSession, sf_dir: str):
+    """Z-order fixture: orders keyed by (k=orderkey, c=custkey),
+    created row-ordered in 4 files (custkey ranges full-domain in
+    every file), then optimize(cluster_by=[k, c]) rewrites Z-ordered.
+    Re-entrant: the provenance skip makes the second optimize a
+    no-op."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("zord", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_zord_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("c"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            ).repartition(4)
+        )
+    if t.latest_version() < 1:
+        acts = t.optimize(
+            spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+        )
+        if [a["action"] for a in acts] != ["compact_zorder"]:
+            raise RuntimeError(
+                f"expected one compact_zorder action, got {acts}"
+            )
+    return t
+
+
+@register(
+    "etl_optimize_zorder",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders WHERE o_custkey BETWEEN 100 AND 300
+GROUP BY 1
+""",
+)
+def etl_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered compaction driven by the optimize() planner,
+    certified end-to-end: the planner reads per-file footer ranges
+    (metadata-only), sees every file spanning the full custkey domain,
+    and rewrites on the interleaved quantile-bucket code of
+    (orderkey, custkey); the query then answers a custkey range via
+    read_pruned over the SECOND dimension — file-skipping that a
+    lexicographic sort cannot give — and re-filters exactly, so a
+    pruning false-negative (lost rows) breaks the hash against the
+    whole-orders oracle.
+
+    Scale posture: the rewrite is ONE shuffle (range-partition on the
+    code); the trigger and the pruning are manifest/footer metadata
+    only; clustering provenance in the commit meta stops the nightly
+    planner from re-clustering an unchanged snapshot."""
+    t = _zorder_source(spark, sf_dir)
+    pruned = t.read_pruned(spark, "c", lo=100, hi=300)
+    n_all = len(t.read(spark).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    if not n_pruned < n_all:
+        raise RuntimeError(
+            f"z-order pruning ineffective: {n_pruned}/{n_all} files"
+        )
+    return (
+        pruned.where(F.col("c").between(100, 300))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("amount"),
+        )
+    )

@@ -1740,6 +1740,7 @@ class VersionedTable:
         spark: SparkSession | None = None,
         sort_by: list[str] | None = None,
         n_files: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot into ONE commit dir (keeping
         the hive layout). A long-lived incremental table accretes one
@@ -1756,20 +1757,44 @@ class VersionedTable:
         and sort within partitions, so each output file / row group
         covers a TIGHT range of the sort key — parquet row-group
         min-max pruning and :meth:`read_pruned`'s dir skipping both
-        sharpen. Pass a precomputed z-order/morton column (see
-        operators/layout.zorder_by) for multi-dimensional clustering."""
+        sharpen.
+
+        ``zorder_by`` is the MULTI-dimensional clustering knob: rows
+        are ordered on the bit-interleaved quantile-bucket code of the
+        named columns (operators/layout.zorder_quantile), so every
+        output file is a tight bounding box in EVERY named dimension
+        and a predicate on ANY of them prunes — a lexicographic
+        ``sort_by=[a, b]`` gives perfect pruning on ``a`` and none on
+        ``b``. Same single shuffle as ``sort_by``."""
         spark = spark or SparkSession.getActiveSession()
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             base = self.read(spark, cur["version"])
-            if sort_by:
+            if zorder_by:
+                from python_etl_spark.operators.layout import (
+                    zorder_quantile,
+                )
+
+                base = zorder_quantile(base, zorder_by, n_files or 8)
+            elif sort_by:
                 base = base.repartitionByRange(
                     n_files or 8, *sort_by
                 ).sortWithinPartitions(*sort_by)
             v = cur["version"] + 1
             d = self._write_data(base, self.partition_columns() or None)
+            # clustering provenance: optimize() skips re-clustering a
+            # snapshot that IS the output of this exact clustering —
+            # per-column overlap of a multi-dim Z layout never reaches
+            # a single-sort's near-zero, so the raw observable alone
+            # would re-trigger every night on an unchanged table
+            m = dict(cur.get("meta") or {})
+            m.pop("clustered_by", None)
+            if zorder_by or sort_by:
+                m["clustered_by"] = list(zorder_by or sort_by)
             try:
-                return self._commit([d], "compact", v, cur.get("meta"))
+                return self._commit([d], "compact", v, m or None)
             except CommitConflictError:
                 if attempt == self.max_retries:
                     raise
@@ -2002,7 +2027,7 @@ class VersionedTable:
         max_dirs: int = 16,
         dv_ratio: float = 0.10,
         vacuum_grace: float | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         overlap_threshold: float = 0.5,
     ) -> list[dict]:
         """MAINTENANCE PLANNER (r10 verdict #6): one entrypoint that
@@ -2018,12 +2043,14 @@ class VersionedTable:
           (:meth:`compact_bins`);
         * dir-count — more than ``max_dirs`` dirs even after
           bin-packing: full :meth:`compact` (the union-scan liability);
-        * clustering drift — with ``cluster_by``: when more than
-          ``overlap_threshold`` of file pairs' footer ranges for the
-          column intersect (metadata-only sweep over file_stats),
-          rewrite clustered (:meth:`compact` with ``sort_by``) so
-          range reads and per-file pruning sharpen again — the Delta
-          OPTIMIZE ZORDER trigger, decided from the manifest alone;
+        * clustering drift — with ``cluster_by`` (a column or a LIST
+          of columns): when more than ``overlap_threshold`` of file
+          pairs' footer ranges for the worst column intersect
+          (metadata-only sweep over file_stats), rewrite clustered —
+          range sort for one column, quantile-bucketed Z-ORDER for
+          several (every file becomes a tight bounding box in every
+          dimension) — the Delta OPTIMIZE ZORDER trigger, decided
+          from the manifest alone;
         * metadata growth — manifest files exceed 2x the checkpoint
           interval: :meth:`checkpoint` + :meth:`clean_metadata`;
         * optionally ``vacuum_grace`` (seconds): sweep unreachable
@@ -2054,17 +2081,44 @@ class VersionedTable:
                         }
                     )
         if cluster_by:
+            # one column -> range sort; several -> Z-order (the worst
+            # column's overlap decides: a layout is only as good as
+            # the dimension reads actually filter on)
+            ccols = (
+                [cluster_by]
+                if isinstance(cluster_by, str)
+                else list(cluster_by)
+            )
             cur = self._read_manifest()
-            ov = self._clustering_overlap(cur, cluster_by)
-            if ov is not None and ov >= overlap_threshold:
-                v = self.compact(spark, sort_by=[cluster_by])
+            already = (
+                cur.get("op") == "compact"
+                and cur.get("meta", {}).get("clustered_by") == ccols
+            )
+            ovs = {
+                c: self._clustering_overlap(cur, c) for c in ccols
+            }
+            known = {c: o for c, o in ovs.items() if o is not None}
+            if (
+                not already
+                and known
+                and max(known.values()) >= overlap_threshold
+            ):
+                worst = max(known, key=known.get)
+                if len(ccols) == 1:
+                    v = self.compact(spark, sort_by=ccols)
+                else:
+                    v = self.compact(spark, zorder_by=ccols)
                 actions.append(
                     {
-                        "action": "compact_clustered",
+                        "action": (
+                            "compact_clustered"
+                            if len(ccols) == 1
+                            else "compact_zorder"
+                        ),
                         "version": v,
                         "reason": (
-                            f"{ov:.0%} of file pairs overlap on "
-                            f"'{cluster_by}' (threshold "
+                            f"{known[worst]:.0%} of file pairs "
+                            f"overlap on '{worst}' (threshold "
                             f"{overlap_threshold:.0%})"
                         ),
                     }

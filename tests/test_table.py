@@ -2200,3 +2200,84 @@ def test_check_constraints_sink_face(spark, tmp_path):
         "versioned_table"
     ).option("path", root).mode("append").save()
     assert t.row_count() == 2
+
+
+def test_zorder_compact_multi_dim_pruning(spark, tmp_path):
+    """compact(zorder_by=[k, c]): row-preserving rewrite where EVERY
+    named dimension gets tight per-file bounding boxes — the
+    lexicographic sort_by=[k, c] control shows why: with unique k the
+    secondary never kicks in, so c-ranges stay full-domain and a c
+    predicate prunes nothing."""
+    df = spark.range(0, 4000).selectExpr(
+        "id AS k",
+        "CAST((id * 2654435761) % 100003 AS BIGINT) AS c",
+        "id AS v",
+    )
+    # control: lexicographic
+    lex = VersionedTable(str(tmp_path / "lex"))
+    lex.create(df.repartition(4))
+    lex.compact(spark, sort_by=["k", "c"])
+    m = lex._read_manifest()
+    assert lex._clustering_overlap(m, "k") < 0.3
+    assert lex._clustering_overlap(m, "c") > 0.8  # un-clustered dim
+    # z-order: both dims tight
+    zt = VersionedTable(str(tmp_path / "z"))
+    zt.create(df.repartition(4))
+    before = sorted(
+        (r.k, r.c, r.v) for r in zt.read(spark).collect()
+    )
+    zt.compact(spark, zorder_by=["k", "c"], n_files=16)
+    mz = zt._read_manifest()
+    # both dims substantially clustered (vs 0.8+ for the control's
+    # un-clustered dim); z-segments are not axis-aligned boxes, so
+    # neither reaches a pure single-column sort's near-zero
+    assert zt._clustering_overlap(mz, "k") < 0.7
+    assert zt._clustering_overlap(mz, "c") < 0.7
+    after = sorted((r.k, r.c, r.v) for r in zt.read(spark).collect())
+    assert after == before  # row-preserving
+    # file-level pruning now works on the SECOND dimension
+    pruned = zt.read_pruned(spark, "c", lo=0, hi=5000)
+    n_all = len(zt.read(spark).inputFiles())
+    assert len(pruned.inputFiles()) < n_all
+    expect = sorted(
+        (r.k, r.c) for r in zt.read(spark).where(
+            F.col("c").between(0, 5000)
+        ).collect()
+    )
+    got = sorted(
+        (r.k, r.c)
+        for r in pruned.where(F.col("c").between(0, 5000)).collect()
+    )
+    assert got == expect
+    # strings refused loudly; both knobs at once refused
+    with pytest.raises(ValueError, match="bounded-width"):
+        from python_etl_spark.operators.layout import zorder_quantile
+
+        zorder_quantile(
+            df.selectExpr("k", "CAST(c AS STRING) AS c"), ["k", "c"]
+        )
+    with pytest.raises(ValueError, match="not both"):
+        zt.compact(spark, sort_by=["k"], zorder_by=["k", "c"])
+
+
+def test_optimize_zorder_trigger(spark, tmp_path):
+    """optimize(cluster_by=[a, b]) reads multi-column clustering
+    quality from footer ranges and rewrites Z-ordered exactly when
+    the worst dimension passes the threshold; a healthy table
+    no-ops."""
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(4))
+    acts = t.optimize(
+        spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+    )
+    assert [a["action"] for a in acts] == ["compact_zorder"]
+    assert (
+        t.optimize(
+            spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+        )
+        == []
+    )
+    assert t.row_count() == 3000
