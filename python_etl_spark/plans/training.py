@@ -3601,3 +3601,70 @@ def etl_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("amount"),
         )
     )
+
+
+def _clone_source(spark: SparkSession, sf_dir: str):
+    """Shallow-clone fixture: source = even orderkeys, clone it
+    (zero-copy), append the odd orderkeys ONLY to the clone — the
+    clone must see all orders while the source still holds exactly
+    the evens (divergence both asserted here and hash-certified by
+    the oracle). Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("clone", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_clone_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    src = VersionedTable(os.path.join(root, "source"))
+    if not src.exists():
+        src.create(base.where(F.col("k") % 2 == 0))
+    cl = VersionedTable(os.path.join(root, "clone"))
+    if not cl.exists():
+        cl = src.clone(cl.root)
+    if cl.latest_version() < 1:
+        cl.append(base.where(F.col("k") % 2 == 1))
+    # divergence invariant: the source never sees the clone's append
+    if src.latest_version() != 0:
+        raise RuntimeError("clone write leaked into the source")
+    return cl
+
+
+@register(
+    "etl_clone_divergence",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE certified end-to-end: the clone's v0 references
+    the source snapshot's dirs by path (zero bytes copied — an
+    O(metadata) commit however large the table), then an append lands
+    only under the clone's root. The query reads the diverged clone:
+    if the clone missed source rows (broken reference carry) or the
+    append leaked into the source (broken isolation, asserted in the
+    fixture), the whole-orders hash breaks.
+
+    Scale posture: cloning a 100 TB table costs one manifest write;
+    skipping stats, blooms, deletion vectors, and evolution state
+    carry over, so reads on the clone plan identically to the
+    source's."""
+    t = _clone_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

@@ -721,6 +721,13 @@ class VersionedTable:
                 cons[ev["name"]] = ev["expr"]
             if meta.get("constraint_drop"):
                 cons.pop(meta["constraint_drop"], None)
+            if meta.get("clone_state"):
+                cs = meta["clone_state"]
+                evolved = bool(cs.get("schema_evolved"))
+                schema_json = cs.get("schema_json")
+                renames[:] = list(cs.get("renames") or [])
+                drops[:] = list(cs.get("drops") or [])
+                cons = dict(cs.get("constraints") or {})
 
         start = commits[-1]["version"] + 1 if commits else 0
         for i in range(start, version):
@@ -1828,6 +1835,79 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def clone(
+        self, dest_root: str, version: int | None = None
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (Delta ``CLONE``'s zero-copy shape): a NEW
+        table whose v0 references the source snapshot's data dirs
+        BY PATH — no byte is copied, the commit is O(metadata). The
+        clone carries the source's resolved evolution state (widened
+        schema, rename mapping as its event chain, retired names),
+        constraints, deletion vectors, hive layout, bloom keys, and
+        skipping stats, so every read/write path behaves exactly as
+        on the source at that version. Writes then DIVERGE: the
+        clone's own commits land under ``dest_root`` and never touch
+        the source; the source keeps evolving independently.
+
+        The clone's own ``vacuum`` can never sweep source dirs (it
+        walks only the clone's root). The documented hazard is the
+        mirror one — Delta's too: ``vacuum`` ON THE SOURCE removes
+        dirs a clone still references once the source itself no
+        longer does (post-compact). Clone history starts at the clone
+        (time travel below v0 stays with the source)."""
+        if os.path.abspath(dest_root) == os.path.abspath(self.root):
+            raise ValueError("clone target is the source itself")
+        dst = VersionedTable(
+            dest_root,
+            max_retries=self.max_retries,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        if dst.exists():
+            raise RuntimeError(f"table already exists at {dest_root}")
+        v = self.latest_version() if version is None else version
+        src = self._read_manifest(v)
+        evolved, wjson, mapping, drops, cons = self._evolution_state(v)
+        events = []
+        for logical, olds in mapping.items():
+            chain = list(reversed(olds)) + [logical]
+            events.extend(
+                {"from": a, "to": b} for a, b in zip(chain, chain[1:])
+            )
+        m: dict = {
+            "cloned_from": {"root": self.root, "version": v},
+            "clone_state": {
+                "schema_evolved": evolved,
+                "schema_json": wjson,
+                "renames": events,
+                "drops": sorted(drops),
+                "constraints": cons,
+            },
+        }
+        pby = self.partition_columns()
+        if pby:
+            m["partition_by"] = pby
+        bkeys = self.bloom_columns()
+        if bkeys:
+            m["bloom_keys"] = bkeys
+        try:
+            dst._commit(
+                src["data_dirs"],
+                "create",
+                0,
+                m,
+                num_rows=self.row_count(v),
+                carry_stats=src.get("dir_stats"),
+                dvs=src.get("dvs"),
+                carry_blooms=src.get("dir_blooms"),
+                carry_files=src.get("file_stats"),
+            )
+        except CommitConflictError:
+            raise RuntimeError(
+                f"table already exists at {dest_root} "
+                f"(lost create race to a concurrent writer)"
+            ) from None
+        return dst
+
     def read_pruned(
         self,
         spark: SparkSession,
@@ -2637,6 +2717,16 @@ class VersionedTable:
                 cons[ev["name"]] = ev["expr"]
             if meta.get("constraint_drop"):
                 cons.pop(meta["constraint_drop"], None)
+            if meta.get("clone_state"):
+                # a shallow clone's v0 INITIALIZES the evolution facts
+                # to the source's resolved state (renames re-expressed
+                # as the event chain, so the fold below is uniform)
+                cs = meta["clone_state"]
+                evolved = bool(cs.get("schema_evolved"))
+                schema_json = cs.get("schema_json")
+                events = list(cs.get("renames") or [])
+                drops = set(cs.get("drops") or [])
+                cons = dict(cs.get("constraints") or {})
         mapping: dict[str, list[str]] = {}
         for ev in events:
             mapping[ev["to"]] = [ev["from"]] + mapping.pop(ev["from"], [])

@@ -2281,3 +2281,82 @@ def test_optimize_zorder_trigger(spark, tmp_path):
         == []
     )
     assert t.row_count() == 3000
+
+
+def test_shallow_clone_zero_copy_divergence(spark, tmp_path):
+    """clone(): zero-copy v0 referencing the source dirs by path,
+    carrying evolution state (rename), constraints, and deletion
+    vectors; writes then diverge both ways; the clone's vacuum can
+    never sweep source dirs."""
+    import os as _os
+
+    from python_etl_spark.sinks.table import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    src_root = str(tmp_path / "src")
+    src = VersionedTable(src_root)
+    src.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, qty long"
+        ),
+        constraints={"pos_qty": "qty > 0"},
+    )
+    src.drop_constraint("pos_qty")  # referenced-column rename guard
+    src.rename_column("qty", "amount")
+    src.add_constraint("pos_amount", "amount > 0")
+    src.delete_where(
+        F.col("k") == 2, merge_on_read=True
+    )  # live DV carried into the clone
+    cl_root = str(tmp_path / "cl")
+    cl = src.clone(cl_root)
+    # no parquet byte was copied under the clone
+    copied = [
+        f
+        for r, _d, fs in _os.walk(cl_root)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert copied == []
+    assert sorted(
+        (r.k, r.amount) for r in cl.read(spark).collect()
+    ) == [(1, 10), (3, 30)]
+    assert cl.row_count() == 2  # metadata-only, DV-adjusted
+    assert cl.constraints() == {"pos_amount": "amount > 0"}
+    # constraint enforced on the clone's own writes
+    with pytest.raises(ConstraintViolationError, match="pos_amount"):
+        cl.append(
+            spark.createDataFrame([(9, -1)], "k long, amount long")
+        )
+    # divergence: clone append invisible to source, and vice versa
+    cl.append(spark.createDataFrame([(4, 40)], "k long, amount long"))
+    src.append(spark.createDataFrame([(5, 50)], "k long, amount long"))
+    assert sorted(r.k for r in cl.read(spark).collect()) == [1, 3, 4]
+    assert sorted(r.k for r in src.read(spark).collect()) == [1, 3, 5]
+    # clone vacuum sweeps nothing of the source
+    n_src_files = sum(
+        len(fs) for _r, _d, fs in _os.walk(_os.path.join(src_root, "data"))
+    )
+    cl.vacuum(0)
+    assert (
+        sum(
+            len(fs)
+            for _r, _d, fs in _os.walk(_os.path.join(src_root, "data"))
+        )
+        == n_src_files
+    )
+    assert sorted(r.k for r in cl.read(spark).collect()) == [1, 3, 4]
+    # rename mapping survives the clone's own checkpoint cycle
+    cl2 = VersionedTable(cl_root, checkpoint_interval=2)
+    for i in range(6, 10):
+        cl2.append(
+            spark.createDataFrame([(i, i * 10)], "k long, amount long")
+        )
+    cl2.clean_metadata()
+    fresh = VersionedTable(cl_root)
+    assert fresh.read(spark).columns == ["k", "amount"]
+    assert fresh.constraints() == {"pos_amount": "amount > 0"}
+    # cloning onto an existing table is refused
+    with pytest.raises(RuntimeError, match="already exists"):
+        src.clone(cl_root)
