@@ -3668,3 +3668,227 @@ def etl_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+_THETA_K = 128
+_THETA_R = 1 << 40  # 10 md5 hex digits: portable 40-bit member hash
+
+
+@register(
+    "events_audience_theta",
+    oracle=rf"""
+WITH du AS (
+  SELECT DISTINCT event_type AS t,
+    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+         AS BIGINT) AS h
+  FROM events
+),
+kept AS (
+  SELECT t, h FROM (
+    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS r
+    FROM du
+  ) WHERE r <= {_THETA_K}
+),
+st AS (
+  SELECT t, COUNT(*) AS nk, MAX(h) AS hmax,
+    CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(h)
+         ELSE {_THETA_R} END AS theta
+  FROM kept GROUP BY t
+),
+single AS (
+  SELECT k.t, s.theta, COUNT(*) AS ret
+  FROM kept k JOIN st s ON s.t = k.t AND k.h < s.theta
+  GROUP BY k.t, s.theta
+),
+pr AS (
+  SELECT a.t AS ta, b.t AS tb,
+    CASE WHEN a.theta < b.theta THEN a.theta ELSE b.theta END AS theta_ab
+  FROM st a JOIN st b ON a.t < b.t
+),
+um AS (
+  SELECT DISTINCT p.ta, p.tb, k.h, p.theta_ab
+  FROM pr p JOIN kept k ON (k.t = p.ta OR k.t = p.tb)
+    AND k.h < p.theta_ab
+),
+ur AS (
+  SELECT ta, tb, h, theta_ab,
+    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+  FROM um
+),
+ukept AS (SELECT * FROM ur WHERE r <= {_THETA_K}),
+ust AS (
+  SELECT ta, tb, theta_ab, COUNT(*) AS nk, MAX(h) AS hmax,
+    CASE WHEN COUNT(*) >= {_THETA_K} THEN MAX(h)
+         ELSE theta_ab END AS theta_u
+  FROM ukept GROUP BY ta, tb, theta_ab
+),
+uni AS (
+  SELECT u.ta, u.tb, s.theta_u, COUNT(*) AS ret
+  FROM ukept u JOIN ust s ON s.ta = u.ta AND s.tb = u.tb
+    AND u.h < s.theta_u
+  GROUP BY u.ta, u.tb, s.theta_u
+),
+inter AS (
+  SELECT p.ta, p.tb, COUNT(*) AS ret
+  FROM pr p
+  JOIN kept a ON a.t = p.ta AND a.h < p.theta_ab
+  JOIN kept b ON b.t = p.tb AND b.h = a.h
+  GROUP BY p.ta, p.tb
+),
+diff AS (
+  SELECT p.ta, p.tb, COUNT(*) AS ret
+  FROM pr p
+  JOIN kept a ON a.t = p.ta AND a.h < p.theta_ab
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kept b WHERE b.t = p.tb AND b.h = a.h
+  )
+  GROUP BY p.ta, p.tb
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+  CAST((sa.ret * {_THETA_R}) // sa.theta AS BIGINT) AS est_a,
+  CAST((sb.ret * {_THETA_R}) // sb.theta AS BIGINT) AS est_b,
+  CAST((u.ret * {_THETA_R}) // u.theta_u AS BIGINT) AS est_union,
+  CAST((COALESCE(i.ret, 0) * {_THETA_R}) // p.theta_ab AS BIGINT)
+    AS est_intersect,
+  CAST((COALESCE(d.ret, 0) * {_THETA_R}) // p.theta_ab AS BIGINT)
+    AS est_diff
+FROM pr p
+JOIN single sa ON sa.t = p.ta
+JOIN single sb ON sb.t = p.tb
+JOIN uni u ON u.ta = p.ta AND u.tb = p.tb
+LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+LEFT JOIN diff d ON d.ta = p.ta AND d.tb = p.tb
+""",
+)
+def events_audience_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA-SKETCH audience set algebra: per event-type pair, the
+    estimated audience sizes plus UNION, INTERSECTION and DIFFERENCE
+    — the set operations HLL cannot give (inclusion-exclusion
+    degrades catastrophically for small intersections; theta sketches
+    intersect natively, the DataSketches company-metrics workhorse).
+    KMV construction: each member's 40-bit md5-derived hash, the K
+    smallest per audience kept; theta = the K-th smallest when
+    saturated (else 1.0), estimate = retained * R / theta, integer
+    division end-to-end — the oracle replays the identical sketch, so
+    the driver check is an exact hash match, while the pytest bounds
+    the estimates against exact set sizes.
+
+    Scale posture: ONE distinct shuffle over (type, member-hash) and
+    one same-key window keep only K rows per audience; every later
+    op touches <= K x |types| rows (broadcast joins) — at 100 TB the
+    sketch build is the only pass over data, exactly how a real
+    DataSketches aggregation behaves."""
+    K, R = _THETA_K, _THETA_R
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    du = ev.select(F.col("event_type").alias("t"), h.alias("h")).distinct()
+    w = Window.partitionBy("t").orderBy("h")
+    kept = (
+        du.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= K)
+        .drop("r")
+    )
+    kept = kept.persist()
+    st = kept.groupBy("t").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hmax")
+    ).withColumn(
+        "theta",
+        F.when(F.col("nk") >= K, F.col("hmax")).otherwise(F.lit(R)),
+    )
+    single = (
+        kept.join(F.broadcast(st), "t")
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("t", "theta")
+        .agg(F.count(F.lit(1)).alias("ret"))
+        .select("t", "theta", "ret")
+    )
+    sa = st.select(F.col("t").alias("ta"), F.col("theta").alias("th_a"))
+    sb = st.select(F.col("t").alias("tb"), F.col("theta").alias("th_b"))
+    pr = (
+        sa.crossJoin(sb)
+        .where(F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("th_a", "th_b").alias("theta_ab"))
+    )
+    ka = kept.select(F.col("t").alias("ta"), "h")
+    kb = kept.select(F.col("t").alias("tb"), "h")
+    um = (
+        pr.join(ka, "ta")
+        .select("ta", "tb", "h", "theta_ab")
+        .unionByName(pr.join(kb, "tb").select("ta", "tb", "h", "theta_ab"))
+        .where(F.col("h") < F.col("theta_ab"))
+        .dropDuplicates(["ta", "tb", "h"])
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    ukept = (
+        um.withColumn("r", F.row_number().over(wu))
+        .where(F.col("r") <= K)
+        .drop("r")
+    )
+    ust = ukept.groupBy("ta", "tb", "theta_ab").agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hmax")
+    ).withColumn(
+        "theta_u",
+        F.when(F.col("nk") >= K, F.col("hmax")).otherwise(
+            F.col("theta_ab")
+        ),
+    )
+    uni = (
+        ukept.join(
+            F.broadcast(ust.select("ta", "tb", "theta_u")), ["ta", "tb"]
+        )
+        .where(F.col("h") < F.col("theta_u"))
+        .groupBy("ta", "tb", "theta_u")
+        .agg(F.count(F.lit(1)).alias("ret"))
+    )
+    below = pr.join(ka, "ta").where(F.col("h") < F.col("theta_ab"))
+    inter = (
+        below.join(kb, ["tb", "h"])
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ret_i"))
+    )
+    diff = (
+        below.join(kb, ["tb", "h"], "left_anti")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("ret_d"))
+    )
+    out = (
+        pr.join(
+            F.broadcast(
+                single.select(
+                    F.col("t").alias("ta"),
+                    F.col("theta").alias("theta_a"),
+                    F.col("ret").alias("ret_a"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                single.select(
+                    F.col("t").alias("tb"),
+                    F.col("theta").alias("theta_b"),
+                    F.col("ret").alias("ret_b"),
+                )
+            ),
+            "tb",
+        )
+        .join(F.broadcast(uni), ["ta", "tb"])
+        .join(F.broadcast(inter), ["ta", "tb"], "left")
+        .join(F.broadcast(diff), ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.expr(f"(ret_a * {R}) div theta_a").alias("est_a"),
+            F.expr(f"(ret_b * {R}) div theta_b").alias("est_b"),
+            F.expr(f"(ret * {R}) div theta_u").alias("est_union"),
+            F.expr(
+                f"(coalesce(ret_i, 0) * {R}) div theta_ab"
+            ).alias("est_intersect"),
+            F.expr(
+                f"(coalesce(ret_d, 0) * {R}) div theta_ab"
+            ).alias("est_diff"),
+        )
+    )
+    return out
