@@ -2993,7 +2993,10 @@ class VersionedTable:
                                 F.lit(i).cast("long"),
                             )
                         )
-            elif op in ("compact", "compact_bins", "rename", "drop"):
+            elif op in (
+                "compact", "compact_bins", "rename", "drop",
+                "add_constraint", "drop_constraint",
+            ):
                 pass  # row-preserving rewrite / metadata-only rename
                 # or drop: the feed is unaffected (pre-rename change
                 # files conform to the current names via the mapping;

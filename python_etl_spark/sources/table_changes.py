@@ -103,7 +103,10 @@ def _plan_partitions(
                         parts.append(
                             _ChangeFilePartition(f, "insert", v, renames)
                         )
-        elif op in ("compact", "compact_bins", "rename", "drop"):
+        elif op in (
+            "compact", "compact_bins", "rename", "drop",
+            "add_constraint", "drop_constraint",
+        ):
             pass  # row-preserving rewrite / metadata-only: no rows
         elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
             for f in _parquet_files(m["cdf_dir"]):

@@ -2360,3 +2360,34 @@ def test_shallow_clone_zero_copy_divergence(spark, tmp_path):
     # cloning onto an existing table is refused
     with pytest.raises(RuntimeError, match="already exists"):
         src.clone(cl_root)
+
+
+def test_feed_passes_through_constraint_commits(spark, tmp_path):
+    """add/drop_constraint are metadata-only: the row-level feed (both
+    the library face and the registered source's batch face) crosses
+    them contributing zero rows, like rename/drop."""
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 5)], "k long, v long"))
+    t.add_constraint("pos_v", "v > 0")
+    t.append(spark.createDataFrame([(2, 6)], "k long, v long"))
+    t.drop_constraint("pos_v")
+    t.append(spark.createDataFrame([(3, 7)], "k long, v long"))
+    feed = t.row_changes(spark, 0)
+    assert sorted(
+        (r.k, r._change_type, r._commit_version) for r in feed.collect()
+    ) == [(2, "insert", 2), (3, "insert", 4)]
+    src = (
+        spark.read.format("table_changes")
+        .option("startingVersion", 0)
+        .load(root)
+    )
+    assert sorted((r.k, r._commit_version) for r in src.collect()) == [
+        (2, 2),
+        (3, 4),
+    ]
