@@ -3892,3 +3892,74 @@ def events_audience_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _partev_source(spark: SparkSession, sf_dir: str):
+    """Partition-evolution fixture: v0 flat create (even orderkeys),
+    v1 metadata-only set_partitioning(priority), v2 append of the odd
+    orderkeys landing under the new hive layout — asserted on the
+    commit dir itself, so a silently-flat append fails the fixture
+    before the hash can pass. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("pev", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_pev_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(base.where(F.col("k") % 2 == 0))
+    if t.latest_version() < 1:
+        t.set_partitioning(["priority"])
+    if t.latest_version() < 2:
+        t.append(base.where(F.col("k") % 2 == 1))
+        new_dir = t._read_manifest()["data_dirs"][-1]
+        if not any(
+            d.startswith("priority=") for d in os.listdir(new_dir)
+        ):
+            raise RuntimeError(
+                "post-evolution append did not use the new hive layout"
+            )
+    return t
+
+
+@register(
+    "etl_partition_evolution",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION certified end-to-end (the Iceberg headline
+    feature, manifest-side): the layout change is an O(1) metadata
+    commit — old dirs stay flat and untouched, the next append lands
+    hive-partitioned by priority (asserted on disk in the fixture),
+    and the snapshot read conforms both layouts per dir with the
+    types the evolution commit pinned. Lost rows from either layout,
+    or a priority column that changed type crossing from file bytes
+    to path encoding, break the whole-orders hash.
+
+    Scale posture: evolving the layout of a 100 TB table costs one
+    manifest write and rewrites nothing; post-evolution commits get
+    partition pruning on the new column immediately; compact()
+    materializes the layout table-wide when wanted."""
+    t = _partev_source(spark, sf_dir)
+    return t.read(spark).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

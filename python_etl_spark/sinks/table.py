@@ -931,13 +931,22 @@ class VersionedTable:
                 f"(lost create race to a concurrent writer)"
             ) from None
 
-    def partition_columns(self) -> list[str]:
-        """Partition layout recorded at create time (sticky: appends
-        reuse it so every commit dir shares one hive layout). Carried
-        forward by checkpoints so it survives clean_metadata dropping
-        the v0 manifest."""
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        """Partition layout in force at ``version`` (default latest):
+        the create-time layout unless a later :meth:`set_partitioning`
+        commit evolved it — new commits then land under the new hive
+        layout while old dirs keep theirs, and the per-dir
+        cast-conforming read unions both. Carried by checkpoints so it
+        survives clean_metadata dropping old manifests."""
         if not self.exists():
             return []
+        v = self.latest_version() if version is None else version
+        try:
+            pby = self._evolution_state(v)[5]
+            if pby is not None:
+                return list(pby)
+        except FileNotFoundError:
+            pass
         try:
             return (
                 self._read_manifest(0).get("meta", {}).get("partition_by", [])
@@ -947,6 +956,65 @@ class VersionedTable:
             if ckpt is not None:
                 return ckpt.get("partition_by", [])
             raise
+
+    def set_partitioning(self, cols: list[str] | None) -> int:
+        """EVOLVE the hive partition layout as a METADATA-ONLY commit
+        (Iceberg partition evolution, realized manifest-side): commits
+        AFTER this land under the new ``name=value`` layout, dirs
+        written before keep theirs untouched, and every snapshot read
+        conforms per dir — the commit records the current snapshot
+        schema as the cast target, so a column moving between
+        path-encoded and file-encoded keeps one type everywhere.
+        ``cols=[]``/``None`` un-partitions future commits. A later
+        :meth:`compact` rewrites the whole snapshot under the current
+        layout (the 'materialize the evolution' maintenance story).
+        The registered ``table_changes`` source and ``row_changes``
+        treat the commit as a re-baseline barrier (a feed cannot mix
+        two path layouts in one range); the appends-only ``changes``
+        face barriers like any non-append."""
+        spark = SparkSession.getActiveSession()
+        cols = list(cols or [])
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            have = self.partition_columns(cur["version"])
+            if cols == have:
+                raise ValueError(
+                    f"table is already partitioned by {cols}"
+                )
+            snap = self.read(spark, cur["version"]).schema
+            names = [f.name for f in snap.fields]
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"cannot partition by {missing}: not in the "
+                    f"snapshot schema {names}"
+                )
+            if len(set(cols)) != len(cols):
+                raise ValueError(f"duplicate partition columns: {cols}")
+            m = {
+                "partition_by_new": cols,
+                # pin every column's type: future dirs encode the new
+                # partition columns in paths (losing footer types) and
+                # old dirs already did so for the old layout — the
+                # recorded schema makes both read back identically
+                "schema_evolved": True,
+                "schema_json": snap.json(),
+            }
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "set_partitioning",
+                    cur["version"] + 1,
+                    m,
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
 
     def append(
         self,
@@ -1245,7 +1313,7 @@ class VersionedTable:
         never touched. Tables with no DVs take the exact scan shapes
         ``read`` always produced (multi-path scan / hive per-dir
         union), so existing plan-shape pins hold."""
-        evolved, wjson, renames, drops, _cons = self._evolution_state(
+        evolved, wjson, renames, drops, _cons, _pby = self._evolution_state(
             manifest["version"]
         )
         dvs = manifest.get("dvs", [])
@@ -1491,7 +1559,7 @@ class VersionedTable:
             from pyspark.sql.types import StructType
 
             cur = self._read_manifest()
-            evolved, _wj, _renames, _drops, _cons = self._evolution_state(
+            evolved, _wj, _renames, _drops, _cons, _pby = self._evolution_state(
                 cur["version"]
             )
             snap_schema = self.read(spark, cur["version"]).schema
@@ -1866,7 +1934,7 @@ class VersionedTable:
             raise RuntimeError(f"table already exists at {dest_root}")
         v = self.latest_version() if version is None else version
         src = self._read_manifest(v)
-        evolved, wjson, mapping, drops, cons = self._evolution_state(v)
+        evolved, wjson, mapping, drops, cons, _pby = self._evolution_state(v)
         events = []
         for logical, olds in mapping.items():
             chain = list(reversed(olds)) + [logical]
@@ -2338,7 +2406,7 @@ class VersionedTable:
             )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
-            evolved, _wj, _renames, _drops, _cons = self._evolution_state(
+            evolved, _wj, _renames, _drops, _cons, _pby = self._evolution_state(
                 cur["version"]
             )
             dirs = cur["data_dirs"]
@@ -2691,15 +2759,17 @@ class VersionedTable:
         checkpoint load + ONE manifest-tail pass: (evolved flag,
         newest widened schema_json, rename mapping {logical: [older
         names, newest first]}, dropped-name set, constraint dict
-        {name: check expr}). Every read needs several of these —
-        walking the tail once per read instead of once per fact keeps
-        manifest opens O(interval), not O(facts x interval)."""
+        {name: check expr}, partition layout or None if never
+        declared). Every read needs several of these — walking the
+        tail once per read instead of once per fact keeps manifest
+        opens O(interval), not O(facts x interval)."""
         ckpt = self._latest_checkpoint(upto)
         evolved = bool(ckpt and ckpt.get("schema_evolved"))
         schema_json = ckpt.get("schema_json") if ckpt else None
         events = list(ckpt.get("renames") or []) if ckpt else []
         drops = set(ckpt.get("drops") or []) if ckpt else set()
         cons = dict(ckpt.get("constraints") or {}) if ckpt else {}
+        part_by = ckpt.get("partition_by") if ckpt else None
         start = ckpt["version"] + 1 if ckpt else 0
         for i in range(start, upto + 1):
             meta = self._read_manifest(i).get("meta", {})
@@ -2727,10 +2797,14 @@ class VersionedTable:
                 events = list(cs.get("renames") or [])
                 drops = set(cs.get("drops") or [])
                 cons = dict(cs.get("constraints") or {})
+            if meta.get("partition_by") is not None:
+                part_by = list(meta["partition_by"])  # create/clone v0
+            if meta.get("partition_by_new") is not None:
+                part_by = list(meta["partition_by_new"])  # evolution
         mapping: dict[str, list[str]] = {}
         for ev in events:
             mapping[ev["to"]] = [ev["from"]] + mapping.pop(ev["from"], [])
-        return evolved, schema_json, mapping, drops, cons
+        return evolved, schema_json, mapping, drops, cons, part_by
 
     def _widened_schema(self, upto: int) -> str | None:
         """The newest recorded widened-snapshot schema (StructType
@@ -2945,7 +3019,7 @@ class VersionedTable:
 
         if since_version == upto:
             return _empty()
-        evolved, _wj, renames, drops, _cons = self._evolution_state(upto)
+        evolved, _wj, renames, drops, _cons, _pby = self._evolution_state(upto)
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")

@@ -2391,3 +2391,110 @@ def test_feed_passes_through_constraint_commits(spark, tmp_path):
         (2, 2),
         (3, 4),
     ]
+
+
+def test_partition_evolution_metadata_only(spark, tmp_path):
+    """set_partitioning: commits after the (metadata-only) evolution
+    land under the new hive layout, old dirs keep theirs, snapshot
+    reads conform per dir with one type everywhere, new commits get
+    partition pruning on the new column, and compact materializes the
+    current layout. Feeds barrier at the evolution commit."""
+    import os as _os
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, cat string, v long"
+        )
+    )
+    assert t.partition_columns() == []
+    v = t.set_partitioning(["cat"])
+    assert t.partition_columns() == ["cat"]
+    assert t.partition_columns(version=v - 1) == []
+    # no byte moved: the evolution commit owns no new data dir
+    assert t._read_manifest(v)["data_dirs"] == t._read_manifest(0)[
+        "data_dirs"
+    ]
+    t.append(
+        spark.createDataFrame(
+            [(3, "a", 30), (4, "c", 40)], "k long, cat string, v long"
+        )
+    )
+    m = t._read_manifest()
+    new_dir = m["data_dirs"][-1]
+    assert sorted(
+        d for d in _os.listdir(new_dir) if d.startswith("cat=")
+    ) == ["cat=a", "cat=c"]
+    got = sorted((r.k, r.cat, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "c", 40)]
+    # merge across the mixed layout: update an old-dir row + insert
+    t.merge(
+        spark.createDataFrame(
+            [(2, "b", 99), (5, "d", 50)], "k long, cat string, v long"
+        ),
+        keys=["k"],
+    )
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 99), (3, 30), (4, 40), (5, 50)]
+    # un-partition again; future commits are flat
+    t.set_partitioning([])
+    assert t.partition_columns() == []
+    t.append(
+        spark.createDataFrame([(6, "e", 60)], "k long, cat string, v long")
+    )
+    flat_dir = t._read_manifest()["data_dirs"][-1]
+    assert not any(
+        d.startswith("cat=") for d in _os.listdir(flat_dir)
+    )
+    assert t.read(spark).count() == 6
+    # compact materializes the CURRENT (flat) layout over everything
+    t.compact(spark)
+    only = t._read_manifest()["data_dirs"]
+    assert len(only) == 1
+    assert not any(
+        d.startswith("cat=") for d in _os.listdir(only[0])
+    )
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+        (1, 10), (2, 99), (3, 30), (4, 40), (5, 50), (6, 60),
+    ]
+    # validation: unknown column, no-op layout
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        t.set_partitioning(["nope"])
+    with pytest.raises(ValueError, match="already partitioned"):
+        t.set_partitioning([])
+    # feeds barrier AT the evolution commit with a loud message
+    with pytest.raises(ValueError, match="re-baseline"):
+        t.row_changes(spark, 0).collect()
+
+
+def test_partition_evolution_checkpoint_and_pruning(spark, tmp_path):
+    """The evolved layout survives checkpoints + clean_metadata, and a
+    predicate on the new partition column reaches PartitionFilters for
+    post-evolution dirs."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root, checkpoint_interval=2)
+    t.create(
+        spark.range(0, 20).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id AS v"
+        )
+    )
+    t.set_partitioning(["bucket"])
+    for i in range(4):
+        t.append(
+            spark.range(100 + i * 10, 110 + i * 10).selectExpr(
+                "id AS k", "CAST(id % 3 AS STRING) AS bucket", "id AS v"
+            )
+        )
+    t.clean_metadata()
+    fresh = VersionedTable(root)
+    assert fresh.partition_columns() == ["bucket"]
+    assert fresh.read(spark).count() == 60
+    # appends still conform to the evolved layout after the ckpt cycle
+    fresh.append(
+        spark.createDataFrame([(999, "2", 999)], "k long, bucket string, v long")
+    )
+    assert fresh.read(spark).where(F.col("bucket") == "2").count() == (
+        fresh.read(spark).count()
+        - fresh.read(spark).where(F.col("bucket") != "2").count()
+    )
