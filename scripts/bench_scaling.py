@@ -117,6 +117,18 @@ QUERIES_UNDER_TEST = [
     ("etl_read_pruned_files", "linear", "checksum"),
     ("etl_optimize_table", "linear", "checksum"),
     ("etl_drop_evolution", "linear", "checksum"),
+    # round-11 part 2: constraint-gated writes (enforcement = one
+    # extra codegen scan of each written batch, fixture builds inside
+    # the timer), planner-driven Z-order rewrite (one range shuffle +
+    # per-file footer sweep), zero-copy clone + diverging append,
+    # metadata-only partition evolution (mixed-layout conform read),
+    # theta-sketch audience algebra (one distinct shuffle + K-row
+    # sketches; estimate joins touch K x |types| rows)
+    ("etl_constraints", "linear", "checksum"),
+    ("etl_optimize_zorder", "linear", "checksum"),
+    ("etl_clone_divergence", "linear", "checksum"),
+    ("etl_partition_evolution", "linear", "checksum"),
+    ("events_audience_theta", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

@@ -622,3 +622,51 @@ def test_file_pruned_read_scans_subset_with_pushdown(spark, sf_dir):
     assert "PushedFilters: [" in plan, plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, plan
+
+
+def test_partition_evolution_read_casts_not_joins(spark, sf_dir):
+    """The mixed-layout snapshot read (flat pre-evolution dirs + hive
+    post-evolution dirs) conforms per dir by CAST projection — no
+    join, no cartesian, the one-exchange aggregate shape."""
+    plan = _plan(spark, sf_dir, "etl_partition_evolution")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_clone_read_plans_like_source(spark, sf_dir):
+    """A shallow clone's read unions the referenced dirs directly —
+    no join against clone metadata, no cartesian."""
+    plan = _plan(spark, sf_dir, "etl_clone_divergence")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_constraints_read_unchanged_by_enforcement(spark, sf_dir):
+    """Constraint enforcement happens on the WRITE path only: the
+    certified snapshot read carries no residual filter or join from
+    the checks."""
+    plan = _plan(spark, sf_dir, "etl_constraints")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_theta_sketch_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """The theta-sketch algebra: ONE distinct shuffle over (type,
+    hash) + the same-key ranking window; everything downstream joins
+    K-row sketch frames (broadcast/small) — no cartesian, no
+    single-partition global window."""
+    plan = _plan(spark, sf_dir, "events_audience_theta")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_zorder_pruned_read_keeps_pushdown(spark, sf_dir):
+    """The post-Z-order range read keeps parquet pushdown on the
+    residual predicate and plans no join; the file-subset narrowing
+    is pinned by inputFiles in tests/test_table.py."""
+    plan = _plan(spark, sf_dir, "etl_optimize_zorder")
+    assert "PushedFilters: [" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
