@@ -186,3 +186,28 @@ def test_retrieval_pipeline_example_runs(
     assert "hybrid top-10" in out and "MMR-diversified top-5" in out
     assert "SQ8-index ADC top-10" in out
     assert "#1 doc" in out
+
+
+def test_lakehouse_governance_example_runs(
+    spark, sf_dir, tmp_path, monkeypatch, capsys
+):
+    """The governance example must drive the whole round-11 part-2
+    story: constrained create, executor-side sink refusal, partition
+    evolution, planner Z-order, zero-copy clone divergence, and the
+    theta-vs-exact audience report."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "governance_example", "examples/lakehouse_governance_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(_sys, "argv", ["x", sf_dir, str(tmp_path / "gov")])
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    mod.main()
+    printed = capsys.readouterr().out
+    assert "poisoned_batch_refused=True" in printed
+    assert "evolved_layout=['priority']" in printed
+    assert "optimize_actions=['compact_zorder']" in printed
+    assert "governance_pipeline=done" in printed
