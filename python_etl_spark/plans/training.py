@@ -3963,3 +3963,89 @@ def etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+def _generated_source(spark: SparkSession, sf_dir: str):
+    """Generated-column fixture: v0 create declares bucket = k % 7
+    (computed — the initial frame omits it), v1 append WITHOUT the
+    column (computed again), a disagreeing append REFUSED with the
+    table unchanged, v2 append WITH the correct values (verified).
+    Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    key = ("gcol", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_gcol_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            base.where(F.col("k") % 3 == 0),
+            generated={"bucket": "k % 7"},
+        )
+    if t.latest_version() < 1:
+        t.append(base.where(F.col("k") % 3 == 1))
+    if t.latest_version() < 2:
+        try:
+            t.append(
+                base.where(F.col("k") % 3 == 2).withColumn(
+                    "bucket", F.lit(99).cast("long")
+                )
+            )
+            raise RuntimeError(
+                "generated-column enforcement failed: bad values landed"
+            )
+        except ConstraintViolationError:
+            pass
+        t.append(
+            base.where(F.col("k") % 3 == 2).withColumn(
+                "bucket", (F.col("k") % 7).cast("long")
+            )
+        )
+    return t
+
+
+@register(
+    "etl_generated_columns",
+    oracle=r"""
+SELECT CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders GROUP BY 1
+""",
+)
+def etl_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS certified end-to-end (Delta's generated-
+    column shape): the definition (bucket = k % 7) lives in the
+    manifest; batches omitting the column get it COMPUTED on every
+    write path, batches carrying it are VERIFIED null-safely and a
+    disagreeing batch is refused pre-publish with the table unchanged
+    — if computation drifted or the refusal silently passed, grouping
+    BY the stored column would disagree with the oracle computing the
+    expression from scratch.
+
+    Scale posture: computation is a codegen projection inside the
+    write; verification is one extra scan of the batch (shared shape
+    with the constraint gate); the definition rides manifests,
+    checkpoints, and clones — nothing scans the table."""
+    t = _generated_source(spark, sf_dir)
+    return t.read(spark).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("amount"),
+    )

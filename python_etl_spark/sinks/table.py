@@ -300,6 +300,62 @@ class VersionedTable:
             ckpt = self._latest_checkpoint()
             return ckpt.get("bloom_keys", []) if ckpt else []
 
+    def generated_columns(self) -> dict:
+        """Generated-column definitions declared at create time
+        (``generated={col: sql expr}``), sticky like partition_by and
+        carried by checkpoints and clones. A write missing the column
+        gets it COMPUTED (Delta's generated-column shape); a write
+        carrying it is VERIFIED against the expression (null-safe
+        equality) and refused on mismatch — a caller-supplied value
+        silently disagreeing with the definition would poison every
+        downstream read that trusts the invariant."""
+        if not self.exists():
+            return {}
+        try:
+            return (
+                self._read_manifest(0).get("meta", {}).get("generated", {})
+            )
+        except FileNotFoundError:
+            ckpt = self._latest_checkpoint()
+            return ckpt.get("generated", {}) if ckpt else {}
+
+    def _apply_generated(self, df: DataFrame, gen: dict) -> DataFrame:
+        """Compute absent generated columns; verify present ones in
+        ONE action (same shape as the constraint gate)."""
+        if not gen:
+            return df
+        verify = []
+        for col, expr in sorted(gen.items()):
+            if col in df.columns:
+                verify.append((col, expr))
+            else:
+                df = df.withColumn(col, F.expr(expr))
+        if verify:
+            tags = [
+                F.when(
+                    ~F.expr(f"({c} <=> ({e}))"), F.lit(c)
+                )
+                for c, e in verify
+            ]
+            bad = (
+                df.withColumn(
+                    "_gen_bad", F.array_compact(F.array(*tags))
+                )
+                .where(F.size("_gen_bad") > 0)
+                .limit(3)
+                .collect()
+            )
+            if bad:
+                names = sorted({n for r in bad for n in r["_gen_bad"]})
+                raise ConstraintViolationError(
+                    f"generated column(s) {names} carry values that "
+                    f"disagree with their definition "
+                    f"({ {n: gen[n] for n in names} }); omit the "
+                    f"column to have it computed, or fix the values; "
+                    f"sample: {[r.asDict() for r in bad]}"
+                )
+        return df
+
     def constraints(self, version: int | None = None) -> dict:
         """Live CHECK constraints at ``version`` (default latest):
         ``{name: sql expr}``. SQL-standard semantics — a row VIOLATES
@@ -393,6 +449,20 @@ class VersionedTable:
             n
             for n, e in self.constraints(version).items()
             if pat.search(e)
+        )
+
+    def _generated_refs(self, col: str) -> list[str]:
+        """Generated columns whose NAME or DEFINITION involves
+        ``col`` — the rename/drop guard's second face (a renamed
+        source column would silently break the computed invariant)."""
+        gen = self.generated_columns()
+        if not gen:
+            return []
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])"
+        )
+        return sorted(
+            n for n, e in gen.items() if n == col or pat.search(e)
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -760,6 +830,7 @@ class VersionedTable:
             "constraints": cons,
             "partition_by": self.partition_columns(),
             "bloom_keys": self.bloom_columns(),
+            "generated": self.generated_columns(),
             "commits": commits,
         }
         self._atomic_write(self._ckpt_path(version), json.dumps(ckpt))
@@ -899,6 +970,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         bloom_keys: list[str] | None = None,
         constraints: dict | None = None,
+        generated: dict | None = None,
     ) -> int:
         """``bloom_keys`` declares key columns for PER-DIR BLOOM stats
         (r10 verdict #4): every commit then embeds a size-capped bloom
@@ -910,6 +982,8 @@ class VersionedTable:
         matched key."""
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
+        if generated:
+            df = self._apply_generated(df, generated)
         if constraints:
             self._enforce_constraints(df, constraints)
         d = self._write_data(df, partition_by)
@@ -920,6 +994,8 @@ class VersionedTable:
             m["bloom_keys"] = list(bloom_keys)
         if constraints:
             m["constraints"] = dict(constraints)
+        if generated:
+            m["generated"] = dict(generated)
         try:
             return self._commit([d], "create", 0, m or None)
         except CommitConflictError:
@@ -1025,6 +1101,7 @@ class VersionedTable:
         from pyspark.sql.types import StructType
 
         cur = self._read_manifest()
+        df = self._apply_generated(df, self.generated_columns())
         # schema guard: an append with drifted columns would poison the
         # snapshot read (parquet union mismatch) — fail at commit time
         # with names, not at some later read with a cast error.
@@ -1541,6 +1618,14 @@ class VersionedTable:
             and when_not_matched_insert is None
         )
         spark = updates.sparkSession
+        # generated columns absent from the updates batch are computed
+        # HERE (before the full-rows guard); present ones are verified
+        # once, later, on the written frame like any other invariant
+        _gen = self.generated_columns()
+        updates = self._apply_generated(
+            updates,
+            {c: e for c, e in _gen.items() if c not in updates.columns},
+        )
         # per-key-column bounds of the updates batch: one tiny agg job,
         # 2 scalars per key column, powers the metadata prune
         brow = updates.select(
@@ -1688,8 +1773,12 @@ class VersionedTable:
                 )
             else:
                 merged = upsert(base, upd, keys, version_col)
-            # constraints check the WRITTEN frame (clause expressions
-            # can mint violating values an input-only check would miss)
+            # constraints + generated-column invariants check the
+            # WRITTEN frame (clause expressions can mint violating
+            # values an input-only check would miss)
+            merged = self._apply_generated(
+                merged, self.generated_columns()
+            )
             self._enforce_constraints(
                 merged, self.constraints(cur["version"])
             )
@@ -1799,6 +1888,7 @@ class VersionedTable:
         themselves; :meth:`MaterializedRollup.refresh` does exactly
         that."""
         cur = self._read_manifest()
+        df = self._apply_generated(df, self.generated_columns())
         self._enforce_constraints(df, self.constraints(cur["version"]))
         d = self._write_data(df, self.partition_columns() or None)
         for attempt in range(self.max_retries + 1):
@@ -1957,6 +2047,9 @@ class VersionedTable:
         bkeys = self.bloom_columns()
         if bkeys:
             m["bloom_keys"] = bkeys
+        gen = self.generated_columns()
+        if gen:
+            m["generated"] = gen
         try:
             dst._commit(
                 src["data_dirs"],
@@ -2600,6 +2693,12 @@ class VersionedTable:
                     f"(s) {refs} — drop_constraint first, re-add "
                     f"against the new name"
                 )
+            grefs = self._generated_refs(old)
+            if grefs:
+                raise ValueError(
+                    f"cannot rename '{old}': involved in generated "
+                    f"column(s) {grefs}"
+                )
             m: dict = {"rename": {"from": old, "to": new}}
             wjson = self._widened_schema(cur["version"])
             if wjson is not None:
@@ -2669,6 +2768,12 @@ class VersionedTable:
             raise ValueError(
                 f"cannot drop '{name}': referenced by constraint(s) "
                 f"{refs} — drop_constraint first"
+            )
+        grefs = self._generated_refs(name)
+        if grefs:
+            raise ValueError(
+                f"cannot drop '{name}': involved in generated "
+                f"column(s) {grefs}"
             )
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()

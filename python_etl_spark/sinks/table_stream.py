@@ -132,11 +132,47 @@ def _check_constraints_arrow(tbl, cons: dict) -> None:
             )
 
 
+def _apply_generated_arrow(tbl, gen: dict):
+    """Executor-side generated-column gate for the sink (mirrors
+    ``VersionedTable._apply_generated``): absent columns are COMPUTED
+    by DuckDB straight over the Arrow batch, present ones VERIFIED
+    null-safely against their definition; a disagreeing value fails
+    the task before any file lands."""
+    if not gen:
+        return tbl
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("batch", tbl)
+    computed = []
+    for col, expr in sorted(gen.items()):
+        if col in tbl.column_names:
+            n = con.execute(
+                f"SELECT count(*) FROM batch "
+                f"WHERE NOT ({col} IS NOT DISTINCT FROM ({expr}))"
+            ).fetchone()[0]
+            if n:
+                raise ValueError(
+                    f"versioned_table sink: generated column '{col}' "
+                    f"carries {n} value(s) disagreeing with its "
+                    f"definition ({expr}) — omit it to have it "
+                    f"computed"
+                )
+        else:
+            computed.append(f"({expr}) AS {col}")
+    if computed:
+        tbl = con.execute(
+            f"SELECT *, {', '.join(computed)} FROM batch"
+        ).arrow()
+    return tbl
+
+
 def _write_partition(
     root: str,
     iterator,
     part_cols: list | None = None,
     cons: dict | None = None,
+    gen: dict | None = None,
 ) -> _FilesMsg:
     """Executor side: one task's Arrow batches -> one parquet part
     file per hive partition (or one file total, unpartitioned) under
@@ -152,6 +188,7 @@ def _write_partition(
     if not batches:
         return _FilesMsg([])
     tbl = pa.Table.from_batches(batches)
+    tbl = _apply_generated_arrow(tbl, gen or {})
     _check_constraints_arrow(tbl, cons or {})
     tmpdir = os.path.join(root, "data", "_tmp-sink")
     os.makedirs(tmpdir, exist_ok=True)
@@ -297,6 +334,13 @@ def _resolve_constraints(root: str) -> dict:
     return t.constraints() if t.exists() else {}
 
 
+def _resolve_generated(root: str) -> dict:
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(root)
+    return t.generated_columns() if t.exists() else {}
+
+
 class _VTBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, overwrite: bool):
         self.root = options.get("path")
@@ -305,10 +349,11 @@ class _VTBatchWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
         self.part_cols = _resolve_part_cols(self.root, options)
         self.cons = _resolve_constraints(self.root)
+        self.gen = _resolve_generated(self.root)
 
     def write(self, iterator):
         return _write_partition(
-            self.root, iterator, self.part_cols, self.cons
+            self.root, iterator, self.part_cols, self.cons, self.gen
         )
 
     def commit(self, messages):
@@ -347,6 +392,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         # resolved once at stream start: a constraint added MID-stream
         # applies from the next (re)start, like Delta's per-query snap
         self.cons = _resolve_constraints(self.root)
+        self.gen = _resolve_generated(self.root)
         self._last: int | None = None
         self._scanned = False
 
@@ -375,7 +421,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator):
         return _write_partition(
-            self.root, iterator, self.part_cols, self.cons
+            self.root, iterator, self.part_cols, self.cons, self.gen
         )
 
     def commit(self, messages, batchId: int):

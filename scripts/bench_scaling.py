@@ -129,6 +129,7 @@ QUERIES_UNDER_TEST = [
     ("etl_clone_divergence", "linear", "checksum"),
     ("etl_partition_evolution", "linear", "checksum"),
     ("events_audience_theta", "linear", "checksum"),
+    ("etl_generated_columns", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

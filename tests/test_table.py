@@ -2498,3 +2498,78 @@ def test_partition_evolution_checkpoint_and_pruning(spark, tmp_path):
         fresh.read(spark).count()
         - fresh.read(spark).where(F.col("bucket") != "2").count()
     )
+
+
+def test_generated_columns_lifecycle(spark, tmp_path):
+    """Generated columns: absent -> computed on every write path
+    (append/merge/overwrite/sink), present -> verified null-safely
+    against the definition and refused on mismatch; rename/drop of
+    the column or its sources refused; carried by checkpoints and
+    clones."""
+    from python_etl_spark.sinks.table import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        generated={"bucket": "k % 4"},
+    )
+    assert t.generated_columns() == {"bucket": "k % 4"}
+    assert t.read(spark).columns == ["k", "v", "bucket"]
+    # append WITHOUT the column: computed
+    t.append(spark.createDataFrame([(6, 60)], "k long, v long"))
+    # append WITH correct values: verified, passes
+    t.append(
+        spark.createDataFrame([(9, 90, 1)], "k long, v long, bucket long")
+    )
+    # append WITH wrong values: refused, table unchanged
+    with pytest.raises(ConstraintViolationError, match="bucket"):
+        t.append(
+            spark.createDataFrame(
+                [(3, 30, 99)], "k long, v long, bucket long"
+            )
+        )
+    assert sorted(
+        (r.k, r.bucket) for r in t.read(spark).collect()
+    ) == [(1, 1), (6, 2), (9, 1)]
+    # merge computes it for the written frame too
+    t.merge(spark.createDataFrame([(7, 70)], "k long, v long"), keys=["k"])
+    assert sorted(
+        (r.k, r.bucket) for r in t.read(spark).collect()
+    ) == [(1, 1), (6, 2), (7, 3), (9, 1)]
+    # the registered sink: absent -> computed executor-side
+    spark.createDataFrame([(8, 80)], "k long, v long").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    assert (8, 0) in {
+        (r.k, r.bucket) for r in t.read(spark).collect()
+    }
+    # sink refuses disagreeing values before any file lands
+    n = t.row_count()
+    with pytest.raises(Exception, match="bucket"):
+        spark.createDataFrame(
+            [(12, 120, 99)], "k long, v long, bucket long"
+        ).write.format("versioned_table").option("path", root).mode(
+            "append"
+        ).save()
+    assert t.row_count() == n
+    # rename/drop guards: the column itself and its source
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("bucket")
+    # clone + checkpoint carry
+    cl = t.clone(str(tmp_path / "cl"))
+    assert cl.generated_columns() == {"bucket": "k % 4"}
+    t2 = VersionedTable(root, checkpoint_interval=2)
+    for i in range(20, 24):
+        t2.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    t2.clean_metadata()
+    assert VersionedTable(root).generated_columns() == {"bucket": "k % 4"}
