@@ -3225,10 +3225,15 @@ class VersionedTable:
                     pass  # racing writer moved/removed it — keep max
         return newest
 
-    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
+    def vacuum(
+        self, grace_seconds: float = 0.0, dry_run: bool = False
+    ) -> list[str]:
         """Drop data dirs unreachable from the LATEST version: ends
         time travel for older versions and sweeps dirs abandoned by
         crashed or commit-losing writers. Returns removed dirs.
+        ``dry_run=True`` returns what WOULD be removed without
+        touching a byte (the Delta VACUUM DRY RUN shape) — the audit
+        an operator runs before ending time travel.
 
         ``grace_seconds`` is the in-flight-writer guard (the Delta
         VACUUM retention idea): dirs with write activity ANYWHERE in
@@ -3275,7 +3280,8 @@ class VersionedTable:
                 continue
             if grace_seconds > 0 and self._tree_mtime(full) > cutoff:
                 continue  # possibly an in-flight writer's dir
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(full)
         for name in sorted(os.listdir(self._mdir)):
             if ".tmp-" not in name:
@@ -3284,11 +3290,60 @@ class VersionedTable:
             try:
                 if grace_seconds > 0 and os.path.getmtime(full) > cutoff:
                     continue  # publisher may still be mid-link
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 removed.append(full)
             except OSError:
                 pass  # already gone (racing publisher's finally-unlink)
         return removed
+
+    def detail(self) -> dict:
+        """One metadata-only summary of the live table (the Delta
+        DESCRIBE DETAIL shape): version, op, row count, dir/file/byte
+        footprint of the CURRENT snapshot, layout, declared keys and
+        invariants, evolution facts, and live-DV pressure. No Spark
+        job — manifests and os.walks only."""
+        cur = self._read_manifest()
+        evolved, wjson, renames, drops, cons, _pby = (
+            self._evolution_state(cur["version"])
+        )
+        n_files = 0
+        n_bytes = 0
+        for d in cur["data_dirs"]:
+            for r, _dd, fs in os.walk(d):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        try:
+                            n_bytes += os.path.getsize(
+                                os.path.join(r, f)
+                            )
+                        except OSError:
+                            pass
+        dvs = cur.get("dvs", [])
+        return {
+            "root": self.root,
+            "version": cur["version"],
+            "op": cur.get("op"),
+            "committed_at": cur.get("committed_at"),
+            "num_rows": self.row_count(cur["version"]),
+            "num_dirs": len(cur["data_dirs"]),
+            "num_files": n_files,
+            "size_bytes": n_bytes,
+            "partition_columns": self.partition_columns(
+                cur["version"]
+            ),
+            "bloom_keys": self.bloom_columns(),
+            "constraints": cons,
+            "generated_columns": self.generated_columns(),
+            "schema_evolved": evolved,
+            "renamed_columns": {k: v for k, v in renames.items()},
+            "dropped_columns": sorted(drops),
+            "live_dvs": len(dvs),
+            "tombstoned_rows": sum(
+                sum(e["deleted"].values()) for e in dvs
+            ),
+        }
 
     def checkpoint(self) -> int:
         """Force-write a checkpoint at the current latest version (the

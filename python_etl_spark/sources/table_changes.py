@@ -252,6 +252,8 @@ def _read_partition(partition: _ChangeFilePartition, spark_schema):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(spark_schema)
+    if partition is None or partition.path is None:
+        return  # sentinel for an empty plan (Spark needs >=1 split)
     tbl = pq.read_table(partition.path)
     n = len(tbl)
     arrays = []
@@ -294,12 +296,63 @@ def _read_partition(partition: _ChangeFilePartition, spark_schema):
     yield from out.to_batches()
 
 
+def _resolve_starting(options, default: int) -> int:
+    """The stream/batch start version (EXCLUSIVE): an explicit
+    ``startingVersion`` wins; ``startingTimestamp`` (epoch seconds or
+    an ISO-8601 string, read as UTC) resolves to the version BEFORE
+    the first commit stamped at-or-after it — commit stamps are
+    monotone per table (the committer of N+1 re-reads N's manifest
+    before stamping), so one reverse walk suffices. Both options
+    together are refused (Delta's rule)."""
+    sv = options.get("startingVersion")
+    ts = options.get("startingTimestamp") or options.get(
+        "startingtimestamp"
+    )
+    if sv is not None and ts is not None:
+        raise ValueError(
+            "pass startingVersion OR startingTimestamp, not both"
+        )
+    if ts is None:
+        return int(sv) if sv is not None else default
+    try:
+        t0 = float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        t0 = dt.timestamp()
+    from python_etl_spark.sinks.table import VersionedTable
+
+    t = VersionedTable(options["path"])
+    latest = t.latest_version()
+    if latest is None:
+        raise FileNotFoundError(
+            f"no committed version at {options['path']}"
+        )
+    first = None
+    for v in range(latest, -1, -1):
+        try:
+            m = t._read_manifest(v)
+        except FileNotFoundError:
+            break  # below the metadata horizon: nothing older exists
+        if m.get("committed_at", 0) >= t0:
+            first = v
+        else:
+            break
+    if first is None:
+        # timestamp after the newest commit: empty feed from latest
+        return latest
+    return first - 1
+
+
 class _TableChangesBatchReader(DataSourceReader):
     def __init__(self, options, schema):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("table_changes requires a table root path")
-        self.start_v = int(options.get("startingVersion", -1))
+        self.start_v = _resolve_starting(options, -1)
         self.end_v = options.get("endingVersion")
         self.spark_schema = schema
 
@@ -311,7 +364,13 @@ class _TableChangesBatchReader(DataSourceReader):
             if self.end_v is not None
             else VersionedTable(self.root).latest_version()
         )
-        return _plan_partitions(self.root, self.start_v, end)
+        parts = _plan_partitions(self.root, self.start_v, end)
+        if not parts:
+            # empty range (e.g. startingTimestamp after the newest
+            # commit): Spark's Python source needs >=1 split — hand it
+            # a sentinel the executor reads as zero rows
+            return [_ChangeFilePartition(None, None, -1, None)]
+        return parts
 
     def read(self, partition):
         yield from _read_partition(partition, self.spark_schema)
@@ -351,7 +410,7 @@ class _TableChangesStreamReader(DataSourceStreamReader):
         self.root = options.get("path")
         if not self.root:
             raise ValueError("table_changes requires a table root path")
-        self.start_v = int(options.get("startingVersion", 0))
+        self.start_v = _resolve_starting(options, 0)
         mct = options.get("maxCommitsPerTrigger")
         self.max_commits = int(mct) if mct is not None else None
         if self.max_commits is not None and self.max_commits < 1:

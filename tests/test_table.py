@@ -2573,3 +2573,75 @@ def test_generated_columns_lifecycle(spark, tmp_path):
         t2.append(spark.createDataFrame([(i, i)], "k long, v long"))
     t2.clean_metadata()
     assert VersionedTable(root).generated_columns() == {"bucket": "k % 4"}
+
+
+def test_vacuum_dry_run_and_detail(spark, tmp_path):
+    """vacuum(dry_run=True) reports without removing; detail() answers
+    from metadata only (rows, footprint, layout, invariants, DV
+    pressure)."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame([(1, 5)], "k long, v long"),
+        constraints={"pos_v": "v > 0"},
+        generated={"b": "k % 2"},
+    )
+    t.append(spark.createDataFrame([(2, 6)], "k long, v long"))
+    t.delete_where(F.col("k") == 1, merge_on_read=True)
+    t.compact(spark)  # strands the old dirs
+    would = t.vacuum(dry_run=True)
+    assert would
+    import os as _os
+
+    assert all(_os.path.exists(p) for p in would)  # nothing removed
+    assert t.read(spark).count() == 1
+    removed = t.vacuum(0)
+    assert sorted(removed) == sorted(would)
+    d = t.detail()
+    assert d["num_rows"] == 1
+    assert d["constraints"] == {"pos_v": "v > 0"}
+    assert d["generated_columns"] == {"b": "k % 2"}
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["partition_columns"] == [] and d["op"] == "compact"
+
+
+def test_table_changes_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to the version before the first
+    commit stamped at-or-after it; both options together refused;
+    a future timestamp yields an empty feed."""
+    import json as _json
+
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    # timestamp just before v2's commit stamp
+    ts2 = t._read_manifest(2)["committed_at"] - 0.0005
+    got = (
+        spark.read.format("table_changes")
+        .option("startingTimestamp", str(ts2))
+        .load(root)
+    )
+    assert sorted((r.k, r._commit_version) for r in got.collect()) == [
+        (3, 2)
+    ]
+    # future timestamp: empty
+    fut = (
+        spark.read.format("table_changes")
+        .option("startingTimestamp", str(ts2 + 10_000))
+        .load(root)
+    )
+    assert fut.count() == 0
+    # both options refused
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not both"):
+        spark.read.format("table_changes").option(
+            "startingVersion", 0
+        ).option("startingTimestamp", str(ts2)).load(root).collect()
