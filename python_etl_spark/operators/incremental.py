@@ -615,3 +615,170 @@ class MaterializedTopK:
         raise CommitConflictError(
             f"top-k refresh lost {self.table.max_retries + 1} races"
         )
+
+
+class MaterializedThetaSketch:
+    """Incrementally-maintained THETA/KMV distinct-membership sketch
+    per audience over a :class:`VersionedTable` source — the third
+    maintained-view shape (next to the rollup and the top-k), powering
+    audience size / union / intersection / difference estimates
+    without ever rescanning the corpus.
+
+    Mergeability is EXACT, not approximate: the K smallest member
+    hashes of (A ∪ B) are the K smallest of (KMV_K(A) ∪ KMV_K(B)), so
+    folding each append's delta into the stored sketch reproduces the
+    batch-built sketch BIT-FOR-BIT (pytest-pinned) — the incremental
+    path changes cost, never answers. Hashing matches
+    ``events_audience_theta`` (40-bit md5-derived), so stored sketches
+    compose with the query's pairwise set algebra.
+
+    Source merge/delete commits can remove members, and a removal may
+    UNHIDE a hash the saturated sketch discarded — not foldable; those
+    refreshes recompute ONLY the audiences the ``row_changes`` feed
+    touched (audience-pruned semi join), untouched audiences keep
+    their folded state. ``overwrite`` still re-baselines via
+    :meth:`rebuild`. Crash / replay / conflict contract identical to
+    the rollup (one atomic overwrite carrying the source bookmark).
+
+    The 100 TB shape: a nightly refresh hashes ONLY the appended rows
+    (one distinct shuffle over the delta) and re-ranks K x |audiences|
+    stored rows — state is ~KB however large the corpus."""
+
+    def __init__(
+        self,
+        root: str,
+        audience_col: str,
+        member_col: str,
+        k: int = 128,
+    ):
+        self.table = VersionedTable(root)
+        self.audience_col = audience_col
+        self.member_col = member_col
+        self.k = k
+
+    _R = 1 << 40  # 10 md5 hex digits, matching events_audience_theta
+
+    def _hashed(self, df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(F.col(self.member_col).cast("string")), 1, 10
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.select(
+            F.col(self.audience_col).alias("aud"), h.alias("h")
+        )
+
+    def _sketch(self, hashed: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("aud").orderBy("h")
+        return (
+            hashed.distinct()
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= self.k)
+            .drop("__rn")
+            .coalesce(1)
+        )
+
+    def source_version(self) -> int | None:
+        if not self.table.exists():
+            return None
+        return self.table.meta().get("source_version")
+
+    def read(self, spark) -> DataFrame:
+        return self.table.read(spark)
+
+    def estimates(self, spark) -> DataFrame:
+        """Per-audience distinct-member estimate from the stored
+        sketch: exact below K members, retained * R / theta above
+        (integer division — replayable cross-engine)."""
+        sk = self.read(spark)
+        st = sk.groupBy("aud").agg(
+            F.count(F.lit(1)).alias("nk"), F.max("h").alias("hmax")
+        ).withColumn(
+            "theta",
+            F.when(F.col("nk") >= self.k, F.col("hmax")).otherwise(
+                F.lit(self._R)
+            ),
+        )
+        return (
+            sk.join(F.broadcast(st), "aud")
+            .where(F.col("h") < F.col("theta"))
+            .groupBy("aud", "theta")
+            .agg(F.count(F.lit(1)).alias("ret"))
+            .select(
+                "aud",
+                F.expr(f"(ret * {self._R}) div theta").alias("est"),
+            )
+        )
+
+    def refresh(self, source: VersionedTable, spark) -> int | None:
+        """Fold source commits since the bookmark. None = already
+        current (idempotent replay); conflicts recompute from the
+        winner's snapshot."""
+        target = source.latest_version()
+        if target is None:
+            return None
+        if not self.table.exists():
+            state = self._sketch(
+                self._hashed(source.read(spark, target))
+            )
+            self.table.create(state, meta={"source_version": target})
+            return self.table.latest_version()
+        for _ in range(self.table.max_retries + 1):
+            done = self.source_version()
+            if done is None:
+                return self.rebuild(source, spark)
+            if done >= target:
+                return None
+            ops = set(source.ops_in_range(done, target))
+            if ops <= {"append", "compact", "compact_bins"}:
+                delta = source.row_changes(spark, done, target).drop(
+                    "_change_type", "_commit_version"
+                )
+                state = self._sketch(
+                    self.read(spark).unionByName(self._hashed(delta))
+                )
+            else:
+                # member removals can unhide discarded hashes:
+                # recompute only the audiences the feed touched
+                feed = source.row_changes(spark, done, target)
+                aff = (
+                    feed.select(
+                        F.col(self.audience_col).alias("aud")
+                    ).distinct()
+                )
+                kept = self.read(spark).join(aff, "aud", "left_anti")
+                rec = self._sketch(
+                    self._hashed(
+                        source.read(spark, target).join(
+                            aff.select(
+                                F.col("aud").alias(self.audience_col)
+                            ),
+                            self.audience_col,
+                            "left_semi",
+                        )
+                    )
+                )
+                state = kept.unionByName(rec).coalesce(1)
+            try:
+                return self.table.overwrite(
+                    state,
+                    meta={"source_version": target},
+                    retry_conflict=False,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"sketch refresh lost {self.table.max_retries + 1} races"
+        )
+
+    def rebuild(self, source: VersionedTable, spark) -> int:
+        """Full recompute (the re-baseline after a source rewrite)."""
+        target = source.latest_version()
+        state = self._sketch(self._hashed(source.read(spark, target)))
+        return self.table.overwrite(
+            state, meta={"source_version": target}
+        )

@@ -958,3 +958,59 @@ def test_incremental_store_migrates_legacy_bigint_id(spark, tmp_path):
     again = d.accept_batch(batch, "b2")
     assert {r["url"] for r in again.collect()} == {"u/1", "u/2"}
     assert VersionedTable(root).read(spark).count() == 4
+
+
+def test_materialized_theta_sketch_exact_merge(spark, tmp_path):
+    """KMV mergeability is exact: after interleaved appends +
+    refreshes the stored sketch equals the batch-built sketch
+    BIT-FOR-BIT; a source delete recomputes only the touched
+    audiences and lands on the batch sketch again; replays no-op."""
+    from python_etl_spark.operators.incremental import (
+        MaterializedThetaSketch,
+    )
+    from python_etl_spark.sinks.table import VersionedTable
+
+    def batch(df):
+        return sorted((r.aud, r.h) for r in sk._sketch(
+            sk._hashed(df)
+        ).collect())
+
+    src = VersionedTable(str(tmp_path / "src"))
+    sk = MaterializedThetaSketch(
+        str(tmp_path / "sk"), "seg", "uid", k=16
+    )
+    src.create(
+        spark.range(0, 200).selectExpr(
+            "CAST(id % 3 AS STRING) AS seg", "id AS uid"
+        )
+    )
+    assert sk.refresh(src, spark) is not None
+    assert sk.refresh(src, spark) is None  # idempotent replay
+    # two more appends, folding each
+    for lo in (200, 400):
+        src.append(
+            spark.range(lo, lo + 150).selectExpr(
+                "CAST(id % 3 AS STRING) AS seg", "id AS uid"
+            )
+        )
+        assert sk.refresh(src, spark) is not None
+    got = sorted((r.aud, r.h) for r in sk.read(spark).collect())
+    assert got == batch(src.read(spark))
+    # estimates: exact below k is impossible here (saturated); bound
+    ests = {r.aud: r.est for r in sk.estimates(spark).collect()}
+    for aud, est in ests.items():
+        exact = (
+            src.read(spark)
+            .where(F.col("seg") == aud)
+            .select("uid")
+            .distinct()
+            .count()
+        )
+        assert abs(est - exact) <= 0.85 * exact  # k=16: loose bound
+    # delete some members of one audience: touched-audience recompute
+    src.delete_where(
+        (F.col("seg") == "1") & (F.col("uid") < 250)
+    )
+    assert sk.refresh(src, spark) is not None
+    got = sorted((r.aud, r.h) for r in sk.read(spark).collect())
+    assert got == batch(src.read(spark))
