@@ -2072,50 +2072,71 @@ class VersionedTable:
     def read_pruned(
         self,
         spark: SparkSession,
-        col: str,
+        col: str | None = None,
         lo=None,
         hi=None,
         version: int | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with DIR-GRANULARITY data skipping: commit
-        dirs whose footer-derived [min, max] for ``col`` cannot
-        intersect [lo, hi] are never opened (the Iceberg/Delta
+        dirs whose footer-derived [min, max] for a bounded column
+        cannot intersect its range are never opened (the Iceberg/Delta
         file-statistics prune, one level up). The residual predicate
         is still applied to the surviving dirs, so results equal
         ``read().where(...)`` exactly; dirs with no recorded stat for
-        the column are read (conservative). The 100 TB win is the
+        a column are read (conservative). The 100 TB win is the
         nightly-append layout: each night's dir covers a tight
         ingest-date range, so a date-window query opens last week's
-        dirs, never the corpus. Pass ``lo``/``hi`` in the stats' JSON
-        value space (numbers, strings, ISO date strings)."""
+        dirs, never the corpus. Pass bounds in the stats' JSON value
+        space (numbers, strings, ISO date strings).
+
+        Single column: ``read_pruned(spark, "k", lo, hi)``. MULTI
+        column: ``read_pruned(spark, ranges={"k": (lo, hi), "c":
+        (lo, None)})`` — every bounded column prunes independently
+        (a dir/file drops when ANY range provably misses it), which
+        is exactly the payoff of a Z-ordered layout: each file is a
+        bounding box in every clustered dimension, so a conjunctive
+        range predicate multiplies the skip rates."""
+        if ranges is None:
+            if col is None:
+                raise ValueError("pass col+lo/hi or ranges={...}")
+            ranges = {col: (lo, hi)}
+        elif col is not None:
+            raise ValueError("pass col OR ranges, not both")
         m = self._read_manifest(version)
         stats = m.get("dir_stats", {})
         dirs = []
         for d in m["data_dirs"]:
-            s = stats.get(d, {}).get(col)
-            if s is not None:
+            admit = True
+            for c, (rlo, rhi) in ranges.items():
+                s = stats.get(d, {}).get(c)
+                if s is None:
+                    continue
                 dlo, dhi = s
                 try:
-                    if lo is not None and dhi < lo:
-                        continue
-                    if hi is not None and dlo > hi:
-                        continue
+                    if (rlo is not None and dhi < rlo) or (
+                        rhi is not None and dlo > rhi
+                    ):
+                        admit = False
+                        break
                 except TypeError:
                     # caller bound and persisted stat disagree on type
                     # (e.g. int bound vs ISO-string date stat): degrade
                     # to a conservative full read of this dir, the
                     # same "no stat means no pruning" posture
                     pass
-            dirs.append(d)
+            if admit:
+                dirs.append(d)
         # per-FILE refinement: inside surviving dirs, open only the
-        # files whose footer stats admit the range (r10 verdict #5)
-        dirs, subsets = self._prune_files(m, dirs, {col: (lo, hi)})
+        # files whose footer stats admit every range (r10 verdict #5)
+        dirs, subsets = self._prune_files(m, dirs, ranges)
         full = self.read(spark, m["version"])
         cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(col) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(col) <= F.lit(hi))
+        for c, (rlo, rhi) in ranges.items():
+            if rlo is not None:
+                cond = cond & (F.col(c) >= F.lit(rlo))
+            if rhi is not None:
+                cond = cond & (F.col(c) <= F.lit(rhi))
         if not dirs:
             return spark.createDataFrame([], full.schema).where(cond)
         return self._read_snapshot_subset(
