@@ -2678,3 +2678,114 @@ def test_read_pruned_multi_column_bounding_box(spark, tmp_path):
         t.read_pruned(spark, "k", 0, 1, ranges=box)
     with pytest.raises(ValueError, match="ranges"):
         t.read_pruned(spark)
+
+
+def test_concurrent_appends_governed_table(spark, tmp_path):
+    """Optimistic concurrency composes with the governance features:
+    6 racing writers appending to a CONSTRAINED + GENERATED +
+    hive-partitioned table all land (retry-rebase), every version is
+    committed exactly once, no row is lost, and every generated value
+    is correct — plus one racing VIOLATING writer is refused without
+    disturbing the others."""
+    import threading
+
+    from python_etl_spark.sinks.table import ConstraintViolationError
+
+    root = str(tmp_path / "t")
+    VersionedTable(root).create(
+        spark.createDataFrame([(0, 1, "a")], "k long, v long, cat string"),
+        partition_by=["cat"],
+        constraints={"pos_v": "v > 0"},
+        generated={"b": "k % 5"},
+    )
+    barrier = threading.Barrier(7)
+    errs, refused = [], []
+
+    def work(i):
+        try:
+            df = spark.createDataFrame(
+                [(i, i * 10, "a" if i % 2 else "z")],
+                "k long, v long, cat string",
+            )
+            barrier.wait()
+            VersionedTable(root, max_retries=16).append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def bad():
+        try:
+            df = spark.createDataFrame(
+                [(99, -5, "a")], "k long, v long, cat string"
+            )
+            barrier.wait()
+            VersionedTable(root, max_retries=16).append(df)
+        except ConstraintViolationError:
+            refused.append(True)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=work, args=(i,)) for i in range(1, 7)
+    ] + [threading.Thread(target=bad)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == [] and refused == [True]
+    t = VersionedTable(root)
+    assert t.latest_version() == 6  # 6 good appends, violator refused
+    rows = sorted((r.k, r.v, r.b) for r in t.read(spark).collect())
+    assert rows == [(i, max(i * 10, 1), i % 5) for i in range(0, 7)]
+
+
+def test_streaming_theta_sketch_refresh_equals_batch(spark, tmp_path):
+    """foreachBatch-driven MaterializedThetaSketch refresh over a
+    bounded stream lands on the identical sketch a batch build
+    produces (exactly-once via the bookmark contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_etl_spark.operators.incremental import (
+        MaterializedThetaSketch,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "seg": [str((i + j) % 3) for j in range(40)],
+                    "uid": [i * 1000 + j for j in range(40)],
+                }
+            ),
+            str(src_dir / f"b{i}.parquet"),
+        )
+    events = VersionedTable(str(tmp_path / "events"))
+    sk = MaterializedThetaSketch(
+        str(tmp_path / "sk"), "seg", "uid", k=16
+    )
+
+    def fold(batch_df, batch_id):
+        if events.exists():
+            events.append(batch_df)
+        else:
+            events.create(batch_df)
+        sk.refresh(events, spark)
+
+    q = (
+        spark.readStream.schema("seg string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.aud, r.h) for r in sk.read(spark).collect())
+    want = sorted(
+        (r.aud, r.h)
+        for r in sk._sketch(sk._hashed(events.read(spark))).collect()
+    )
+    assert got == want and len(got) > 0
