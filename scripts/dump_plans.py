@@ -152,6 +152,17 @@ SHOWCASE = {
     "property that matters — each refresh reading ONLY the new "
     "commit's files — is CI-asserted on inputFiles() in "
     "tests/test_incremental.py",
+    "events_audience_theta": "theta-sketch set algebra: ONE distinct "
+    "shuffle over (type, member-hash) + the same-key ranking window "
+    "build the K-row sketches; every union/intersect/diff estimate "
+    "joins broadcast-sized frames — no cartesian, no single-partition "
+    "window",
+    "etl_partition_evolution": "mixed-layout snapshot read: flat "
+    "pre-evolution dirs and hive post-evolution dirs conform per dir "
+    "by CAST projection (no join, one aggregate exchange)",
+    "etl_optimize_zorder": "post-Z-order range read: the residual "
+    "custkey predicate reaches the parquet scan (PushedFilters) over "
+    "the file subset the footer ranges admit",
     "sim_mmr_select": "re-ranker split: pool top-N and pairwise "
     "cosines distributed (broadcast joins), greedy selection on the "
     "bounded 20-row pool driver-side; the displayed plan is the "
