@@ -2187,12 +2187,83 @@ class VersionedTable:
             total = sum(
                 self._logical_dir_rows(cur, d) for d in keep
             ) + self._dir_rows(nd)
+            # the bin-pack rewrites its dirs UNCLUSTERED: clustering
+            # provenance no longer describes the snapshot — strip it
+            # so the optimize() planner re-measures instead of
+            # wrongly skipping
+            bm = dict(cur.get("meta") or {})
+            bm.pop("clustered_by", None)
             try:
                 return self._commit(
                     keep + [nd],
                     "compact_bins",
                     v,
-                    cur.get("meta"),
+                    bm or None,
+                    num_rows=total,
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, keep),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    def compact_tail(
+        self,
+        since_version: int,
+        spark: SparkSession | None = None,
+        zorder_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> int | None:
+        """INCREMENTAL clustering (the Delta incremental-OPTIMIZE
+        shape): rewrite ONLY the dirs added since ``since_version``
+        (normally the last clustered-compact commit) into one
+        clustered dir, carrying everything older by reference — a
+        100 TB table pays nightly-tail cost, never a corpus rewrite,
+        and per-file bounding boxes stay tight in both the old
+        clustered dir and the new tail dir (read_pruned prunes at
+        file granularity, so two clustered dirs skip as well as one).
+        Commits as op ``compact_bins`` (row-preserving partial) with
+        clustering provenance restored in the meta, so the optimize()
+        planner recognizes the snapshot as clustered. No-op (None)
+        when nothing landed since."""
+        spark = spark or SparkSession.getActiveSession()
+        base = set(self._read_manifest(since_version)["data_dirs"])
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            tail = [d for d in cur["data_dirs"] if d not in base]
+            if not tail:
+                return None
+            keep = [d for d in cur["data_dirs"] if d in base]
+            df = self._read_snapshot_subset(spark, cur, tail)
+            if zorder_by:
+                from python_etl_spark.operators.layout import (
+                    zorder_quantile,
+                )
+
+                df = zorder_quantile(df, zorder_by, n_files or 8)
+            elif sort_by:
+                df = df.repartitionByRange(
+                    n_files or 8, *sort_by
+                ).sortWithinPartitions(*sort_by)
+            v = cur["version"] + 1
+            nd = self._write_data(df, self.partition_columns() or None)
+            if not self._has_parquet(nd):
+                nd = None
+            new_dirs = keep + ([nd] if nd else [])
+            total = sum(self._logical_dir_rows(cur, d) for d in keep)
+            total += self._dir_rows(nd) if nd else 0
+            tm = dict(cur.get("meta") or {})
+            if zorder_by or sort_by:
+                tm["clustered_by"] = list(zorder_by or sort_by)
+            try:
+                return self._commit(
+                    new_dirs,
+                    "compact_bins",
+                    v,
+                    tm or None,
                     num_rows=total,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, keep),
@@ -2233,12 +2304,14 @@ class VersionedTable:
                 new_dirs = [nd]
             total = sum(self._logical_dir_rows(cur, d) for d in keep)
             total += self._dir_rows(nd) if nd else 0
+            dm = dict(cur.get("meta") or {})
+            dm.pop("clustered_by", None)  # rewrite is unclustered
             try:
                 return self._commit(
                     new_dirs,
                     "compact_bins",
                     v,
-                    cur.get("meta"),
+                    dm or None,
                     num_rows=total,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, keep),
@@ -2345,46 +2418,83 @@ class VersionedTable:
         if cluster_by:
             # one column -> range sort; several -> Z-order (the worst
             # column's overlap decides: a layout is only as good as
-            # the dimension reads actually filter on)
+            # the dimension reads actually filter on). Three-way:
+            # (a) the head commit IS this clustering's output -> no-op;
+            # (b) a clustered base exists and only appends/metadata
+            #     landed since -> INCREMENTAL: cluster just the tail
+            #     dirs (nightly cost, never the corpus);
+            # (c) otherwise -> full clustered rewrite when the overlap
+            #     observable passes the threshold.
             ccols = (
                 [cluster_by]
                 if isinstance(cluster_by, str)
                 else list(cluster_by)
             )
             cur = self._read_manifest()
-            already = (
-                cur.get("op") == "compact"
-                and cur.get("meta", {}).get("clustered_by") == ccols
-            )
-            ovs = {
-                c: self._clustering_overlap(cur, c) for c in ccols
-            }
-            known = {c: o for c, o in ovs.items() if o is not None}
-            if (
-                not already
-                and known
-                and max(known.values()) >= overlap_threshold
-            ):
-                worst = max(known, key=known.get)
-                if len(ccols) == 1:
-                    v = self.compact(spark, sort_by=ccols)
-                else:
-                    v = self.compact(spark, zorder_by=ccols)
-                actions.append(
-                    {
-                        "action": (
-                            "compact_clustered"
-                            if len(ccols) == 1
-                            else "compact_zorder"
-                        ),
-                        "version": v,
-                        "reason": (
-                            f"{known[worst]:.0%} of file pairs "
-                            f"overlap on '{worst}' (threshold "
-                            f"{overlap_threshold:.0%})"
-                        ),
-                    }
+            already = cur.get("meta", {}).get("clustered_by") == ccols
+            base_v = None
+            if not already:
+                _tail_ok = {
+                    "append", "add_constraint", "drop_constraint",
+                }
+                for i in range(cur["version"], -1, -1):
+                    try:
+                        m = self._read_manifest(i)
+                    except FileNotFoundError:
+                        break  # metadata horizon: full rewrite path
+                    if m.get("meta", {}).get("clustered_by") == ccols:
+                        base_v = i
+                        break
+                    if m.get("op") not in _tail_ok:
+                        break  # a rewrite invalidated the provenance
+            if already:
+                pass
+            elif base_v is not None:
+                kw = (
+                    {"zorder_by": ccols}
+                    if len(ccols) > 1
+                    else {"sort_by": ccols}
                 )
+                v = self.compact_tail(base_v, spark, **kw)
+                if v is not None:
+                    actions.append(
+                        {
+                            "action": "compact_clustered_tail",
+                            "version": v,
+                            "reason": (
+                                f"appends since the v{base_v} "
+                                f"clustered base — tail-only rewrite"
+                            ),
+                        }
+                    )
+            else:
+                ovs = {
+                    c: self._clustering_overlap(cur, c) for c in ccols
+                }
+                known = {
+                    c: o for c, o in ovs.items() if o is not None
+                }
+                if known and max(known.values()) >= overlap_threshold:
+                    worst = max(known, key=known.get)
+                    if len(ccols) == 1:
+                        v = self.compact(spark, sort_by=ccols)
+                    else:
+                        v = self.compact(spark, zorder_by=ccols)
+                    actions.append(
+                        {
+                            "action": (
+                                "compact_clustered"
+                                if len(ccols) == 1
+                                else "compact_zorder"
+                            ),
+                            "version": v,
+                            "reason": (
+                                f"{known[worst]:.0%} of file pairs "
+                                f"overlap on '{worst}' (threshold "
+                                f"{overlap_threshold:.0%})"
+                            ),
+                        }
+                    )
         cur = self._read_manifest()
         small = [
             d

@@ -2789,3 +2789,74 @@ def test_streaming_theta_sketch_refresh_equals_batch(spark, tmp_path):
         for r in sk._sketch(sk._hashed(events.read(spark))).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_optimize_incremental_clustering_tail_only(spark, tmp_path):
+    """After a full Z-order, nightly appends trigger a TAIL-ONLY
+    clustered rewrite: the big clustered dir is carried by reference
+    (byte-identical), only the new dirs rewrite, content is
+    row-preserving, and a healthy table no-ops. A true rewrite op in
+    between invalidates the provenance and falls back to the full
+    path."""
+    import os as _os
+
+    def tree_sig(d):
+        out = []
+        for r, _dd, fs in _os.walk(d):
+            for f in sorted(fs):
+                p = _os.path.join(r, f)
+                out.append((p, _os.path.getsize(p), _os.path.getmtime(p)))
+        return out
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(4))
+    acts = t.optimize(
+        spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+    )
+    assert [a["action"] for a in acts] == ["compact_zorder"]
+    clustered_dir = t._read_manifest()["data_dirs"][0]
+    sig0 = tree_sig(clustered_dir)
+    # two nightly appends
+    for lo in (5000, 6000):
+        t.append(
+            spark.range(lo, lo + 500).selectExpr(
+                "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+            )
+        )
+    acts = t.optimize(
+        spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+    )
+    assert [a["action"] for a in acts] == ["compact_clustered_tail"]
+    m = t._read_manifest()
+    assert clustered_dir in m["data_dirs"]  # carried by reference
+    assert tree_sig(clustered_dir) == sig0  # byte-identical
+    assert len(m["data_dirs"]) == 2  # clustered base + clustered tail
+    assert t.row_count() == 4000
+    assert t.read(spark).count() == 4000
+    # healthy now: no-op
+    assert (
+        t.optimize(
+            spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+        )
+        == []
+    )
+    # the tail dir has tight per-file boxes too: a narrow box read
+    # opens a strict subset of all files
+    pruned = t.read_pruned(spark, ranges={"k": (5100, 5200)})
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+    # a rewrite op (merge) invalidates provenance -> full path
+    t.merge(
+        spark.createDataFrame([(1, 999)], "k long, c long"), keys=["k"]
+    )
+    t.append(
+        spark.range(9000, 9100).selectExpr(
+            "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+        )
+    )
+    acts = t.optimize(
+        spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
+    )
+    assert [a["action"] for a in acts] == ["compact_zorder"]
