@@ -236,6 +236,7 @@ def _commit_files(
     op_meta: dict | None,
     overwrite: bool = False,
     part_cols: list | None = None,
+    allow_evolution: bool = False,
 ) -> int | None:
     """Driver side: move the tasks' ``(tmp path, hive subpath)`` part
     files into a fresh commit dir and publish the manifest (append
@@ -252,18 +253,40 @@ def _commit_files(
         return None
     import pyarrow.parquet as pq
 
+    evolved = False
     if t.exists():
         want = _first_footer_names(t)
         got = set(pq.ParquetFile(files[0][0]).schema_arrow.names) | set(
             part_cols or []
         )
         if want is not None:
-            want = want | set(t.partition_columns())
-            if got != want:
+            # the LOGICAL schema: footers still carry metadata-only
+            # dropped columns, so subtract the retired names — and a
+            # stream CARRYING a retired name is refused outright (a
+            # re-added name would resurrect old values from
+            # never-rewritten files, the drop_column contract)
+            dropped = set(t._dropped_columns(t.latest_version()))
+            want = (want | set(t.partition_columns())) - dropped
+            retired = sorted(got & dropped)
+            if retired:
                 raise ValueError(
-                    f"versioned_table sink schema drift: table has "
-                    f"{sorted(want)}, stream has {sorted(got)}"
+                    f"versioned_table sink: columns {retired} were "
+                    f"dropped and their names are retired — use a "
+                    f"new name"
                 )
+            if got != want:
+                if not allow_evolution:
+                    raise ValueError(
+                        f"versioned_table sink schema drift: table "
+                        f"has {sorted(want)}, stream has "
+                        f"{sorted(got)} — option('allowEvolution', "
+                        f"'true') accepts additive drift"
+                    )
+                # additive evolution, the append(allow_evolution=True)
+                # contract at NAME level: new columns surface, missing
+                # ones null-fill through the mergeSchema read; type
+                # drift still fails at read-conform time, loudly
+                evolved = True
     d = os.path.join(root, "data", f"commit-{uuid.uuid4().hex[:12]}")
     os.makedirs(d)
     for i, (f, sub) in enumerate(sorted(files)):
@@ -282,6 +305,9 @@ def _commit_files(
             raise RuntimeError(
                 f"lost create race on {root} to a concurrent writer"
             ) from None
+    if evolved:
+        op_meta = dict(op_meta or {})
+        op_meta["schema_evolved"] = True
     for attempt in range(t.max_retries + 1):
         cur = t._read_manifest()
         v = cur["version"] + 1
@@ -334,6 +360,11 @@ def _resolve_constraints(root: str) -> dict:
     return t.constraints() if t.exists() else {}
 
 
+def _opt_bool(options, name: str) -> bool:
+    v = options.get(name) or options.get(name.lower())
+    return str(v).lower() in ("true", "1", "yes")
+
+
 def _resolve_generated(root: str) -> dict:
     from python_etl_spark.sinks.table import VersionedTable
 
@@ -350,6 +381,7 @@ class _VTBatchWriter(DataSourceArrowWriter):
         self.part_cols = _resolve_part_cols(self.root, options)
         self.cons = _resolve_constraints(self.root)
         self.gen = _resolve_generated(self.root)
+        self.evolve = _opt_bool(options, "allowEvolution")
 
     def write(self, iterator):
         return _write_partition(
@@ -364,6 +396,7 @@ class _VTBatchWriter(DataSourceArrowWriter):
             None,
             overwrite=self.overwrite,
             part_cols=self.part_cols,
+            allow_evolution=self.evolve,
         )
 
     def abort(self, messages):
@@ -393,6 +426,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
         # applies from the next (re)start, like Delta's per-query snap
         self.cons = _resolve_constraints(self.root)
         self.gen = _resolve_generated(self.root)
+        self.evolve = _opt_bool(options, "allowEvolution")
         self._last: int | None = None
         self._scanned = False
 
@@ -444,6 +478,7 @@ class _VTStreamWriter(DataSourceStreamArrowWriter):
             files,
             {"stream_sink_id": self.sink_id, "stream_batch_id": batchId},
             part_cols=self.part_cols,
+            allow_evolution=self.evolve,
         )
         if v is not None:
             self._last = batchId

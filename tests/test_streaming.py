@@ -1699,3 +1699,58 @@ def test_versioned_table_sink_partitioned(spark, tmp_path):
     assert t.row_count() == before + 4
     feb = t.read(spark).where(F.col("ds") >= "2026-02-01")
     assert feb.count() == 4
+
+
+def test_versioned_table_sink_additive_evolution(spark, tmp_path):
+    """option('allowEvolution','true') lets the sink accept additive
+    drift: new columns surface (old rows NULL), missing columns
+    null-fill, the default still refuses, and retired names are
+    refused even with the flag."""
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    # default: refused with a pointer to the option
+    with _pytest.raises(Exception, match="allowEvolution"):
+        spark.createDataFrame(
+            [(2, 20, "x")], "k long, v long, src string"
+        ).write.format("versioned_table").option("path", root).mode(
+            "append"
+        ).save()
+    # evolving append: new column lands, old rows read NULL
+    spark.createDataFrame(
+        [(2, 20, "x")], "k long, v long, src string"
+    ).write.format("versioned_table").option("path", root).option(
+        "allowEvolution", "true"
+    ).mode("append").save()
+    got = sorted(
+        (r.k, r.v, r.src) for r in t.read(spark).collect()
+    )
+    assert got == [(1, 10, None), (2, 20, "x")]
+    # narrower stream (missing column) also passes with the flag
+    spark.createDataFrame([(3, 30)], "k long, v long").write.format(
+        "versioned_table"
+    ).option("path", root).option("allowEvolution", "true").mode(
+        "append"
+    ).save()
+    assert t.read(spark).where("k = 3").first().src is None
+    # retired names stay refused even with the flag
+    t2root = str(tmp_path / "t2")
+    t2 = VersionedTable(t2root)
+    t2.create(
+        spark.createDataFrame([(1, 1, 9)], "k long, v long, scratch long")
+    )
+    t2.drop_column("scratch")
+    with _pytest.raises(Exception, match="retired"):
+        spark.createDataFrame(
+            [(2, 2, 8)], "k long, v long, scratch long"
+        ).write.format("versioned_table").option("path", t2root).option(
+            "allowEvolution", "true"
+        ).mode("append").save()
