@@ -2961,13 +2961,12 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
-    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
-        """Time travel by wall clock: the snapshot of the LAST version
-        committed at or before ``ts`` (epoch seconds). Commit stamps
-        are monotone (each committer re-reads its predecessor before
-        stamping). The reverse scan walks the manifest TAIL and then
-        the newest checkpoint's commit summary — bounded manifest
-        opens on a long history."""
+    def version_as_of(self, ts: float) -> int:
+        """The LAST version committed at or before ``ts`` (epoch
+        seconds). Commit stamps are monotone (each committer re-reads
+        its predecessor before stamping). The reverse scan walks the
+        manifest TAIL and then the newest checkpoint's commit summary
+        — bounded manifest opens on a long history."""
         v = self.latest_version()
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -2978,17 +2977,28 @@ class VersionedTable:
             stamp = self._read_manifest(i).get("committed_at", 0.0)
             earliest = stamp
             if stamp <= ts:
-                return self.read(spark, i)
+                return i
         if ckpt:
             for c in reversed(ckpt["commits"]):
                 stamp = c.get("committed_at", 0.0)
                 earliest = stamp
                 if stamp <= ts:
-                    return self.read(spark, c["version"])
+                    return c["version"]
         raise LookupError(
             f"no version committed at or before {ts} "
             f"(earliest is {earliest})"
         )
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by wall clock: the snapshot of
+        :meth:`version_as_of`."""
+        return self.read(spark, self.version_as_of(ts))
+
+    def restore_as_of(self, ts: float) -> int:
+        """RESTORE by wall clock (Delta RESTORE TIMESTAMP AS OF): a
+        new zero-copy commit whose dir list is the
+        :meth:`version_as_of` snapshot's."""
+        return self.restore(self.version_as_of(ts))
 
     def _evolution_state(self, upto: int) -> tuple:
         """ALL schema-evolution facts at or below ``upto`` in ONE

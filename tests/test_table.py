@@ -2860,3 +2860,19 @@ def test_optimize_incremental_clustering_tail_only(spark, tmp_path):
         spark, small_bytes=1, max_dirs=64, cluster_by=["k", "c"]
     )
     assert [a["action"] for a in acts] == ["compact_zorder"]
+
+
+def test_restore_as_of_timestamp(spark, tmp_path):
+    """restore_as_of: zero-copy restore to the wall-clock snapshot;
+    read_as_of keeps working through the shared version resolution."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    ts_v1 = t._read_manifest(1)["committed_at"]
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    assert t.version_as_of(ts_v1) == 1
+    assert sorted(r.k for r in t.read_as_of(spark, ts_v1).collect()) == [1, 2]
+    v = t.restore_as_of(ts_v1)
+    assert v == 3  # a NEW commit, interim stays time-travelable
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == [1, 2, 3]
