@@ -30,9 +30,12 @@ partition columns, never the payload) and writes one part file per
 Spark's own hive writer byte-for-byte (same escaping, same
 ``__HIVE_DEFAULT_PARTITION__`` null dir), so sink commits and library
 ``append`` commits interleave in one table and prune identically.
-Schema is checked by column NAME against the live snapshot footer plus
-the partition columns (a drifted stream fails the commit, never
-poisons the table).
+Schema is checked by NAME AND TYPE against the live snapshot footer
+plus the partition columns: additive drift and type WIDENING commit
+with ``option("allowEvolution", "true")`` (recording the widened
+schema as the read-side cast target), a narrower stream conforms
+through the same recorded schema, and anything else fails the commit
+— a drifted stream can never poison the table.
 """
 
 from __future__ import annotations
@@ -214,9 +217,9 @@ def _write_partition(
     return _FilesMsg(files)
 
 
-def _first_footer_names(table) -> set | None:
-    """Column names of the newest commit dir's footer (None if the
-    table is empty) — the sink's name-level schema guard."""
+def _first_footer_schema(table):
+    """Arrow schema of the newest commit dir's first footer (None if
+    the table is empty) — the sink's schema guard source."""
     import pyarrow.parquet as pq
 
     m = table._read_manifest()
@@ -224,9 +227,9 @@ def _first_footer_names(table) -> set | None:
         for r, _dd, fs in os.walk(d):
             for f in sorted(fs):
                 if f.endswith(".parquet"):
-                    return set(
-                        pq.ParquetFile(os.path.join(r, f)).schema_arrow.names
-                    )
+                    return pq.ParquetFile(
+                        os.path.join(r, f)
+                    ).schema_arrow
     return None
 
 
@@ -254,11 +257,12 @@ def _commit_files(
     import pyarrow.parquet as pq
 
     evolved = False
+    schema_json = None
     if t.exists():
-        want = _first_footer_names(t)
-        got = set(pq.ParquetFile(files[0][0]).schema_arrow.names) | set(
-            part_cols or []
-        )
+        footer = _first_footer_schema(t)
+        want = set(footer.names) if footer is not None else None
+        stream_arrow = pq.ParquetFile(files[0][0]).schema_arrow
+        got = set(stream_arrow.names) | set(part_cols or [])
         if want is not None:
             # the LOGICAL schema: footers still carry metadata-only
             # dropped columns, so subtract the retired names — and a
@@ -283,9 +287,81 @@ def _commit_files(
                         f"'true') accepts additive drift"
                     )
                 # additive evolution, the append(allow_evolution=True)
-                # contract at NAME level: new columns surface, missing
-                # ones null-fill through the mergeSchema read; type
-                # drift still fails at read-conform time, loudly
+                # contract: new columns surface, missing ones
+                # null-fill through the mergeSchema read
+                evolved = True
+            # TYPE face (the name guard alone would let a widened
+            # stream land and brick every later multi-file read):
+            # compare footer types column-by-column; widening needs
+            # the evolution flag and records the widened schema as
+            # the read-side cast target, a NARROWER stream conforms
+            # through the same recorded schema, anything else refused
+            import json as _json
+
+            from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.types import StructType
+
+            from python_etl_spark.sinks.table import _is_widening
+
+            wjson = t._widened_schema(t.latest_version())
+            if wjson is not None:
+                tbl_schema = StructType.fromJson(_json.loads(wjson))
+            else:
+                tbl_schema = from_arrow_schema(footer)
+            st_schema = from_arrow_schema(stream_arrow)
+            t_by = {
+                f.name: f.dataType
+                for f in tbl_schema.fields
+                if f.name not in dropped
+            }
+            s_by = {f.name: f.dataType for f in st_schema.fields}
+            widened = False
+            conform = wjson is not None
+            for nme in sorted(set(t_by) & set(s_by)):
+                a, b = t_by[nme], s_by[nme]
+                if a == b:
+                    continue
+                if _is_widening(a, b):
+                    widened = True  # stream widens the table column
+                elif _is_widening(b, a):
+                    conform = True  # narrower stream: cast-read it
+                else:
+                    raise ValueError(
+                        f"versioned_table sink type drift on "
+                        f"'{nme}': table has {a.simpleString()}, "
+                        f"stream has {b.simpleString()} — not a "
+                        f"supported widening"
+                    )
+            if widened and not allow_evolution:
+                raise ValueError(
+                    "versioned_table sink: stream widens column "
+                    "types — option('allowEvolution', 'true') opts "
+                    "into type widening"
+                )
+            if widened or conform or (evolved and wjson is not None):
+                # the cast-conforming read target: every table column
+                # at the WIDER of the two types, stream-only columns
+                # appended — refreshed on every evolving commit once
+                # the table has ever widened (the stale-schema_json
+                # hazard the append path fixed this round)
+                fields = []
+                for f in tbl_schema.fields:
+                    if f.name in dropped:
+                        continue
+                    b = s_by.get(f.name)
+                    if b is not None and _is_widening(f.dataType, b):
+                        fields.append(type(f)(f.name, b, True))
+                    else:
+                        fields.append(
+                            type(f)(f.name, f.dataType, True)
+                        )
+                have = {f.name for f in fields}
+                for f in st_schema.fields:
+                    if f.name not in have:
+                        fields.append(
+                            type(f)(f.name, f.dataType, True)
+                        )
+                schema_json = StructType(fields).json()
                 evolved = True
     d = os.path.join(root, "data", f"commit-{uuid.uuid4().hex[:12]}")
     os.makedirs(d)
@@ -308,6 +384,8 @@ def _commit_files(
     if evolved:
         op_meta = dict(op_meta or {})
         op_meta["schema_evolved"] = True
+        if schema_json is not None:
+            op_meta["schema_json"] = schema_json
     for attempt in range(t.max_retries + 1):
         cur = t._read_manifest()
         v = cur["version"] + 1

@@ -1754,3 +1754,48 @@ def test_versioned_table_sink_additive_evolution(spark, tmp_path):
         ).write.format("versioned_table").option("path", t2root).option(
             "allowEvolution", "true"
         ).mode("append").save()
+
+
+def test_versioned_table_sink_type_widening(spark, tmp_path):
+    """The sink's TYPE face: a widened stream is refused without the
+    evolution flag (it would brick every later multi-file read), and
+    with the flag it commits the widened schema as the cast target —
+    old int files and new long files read back as one long column.
+    A narrower stream conforms through the same machinery; a
+    non-widening type change is refused outright."""
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 10)], "k int, v int"))
+    wide = spark.createDataFrame([(2, 1 << 40)], "k long, v long")
+    with _pytest.raises(Exception, match="allowEvolution"):
+        wide.write.format("versioned_table").option("path", root).mode(
+            "append"
+        ).save()
+    assert t.row_count() == 1  # refused pre-publish
+    wide.write.format("versioned_table").option("path", root).option(
+        "allowEvolution", "true"
+    ).mode("append").save()
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 1 << 40)]
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+    # narrower stream after the widening: conforms by cast
+    spark.createDataFrame([(3, 30)], "k int, v int").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+    # a non-widening change is refused even with the flag
+    with _pytest.raises(Exception, match="not a supported widening"):
+        spark.createDataFrame(
+            [(4, "oops")], "k long, v string"
+        ).write.format("versioned_table").option("path", root).option(
+            "allowEvolution", "true"
+        ).mode("append").save()
+    assert t.read(spark).count() == 3
