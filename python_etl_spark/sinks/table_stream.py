@@ -260,7 +260,21 @@ def _commit_files(
     schema_json = None
     if t.exists():
         footer = _first_footer_schema(t)
-        want = set(footer.names) if footer is not None else None
+        # footer names are PHYSICAL: conform them through the rename
+        # mapping so a post-rename stream (carrying the logical name)
+        # is compared against the logical schema, not an old footer
+        ren = {
+            old: logical
+            for logical, olds in (
+                t._name_mapping(t.latest_version()) or {}
+            ).items()
+            for old in olds
+        }
+        want = (
+            {ren.get(n, n) for n in footer.names}
+            if footer is not None
+            else None
+        )
         stream_arrow = pq.ParquetFile(files[0][0]).schema_arrow
         got = set(stream_arrow.names) | set(part_cols or [])
         if want is not None:
@@ -310,9 +324,9 @@ def _commit_files(
                 tbl_schema = from_arrow_schema(footer)
             st_schema = from_arrow_schema(stream_arrow)
             t_by = {
-                f.name: f.dataType
+                ren.get(f.name, f.name): f.dataType
                 for f in tbl_schema.fields
-                if f.name not in dropped
+                if ren.get(f.name, f.name) not in dropped
             }
             s_by = {f.name: f.dataType for f in st_schema.fields}
             widened = False
@@ -346,14 +360,15 @@ def _commit_files(
                 # hazard the append path fixed this round)
                 fields = []
                 for f in tbl_schema.fields:
-                    if f.name in dropped:
+                    ln = ren.get(f.name, f.name)  # logical name
+                    if ln in dropped:
                         continue
-                    b = s_by.get(f.name)
+                    b = s_by.get(ln)
                     if b is not None and _is_widening(f.dataType, b):
-                        fields.append(type(f)(f.name, b, True))
+                        fields.append(type(f)(ln, b, True))
                     else:
                         fields.append(
-                            type(f)(f.name, f.dataType, True)
+                            type(f)(ln, f.dataType, True)
                         )
                 have = {f.name for f in fields}
                 for f in st_schema.fields:

@@ -1799,3 +1799,33 @@ def test_versioned_table_sink_type_widening(spark, tmp_path):
             "allowEvolution", "true"
         ).mode("append").save()
     assert t.read(spark).count() == 3
+
+
+def test_versioned_table_sink_after_rename(spark, tmp_path):
+    """A post-rename stream carrying the LOGICAL name lands through
+    the sink without any evolution flag (the guard conforms footer
+    names through the rename mapping); the old physical name is
+    refused like any drift."""
+    import pytest as _pytest
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 10)], "k long, qty long"))
+    t.rename_column("qty", "amount")
+    spark.createDataFrame([(2, 20)], "k long, amount long").write.format(
+        "versioned_table"
+    ).option("path", root).mode("append").save()
+    got = sorted((r.k, r.amount) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 20)]
+    with _pytest.raises(Exception, match="drift"):
+        spark.createDataFrame(
+            [(3, 30)], "k long, qty long"
+        ).write.format("versioned_table").option("path", root).mode(
+            "append"
+        ).save()
