@@ -2961,6 +2961,36 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
 
+    def snapshot_diff(
+        self, spark: SparkSession, since_version: int,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Row-level DIFF between two snapshots by CONTENT (full-row
+        anti-joins), shaped like the change feed: ``insert`` rows
+        exist only in the newer snapshot, ``delete`` rows only in the
+        older. This is the RE-BASELINE tool for consumers crossing a
+        feed barrier (overwrite / restore / track_changes=False /
+        partition evolution): ``row_changes`` raises there because no
+        row lineage exists — the diff recovers the NET effect at the
+        cost of reading both snapshots (two scans + one shuffle),
+        which is exactly the honest price of a lineage gap; it is not
+        a substitute for the feed on tables where commits carry
+        lineage. Updates surface as delete+insert (content diff has
+        no key knowledge)."""
+        upto = self.latest_version() if version is None else version
+        old_df = self.read(spark, since_version)
+        new_df = self.read(spark, upto)
+        cols = new_df.columns
+        ins = new_df.exceptAll(
+            old_df.select(*cols) if set(old_df.columns) >= set(cols)
+            else old_df
+        ).withColumn("_change_type", F.lit("insert"))
+        dels = old_df.select(*[c for c in old_df.columns if c in cols]) \
+            .exceptAll(new_df.select(
+                *[c for c in old_df.columns if c in cols]
+            )).withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels, allowMissingColumns=True)
+
     def version_as_of(self, ts: float) -> int:
         """The LAST version committed at or before ``ts`` (epoch
         seconds). Commit stamps are monotone (each committer re-reads

@@ -2876,3 +2876,37 @@ def test_restore_as_of_timestamp(spark, tmp_path):
     assert v == 3  # a NEW commit, interim stays time-travelable
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
     assert sorted(r.k for r in t.read(spark, 2).collect()) == [1, 2, 3]
+
+
+def test_snapshot_diff_recovers_net_effect_across_barrier(spark, tmp_path):
+    """snapshot_diff: content-level insert/delete rows between any two
+    versions — the re-baseline tool where row_changes raises (an
+    overwrite has no lineage). Replaying the diff onto the old
+    snapshot reproduces the new one."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    # a blind overwrite: feed barrier
+    t.overwrite(
+        spark.createDataFrame([(2, 99), (3, 30), (4, 40)], "k long, v long")
+    )
+    with pytest.raises(ValueError):
+        t.row_changes(spark, 0).collect()
+    diff = t.snapshot_diff(spark, 0)
+    got = sorted(
+        (r.k, r.v, r._change_type) for r in diff.collect()
+    )
+    assert got == [
+        (1, 10, "delete"),
+        (2, 20, "delete"),
+        (2, 99, "insert"),
+        (3, 30, "insert"),
+        (4, 40, "insert"),
+    ]
+    # replay check: old - deletes + inserts == new
+    old = {(1, 10), (2, 20)}
+    for k, v, ct in got:
+        (old.discard if ct == "delete" else old.add)((k, v))
+    assert old == {
+        (r.k, r.v) for r in t.read(spark).collect()
+    }
