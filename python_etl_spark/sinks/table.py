@@ -356,6 +356,24 @@ class VersionedTable:
                 )
         return df
 
+    def cluster_keys(self) -> list[str]:
+        """Clustering keys declared at create time (``cluster_keys=``,
+        the Delta liquid-clustering idea): a bare ``optimize()`` then
+        maintains the layout without the nightly job knowing the
+        schema. Sticky like partition_by; carried by checkpoints and
+        clones."""
+        if not self.exists():
+            return []
+        try:
+            return (
+                self._read_manifest(0)
+                .get("meta", {})
+                .get("cluster_keys", [])
+            )
+        except FileNotFoundError:
+            ckpt = self._latest_checkpoint()
+            return ckpt.get("cluster_keys", []) if ckpt else []
+
     def constraints(self, version: int | None = None) -> dict:
         """Live CHECK constraints at ``version`` (default latest):
         ``{name: sql expr}``. SQL-standard semantics — a row VIOLATES
@@ -831,6 +849,7 @@ class VersionedTable:
             "partition_by": self.partition_columns(),
             "bloom_keys": self.bloom_columns(),
             "generated": self.generated_columns(),
+            "cluster_keys": self.cluster_keys(),
             "commits": commits,
         }
         self._atomic_write(self._ckpt_path(version), json.dumps(ckpt))
@@ -971,6 +990,7 @@ class VersionedTable:
         bloom_keys: list[str] | None = None,
         constraints: dict | None = None,
         generated: dict | None = None,
+        cluster_keys: list[str] | None = None,
     ) -> int:
         """``bloom_keys`` declares key columns for PER-DIR BLOOM stats
         (r10 verdict #4): every commit then embeds a size-capped bloom
@@ -996,6 +1016,8 @@ class VersionedTable:
             m["constraints"] = dict(constraints)
         if generated:
             m["generated"] = dict(generated)
+        if cluster_keys:
+            m["cluster_keys"] = list(cluster_keys)
         try:
             return self._commit([d], "create", 0, m or None)
         except CommitConflictError:
@@ -2050,6 +2072,9 @@ class VersionedTable:
         gen = self.generated_columns()
         if gen:
             m["generated"] = gen
+        ckeys = self.cluster_keys()
+        if ckeys:
+            m["cluster_keys"] = ckeys
         try:
             dst._commit(
                 src["data_dirs"],
@@ -2415,6 +2440,8 @@ class VersionedTable:
                             ),
                         }
                     )
+        if cluster_by is None:
+            cluster_by = self.cluster_keys() or None
         if cluster_by:
             # one column -> range sort; several -> Z-order (the worst
             # column's overlap decides: a layout is only as good as

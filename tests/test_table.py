@@ -2910,3 +2910,29 @@ def test_snapshot_diff_recovers_net_effect_across_barrier(spark, tmp_path):
     assert old == {
         (r.k, r.v) for r in t.read(spark).collect()
     }
+
+
+def test_declared_cluster_keys_bare_optimize(spark, tmp_path):
+    """cluster_keys declared at create: a bare optimize() maintains
+    the Z-order layout with no arguments — full rewrite when
+    unclustered, tail-only after, no-op when healthy; keys survive
+    clone and checkpoint carry."""
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(4), cluster_keys=["k", "c"])
+    assert t.cluster_keys() == ["k", "c"]
+    acts = t.optimize(spark, small_bytes=1, max_dirs=64)
+    assert [a["action"] for a in acts] == ["compact_zorder"]
+    t.append(
+        spark.range(5000, 5400).selectExpr(
+            "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+        )
+    )
+    acts = t.optimize(spark, small_bytes=1, max_dirs=64)
+    assert [a["action"] for a in acts] == ["compact_clustered_tail"]
+    assert t.optimize(spark, small_bytes=1, max_dirs=64) == []
+    assert t.row_count() == 2400
+    cl = t.clone(str(tmp_path / "cl"))
+    assert cl.cluster_keys() == ["k", "c"]
