@@ -2523,12 +2523,21 @@ class VersionedTable:
                         }
                     )
         cur = self._read_manifest()
+        # when a clustered layout is in force (head meta carries the
+        # provenance), the PLAIN rewrites are superseded: a bin-pack
+        # or full compact would rewrite UNCLUSTERED, stripping the
+        # provenance and ping-ponging with next night's re-cluster.
+        # Accretion on a clustered table is handled by the tail
+        # rewrite above (dirs stay bounded at base + one tail).
+        head_clustered = bool(
+            cluster_by and cur.get("meta", {}).get("clustered_by")
+        )
         small = [
             d
             for d in cur["data_dirs"]
             if self._tree_bytes(d) < small_bytes
         ]
-        if len(small) >= 2:
+        if len(small) >= 2 and not head_clustered:
             v = self.compact_bins(spark, small_bytes)
             if v is not None:
                 actions.append(
@@ -2543,10 +2552,32 @@ class VersionedTable:
                 )
         cur = self._read_manifest()
         if len(cur["data_dirs"]) > max_dirs:
-            v = self.compact(spark)
+            # dir-count pressure: on a clustered layout the
+            # consolidating rewrite is CLUSTERED (each tail rewrite
+            # adds one dir, so every ~max_dirs nights the layout
+            # re-consolidates to one dir — amortized full-rewrite
+            # cost, provenance preserved); plain compact otherwise
+            if head_clustered:
+                ccols2 = (
+                    [cluster_by]
+                    if isinstance(cluster_by, str)
+                    else list(cluster_by)
+                )
+                if len(ccols2) == 1:
+                    v = self.compact(spark, sort_by=ccols2)
+                else:
+                    v = self.compact(spark, zorder_by=ccols2)
+                act = (
+                    "compact_clustered"
+                    if len(ccols2) == 1
+                    else "compact_zorder"
+                )
+            else:
+                v = self.compact(spark)
+                act = "compact"
             actions.append(
                 {
-                    "action": "compact",
+                    "action": act,
                     "version": v,
                     "reason": (
                         f"{len(cur['data_dirs'])} dirs > max_dirs="

@@ -2936,3 +2936,45 @@ def test_declared_cluster_keys_bare_optimize(spark, tmp_path):
     assert t.row_count() == 2400
     cl = t.clone(str(tmp_path / "cl"))
     assert cl.cluster_keys() == ["k", "c"]
+
+
+def test_optimize_clustered_layout_supersedes_plain_rewrites(spark, tmp_path):
+    """With a clustered layout in force, nightly small-file pressure
+    resolves through the TAIL rewrite, never a plain bin-pack that
+    would strip provenance and ping-pong: two optimize cycles with
+    appends keep dirs bounded at base + tail and never emit
+    compact_bins/compact actions."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.range(0, 2000).selectExpr(
+            "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+        ).repartition(4),
+        cluster_keys=["k", "c"],
+    )
+    t.optimize(spark, small_bytes=1, max_dirs=64)
+    for night in range(2):
+        for j in range(3):  # 3 tiny appends per night
+            lo = 10_000 + night * 1000 + j * 100
+            t.append(
+                spark.range(lo, lo + 50).selectExpr(
+                    "id AS k",
+                    "CAST((id * 48271) % 9973 AS BIGINT) AS c",
+                )
+            )
+        acts = t.optimize(
+            spark, small_bytes=1 << 30, max_dirs=2
+        )  # tiny dirs + tight max_dirs: maximal pressure
+        got = [a["action"] for a in acts]
+        if night == 0:
+            # base + 1 tail: within max_dirs, tail rewrite only
+            assert got == ["compact_clustered_tail"]
+            assert len(t._read_manifest()["data_dirs"]) == 2
+        else:
+            # a second tail would exceed max_dirs: the consolidating
+            # rewrite is CLUSTERED, provenance preserved
+            assert got == ["compact_clustered_tail", "compact_zorder"]
+            m = t._read_manifest()
+            assert len(m["data_dirs"]) == 1
+            assert m["meta"]["clustered_by"] == ["k", "c"]
+    assert t.row_count() == 2300
+    assert t.optimize(spark, small_bytes=1 << 30, max_dirs=2) == []
