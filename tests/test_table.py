@@ -2978,3 +2978,38 @@ def test_optimize_clustered_layout_supersedes_plain_rewrites(spark, tmp_path):
             assert m["meta"]["clustered_by"] == ["k", "c"]
     assert t.row_count() == 2300
     assert t.optimize(spark, small_bytes=1 << 30, max_dirs=2) == []
+
+
+def test_zorder_compact_on_hive_partitioned_table(spark, tmp_path):
+    """compact(zorder_by) composes with a hive layout: the rewrite
+    keeps the name=value dirs, rows are preserved, partition pruning
+    still works, and per-file ranges inside each partition tighten on
+    the clustered columns."""
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k",
+        "CAST((id * 2654435761) % 100003 AS BIGINT) AS c",
+        "CAST(id % 2 AS STRING) AS ds",
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(4), partition_by=["ds"])
+    before = sorted(
+        (r.k, r.c, r.ds) for r in t.read(spark).collect()
+    )
+    t.compact(spark, zorder_by=["k", "c"], n_files=8)
+    import os as _os
+
+    d = t._read_manifest()["data_dirs"][0]
+    assert sorted(
+        x for x in _os.listdir(d) if x.startswith("ds=")
+    ) == ["ds=0", "ds=1"]
+    after = sorted((r.k, r.c, r.ds) for r in t.read(spark).collect())
+    assert after == before
+    pruned = t.read(spark).where(F.col("ds") == "0")
+    assert pruned.count() == 1500
+    # clustered columns still prune at file level inside the layout
+    boxed = t.read_pruned(spark, ranges={"c": (0, 10000)})
+    assert len(boxed.inputFiles()) < len(t.read(spark).inputFiles())
+    expect = [r for r in after if 0 <= r[1] <= 10000]
+    assert sorted(
+        (r.k, r.c, r.ds) for r in boxed.collect()
+    ) == expect
