@@ -3013,3 +3013,56 @@ def test_zorder_compact_on_hive_partitioned_table(spark, tmp_path):
     assert sorted(
         (r.k, r.c, r.ds) for r in boxed.collect()
     ) == expect
+
+
+def test_table_changes_stream_starting_timestamp(spark, tmp_path):
+    """The STREAMING face honors startingTimestamp: a bounded
+    availableNow run from a mid-history stamp delivers only the
+    commits at or after it."""
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    ts2 = t._read_manifest(2)["committed_at"] - 0.0005
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("table_changes")
+        .option("startingTimestamp", str(ts2))
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(3, 2)]
+
+
+def test_clone_of_zordered_table_keeps_pruning(spark, tmp_path):
+    """A shallow clone carries the Z-ordered source's per-file stats:
+    box reads on the clone prune exactly like on the source."""
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+    )
+    src = VersionedTable(str(tmp_path / "src"))
+    src.create(df.repartition(4))
+    src.compact(spark, zorder_by=["k", "c"], n_files=8)
+    cl = src.clone(str(tmp_path / "cl"))
+    p_src = src.read_pruned(spark, ranges={"c": (0, 1000)})
+    p_cl = cl.read_pruned(spark, ranges={"c": (0, 1000)})
+    assert sorted(p_src.inputFiles()) == sorted(p_cl.inputFiles())
+    assert len(p_cl.inputFiles()) < len(cl.read(spark).inputFiles())
+    assert sorted((r.k, r.c) for r in p_cl.collect()) == sorted(
+        (r.k, r.c) for r in p_src.collect()
+    )
