@@ -3066,3 +3066,36 @@ def test_clone_of_zordered_table_keeps_pruning(spark, tmp_path):
     assert sorted((r.k, r.c) for r in p_cl.collect()) == sorted(
         (r.k, r.c) for r in p_src.collect()
     )
+
+
+def test_sink_commits_feed_bare_optimize_tail(spark, tmp_path):
+    """Registered-sink appends are ordinary commits: on a
+    cluster_keys table they form the tail a bare optimize() rewrites
+    clustered — the full nightly loop (stream in, optimize, prune)
+    with no schema knowledge in the maintenance job."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+        ).repartition(2),
+        cluster_keys=["k", "c"],
+    )
+    t.optimize(spark, small_bytes=1, max_dirs=64)
+    # nightly increment through the registered sink
+    spark.range(5000, 5500).selectExpr(
+        "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+    ).write.format("versioned_table").option("path", root).mode(
+        "append"
+    ).save()
+    acts = t.optimize(spark, small_bytes=1, max_dirs=64)
+    assert [a["action"] for a in acts] == ["compact_clustered_tail"]
+    assert t.row_count() == 1500
+    boxed = t.read_pruned(spark, ranges={"k": (5000, 5100)})
+    assert len(boxed.inputFiles()) < len(t.read(spark).inputFiles())
+    assert boxed.where(F.col("k").between(5000, 5100)).count() == 101
