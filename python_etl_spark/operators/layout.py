@@ -173,65 +173,131 @@ def morton_decode(code: Column, bits: int = 16) -> tuple[Column, Column]:
     return _unspread(code), _unspread(F.shiftright(code.cast("long"), 1))
 
 
+def string_rank_boundaries(
+    df: DataFrame, col: str, bits: int = 8, sample: int = 8192
+) -> list[str]:
+    """Sampled lexicographic RANGE boundaries for a string column:
+    ``2^bits - 1`` (or fewer) sorted strings splitting the observed
+    distinct values into ~equal-population rank buckets — the string
+    analogue of the numeric approxQuantile sketch (Delta Z-orders
+    strings the same way: range-partition ids from sampled bounds).
+    The sample is a deterministic hash-ordered top-K over DISTINCT
+    values (TakeOrderedAndProject — distributed partial top-K, only
+    ``sample`` strings ever reach the driver), so the boundary list is
+    stable across runs and partitionings."""
+    B = 1 << bits
+    vals = [
+        r[0]
+        for r in df.select(F.col(col).alias("v"))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .orderBy(F.xxhash64("v"), "v")
+        .limit(sample)
+        .collect()
+    ]
+    vals.sort()
+    if len(vals) <= 1:
+        return []
+    step = max(1, len(vals) // B)
+    bounds = sorted({vals[i] for i in range(step, len(vals), step)})
+    return bounds[: B - 1]
+
+
+def string_rank_id(
+    col: Column, bounds: list[str], bits: int = 8
+) -> Column:
+    """Rank-bucket id in ``[0, 2^bits)`` for a string column given its
+    sampled boundaries: the count of boundaries <= value, evaluated as
+    ONE JVM-side higher-order fold over the broadcast boundary-array
+    literal (no Python in the hot path; ~|bounds| string compares per
+    row — trivial next to the rewrite shuffle this feeds). NULLs land
+    in the top bucket, mirroring the numeric path."""
+    B = 1 << bits
+    if not bounds:
+        return F.when(col.isNull(), F.lit(B - 1)).otherwise(F.lit(0))
+    rank = F.aggregate(
+        F.array(*[F.lit(b) for b in bounds]),
+        F.lit(0),
+        lambda acc, b: acc + (col >= b).cast("int"),
+    )
+    return F.when(col.isNull(), F.lit(B - 1)).otherwise(
+        F.least(rank, F.lit(B - 1))
+    )
+
+
 def zorder_quantile(
     df: DataFrame,
     cols: list[str],
     n_files: int = 8,
     bits: int = 8,
 ) -> DataFrame:
-    """Z-order clustering for ARBITRARY numeric/date/timestamp
-    columns: each column is first reduced to a quantile bucket id in
-    ``[0, 2^bits)`` (one driver-bounded ``approxQuantile`` sample per
-    column — the Delta OPTIMIZE ZORDER range-id idea), the ids are
+    """Z-order clustering for ARBITRARY numeric/date/timestamp/string
+    columns: each column is first reduced to a rank-bucket id in
+    ``[0, 2^bits)`` — numeric/date/timestamp via one driver-bounded
+    ``approxQuantile`` sketch per column, strings via sampled
+    lexicographic boundaries (:func:`string_rank_boundaries`, the
+    Delta OPTIMIZE ZORDER range-id idea in both cases) — the ids are
     bit-interleaved, and the frame is range-partitioned + sorted on
     the code. Quantile bucketing (not min/max linear scaling) keeps
     the Z-curve balanced under skew: every bucket holds ~1/2^bits of
     the rows, so every output file is a tight hyper-rectangle even
-    when one key is power-law distributed.
+    when one key is power-law distributed. Because string buckets are
+    LEXICOGRAPHIC ranges (not hashes), per-file min/max stats on the
+    string column stay tight and prune equality AND range predicates.
 
     NULLs land in the top bucket (documented; layout-only — never a
-    correctness concern). String columns are refused loudly: a
-    lexicographic prefix has no bounded-width rank. One shuffle."""
+    correctness concern). Complex types (array/map/struct) are refused
+    loudly. One shuffle (plus one bounded top-K sample job per string
+    column)."""
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns (sort for one)")
     B = 1 << bits
     types = dict(df.dtypes)
     num = df
-    tmp = []
+    tmp = []           # numeric surrogate columns for approxQuantile
+    id_by_col: dict[str, Column] = {}
     for c in cols:
         dt = types.get(c)
         if dt is None:
             raise ValueError(f"no column '{c}' in {sorted(types)}")
         col = F.col(c)
+        if dt.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"zorder_quantile on '{c}' ({dt}): complex types "
+                f"have no rank order"
+            )
+        if dt == "string":
+            bounds = string_rank_boundaries(df, c, bits)
+            id_by_col[c] = string_rank_id(col, bounds, bits)
+            continue
         if dt == "date":
             col = F.datediff(col, F.lit("1970-01-01").cast("date"))
-        elif dt == "string" or dt.startswith(("array", "map", "struct")):
-            raise ValueError(
-                f"zorder_quantile on '{c}' ({dt}): only numeric/"
-                f"date/timestamp columns have bounded-width ranks"
-            )
         num = num.withColumn(f"__zq_{c}", col.cast("double"))
         tmp.append(f"__zq_{c}")
-    # one pass, all columns: B-1 quantile boundaries each, sampled to
-    # a driver-bounded sketch (Greenwald-Khanna inside Spark)
-    qs = num.stat.approxQuantile(
-        tmp, [i / B for i in range(1, B)], 1.0 / (4 * B)
-    )
-    from pyspark.ml.feature import Bucketizer
+    # one pass, all numeric columns: B-1 quantile boundaries each,
+    # sampled to a driver-bounded sketch (Greenwald-Khanna in Spark)
+    if tmp:
+        qs = num.stat.approxQuantile(
+            tmp, [i / B for i in range(1, B)], 1.0 / (4 * B)
+        )
+        from pyspark.ml.feature import Bucketizer
 
-    splits = [
-        [float("-inf")] + sorted(set(q)) + [float("inf")] for q in qs
-    ]
-    bucketed = Bucketizer(
-        inputCols=tmp,
-        outputCols=[f"{t}_b" for t in tmp],
-        splitsArray=splits,
-        handleInvalid="keep",  # null/NaN -> one extra bucket, clamped
-    ).transform(num)
-    ids = [
-        F.least(F.col(f"{t}_b").cast("long"), F.lit(B - 1)) for t in tmp
-    ]
-    coded = bucketed.withColumn("__z", morton_code_n(ids, bits))
+        splits = [
+            [float("-inf")] + sorted(set(q)) + [float("inf")] for q in qs
+        ]
+        num = Bucketizer(
+            inputCols=tmp,
+            outputCols=[f"{t}_b" for t in tmp],
+            splitsArray=splits,
+            handleInvalid="keep",  # null/NaN -> extra bucket, clamped
+        ).transform(num)
+        for c in cols:
+            if f"__zq_{c}" in tmp:
+                id_by_col[c] = F.least(
+                    F.col(f"__zq_{c}_b").cast("long"), F.lit(B - 1)
+                )
+    ids = [id_by_col[c] for c in cols]
+    coded = num.withColumn("__z", morton_code_n(ids, bits))
     return (
         coded.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

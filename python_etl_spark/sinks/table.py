@@ -418,6 +418,44 @@ class VersionedTable:
                 f"sample rows: {sample}"
             )
 
+    @staticmethod
+    def _validate_portable_exprs(
+        schema: "StructType", exprs: dict, kind: str
+    ) -> None:
+        """Declaration-time gate: every CHECK-constraint / generated-
+        column expression is enforced by TWO engines — Catalyst on the
+        batch write paths, DuckDB inside the registered streaming
+        sink's executor gate (sinks/table_stream.py). An expression
+        only Spark parses (backticked names, Spark-only functions)
+        would make the FIRST stream batch fail with an opaque task
+        error months after declaration — so parse it against DuckDB
+        NOW, over a 0-row probe relation with the table's schema, and
+        refuse the declaration with a message naming the offending
+        expression. Skipped silently when duckdb is absent (then the
+        streaming gate can't run either)."""
+        try:
+            import duckdb
+            from pyspark.sql.pandas.types import to_arrow_schema
+        except ImportError:  # pragma: no cover - duckdb is baked in
+            return
+        try:
+            probe = to_arrow_schema(schema).empty_table()
+        except Exception:
+            return  # exotic Spark type with no Arrow image: gate off
+        con = duckdb.connect()
+        con.register("probe", probe)
+        for name, expr in sorted(exprs.items()):
+            try:
+                con.execute(f"SELECT ({expr}) FROM probe").fetchall()
+            except Exception as exc:
+                raise ValueError(
+                    f"{kind} '{name}' expression ({expr}) is not "
+                    f"ANSI-portable: the streaming sink's executor "
+                    f"gate evaluates it with DuckDB, which rejects it "
+                    f"({exc}). Use portable syntax/functions (no "
+                    f"backticks, no Spark-only builtins)."
+                ) from None
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Add a CHECK constraint as a METADATA-ONLY commit. The whole
         current snapshot is validated first (one Spark job) — a table
@@ -432,9 +470,11 @@ class VersionedTable:
                     f"constraint '{name}' already exists: {cons[name]}"
                 )
             # validates the expression parses AND the snapshot passes
-            self._enforce_constraints(
-                self.read(spark, cur["version"]), {name: expr}
+            snap = self.read(spark, cur["version"])
+            self._validate_portable_exprs(
+                snap.schema, {name: expr}, "constraint"
             )
+            self._enforce_constraints(snap, {name: expr})
             try:
                 return self._commit(
                     cur["data_dirs"],
@@ -1002,10 +1042,43 @@ class VersionedTable:
         matched key."""
         if self.exists():
             raise RuntimeError(f"table already exists at {self.root}")
+        if cluster_keys:
+            # fail the misdeclaration HERE, not months later inside the
+            # nightly bare optimize(): zorder_quantile needs >= 2 keys
+            # and rank-orderable types (numeric/date/timestamp/string —
+            # strings rank via sampled lexicographic boundaries).
+            if len(cluster_keys) < 2:
+                raise ValueError(
+                    f"cluster_keys needs >= 2 columns to interleave "
+                    f"(got {list(cluster_keys)}); declare none and "
+                    f"optimize(zorder_by=...) ad hoc, or add a key"
+                )
+            types = dict(df.dtypes)
+            for c in cluster_keys:
+                dt = types.get(c)
+                if dt is None:
+                    raise ValueError(
+                        f"cluster key '{c}' not in schema "
+                        f"{sorted(types)}"
+                    )
+                if dt == "binary" or dt.startswith(
+                    ("array", "map", "struct")
+                ):
+                    raise ValueError(
+                        f"cluster key '{c}' ({dt}) has no rank order "
+                        f"— numeric/date/timestamp/string only"
+                    )
         if generated:
             df = self._apply_generated(df, generated)
         if constraints:
             self._enforce_constraints(df, constraints)
+        if constraints or generated:
+            self._validate_portable_exprs(
+                df.schema,
+                {**(constraints or {}),
+                 **{f"generated:{k}": v for k, v in (generated or {}).items()}},
+                "declared",
+            )
         d = self._write_data(df, partition_by)
         m = dict(meta or {})
         if partition_by:
@@ -1211,9 +1284,8 @@ class VersionedTable:
                     if f.name in got
                 ]
             )
-        self._enforce_constraints(
-            df, self.constraints(cur["version"])
-        )
+        checked_constraints = self.constraints(cur["version"])
+        self._enforce_constraints(df, checked_constraints)
         # the batch's data dir is written ONCE; only the manifest is
         # retried. An append does not depend on the base's CONTENT,
         # just its dir list, so a conflict retry re-reads the winner's
@@ -1233,6 +1305,16 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
                 cur = self._read_manifest()
+                # the winner may have ADDED a constraint after this
+                # append validated — a re-commit without re-checking
+                # would land rows add_constraint never saw (it
+                # validated a snapshot that didn't contain them).
+                # Generated-column defs are create-time-immutable, so
+                # only the constraint set needs the recheck.
+                now = self.constraints(cur["version"])
+                if now != checked_constraints:
+                    self._enforce_constraints(df, now)
+                    checked_constraints = now
 
     def _write_cdf(self, df: DataFrame) -> str:
         """Persist a commit's typed change rows (data columns +
@@ -2063,7 +2145,13 @@ class VersionedTable:
                 "constraints": cons,
             },
         }
-        pby = self.partition_columns()
+        # partition layout AS OF v, consistent with the constraint/
+        # rename carry above: cloning an older version after a later
+        # set_partitioning must stamp the clone with the layout its
+        # referenced dirs were written under, not the newest one.
+        # (bloom/generated/cluster keys are create-time-immutable, so
+        # latest == as-of-v for those.)
+        pby = self.partition_columns(v)
         if pby:
             m["partition_by"] = pby
         bkeys = self.bloom_columns()
@@ -3038,16 +3126,32 @@ class VersionedTable:
         upto = self.latest_version() if version is None else version
         old_df = self.read(spark, since_version)
         new_df = self.read(spark, upto)
-        cols = new_df.columns
-        ins = new_df.exceptAll(
-            old_df.select(*cols) if set(old_df.columns) >= set(cols)
-            else old_df
-        ).withColumn("_change_type", F.lit("insert"))
-        dels = old_df.select(*[c for c in old_df.columns if c in cols]) \
-            .exceptAll(new_df.select(
-                *[c for c in old_df.columns if c in cols]
-            )).withColumn("_change_type", F.lit("delete"))
-        return ins.unionByName(dels, allowMissingColumns=True)
+        # The two snapshots may straddle a schema evolution (additive
+        # append, overwrite-with-new-schema) — exactly the barriers this
+        # method exists to recover. Align BOTH frames to the union of
+        # columns, null-filling what each side lacks, so the set ops see
+        # identical column counts; a null-filled column diffs correctly
+        # (old rows carry NULL there, evolved reads null-fill the same).
+        new_types = dict(new_df.dtypes)
+        old_types = dict(old_df.dtypes)
+        union_cols = new_df.columns + [
+            c for c in old_df.columns if c not in new_types
+        ]
+
+        def _conform(df, have):
+            return df.select(*[
+                F.col(c) if c in have
+                else F.lit(None).cast(new_types.get(c) or old_types[c])
+                .alias(c)
+                for c in union_cols
+            ])
+
+        old_al, new_al = _conform(old_df, old_types), _conform(new_df, new_types)
+        ins = new_al.exceptAll(old_al) \
+            .withColumn("_change_type", F.lit("insert"))
+        dels = old_al.exceptAll(new_al) \
+            .withColumn("_change_type", F.lit("delete"))
+        return ins.unionByName(dels)
 
     def version_as_of(self, ts: float) -> int:
         """The LAST version committed at or before ``ts`` (epoch

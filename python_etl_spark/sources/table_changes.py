@@ -404,7 +404,9 @@ class _TableChangesStreamReader(DataSourceStreamReader):
     one batch falls back to unbounded — bounding blindly could hand
     Spark an end below a restart's checkpointed start, regressing the
     offset log into replay duplicates (correctness of the ranges is
-    unaffected either way)."""
+    unaffected either way). Setting the cap WITHOUT a streamId
+    therefore emits a ``UserWarning`` naming this unbounded-first-
+    batch edge at stream construction."""
 
     def __init__(self, options, schema):
         self.root = options.get("path")
@@ -416,6 +418,23 @@ class _TableChangesStreamReader(DataSourceStreamReader):
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
         self.stream_id = options.get("streamId")
+        if self.max_commits is not None and not self.stream_id:
+            # loud, once, at stream construction: without the sidecar
+            # the FIRST batch after a restart is unbounded (see
+            # latestOffset) — a user who set the cap for driver-memory
+            # reasons must know the cap has a restart hole
+            import warnings
+
+            warnings.warn(
+                "table_changes: maxCommitsPerTrigger set without "
+                "streamId — the cap holds while the stream runs, but "
+                "the FIRST batch after a restart is UNBOUNDED (no "
+                "sidecar to recover the position from; bounding "
+                "blindly could regress the checkpointed offset). "
+                "Pass .option('streamId', '<stable-name>') to keep "
+                "every batch bounded across restarts.",
+                stacklevel=2,
+            )
         self._pos: int | None = None
         self.spark_schema = schema
 

@@ -1829,3 +1829,34 @@ def test_versioned_table_sink_after_rename(spark, tmp_path):
         ).write.format("versioned_table").option("path", root).mode(
             "append"
         ).save()
+
+
+def test_table_changes_cap_without_streamid_warns(spark, tmp_path):
+    """maxCommitsPerTrigger without streamId: the cap has a documented
+    restart hole (the first post-restart batch is unbounded — no
+    sidecar to recover the position from). r12: the reader now WARNS
+    at construction so the user learns about the hole before it bites
+    (ADVICE/verdict r11 #6)."""
+    import warnings
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        _TableChangesStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    VersionedTable(root).create(
+        spark.createDataFrame([(1, 10)], "k long, v long")
+    )
+    with pytest.warns(UserWarning, match="UNBOUNDED"):
+        _TableChangesStreamReader(
+            {"path": root, "maxCommitsPerTrigger": "2"}, None
+        )
+    # with a streamId (or without the cap): silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _TableChangesStreamReader(
+            {"path": root, "maxCommitsPerTrigger": "2", "streamId": "s1"},
+            None,
+        )
+        _TableChangesStreamReader({"path": root}, None)

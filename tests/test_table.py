@@ -2249,12 +2249,14 @@ def test_zorder_compact_multi_dim_pruning(spark, tmp_path):
         for r in pruned.where(F.col("c").between(0, 5000)).collect()
     )
     assert got == expect
-    # strings refused loudly; both knobs at once refused
-    with pytest.raises(ValueError, match="bounded-width"):
+    # complex types refused loudly (strings rank via sampled
+    # boundaries since r12 — see test_zorder_string_cluster_keys);
+    # both knobs at once refused
+    with pytest.raises(ValueError, match="no rank order"):
         from python_etl_spark.operators.layout import zorder_quantile
 
         zorder_quantile(
-            df.selectExpr("k", "CAST(c AS STRING) AS c"), ["k", "c"]
+            df.selectExpr("k", "array(c) AS c"), ["k", "c"]
         )
     with pytest.raises(ValueError, match="not both"):
         zt.compact(spark, sort_by=["k"], zorder_by=["k", "c"])
@@ -3099,3 +3101,216 @@ def test_sink_commits_feed_bare_optimize_tail(spark, tmp_path):
     boxed = t.read_pruned(spark, ranges={"k": (5000, 5100)})
     assert len(boxed.inputFiles()) < len(t.read(spark).inputFiles())
     assert boxed.where(F.col("k").between(5000, 5100)).count() == 101
+
+
+# ---------------------------------------------------------------
+# round 12: ADVICE fixes + string cluster keys
+# ---------------------------------------------------------------
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """snapshot_diff must survive the exact barriers it documents:
+    snapshots whose schemas differ (additive-evolution append,
+    narrower older snapshot). Before r12 the insert-side exceptAll
+    crashed with NUM_COLUMNS_MISMATCH when the newer snapshot had
+    columns the older lacked (ADVICE r11 #1)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.append(
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, tag string"),
+        allow_evolution=True,
+    )
+    # newer snapshot is WIDER than the older one
+    d = t.snapshot_diff(spark, 0)
+    ins = [
+        (r.k, r.v, r.tag)
+        for r in d.where("_change_type = 'insert'").collect()
+    ]
+    assert ins == [(3, 30, "x")]
+    assert d.where("_change_type = 'delete'").count() == 0
+    # reverse direction: OLDER snapshot is wider (version below the
+    # evolution) — delete row surfaces with its evolved column
+    d2 = t.snapshot_diff(spark, 1, version=0)
+    dels = [
+        (r.k, r.v, r.tag)
+        for r in d2.where("_change_type = 'delete'").collect()
+    ]
+    assert dels == [(3, 30, "x")]
+    assert d2.where("_change_type = 'insert'").count() == 0
+
+
+def test_append_revalidates_constraints_on_conflict_retry(
+    spark, tmp_path
+):
+    """An append racing a concurrent add_constraint must re-validate
+    against the WINNER's constraint set before re-committing — the
+    winner validated a snapshot that did not contain the loser's rows
+    (ADVICE r11 #2)."""
+    from python_etl_spark.sinks.table import (
+        CommitConflictError,
+        ConstraintViolationError,
+    )
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 5)], "k long, v long"))
+
+    orig = t._commit
+    state = {"raced": False}
+
+    def racing_commit(*a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the winner lands ADD CONSTRAINT between our validation
+            # and our commit attempt
+            VersionedTable(root).add_constraint("pos_v", "v > 0")
+            raise CommitConflictError("lost race to add_constraint")
+        return orig(*a, **kw)
+
+    t._commit = racing_commit
+    with pytest.raises(ConstraintViolationError, match="pos_v"):
+        t.append(spark.createDataFrame([(2, -7)], "k long, v long"))
+    # nothing landed: the violating dir is orphaned, not committed
+    t._commit = orig
+    assert _rows(t.read(spark)) == [(1, 5)]
+    # same race with a CONFORMING batch: retry re-checks and commits
+    state["raced"] = False
+
+    def racing_commit2(*a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            VersionedTable(root).add_constraint("small_k", "k < 100")
+            raise CommitConflictError("lost race")
+        return orig(*a, **kw)
+
+    t._commit = racing_commit2
+    t.append(spark.createDataFrame([(3, 9)], "k long, v long"))
+    t._commit = orig
+    assert _rows(t.read(spark)) == [(1, 5), (3, 9)]
+
+
+def test_clone_older_version_partition_layout_as_of(spark, tmp_path):
+    """clone(dest, version=v) resolves the hive layout AS OF v, like
+    the constraint/rename carry — cloning below a later
+    set_partitioning must not stamp the clone with a layout its
+    referenced dirs were never written under (ADVICE r11 #3)."""
+    t = VersionedTable(str(tmp_path / "src"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, p string, v long"
+        ),
+        partition_by=["p"],
+    )
+    v_old = t.latest_version()
+    t.set_partitioning(["k"])
+    t.append(spark.createDataFrame([(3, "c", 30)], "k long, p string, v long"))
+    c = t.clone(str(tmp_path / "dst"), version=v_old)
+    assert c.partition_columns() == ["p"]
+    assert _rows(c.read(spark).select("k", "p", "v")) == [
+        (1, "a", 10),
+        (2, "b", 20),
+    ]
+    # and a latest-version clone carries the evolved layout
+    c2 = t.clone(str(tmp_path / "dst2"))
+    assert c2.partition_columns() == ["k"]
+
+
+def test_constraint_portability_gate_and_parity(spark, tmp_path):
+    """CHECK constraints are enforced by TWO engines (Catalyst on
+    batch writes, DuckDB in the streaming sink's executor gate) —
+    declaration now refuses expressions DuckDB cannot parse (ADVICE
+    r11 #4), and portable ones must evaluate IDENTICALLY in both
+    engines on a probe batch."""
+    import duckdb
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 5)], "k long, v long"))
+    # Spark-only syntax refused AT DECLARATION, not at first stream
+    with pytest.raises(ValueError, match="not ANSI-portable"):
+        t.add_constraint("bad_backtick", "`v` > 0")
+    with pytest.raises(ValueError, match="not ANSI-portable"):
+        t.add_constraint(
+            "bad_builtin", "sha2(cast(k as string), 256) is not null"
+        )
+    with pytest.raises(ValueError, match="not ANSI-portable"):
+        VersionedTable(str(tmp_path / "t2")).create(
+            spark.createDataFrame([(1,)], "k long"),
+            constraints={"bad": "`k` >= 0"},
+        )
+    assert t.constraints() == {}  # nothing landed
+    # engine parity on a probe batch: Spark and DuckDB agree row-for-
+    # row on every accepted constraint (SQL semantics: FALSE violates)
+    probe = spark.createDataFrame(
+        [(1, 5), (2, -3), (3, None), (150, 9)], "k long, v long"
+    )
+    cons = {"pos_v": "v > 0", "small_k": "k < 100", "sum_ok": "k + v < 200"}
+    pdf = probe.toPandas()
+    con = duckdb.connect()
+    con.register("probe", pdf)
+    for name, expr in cons.items():
+        n_spark = probe.where(F.expr(f"({expr}) IS FALSE")).count()
+        n_duck = con.execute(
+            f"SELECT count(*) FROM probe WHERE ({expr}) IS FALSE"
+        ).fetchone()[0]
+        assert n_spark == n_duck, (name, n_spark, n_duck)
+        t.add_constraint(name, expr)  # all portable: all accepted
+        t.drop_constraint(name)
+
+
+def test_create_validates_cluster_keys(spark, tmp_path):
+    """Misdeclared cluster keys fail at CREATE, not months later in
+    the nightly bare optimize() (ADVICE r11 #5); string keys are now
+    legal (rank via sampled boundaries) and survive the full loop."""
+    df = spark.createDataFrame(
+        [(f"host{i % 40:03d}", i, i * 3) for i in range(2000)],
+        "host string, k long, v long",
+    )
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        VersionedTable(str(tmp_path / "a")).create(df, cluster_keys=["k"])
+    with pytest.raises(ValueError, match="not in schema"):
+        VersionedTable(str(tmp_path / "b")).create(
+            df, cluster_keys=["k", "nope"]
+        )
+    with pytest.raises(ValueError, match="no rank order"):
+        VersionedTable(str(tmp_path / "c")).create(
+            df.withColumn("arr", F.array("k")), cluster_keys=["k", "arr"]
+        )
+    # (string, numeric) accepted; the bare nightly loop runs clean
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(4), cluster_keys=["host", "k"])
+    acts = t.optimize(spark, small_bytes=1, max_dirs=64)
+    assert [a["action"] for a in acts] == ["compact_zorder"]
+    assert t.row_count() == 2000
+
+
+def test_zorder_string_cluster_keys_prune(spark, tmp_path):
+    """Z-order on (string host, numeric k): string rank buckets are
+    LEXICOGRAPHIC ranges, so per-file/dir min-max stats stay tight on
+    the string dimension and read_pruned skips files for a host-range
+    predicate — with results exactly equal to the unpruned filter."""
+    df = spark.createDataFrame(
+        [
+            (f"host{(i * 7919) % 200:03d}.example", (i * 48271) % 9973)
+            for i in range(6000)
+        ],
+        "host string, k long",
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(df.repartition(8))
+    t.compact(spark, zorder_by=["host", "k"], n_files=8)
+    lo, hi = "host020.example", "host059.example"
+    pruned = t.read_pruned(spark, "host", lo=lo, hi=hi)
+    n_all = len(t.read(spark).inputFiles())
+    assert len(pruned.inputFiles()) < n_all  # measured skipping gain
+    want = sorted(
+        (r.host, r.k)
+        for r in t.read(spark).where(F.col("host").between(lo, hi)).collect()
+    )
+    got = sorted(
+        (r.host, r.k)
+        for r in pruned.where(F.col("host").between(lo, hi)).collect()
+    )
+    assert got == want
+    # the numeric dimension still prunes too (Z, not a single sort)
+    pk = t.read_pruned(spark, "k", lo=0, hi=2000)
+    assert len(pk.inputFiles()) < n_all
