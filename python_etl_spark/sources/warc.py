@@ -420,15 +420,31 @@ try:  # pragma: no cover - import surface depends on pyspark version
                     r["is_truncated"],
                 )
 
-    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import DataSourceStreamReader
 
-    class _WarcStreamReader(SimpleDataSourceStreamReader):
-        """Streaming WARC ingestion: each micro-batch picks up the
-        container files that appeared since the last offset (offset =
-        sorted-name high-water mark — crawlers name containers
-        monotonically, e.g. CC-MAIN-...-NNNNN.warc.gz; files sorting
-        at-or-below an already-committed name are assumed immutable
-        history, the standard file-stream contract)."""
+    class _WarcStreamReader(DataSourceStreamReader):
+        """Streaming WARC ingestion, PARTITION-BASED (r11 verdict #1):
+        offsets are sorted-name high-water marks — crawlers name
+        containers monotonically (CC-MAIN-...-NNNNN.warc.gz), and
+        files sorting at-or-below a committed name are immutable
+        history, the standard file-stream contract. ``partitions(
+        start, end)`` plans ONE InputPartition per container in the
+        ``(start, end]`` name range and EXECUTORS open the files — the
+        driver only ever lists names; no container byte crosses it
+        (the prior SimpleDataSourceStreamReader face prefetched every
+        file's full bytes driver-side per micro-batch).
+
+        ``maxFilesPerTrigger`` bounds each batch to N containers, so a
+        backfill over a crawl drop of thousands of files drains in
+        bounded batches instead of one giant one. Same admission-
+        control contract as table_changes (the in-repo template):
+        ``latestOffset`` NEVER self-advances the position — Spark may
+        call it several times before a batch runs (availableNow
+        captures its target this way) — only ``partitions()`` /
+        ``commit()`` (a batch actually planned/landed) move it; the
+        optional ``streamId`` sidecar (``<path>/_streams/<id>``) keeps
+        even the first post-restart batch bounded, and setting the cap
+        WITHOUT a streamId warns about the unbounded-restart edge."""
 
         def __init__(self, options):
             self.path = options.get("path")
@@ -438,6 +454,23 @@ try:  # pragma: no cover - import surface depends on pyspark version
             self.strict = (
                 str(options.get("strict", "false")).lower() == "true"
             )
+            mft = options.get("maxFilesPerTrigger")
+            self.max_files = int(mft) if mft is not None else None
+            if self.max_files is not None and self.max_files < 1:
+                raise ValueError("maxFilesPerTrigger must be >= 1")
+            self.stream_id = options.get("streamId")
+            if self.max_files is not None and not self.stream_id:
+                import warnings
+
+                warnings.warn(
+                    "warc stream: maxFilesPerTrigger set without "
+                    "streamId — the FIRST batch after a restart is "
+                    "UNBOUNDED (no sidecar to recover the position "
+                    "from). Pass .option('streamId', '<stable-name>') "
+                    "to keep every batch bounded across restarts.",
+                    stacklevel=2,
+                )
+            self._pos: str | None = None
 
         def _files(self):
             import fnmatch
@@ -449,41 +482,80 @@ try:  # pragma: no cover - import surface depends on pyspark version
                 and not n.startswith("_tmp-")  # in-flight/aborted writes
             )
 
+        def _sidecar(self) -> str:
+            return os.path.join(
+                self.path, "_streams", str(self.stream_id)
+            )
+
         def initialOffset(self) -> dict:
+            self._pos = ""
             return {"last": ""}
 
-        def read(self, start: dict):
-            names = [n for n in self._files() if n > start["last"]]
-            end = {"last": names[-1] if names else start["last"]}
-            # list, not generator: the framework pickles the prefetched
-            # batch alongside the offset
-            return list(self._rows(names)), end
+        def latestOffset(self) -> dict:
+            names = self._files()
+            latest = names[-1] if names else ""
+            if self.max_files is None:
+                return {"last": latest}
+            base = self._pos
+            if base is None and self.stream_id:
+                try:
+                    with open(self._sidecar()) as f:
+                        base = f.read().strip()
+                except OSError:
+                    base = ""  # fresh stream: position is the start
+            if base is None:
+                # no streamId, no in-memory position (restart): one
+                # unbounded batch — bounding blindly could hand Spark
+                # an end BELOW the checkpointed start and regress the
+                # offset log into replay duplicates
+                return {"last": latest}
+            pending = [n for n in names if n > base]
+            if not pending:
+                return {"last": base}
+            return {"last": pending[: self.max_files][-1]}
 
-        def readBetweenOffsets(self, start: dict, end: dict):
-            names = [
-                n
+        def partitions(self, start: dict, end: dict):
+            s, e = start["last"], end["last"]
+            pos = max(s, e)
+            self._pos = pos if self._pos is None else max(self._pos, pos)
+            if e <= s:
+                return []
+            return [
+                _WarcFilePartition(os.path.join(self.path, n))
                 for n in self._files()
-                if start["last"] < n <= end["last"]
+                if s < n <= e
             ]
-            return list(self._rows(names))
 
-        def _rows(self, names):
-            for n in names:
-                with open(os.path.join(self.path, n), "rb") as fh:
-                    data = fh.read()
-                for r in parse_warc_bytes(data, self.strict):
-                    yield (
-                        r["warc_type"],
-                        r["record_id"],
-                        r["warc_date"],
-                        r["target_uri"],
-                        r["content_type"],
-                        r["content_length"],
-                        r["http_status"],
-                        r["http_content_type"],
-                        r["payload"],
-                        r["is_truncated"],
-                    )
+        def read(self, partition):
+            # EXECUTOR-side: the only place container bytes are read
+            with open(partition.path, "rb") as fh:
+                data = fh.read()
+            for r in parse_warc_bytes(data, self.strict):
+                yield (
+                    r["warc_type"],
+                    r["record_id"],
+                    r["warc_date"],
+                    r["target_uri"],
+                    r["content_type"],
+                    r["content_length"],
+                    r["http_status"],
+                    r["http_content_type"],
+                    r["payload"],
+                    r["is_truncated"],
+                )
+
+        def commit(self, end: dict) -> None:
+            name = end["last"]
+            self._pos = name if self._pos is None else max(self._pos, name)
+            if not self.stream_id:
+                return
+            side = self._sidecar()
+            os.makedirs(os.path.dirname(side), exist_ok=True)
+            tmp = f"{side}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(name)
+            os.replace(tmp, side)  # atomic; advisory (never ahead of
+            # the checkpoint — written only after Spark commits)
 
     class WarcDataSource(DataSource):
         """``spark.dataSource.register(WarcDataSource)`` then
@@ -492,7 +564,9 @@ try:  # pragma: no cover - import surface depends on pyspark version
         ingestion of an arriving crawl (new containers per
         micro-batch). Options: ``glob`` (default ``*.warc*``),
         ``strict`` ("true" raises on truncated/corrupt records
-        instead of flagging)."""
+        instead of flagging), ``maxFilesPerTrigger`` (bound each
+        micro-batch to N containers), ``streamId`` (stable name whose
+        sidecar keeps the cap across restarts)."""
 
         @classmethod
         def name(cls) -> str:
@@ -504,7 +578,7 @@ try:  # pragma: no cover - import surface depends on pyspark version
         def reader(self, schema):
             return _WarcReader(self.options)
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _WarcStreamReader(self.options)
 
         def writer(self, schema, overwrite: bool):

@@ -325,3 +325,134 @@ def test_warc_readers_and_sweep_ignore_foreign_tmp_files(spark, tmp_path):
         "warc_type = 'response'"
     )
     assert back.count() == 1
+
+
+def _mk_containers(spark, tmp_path, src, n, prefix="cc"):
+    """n single-record containers with monotone names under src."""
+    import os
+
+    from python_etl_spark.sources.warc import write_warc
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        stage = str(tmp_path / f"_stage{prefix}{i}")
+        write_warc(
+            spark.createDataFrame(
+                [(f"https://e.com/{prefix}/{i}", f"<p>{i}</p>")],
+                "target_uri string, body string",
+            ).coalesce(1),
+            stage,
+        )
+        os.rename(
+            os.path.join(stage, "part-00000.warc.gz"),
+            os.path.join(src, f"{prefix}-{i:05d}.warc.gz"),
+        )
+
+
+def test_warc_stream_plan_path_reads_no_container_bytes(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict #1 pin (a): the driver-side plan/offset path
+    (initialOffset/latestOffset/partitions/commit) opens NO container
+    file — only executors read bytes. Also pins the admission
+    contract: latestOffset never self-advances; only partitions()/
+    commit() move the position."""
+    import builtins
+
+    from python_etl_spark.sources.warc import _WarcStreamReader
+
+    src = str(tmp_path / "drop")
+    _mk_containers(spark, tmp_path, src, 7)
+
+    reader = _WarcStreamReader(
+        {"path": src, "maxFilesPerTrigger": "3", "streamId": "s1"}
+    )
+    real_open = builtins.open
+
+    def guarded_open(path, *a, **kw):
+        if ".warc" in str(path):
+            raise AssertionError(
+                f"driver plan path opened a container: {path}"
+            )
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", guarded_open)
+    start = reader.initialOffset()
+    assert start == {"last": ""}
+    end = reader.latestOffset()
+    assert end == {"last": "cc-00002.warc.gz"}  # capped at 3
+    # never self-advance: repeated polls return the SAME target
+    assert reader.latestOffset() == end
+    parts = reader.partitions(start, end)
+    assert len(parts) == 3
+    reader.commit(end)
+    # a planned batch moved the position: next slice
+    end2 = reader.latestOffset()
+    assert end2 == {"last": "cc-00005.warc.gz"}
+    parts2 = reader.partitions(end, end2)
+    assert len(parts2) == 3
+    # degenerate replay (e <= s) plans nothing and keeps the position
+    assert reader.partitions(end2, end2) == []
+    assert reader.latestOffset() == {"last": "cc-00006.warc.gz"}
+    monkeypatch.setattr(builtins, "open", real_open)
+    # executors DO read bytes: one partition round-trips its record
+    rows = list(reader.read(parts[0]))
+    assert len(rows) >= 1
+    # sidecar keeps a RESTARTED capped stream bounded from batch one
+    r2 = _WarcStreamReader(
+        {"path": src, "maxFilesPerTrigger": "3", "streamId": "s1"}
+    )
+    assert r2.latestOffset() == {"last": "cc-00005.warc.gz"}
+    # without a streamId, the cap warns about the restart hole
+    with pytest.warns(UserWarning, match="UNBOUNDED"):
+        _WarcStreamReader({"path": src, "maxFilesPerTrigger": "3"})
+
+
+def test_warc_stream_backfill_drains_bounded_with_restart(
+    spark, tmp_path
+):
+    """r11 verdict #1 pin (b): a 20-container backfill drains in
+    bounded batches (maxFilesPerTrigger=4 -> at most 4 containers per
+    availableNow run), survives a mid-backfill checkpoint restart
+    (every run IS a fresh query from the same checkpoint), and loses/
+    duplicates nothing."""
+    from python_etl_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    src = str(tmp_path / "backfill")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_containers(spark, tmp_path, src, 20)
+
+    def run_once():
+        q = (
+            spark.readStream.format("warc")
+            .option("maxFilesPerTrigger", "4")
+            .option("streamId", "backfill-1")
+            .load(src)
+            .where("warc_type = 'response'")
+            .select("target_uri")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    seen = 0
+    counts = []
+    for _ in range(8):
+        n = run_once()
+        counts.append(n - seen)
+        seen = n
+        if seen >= 20:
+            break
+    assert seen == 20, counts
+    # every batch bounded by the cap
+    assert all(c <= 4 for c in counts), counts
+    assert max(counts) > 0
+    # exactly-once: no duplicate URIs across the restarts
+    got = spark.read.parquet(out)
+    assert got.distinct().count() == 20
