@@ -2834,6 +2834,77 @@ def etl_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("etl_format_read", oracle=None)
+def etl_format_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ face of the registered ``versioned_table`` format (r11
+    verdict #2) over the SAME evolved table etl_schema_widening reads
+    through the library: ``spark.read.format("versioned_table")
+    .load(root)`` — one InputPartition per data file, executor-side
+    Arrow conform to the widened schema (sources/table_read.py).
+    Registered with the IDENTICAL oracle SQL (set below), so the
+    Python DataSource read path is held to the same hash as
+    ``VersionedTable.read`` — a drift between the two implementations
+    (missed dir, wrong cast, unapplied rename/DV) breaks this query
+    while etl_schema_widening stays green, pinpointing the source.
+
+    Scale posture: interchange face — pure map over the snapshot's
+    files, zero shuffles before the aggregation, no driver data path;
+    heavy analytics keep using the library's Catalyst scan."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = _widen_source(spark, sf_dir)
+    snap = spark.read.format("versioned_table").load(t.root)
+    return snap.groupBy(
+        F.coalesce(F.col("src"), F.lit("base")).alias("src")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+@register(
+    "etl_format_read_asof",
+    oracle=r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(o_orderkey % 50) AS BIGINT) AS total_qty,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders
+""",
+)
+def etl_format_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the registered format:
+    ``option("versionAsOf", 0)`` below the schema evolution must
+    surface the ORIGINAL v0 schema and rows (int keys, decimal(12,2)
+    prices, no ``src`` column) — the schema is resolved as of the
+    requested version, Delta's ``VERSION AS OF`` contract. Oracled
+    against direct v0 arithmetic over orders."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    t = _widen_source(spark, sf_dir)
+    snap = (
+        spark.read.format("versioned_table")
+        .option("versionAsOf", "0")
+        .load(t.root)
+    )
+    assert "src" not in snap.columns  # pre-evolution schema surfaced
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+# the format read is held to the library read's exact oracle
+_ORACLES["etl_format_read"] = _ORACLES["etl_schema_widening"]
+
+
 # ------------------------- MERGE-path schema evolution -------------------------
 #
 # Round 11: the r10 verdict's #2 — merge() used to silently DROP any

@@ -589,23 +589,38 @@ class VersionedTableDataSource(DataSource):
     """``spark.dataSource.register(VersionedTableDataSource)`` then
     ``df.write.format("versioned_table").option("path", root).save()``
     or ``df.writeStream.format("versioned_table").option("path", root)
-    .option("sinkId", "nightly").start()``. Write-only — read the
-    table via :class:`VersionedTable` / the ``table_changes`` source.
-    Options: ``path`` (table root), ``sinkId`` (stream epoch
-    namespace, default "default"), ``partitionBy`` (comma-separated
-    hive layout for a table the sink CREATES; an existing table's
-    recorded layout is reused and a disagreeing option refused)."""
+    .option("sinkId", "nightly").start()`` to write, and
+    ``spark.read.format("versioned_table").option("versionAsOf", 3)
+    .load(root)`` to read (``timestampAsOf`` for wall-clock time
+    travel; default latest — sources/table_read.py, held hash-equal
+    to ``VersionedTable.read``). Change feeds stay on the
+    ``table_changes`` source. Write options: ``path`` (table root),
+    ``sinkId`` (stream epoch namespace, default "default"),
+    ``partitionBy`` (comma-separated hive layout for a table the sink
+    CREATES; an existing table's recorded layout is reused and a
+    disagreeing option refused)."""
 
     @classmethod
     def name(cls) -> str:
         return "versioned_table"
 
     def schema(self):
-        raise NotImplementedError(
-            "versioned_table is a write-only format — read snapshots "
-            "via VersionedTable.read / changes via the table_changes "
-            "source"
+        from python_etl_spark.sources.table_read import (
+            resolve_version,
+            snapshot_struct,
         )
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("versioned_table requires a path")
+        return snapshot_struct(root, resolve_version(root, self.options))
+
+    def reader(self, schema):
+        from python_etl_spark.sources.table_read import (
+            VersionedTableSnapshotReader,
+        )
+
+        return VersionedTableSnapshotReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):
         return _VTBatchWriter(self.options, overwrite)
