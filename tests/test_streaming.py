@@ -1860,3 +1860,175 @@ def test_table_changes_cap_without_streamid_warns(spark, tmp_path):
             None,
         )
         _TableChangesStreamReader({"path": root}, None)
+
+
+def test_table_to_table_streaming_replication(spark, tmp_path):
+    """r11 verdict #4, end-to-end lakehouse pipes: readStream
+    ``table_changes`` (maxCommitsPerTrigger + streamId) -> insert
+    passthrough -> writeStream ``versioned_table`` sink, all through
+    the REGISTERED faces. Pins: the replica snapshot hash-equals the
+    source after the capped backfill drains across availableNow
+    restarts; a forced epoch replay commits nothing twice; source
+    schema WIDENING + additive evolution surface in the replica; and
+    the CDC tail (a source MERGE) replicates through a foreachBatch
+    apply with etl_cdc_apply semantics."""
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+        _VTStreamWriter,
+        _write_partition,
+    )
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    spark.dataSource.register(VersionedTableDataSource)
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    # source: create + 4 appends, with widening + additive evolution
+    src = VersionedTable(src_root)
+    src.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "k int, v int"
+        )
+    )
+    src.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    src.append(
+        spark.createDataFrame(
+            [(4, 1 << 40, "x")], "k long, v long, tag string"
+        ),
+        allow_evolution=True,  # widens k/v, adds tag
+    )
+    src.append(
+        spark.createDataFrame(
+            [(5, 50, "y")], "k long, v long, tag string"
+        )
+    )
+    src.append(
+        spark.createDataFrame(
+            [(6, 60, "z")], "k long, v long, tag string"
+        )
+    )
+
+    def replicate_once():
+        q = (
+            spark.readStream.format("table_changes")
+            .option("startingVersion", -1)  # include the create
+            .option("maxCommitsPerTrigger", "2")
+            .option("streamId", "repl-1")
+            .load(src_root)
+            .where("_change_type = 'insert'")
+            .drop("_change_type", "_commit_version")
+            .writeStream.format("versioned_table")
+            .option("path", dst_root)
+            .option("sinkId", "repl-1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # capped backfill: each availableNow run drains one bounded slice
+    # and every rerun IS a mid-replication checkpoint restart
+    counts = []
+    for _ in range(6):
+        replicate_once()
+        dst = VersionedTable(dst_root)
+        counts.append(dst.row_count() if dst.exists() else 0)
+        if counts[-1] >= 6:
+            break
+    assert counts[-1] == 6, counts
+    assert counts == sorted(counts)  # monotone, bounded progress
+    dst = VersionedTable(dst_root)
+    # replicated snapshot equals source snapshot, values AND dtypes
+    # (the widening + additive column passed through)
+    s_rows = sorted(map(tuple, src.read(spark).collect()))
+    d_rows = sorted(
+        map(tuple, dst.read(spark).select(*src.read(spark).columns).collect())
+    )
+    assert d_rows == s_rows
+    assert dict(dst.read(spark).dtypes)["k"] == "bigint"
+    assert dict(dst.read(spark).dtypes)["tag"] == "string"
+    # idle rerun: nothing duplicates
+    replicate_once()
+    assert dst.row_count() == 6
+    # forced epoch replay at the sink: same batchId commits once
+    import pyarrow as pa
+
+    w = _VTStreamWriter({"path": dst_root, "sinkId": "repl-1"})
+    msg = _write_partition(
+        dst_root,
+        iter(
+            pa.table(
+                {"k": [99], "v": [99], "tag": ["r"]}
+            ).to_batches()
+        ),
+    )
+    w.commit([msg], batchId=777)
+    n_after = dst.row_count()
+    msg2 = _write_partition(
+        dst_root,
+        iter(
+            pa.table(
+                {"k": [99], "v": [99], "tag": ["r"]}
+            ).to_batches()
+        ),
+    )
+    _VTStreamWriter({"path": dst_root, "sinkId": "repl-1"}).commit(
+        [msg2], batchId=777
+    )
+    assert dst.row_count() == n_after  # replay skipped
+    dst.delete_where(F.col("k") == 99)  # restore parity for the tail
+
+    # CDC tail: a source MERGE (update + insert) replicates through a
+    # foreachBatch apply — update_post rows merge, delete rows delete
+    # (etl_cdc_apply semantics); replica converges to the source
+    src.merge(
+        spark.createDataFrame(
+            [(1, 111, "upd"), (7, 70, "new")], "k long, v long, tag string"
+        ),
+        keys=["k"],
+    )
+    src.delete_where(F.col("k") == 2)
+
+    def apply_cdc(batch, _bid):
+        r = VersionedTable(dst_root)
+        ups = batch.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        if ups.count():
+            r.merge(ups, keys=["k"])
+        dels = [
+            row.k
+            for row in batch.where(F.col("_change_type") == "delete")
+            .select("k")
+            .collect()
+        ]
+        if dels:
+            r.delete_where(F.col("k").isin(dels))
+
+    q2 = (
+        spark.readStream.format("table_changes")
+        .option("startingVersion", -1)
+        .option("streamId", "repl-1")
+        .load(src_root)
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", ckpt)  # SAME checkpoint: resumes
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    s_final = sorted(map(tuple, src.read(spark).collect()))
+    d_final = sorted(
+        map(
+            tuple,
+            VersionedTable(dst_root)
+            .read(spark)
+            .select(*src.read(spark).columns)
+            .collect(),
+        )
+    )
+    assert d_final == s_final

@@ -3411,3 +3411,111 @@ def test_versioned_table_format_read_face(spark, tmp_path):
         for d in t5._read_manifest()["data_dirs"]
     )
     assert fmt(r5).rdd.getNumPartitions() >= 1
+
+
+def test_optimize_races_live_streaming_sink(spark, tmp_path):
+    """r11 verdict #5, the nightly production collision: a LIVE
+    streaming sink (availableNow batches through the registered
+    format) races optimize() doing clustered rewrites / bin
+    compaction / DV materialization on the same table. Pins: no lost
+    rows, no bricked feed (every sink batch lands; conflicts are
+    absorbed by bounded retry-rebase on both sides), and maintenance
+    actually ran. Conflict semantics (documented in optimize()): the
+    WRITER wins — compaction's conflict retry recomputes from the
+    winner's snapshot, so a lost race costs the maintenance job a
+    re-read, never the pipeline a row."""
+    import threading
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root, max_retries=16)
+    t.create(
+        spark.range(0, 400).selectExpr(
+            "id AS k", "CAST((id * 48271) % 9973 AS BIGINT) AS c"
+        ).repartition(4),
+        cluster_keys=["k", "c"],
+    )
+    # DV pressure for the maintenance side to materialize
+    t.delete_where(F.col("k") < 40, merge_on_read=True)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    errs: list = []
+    batches_done: list = []
+    stop = threading.Event()
+
+    def maintenance():
+        # background nightly job hammering the table while the sink
+        # commits (the Python data-source registry is main-thread
+        # scoped, so the STREAM runs on the main thread and the
+        # maintenance loop races it from here — same collision)
+        try:
+            while not stop.is_set():
+                VersionedTable(root, max_retries=16).optimize(
+                    spark,
+                    small_bytes=1 << 20,
+                    max_dirs=2,
+                    dv_ratio=0.01,
+                )
+                _time.sleep(0.1)
+        except Exception as e:  # pragma: no cover - the failure pin
+            errs.append(("optimize", e))
+
+    th_m = threading.Thread(target=maintenance)
+    th_m.start()
+    try:
+        for i in range(5):
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": [10_000 + i * 100 + j for j in range(50)],
+                        "c": [j * 7 for j in range(50)],
+                    }
+                ),
+                str(src / f"b{i}.parquet"),
+            )
+            q = (
+                spark.readStream.schema("k long, c long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+                .writeStream.format("versioned_table")
+                .option("path", root)
+                .option("sinkId", "live")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            batches_done.append(i)
+    except Exception as e:  # pragma: no cover - the failure pin
+        errs.append(("writer", e))
+    finally:
+        stop.set()
+        th_m.join()
+    assert errs == [], errs  # neither side bricked
+    assert batches_done == list(range(5))  # every sink batch landed
+    t2 = VersionedTable(root)
+    # no lost rows: 400 created - 40 DV'd + 250 streamed
+    assert t2.row_count() == 610
+    got = sorted(r.k for r in t2.read(spark).collect())
+    want = sorted(
+        list(range(40, 400))
+        + [10_000 + i * 100 + j for i in range(5) for j in range(50)]
+    )
+    assert got == want
+    # maintenance genuinely ran against the live table
+    ops = [m["op"] for m in t2.history()]
+    assert any(op.startswith("compact") for op in ops), ops
+    # and the post-race table is still healthy: one more optimize
+    # pass converges (no standing pressure it cannot clear)
+    VersionedTable(root, max_retries=16).optimize(
+        spark, small_bytes=1 << 20, max_dirs=2, dv_ratio=0.01
+    )
