@@ -2905,6 +2905,110 @@ def etl_format_read_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["etl_format_read"] = _ORACLES["etl_schema_widening"]
 
 
+@register(
+    "etl_sql_dml",
+    oracle=r"""
+WITH v0 AS (
+  SELECT o_orderkey AS k, o_orderkey % 100 AS qty,
+         o_orderstatus AS status
+  FROM orders),
+merged AS (
+  SELECT k,
+    CASE WHEN k % 3 = 0 THEN k % 100 + 1000 ELSE qty END AS qty,
+    CASE WHEN k % 3 = 0 THEN 'U' ELSE status END AS status
+  FROM v0
+  UNION ALL
+  SELECT o_orderkey + 4000000000, o_orderkey % 50, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0),
+cur AS (SELECT * FROM merged WHERE status <> 'F')
+SELECT 'v0' AS snap, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qty) AS BIGINT) AS total
+FROM v0 GROUP BY 2
+UNION ALL
+SELECT 'cur' AS snap, status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qty) AS BIGINT) AS total
+FROM cur GROUP BY 2
+""",
+)
+def etl_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML surface end-to-end (r11 verdict #7,
+    python_etl_spark.sql): a lakehouse table is MUTATED and read back
+    entirely through SQL statements — ``MERGE INTO vt'<path>' AS t
+    USING (...) AS s ON t.k = s.k`` (upsert: k%3==0 keys re-priced to
+    qty+1000/status 'U', shifted twins inserted), ``DELETE FROM
+    vt'<path>' WHERE status = 'F'``, then one ``SELECT`` unioning the
+    CURRENT snapshot with ``VERSION AS OF 0`` time travel — so the
+    router's table-literal substitution, key extraction, and DML
+    routing are all on the oracle hash. Set-arithmetic oracle replays
+    the merge/delete algebra over orders directly.
+
+    Scale posture: the router only rewrites statements — the SELECT
+    is a Catalyst scan of the snapshot, the MERGE routes to the
+    dir-pruned library merge, DELETE to the dir-pruned delete."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("sqldml", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_sqldml_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "t"))
+    if not t.exists():
+        t.create(
+            orders.select(
+                F.col("o_orderkey").cast("long").alias("k"),
+                (F.col("o_orderkey") % 100).cast("long").alias("qty"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    orders.createOrReplaceTempView("__sqldml_orders")
+    if t.latest_version() < 1:
+        vt_sql(
+            spark,
+            f"""
+            MERGE INTO vt'{t.root}' AS t
+            USING (
+              SELECT CAST(o_orderkey AS LONG) AS k,
+                     CAST(o_orderkey % 100 + 1000 AS LONG) AS qty,
+                     'U' AS status
+              FROM __sqldml_orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT CAST(o_orderkey + 4000000000 AS LONG),
+                     CAST(o_orderkey % 50 AS LONG), 'U'
+              FROM __sqldml_orders WHERE o_orderkey % 3 = 0
+            ) AS s
+            ON t.k = s.k
+            """,
+        )
+    if t.latest_version() < 2:
+        vt_sql(spark, f"DELETE FROM vt'{t.root}' WHERE status = 'F'")
+    return vt_sql(
+        spark,
+        f"""
+        SELECT 'v0' AS snap, status, COUNT(*) AS n,
+               SUM(qty) AS total
+        FROM vt'{t.root}' VERSION AS OF 0 GROUP BY status
+        UNION ALL
+        SELECT 'cur' AS snap, status, COUNT(*) AS n,
+               SUM(qty) AS total
+        FROM vt'{t.root}' GROUP BY status
+        """,
+    ).select(
+        "snap",
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 # ------------------------- MERGE-path schema evolution -------------------------
 #
 # Round 11: the r10 verdict's #2 — merge() used to silently DROP any

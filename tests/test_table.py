@@ -3519,3 +3519,107 @@ def test_optimize_races_live_streaming_sink(spark, tmp_path):
     VersionedTable(root, max_retries=16).optimize(
         spark, small_bytes=1 << 20, max_dirs=2, dv_ratio=0.01
     )
+
+
+def test_sql_router_lakehouse_surface(spark, tmp_path):
+    """r11 verdict #7: the python_etl_spark.sql mini-router gives
+    SQL-only users the full lakehouse verb set — MERGE (plain and
+    clause forms), DELETE, DESCRIBE HISTORY/DETAIL, SELECT with
+    VERSION/TIMESTAMP AS OF across multiple vt references, OPTIMIZE,
+    RESTORE, VACUUM DRY RUN — with loud refusals for anything the
+    engine cannot honestly express."""
+    from python_etl_spark import sql
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")],
+            "k long, v long, cat string",
+        )
+    )
+    # SELECT + aggregation through the router
+    got = sql(
+        spark,
+        f"SELECT cat, SUM(v) AS s FROM vt'{root}' "
+        f"GROUP BY cat ORDER BY cat",
+    ).collect()
+    assert [(r.cat, r.s) for r in got] == [("a", 40), ("b", 20)]
+    # MERGE: plain upsert from a subquery source
+    r = sql(
+        spark,
+        f"MERGE INTO vt'{root}' AS t USING "
+        f"(SELECT CAST(2 AS LONG) AS k, CAST(99 AS LONG) AS v, "
+        f"'z' AS cat UNION ALL SELECT 4, 40, 'c') AS s ON t.k = s.k",
+    ).collect()
+    assert r[0].op == "merge"
+    assert sorted(
+        map(tuple, sql(spark, f"SELECT * FROM vt'{root}'").collect())
+    ) == [(1, 10, "a"), (2, 99, "z"), (3, 30, "a"), (4, 40, "c")]
+    # MERGE: clause form (conditional DELETE + INSERT *)
+    sql(
+        spark,
+        f"""MERGE INTO vt'{root}' AS t USING
+        (SELECT CAST(1 AS LONG) AS k, CAST(0 AS LONG) AS v, 'x' AS cat
+         UNION ALL SELECT 9, 90, 'n') AS s
+        ON t.k = s.k
+        WHEN MATCHED AND t.v < 50 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert sorted(
+        r.k for r in sql(spark, f"SELECT k FROM vt'{root}'").collect()
+    ) == [2, 3, 4, 9]
+    # DELETE
+    sql(spark, f"DELETE FROM vt'{root}' WHERE cat = 'c'")
+    assert sorted(
+        r.k for r in sql(spark, f"SELECT k FROM vt'{root}'").collect()
+    ) == [2, 3, 9]
+    # time travel: v0 keys no longer present, via a two-reference join
+    gone = sql(
+        spark,
+        f"SELECT a.k FROM vt'{root}' VERSION AS OF 0 a "
+        f"LEFT ANTI JOIN vt'{root}' b ON a.k = b.k ORDER BY a.k",
+    ).collect()
+    assert [r.k for r in gone] == [1]
+    # DESCRIBE HISTORY newest-first; DESCRIBE DETAIL key properties
+    hist = sql(spark, f"DESCRIBE HISTORY vt'{root}'").collect()
+    assert [h.op for h in hist][-1] == "create"
+    assert hist[0].version == t.latest_version()
+    props = {
+        r.property
+        for r in sql(spark, f"DESCRIBE DETAIL vt'{root}'").collect()
+    }
+    assert {"version", "num_rows"} <= props
+    # OPTIMIZE (healthy table no-ops), RESTORE, VACUUM DRY RUN
+    acts = sql(spark, f"OPTIMIZE vt'{root}'").collect()
+    assert acts[0].action in ("noop", "compact_bins", "compact")
+    sql(spark, f"RESTORE vt'{root}' TO VERSION AS OF 0")
+    assert sorted(
+        r.k for r in sql(spark, f"SELECT k FROM vt'{root}'").collect()
+    ) == [1, 2, 3]
+    dry = sql(spark, f"VACUUM vt'{root}' DRY RUN").collect()
+    assert all(r.would_remove for r in dry)
+    # refusals: wrong aliases, unsupported verb, non-equality ON,
+    # column-subset SET
+    with pytest.raises(ValueError, match="aliases must be"):
+        sql(
+            spark,
+            f"MERGE INTO vt'{root}' AS x USING "
+            f"(SELECT 1 AS k) AS s ON x.k = s.k",
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        sql(spark, f"UPDATE vt'{root}' SET v = 1")
+    with pytest.raises(ValueError, match="equality conjunction"):
+        sql(
+            spark,
+            f"MERGE INTO vt'{root}' AS t USING "
+            f"(SELECT 1 AS k) AS s ON t.k > s.k",
+        )
+    with pytest.raises(ValueError, match="clause tail"):
+        sql(
+            spark,
+            f"MERGE INTO vt'{root}' AS t USING "
+            f"(SELECT CAST(1 AS LONG) AS k, CAST(1 AS LONG) AS v, "
+            f"'q' AS cat) AS s ON t.k = s.k "
+            f"WHEN MATCHED THEN UPDATE SET v = s.v",
+        )
