@@ -3778,6 +3778,92 @@ def etl_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_str_source(spark: SparkSession, sf_dir: str):
+    """String-cluster-key fixture (r11 verdict #3): orders keyed by
+    (host string = 'h' + zero-padded custkey%500, k=orderkey), the
+    web-corpus shape (tables cluster by host/url). cluster_keys are
+    DECLARED AT CREATE — r12's create-time validation accepts the
+    string key — and a BARE optimize() (no schema knowledge) Z-orders
+    on them via sampled lexicographic boundaries. Re-entrant."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("zords", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_zords_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "source"))
+    if not t.exists():
+        t.create(
+            orders.select(
+                F.concat(
+                    F.lit("h"),
+                    F.lpad((F.col("o_custkey") % 500).cast("string"), 4, "0"),
+                ).alias("host"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            ).repartition(4),
+            cluster_keys=["host", "k"],
+        )
+    if t.latest_version() < 1:
+        acts = t.optimize(spark, small_bytes=1, max_dirs=64)
+        if [a["action"] for a in acts] != ["compact_zorder"]:
+            raise RuntimeError(
+                f"expected one compact_zorder action, got {acts}"
+            )
+    return t
+
+
+@register(
+    "etl_optimize_zorder_str",
+    oracle=r"""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+FROM orders WHERE o_custkey % 500 BETWEEN 0 AND 63
+GROUP BY 1
+""",
+)
+def etl_optimize_zorder_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER on a STRING cluster key (r11 verdict #3), certified
+    end-to-end: cluster_keys=("host", k) declared at create (string
+    keys legal since r12 — rank-bucketed via sampled lexicographic
+    boundaries, so buckets are LEXICOGRAPHIC ranges and per-file
+    min/max stats on host stay tight), a BARE nightly optimize()
+    Z-orders on the declared keys, and the query answers a host-RANGE
+    predicate via read_pruned on the string dimension — measured
+    file-skipping asserted, then exact re-filtering held to the
+    whole-orders oracle (a pruning false-negative breaks the hash).
+
+    Scale posture: boundary sampling is one distributed top-K over
+    DISTINCT hosts (only ~8k strings reach the driver); the rewrite
+    is the same single range-partition shuffle as the numeric path;
+    trigger + pruning are manifest/footer metadata only."""
+    t = _zorder_str_source(spark, sf_dir)
+    pruned = t.read_pruned(spark, "host", lo="h0000", hi="h0063")
+    n_all = len(t.read(spark).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    if not n_pruned < n_all:
+        raise RuntimeError(
+            f"string z-order pruning ineffective: {n_pruned}/{n_all}"
+        )
+    return (
+        pruned.where(F.col("host").between("h0000", "h0063"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("amount"),
+        )
+    )
+
+
 def _clone_source(spark: SparkSession, sf_dir: str):
     """Shallow-clone fixture: source = even orderkeys, clone it
     (zero-copy), append the odd orderkeys ONLY to the clone — the

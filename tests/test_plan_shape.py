@@ -670,3 +670,33 @@ def test_zorder_pruned_read_keeps_pushdown(spark, sf_dir):
     assert "PushedFilters: [" in plan, plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, plan
+
+
+def test_zorder_str_pruned_read_keeps_pushdown(spark, sf_dir):
+    """The string-cluster-key twin of test_zorder_pruned_read: the
+    host-range read keeps parquet pushdown on the residual predicate
+    and plans no join (rank bucketing happened at WRITE time; reads
+    are plain scans)."""
+    plan = _plan(spark, sf_dir, "etl_optimize_zorder_str")
+    assert "PushedFilters: [" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_format_read_plans_bounded(spark, sf_dir):
+    """The registered-format snapshot read is a pure Python-source
+    scan + aggregation: no join, no single-partition exchange (the
+    conform work is per-file inside the source)."""
+    plan = _plan(spark, sf_dir, "etl_format_read")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sql_dml_select_is_catalyst_scan(spark, sf_dir):
+    """The SQL router's SELECT face plans like the library read —
+    Catalyst parquet scans (pushdown-capable), no cartesian, no
+    single-partition funnel; the router only rewrote the statement."""
+    plan = _plan(spark, sf_dir, "etl_sql_dml")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
