@@ -617,9 +617,16 @@ class VersionedTableDataSource(DataSource):
 
     def reader(self, schema):
         from python_etl_spark.sources.table_read import (
+            _PushdownSnapshotReader,
             VersionedTableSnapshotReader,
         )
 
+        # pushdown is OPT-IN: Spark 4.1 raises for any reader that
+        # implements pushFilters while the session conf
+        # spark.sql.python.filterPushdown.enabled is false (its
+        # default), so a vanilla session must get the plain reader
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _PushdownSnapshotReader(self.options, schema)
         return VersionedTableSnapshotReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):

@@ -165,13 +165,38 @@ def snapshot_struct(root: str, version: int):
     )
 
 
+def _admits(stat, lo, hi) -> bool:
+    """Conservative [min, max]-vs-range intersection test: True (read
+    the file) unless the stats PROVE a miss; type disagreements keep
+    the file (the read_pruned posture)."""
+    if stat is None:
+        return True
+    dlo, dhi = stat
+    try:
+        if lo is not None and dhi < lo:
+            return False
+        if hi is not None and dlo > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 def plan_snapshot_partitions(
-    root: str, version: int
+    root: str, version: int, ranges: dict | None = None
 ) -> list[_SnapshotFilePartition]:
     """One partition per data file of the snapshot, each carrying the
     conform spec (rename mapping, retired names) and the DV dirs whose
     tombstones apply to ITS commit dir — driver-side metadata walk,
-    zero data bytes."""
+    zero data bytes.
+
+    ``ranges`` (``{col: (lo, hi)}``, from pushed-down filters) turns
+    on PLAN-TIME DATA SKIPPING: dirs whose manifest [min, max] for a
+    bounded column cannot intersect are never walked, files whose
+    per-file footer stats (the manifest ``file_stats``) or hive
+    ``name=value`` path value provably miss are never planned —
+    Spark's residual filter still runs, so skipping only ever has to
+    be conservative."""
     from python_etl_spark.sinks.table import VersionedTable
 
     t = VersionedTable(root)
@@ -182,25 +207,65 @@ def plan_snapshot_partitions(
     renames = renames or None
     drops_l = sorted(drops) if drops else None
     dvs = m.get("dvs", [])
+    ranges = ranges or {}
+    dir_stats = m.get("dir_stats", {}) if ranges else {}
+    file_stats = m.get("file_stats", {}) if ranges else {}
     parts: list[_SnapshotFilePartition] = []
     for d in m["data_dirs"]:
+        if ranges and not all(
+            _admits(dir_stats.get(d, {}).get(c), lo, hi)
+            for c, (lo, hi) in ranges.items()
+        ):
+            continue  # whole commit dir provably misses
         dv_key = tuple(
             sorted(e["dir"] for e in dvs if d in e["deleted"])
         )
+        fstats = file_stats.get(d, {})
         for f in _parquet_files(d):
+            if ranges:
+                rel = os.path.relpath(f, d)
+                cols = fstats.get(rel, {}).get("cols", {})
+                ok = True
+                for c, (lo, hi) in ranges.items():
+                    if not _admits(cols.get(c), lo, hi):
+                        ok = False
+                        break
+                    if f"/{c}=" in f:  # hive partition value
+                        raw = _part_value(f, c)
+                        if raw is not None:
+                            # typed compare: numeric when both sides
+                            # parse (path values are strings, the
+                            # filter may be numeric), else lexical;
+                            # any disagreement keeps the file
+                            try:
+                                v = float(raw)
+                                flo = None if lo is None else float(lo)
+                                fhi = None if hi is None else float(hi)
+                            except (TypeError, ValueError):
+                                v, flo, fhi = raw, lo, hi
+                            if not _admits((v, v), flo, fhi):
+                                ok = False
+                                break
+                if not ok:
+                    continue
             parts.append(
                 _SnapshotFilePartition(f, renames, drops_l, dv_key)
             )
-    if not parts:  # empty snapshot: Spark still needs >= 1 split
+    if not parts:  # empty snapshot/plan: Spark still needs >= 1 split
         parts.append(_SnapshotFilePartition(None, None, None))
     return parts
 
 
-def read_snapshot_partition(partition: _SnapshotFilePartition, spark_schema):
+def read_snapshot_partition(
+    partition: _SnapshotFilePartition, spark_schema, ranges: dict | None = None
+):
     """Executor-side: one parquet file -> Arrow batches conformed to
     the snapshot schema, deletion-vector tombstones anti-joined
     null-safely (DuckDB ``IS NOT DISTINCT FROM`` over the Arrow
-    batch; tombstone columns may be a key SUBSET — keyed DVs)."""
+    batch; tombstone columns may be a key SUBSET — keyed DVs).
+    Pushed-down ranges become pyarrow scan filters (row-group pruning
+    + row filtering) for the FILE's own columns; renamed/hive/evolved
+    columns stay Spark-side residuals."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -208,7 +273,25 @@ def read_snapshot_partition(partition: _SnapshotFilePartition, spark_schema):
     if partition is None or partition.path is None:
         return
     arrow_schema = to_arrow_schema(spark_schema)
-    tbl = pq.read_table(partition.path)
+    flt = None
+    if ranges:
+        pf_names = set(pq.ParquetFile(partition.path).schema_arrow.names)
+        conds = []
+        for c, (lo, hi) in ranges.items():
+            if c not in pf_names:
+                continue  # hive/renamed/evolved: Spark re-filters
+            if lo is not None:
+                conds.append((c, ">=", lo))
+            if hi is not None:
+                conds.append((c, "<=", hi))
+        flt = conds or None
+    try:
+        tbl = pq.read_table(partition.path, filters=flt)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OSError):
+        # type-incompatible pushed bound (e.g. string bound on an int
+        # column): fall back to the unfiltered scan — Spark's residual
+        # keeps the result exact
+        tbl = pq.read_table(partition.path)
     if partition.renames:
         cols = set(tbl.column_names)
         new_names = []
@@ -293,7 +376,14 @@ def read_snapshot_partition(partition: _SnapshotFilePartition, spark_schema):
 class VersionedTableSnapshotReader(DataSourceReader):
     """Batch reader behind ``spark.read.format("versioned_table")``.
     Options: ``path`` (table root), ``versionAsOf``, ``timestampAsOf``
-    (mutually exclusive; default latest)."""
+    (mutually exclusive; default latest).
+
+    FILTER PUSHDOWN lives on the ``_PushdownSnapshotReader`` subclass
+    and is selected by ``.option("pushdown", "true")`` — Spark 4.1
+    RAISES for any reader that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (its
+    default), so a vanilla session must get the plain reader; set the
+    session conf AND the option to turn skipping on."""
 
     def __init__(self, options, schema):
         self.root = options.get("path")
@@ -301,9 +391,79 @@ class VersionedTableSnapshotReader(DataSourceReader):
             raise ValueError("versioned_table read requires a path")
         self.version = resolve_version(self.root, options)
         self.spark_schema = schema
+        self.ranges: dict = {}
 
     def partitions(self):
-        return plan_snapshot_partitions(self.root, self.version)
+        return plan_snapshot_partitions(
+            self.root, self.version, self.ranges or None
+        )
 
     def read(self, partition):
-        yield from read_snapshot_partition(partition, self.spark_schema)
+        yield from read_snapshot_partition(
+            partition, self.spark_schema, self.ranges or None
+        )
+
+
+class _PushdownSnapshotReader(VersionedTableSnapshotReader):
+    """FILTER PUSHDOWN face (Spark 4.1 ``pushFilters``; opt-in via
+    ``option("pushdown", "true")`` + the session conf): comparison/
+    equality/IN filters on top-level columns become per-column
+    [lo, hi] bounds that (a) skip whole dirs/files at PLAN time
+    against the manifest's dir/file stats and hive path values — the
+    same data-skipping ``read_pruned`` does, now reached from plain
+    ``.load().where(...)`` — and (b) push into the executor's Arrow
+    scan for parquet row-group pruning. ALL filters are returned as
+    residual, so Spark re-applies them and the skipping only ever
+    needs to be conservative (strict bounds relaxed to inclusive,
+    NULL-matching filters never pruned on)."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue  # nested / non-column filter: Spark-side only
+            col = attr[0]
+            lo = hi = None
+            if isinstance(f, EqualTo):
+                lo = hi = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = f.value
+            elif isinstance(f, In):
+                vals = [v for v in f.values if v is not None]
+                if not vals:
+                    continue
+                try:
+                    lo, hi = min(vals), max(vals)
+                except TypeError:
+                    continue
+            else:
+                continue  # IsNull/Not/... : no min-max pruning
+            if lo is None and hi is None:
+                continue
+            cur = self.ranges.get(col)
+            if cur is None:
+                self.ranges[col] = (lo, hi)
+            else:  # conjunction: intersect the bounds
+                clo, chi = cur
+                try:
+                    nlo = clo if lo is None else (
+                        lo if clo is None else max(clo, lo)
+                    )
+                    nhi = chi if hi is None else (
+                        hi if chi is None else min(chi, hi)
+                    )
+                    self.ranges[col] = (nlo, nhi)
+                except TypeError:
+                    pass
+        return filters  # everything stays a residual: skip-only

@@ -3623,3 +3623,94 @@ def test_sql_router_lakehouse_surface(spark, tmp_path):
             f"'q' AS cat) AS s ON t.k = s.k "
             f"WHEN MATCHED THEN UPDATE SET v = s.v",
         )
+
+
+def test_format_read_filter_pushdown_skips_files(spark, tmp_path):
+    """Opt-in filter pushdown on the registered format read (Spark
+    4.1 pushFilters): range/equality predicates become plan-time
+    dir/file skipping against the manifest stats and hive path values
+    — fewer InputPartitions planned — while ALL filters stay Spark
+    residuals, so results equal the library read exactly. The plain
+    (vanilla-session) reader never implements pushFilters: Spark
+    raises for such readers while the session conf is off."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+    from python_etl_spark.sources.table_read import (
+        plan_snapshot_partitions,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.range(0, 1000).selectExpr("id AS k", "id*2 AS v").repartition(2)
+    )
+    for i in range(1, 5):
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("id AS k", "id*2 AS v")
+            .repartition(2)
+        )
+    # planner-level: bounded range plans a strict partition subset
+    n_all = len(plan_snapshot_partitions(root, t.latest_version()))
+    n_pruned = len(
+        plan_snapshot_partitions(
+            root, t.latest_version(), {"k": (1500, 1600)}
+        )
+    )
+    assert n_pruned < n_all
+    # end-to-end with the session conf + option on: exact results
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = sorted(
+            map(
+                tuple,
+                spark.read.format("versioned_table")
+                .option("pushdown", "true")
+                .load(root)
+                .where("k between 1500 and 1600")
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                t.read(spark).where("k between 1500 and 1600").collect(),
+            )
+        )
+        assert got == want and len(got) == 101
+        # hive partition values prune too
+        r2 = str(tmp_path / "h")
+        h = VersionedTable(r2)
+        h.create(
+            spark.createDataFrame(
+                [(i, f"d{i % 3}") for i in range(300)],
+                "k long, ds string",
+            ),
+            partition_by=["ds"],
+        )
+        assert (
+            spark.read.format("versioned_table")
+            .option("pushdown", "true")
+            .load(r2)
+            .where("ds = 'd1'")
+            .count()
+            == 100
+        )
+        assert len(
+            plan_snapshot_partitions(r2, 0, {"ds": ("d1", "d1")})
+        ) < len(plan_snapshot_partitions(r2, 0))
+    finally:
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", old
+        )
+    # vanilla reader (no option) still works with the conf OFF
+    assert (
+        spark.read.format("versioned_table")
+        .load(root)
+        .where("k < 10")
+        .count()
+        == 10
+    )
