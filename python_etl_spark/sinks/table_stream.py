@@ -632,5 +632,12 @@ class VersionedTableDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _VTBatchWriter(self.options, overwrite)
 
+    def streamReader(self, schema):
+        from python_etl_spark.sources.table_read import (
+            VersionedTableStreamReader,
+        )
+
+        return VersionedTableStreamReader(self.options, schema)
+
     def streamWriter(self, schema, overwrite: bool):
         return _VTStreamWriter(self.options)

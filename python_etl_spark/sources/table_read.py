@@ -41,7 +41,11 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from python_etl_spark.sources.table_changes import (
     _infer_part_type,
@@ -371,6 +375,182 @@ def read_snapshot_partition(
         # conform back to the snapshot schema
         out = out.cast(arrow_schema)
     yield from out.to_batches()
+
+
+class VersionedTableStreamReader(DataSourceStreamReader):
+    """STREAMING read face of the registered format (the Delta
+    streaming-source shape): ``spark.readStream.format(
+    "versioned_table").load(root)`` delivers the table's CURRENT
+    SNAPSHOT as the first micro-batch, then each later batch carries
+    the rows of newly APPENDED commits — plain data rows, no change
+    columns (CDC consumers use the ``table_changes`` source). A
+    non-append data commit inside a pending range (merge / delete /
+    compact / overwrite / restore) RAISES: appended-dirs tailing
+    stops meaning "new rows" there, and the stream fails loudly
+    telling the consumer to re-baseline, exactly like ``changes()``.
+    Metadata-only commits (constraints, rename/drop, partition
+    evolution) pass through — the conform happens per file.
+
+    Offsets are ``{"version": N, "snap": bool}``: ``snap=False``
+    marks the initial-snapshot batch still pending; ``partitions``
+    for that batch plans the FULL snapshot at the range end (legal
+    because the range guard admits only appends, so end's dir list is
+    start's plus the new dirs). ``startingVersion`` (exclusive) skips
+    the snapshot phase and tails from a known version — the
+    checkpointed-consumer path. ``maxCommitsPerTrigger`` +
+    ``streamId`` bound the TAIL exactly like table_changes (same
+    never-self-advance admission contract, same sidecar, same
+    unbounded-restart warning without streamId); the snapshot batch
+    itself is one batch — bound a huge backfill with startingVersion
+    + the capped ``table_changes`` source instead.
+
+    Scale shape: planning is a manifest walk; one InputPartition per
+    file; executors conform each file Arrow-side (rename/drop map,
+    widened-schema cast, hive path values, DV anti-join for the
+    snapshot batch)."""
+
+    def __init__(self, options, schema):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("versioned_table stream read requires a path")
+        self.spark_schema = schema
+        sv = options.get("startingVersion") or options.get(
+            "startingversion"
+        )
+        self.start_v = int(sv) if sv is not None else None
+        mct = options.get("maxCommitsPerTrigger")
+        self.max_commits = int(mct) if mct is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        self.stream_id = options.get("streamId")
+        if self.max_commits is not None and not self.stream_id:
+            import warnings
+
+            warnings.warn(
+                "versioned_table stream: maxCommitsPerTrigger set "
+                "without streamId — the FIRST tail batch after a "
+                "restart is UNBOUNDED (no sidecar to recover the "
+                "position from). Pass .option('streamId', '<name>').",
+                stacklevel=2,
+            )
+        self._pos: int | None = None
+
+    def _sidecar(self) -> str:
+        return os.path.join(self.root, "_streams", str(self.stream_id))
+
+    def initialOffset(self) -> dict:
+        from python_etl_spark.sinks.table import VersionedTable
+
+        if self.start_v is not None:
+            self._pos = self.start_v
+            return {"version": self.start_v, "snap": True}
+        v = VersionedTable(self.root).latest_version()
+        if v is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.root}"
+            )
+        self._pos = v
+        # snap=False: the snapshot AT v is still owed to the consumer
+        return {"version": v, "snap": False}
+
+    def latestOffset(self) -> dict:
+        from python_etl_spark.sinks.table import VersionedTable
+
+        v = VersionedTable(self.root).latest_version()
+        latest = v if v is not None else -1
+        if self.max_commits is None:
+            return {"version": latest, "snap": True}
+        base = self._pos
+        if base is None and self.stream_id:
+            try:
+                with open(self._sidecar()) as f:
+                    base = int(f.read().strip())
+            except (OSError, ValueError):
+                base = self.start_v  # fresh stream (may be None)
+        if base is None:
+            return {"version": latest, "snap": True}
+        # same never-self-advance contract as table_changes
+        return {
+            "version": max(base, min(latest, base + self.max_commits)),
+            "snap": True,
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from python_etl_spark.sinks.table import VersionedTable
+
+        s, e = int(start["version"]), int(end["version"])
+        pos = max(s, e)
+        self._pos = pos if self._pos is None else max(self._pos, pos)
+        t = VersionedTable(self.root)
+        # range guard: only appends / metadata-only commits may sit in
+        # (s, e] — anything else is a re-baseline barrier
+        ckpt = t._latest_checkpoint(e) if e >= 0 else None
+        summaries = (
+            {c["version"]: c.get("op") for c in ckpt["commits"]}
+            if ckpt
+            else {}
+        )
+        for v in range(s + 1, e + 1):
+            try:
+                op = t._read_manifest(v).get("op")
+            except FileNotFoundError:
+                op = summaries.get(v)
+                if op is None:
+                    raise
+            if op not in (
+                "append", "add_constraint", "drop_constraint",
+                "rename", "drop", "set_partitioning",
+            ):
+                raise ValueError(
+                    f"versioned_table stream: commit v{v} is a "
+                    f"'{op}' — appended-dirs tailing breaks across "
+                    f"rewrites; re-baseline (restart the stream, or "
+                    f"consume the typed feed via table_changes)"
+                )
+        if not start.get("snap", True):
+            # initial-snapshot batch: the full snapshot at e (s's dirs
+            # plus the appended ones; DVs of the snapshot apply)
+            if e < 0:
+                return []
+            return plan_snapshot_partitions(self.root, e)
+        if e <= s:
+            return []
+        # tail batch: only the dirs that JOINED the manifest in range
+        _ev, _wj, renames, drops, _c, _p = t._evolution_state(e)
+        renames = renames or None
+        drops_l = sorted(drops) if drops else None
+        prev = set(t._read_manifest(s)["data_dirs"]) if s >= 0 else set()
+        parts = []
+        for v in range(s + 1, e + 1):
+            try:
+                m = t._read_manifest(v)
+            except FileNotFoundError:
+                continue  # metadata-only summary: no new dirs
+            for d in m["data_dirs"]:
+                if d not in prev:
+                    for f in _parquet_files(d):
+                        parts.append(
+                            _SnapshotFilePartition(
+                                f, renames, drops_l, ()
+                            )
+                        )
+            prev = set(m["data_dirs"])
+        return parts
+
+    def read(self, partition):
+        yield from read_snapshot_partition(partition, self.spark_schema)
+
+    def commit(self, end: dict) -> None:
+        v = int(end["version"])
+        self._pos = v if self._pos is None else max(self._pos, v)
+        if not self.stream_id:
+            return
+        side = self._sidecar()
+        os.makedirs(os.path.dirname(side), exist_ok=True)
+        tmp = f"{side}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, side)
 
 
 class VersionedTableSnapshotReader(DataSourceReader):

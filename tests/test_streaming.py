@@ -2032,3 +2032,90 @@ def test_table_to_table_streaming_replication(spark, tmp_path):
         )
     )
     assert d_final == s_final
+
+
+def test_versioned_table_streaming_read_face(spark, tmp_path):
+    """r12: spark.readStream.format('versioned_table') — the Delta
+    streaming-source shape. First batch = the CURRENT snapshot (DVs
+    applied), later batches = newly appended commits' rows;
+    metadata-only commits pass through; a rewrite commit fails the
+    stream loudly (re-baseline); startingVersion skips the snapshot
+    phase and tails bounded with maxCommitsPerTrigger + streamId."""
+    import os as _os
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = VersionedTable(root)
+    t.create(spark.range(0, 100).selectExpr("id AS k", "id*2 AS v"))
+    t.append(spark.range(100, 150).selectExpr("id AS k", "id*2 AS v"))
+    t.delete_where(F.col("k") < 10, merge_on_read=True)
+
+    def run():
+        q = (
+            spark.readStream.format("versioned_table")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert run() == 140  # snapshot batch: 150 rows - 10 DV'd
+    t.append(spark.range(200, 230).selectExpr("id AS k", "id*2 AS v"))
+    t.add_constraint("k_ok", "k >= 0")  # metadata-only: passes through
+    t.append(spark.range(230, 240).selectExpr("id AS k", "id*2 AS v"))
+    assert run() == 180  # tail: exactly the appended rows
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == sorted(list(range(10, 150)) + list(range(200, 240)))
+    # a rewrite is a re-baseline barrier: the stream fails LOUDLY
+    t.compact(spark)
+    with pytest.raises(Exception, match="compact"):
+        run()
+    # startingVersion: skip the snapshot, tail bounded from a version
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    v_now = t.latest_version()
+    t.append(spark.range(500, 520).selectExpr("id AS k", "id*2 AS v"))
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("startingVersion", str(v_now))
+        .option("maxCommitsPerTrigger", "1")
+        .option("streamId", "tail1")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 20
+    # a second capped run (fresh reader, same checkpoint) resumes and
+    # drains the next slice; the advisory sidecar lands once a batch
+    # COMMITS (it may lag the very last batch of a run by design —
+    # never ahead of the checkpoint)
+    t.append(spark.range(520, 530).selectExpr("id AS k", "id*2 AS v"))
+    q2 = (
+        spark.readStream.format("versioned_table")
+        .option("startingVersion", str(v_now))
+        .option("maxCommitsPerTrigger", "1")
+        .option("streamId", "tail1")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 30
+    assert _os.path.exists(_os.path.join(root, "_streams", "tail1"))
