@@ -2938,6 +2938,173 @@ class VersionedTable:
             finally:
                 matched.unpersist()
 
+    def update_where(
+        self,
+        assignments: dict,
+        condition,
+        track_changes: bool = True,
+    ) -> int:
+        """Delta ``UPDATE``: SET ``assignments`` (``{col: Column or
+        SQL expr}``) on the rows matching ``condition`` — the
+        column-subset mutation MERGE deliberately refuses (merge
+        updates carry full rows). DIR-PRUNED copy-on-write like
+        :meth:`delete_where`: a probe collects the commit dirs holding
+        a matching row, ONLY those dirs rewrite (deletion vectors
+        applied first, so tombstoned rows are neither updated nor
+        resurrected), untouched dirs are carried by reference. SQL
+        semantics: a row whose condition evaluates NULL is left
+        unchanged.
+
+        Invariants hold like any write path: CHECK constraints are
+        re-validated on the REWRITTEN rows pre-publish (an update that
+        would break a constraint is refused with the table unchanged);
+        assigning a GENERATED column directly is refused, and updating
+        a generated column's SOURCE recomputes the generated value for
+        the updated rows. With ``track_changes`` the commit persists
+        ``update_preimage``/``update_postimage`` change rows, so
+        ``row_changes``/``table_changes`` consumers fold it like a
+        MERGE's update.
+
+        Scale: O(touched dirs) rewrite + one probe scan with only the
+        predicate columns materialized; at 100 TB an UPDATE touching
+        one ingest day rewrites that day's dirs, never the corpus."""
+        spark = SparkSession.getActiveSession()
+        gen = self.generated_columns()
+        for col in assignments:
+            if col in gen:
+                raise ValueError(
+                    f"column '{col}' is GENERATED ({gen[col]}) — its "
+                    f"value is derived; update the source columns"
+                )
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        # generated columns whose definition mentions an assigned
+        # source: recompute for updated rows
+        regen = {
+            g: d
+            for g, d in gen.items()
+            if any(
+                re.search(
+                    rf"(?<![A-Za-z0-9_]){re.escape(c)}(?![A-Za-z0-9_])", d
+                )
+                for c in assignments
+            )
+        }
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            evolved, _wj, _renames, _drops, _cons, _pby = (
+                self._evolution_state(cur["version"])
+            )
+            dirs = cur["data_dirs"]
+            unknown = [
+                c
+                for c in assignments
+                if c not in self.read(spark, cur["version"]).columns
+            ]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets not in schema: {unknown}"
+                )
+            probe = self._union_dirs(
+                spark,
+                dirs,
+                evolved,
+                tag_dir=True,
+                renames=_renames,
+                drops=_drops,
+            )
+            touched = [
+                r["__dir"]
+                for r in probe.where(condition)
+                .select("__dir")
+                .distinct()
+                .collect()
+            ]
+            untouched = [d for d in dirs if d not in touched]
+            v = cur["version"] + 1
+            snap_schema = self.read(spark, cur["version"]).schema
+            if touched:
+                base = self._read_snapshot_subset(spark, cur, touched)
+                if evolved:
+                    for f in snap_schema.fields:
+                        if f.name not in base.columns:
+                            base = base.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                base = base.select(*[f.name for f in snap_schema.fields])
+                fire = condition  # NULL condition -> row unchanged
+                updated = base.select(
+                    *[
+                        (
+                            F.when(
+                                fire,
+                                exprs[f.name].cast(f.dataType),
+                            )
+                            .otherwise(F.col(f.name))
+                            .alias(f.name)
+                            if f.name in exprs
+                            else F.col(f.name)
+                        )
+                        for f in snap_schema.fields
+                    ]
+                )
+                for g, d in regen.items():
+                    updated = updated.withColumn(
+                        g,
+                        F.when(fire, F.expr(d)).otherwise(F.col(g)),
+                    )
+                self._enforce_constraints(
+                    updated.where(fire),
+                    self.constraints(cur["version"]),
+                )
+                pre = base.where(fire)
+                post = updated.where(fire)
+            else:
+                base = spark.createDataFrame([], snap_schema)
+                updated = base
+                pre = base
+                post = base
+            new_dirs = list(untouched)
+            total = sum(self._logical_dir_rows(cur, u) for u in untouched)
+            if touched:
+                d = self._write_data(
+                    updated, self.partition_columns() or None
+                )
+                if self._has_parquet(d):
+                    new_dirs.append(d)
+                    total += self._dir_rows(d)
+            if not new_dirs:
+                new_dirs.append(self._write_data(updated.repartition(1)))
+            cdf_dir = None
+            if track_changes:
+                cdf = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                if not touched:
+                    cdf = cdf.repartition(1)
+                cdf_dir = self._write_cdf(cdf)
+            try:
+                return self._commit(
+                    new_dirs,
+                    "update",
+                    v,
+                    num_rows=total,
+                    cdf_dir=cdf_dir,
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=self._carry_dvs(cur, untouched),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
     def rename_column(self, old: str, new: str) -> int:
         """RENAME a column as a METADATA-ONLY commit (r10 verdict #3 —
         the Iceberg field-id idea, realized as a manifest-carried
@@ -3523,7 +3690,7 @@ class VersionedTable:
                 # or drop: the feed is unaffected (pre-rename change
                 # files conform to the current names via the mapping;
                 # dropped columns project out)
-            elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
+            elif op in ("merge", "delete", "delete_mor", "update") and m.get("cdf_dir"):
                 frames.append(
                     self._apply_renames(
                         reader.parquet(m["cdf_dir"]), renames, drops

@@ -108,7 +108,7 @@ def _plan_partitions(
             "add_constraint", "drop_constraint",
         ):
             pass  # row-preserving rewrite / metadata-only: no rows
-        elif op in ("merge", "delete", "delete_mor") and m.get("cdf_dir"):
+        elif op in ("merge", "delete", "delete_mor", "update") and m.get("cdf_dir"):
             for f in _parquet_files(m["cdf_dir"]):
                 parts.append(_ChangeFilePartition(f, None, v, renames))
         else:

@@ -34,6 +34,11 @@ Supported grammar (case-insensitive keywords; one statement per call):
   *`` are the full-row semantics ``VersionedTable.merge`` has — a
   column-subset SET is a different operation and is refused loudly.
   With no WHEN clause the statement is the plain upsert.
+* ``UPDATE vt'<path>' SET col = expr[, col = expr ...] WHERE
+  <predicate>`` — column-subset update via
+  ``VersionedTable.update_where`` (dir-pruned copy-on-write;
+  constraints re-validated, generated columns recomputed, change
+  feed written).
 * ``DELETE FROM vt'<path>' WHERE <predicate>`` — copy-on-write
   dir-pruned delete (bare column names in the predicate).
 * ``DESCRIBE HISTORY vt'<path>'`` / ``DESCRIBE DETAIL vt'<path>'``.
@@ -231,6 +236,43 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.sql(_substitute_views(spark, stmt))
     if verb == "MERGE":
         return _merge(spark, stmt)
+    if verb == "UPDATE":
+        m = re.match(
+            rf"update\s+{_VT}\s+set\s+(.+?)\s+where\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "UPDATE grammar: UPDATE vt'<path>' SET col = expr"
+                "[, col = expr ...] WHERE <pred>"
+            )
+        path, set_clause, pred = m.groups()
+        # split assignments on top-level commas only (expressions may
+        # carry function-call commas)
+        parts, depth, cur = [], 0, []
+        for ch in set_clause:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        assignments = {}
+        for p in parts:
+            am = re.match(r"\s*(\w+)\s*=\s*(.+)$", p, re.DOTALL)
+            if not am:
+                raise ValueError(f"bad SET assignment: {p!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        from pyspark.sql import functions as F
+
+        t = _table(path)
+        v = t.update_where(assignments, F.expr(pred))
+        return _receipt(spark, op="update", path=path, version=str(v))
     if verb == "DELETE":
         m = re.match(
             rf"delete\s+from\s+{_VT}\s+where\s+(.+)$",
@@ -353,6 +395,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         ).where("would_remove IS NOT NULL")
     raise ValueError(
         f"unsupported statement head {verb!r} — the router speaks "
-        f"SELECT/WITH (with vt'...' time travel), MERGE, DELETE, "
-        f"DESCRIBE HISTORY/DETAIL, OPTIMIZE, RESTORE, VACUUM DRY RUN"
+        f"SELECT/WITH (with vt'...' time travel), MERGE, UPDATE, "
+        f"DELETE, DESCRIBE HISTORY/DETAIL, OPTIMIZE, RESTORE, "
+        f"VACUUM DRY RUN"
     )

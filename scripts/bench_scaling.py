@@ -139,6 +139,7 @@ QUERIES_UNDER_TEST = [
     ("etl_format_read", "linear", "checksum"),
     ("etl_format_read_asof", "linear", "checksum"),
     ("etl_sql_dml", "linear", "checksum"),
+    ("etl_sql_update", "linear", "checksum"),
     ("etl_optimize_zorder_str", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
@@ -220,6 +221,7 @@ def run_rehearsal(
                             "etl_table_changes", "etl_schema", "etl_rename",
                             "etl_read_pruned", "etl_optimize", "etl_drop",
                             "etl_constraints", "etl_clone", "etl_partition",
+                            "etl_sql_update",
                             "etl_generated", "etl_incremental_rollup",
                             "etl_format_read", "etl_sql_dml"))
     ]

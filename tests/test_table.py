@@ -3608,7 +3608,7 @@ def test_sql_router_lakehouse_surface(spark, tmp_path):
             f"(SELECT 1 AS k) AS s ON x.k = s.k",
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        sql(spark, f"UPDATE vt'{root}' SET v = 1")
+        sql(spark, f"TRUNCATE TABLE vt'{root}'")
     with pytest.raises(ValueError, match="equality conjunction"):
         sql(
             spark,
@@ -3714,3 +3714,72 @@ def test_format_read_filter_pushdown_skips_files(spark, tmp_path):
         .count()
         == 10
     )
+
+
+def test_update_where_semantics(spark, tmp_path):
+    """r12 UPDATE verb: dir-pruned column-subset update with SQL
+    NULL-condition semantics, constraint re-validation on the
+    rewritten rows (refusal leaves the table unchanged), generated-
+    column recompute when a source is assigned (direct assignment
+    refused), update_preimage/postimage change feed, and untouched
+    dirs carried by reference."""
+    from python_etl_spark.sinks.table import ConstraintViolationError
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, None), (2, 20, 5), (3, 30, 5), (4, 40, 9)],
+            "k long, v long, w long",
+        ),
+        constraints={"v_pos": "v > 0"},
+        generated={"b": "k % 3"},
+    )
+    t.append(spark.createDataFrame([(5, 50, 1)], "k long, v long, w long"))
+    v = t.update_where({"v": "v + 100"}, F.col("w") > 4)
+    assert t.history()[-1]["op"] == "update"
+    rows = sorted((r.k, r.v, r.w, r.b) for r in t.read(spark).collect())
+    # w=NULL row untouched (NULL condition keeps); k=5 dir untouched
+    assert rows == [
+        (1, 10, None, 1),
+        (2, 120, 5, 2),
+        (3, 130, 5, 0),
+        (4, 140, 9, 1),
+        (5, 50, 1, 2),
+    ]
+    assert len(t._read_manifest()["data_dirs"]) == 2  # dir-pruned
+    ch = sorted(
+        (r.k, r._change_type, r.v)
+        for r in t.row_changes(spark, v - 1, v).collect()
+    )
+    assert ch == [
+        (2, "update_postimage", 120),
+        (2, "update_preimage", 20),
+        (3, "update_postimage", 130),
+        (3, "update_preimage", 30),
+        (4, "update_postimage", 140),
+        (4, "update_preimage", 40),
+    ]
+    # generated source assignment recomputes the generated value
+    t.update_where({"k": "k + 30"}, F.col("k") == 5)
+    r5 = t.read(spark).where("k = 35").first()
+    assert r5.b == 35 % 3
+    # constraint violation refused pre-publish, table unchanged
+    before = sorted(map(tuple, t.read(spark).collect()))
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.update_where({"v": "-1"}, F.col("k") == 2)
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update_where({"b": "0"}, F.col("k") == 2)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.update_where({"nope": "1"}, F.col("k") == 2)
+    # SQL router face: multi-assignment with function-call commas
+    from python_etl_spark import sql
+
+    sql(
+        spark,
+        f"UPDATE vt'{root}' SET v = v * 2, w = coalesce(w, 0) "
+        f"WHERE k = 2",
+    )
+    r2 = t.read(spark).where("k = 2").first()
+    assert (r2.v, r2.w) == (240, 5)
