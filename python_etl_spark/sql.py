@@ -34,6 +34,12 @@ Supported grammar (case-insensitive keywords; one statement per call):
   *`` are the full-row semantics ``VersionedTable.merge`` has — a
   column-subset SET is a different operation and is refused loudly.
   With no WHEN clause the statement is the plain upsert.
+* ``INSERT INTO vt'<path>' <SELECT ...|VALUES (...), ...>`` —
+  append-semantics insert (the Delta INSERT INTO shape); VALUES rows
+  adopt the target's column order.
+* ``CREATE TABLE vt'<path>' [PARTITIONED BY (a, b)] AS <SELECT ...>``
+  — CTAS bootstrap (vt references inside the SELECT resolve,
+  including time travel, so CLONE-like statements compose).
 * ``UPDATE vt'<path>' SET col = expr[, col = expr ...] WHERE
   <predicate>`` — column-subset update via
   ``VersionedTable.update_where`` (dir-pruned copy-on-write;
@@ -236,6 +242,51 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.sql(_substitute_views(spark, stmt))
     if verb == "MERGE":
         return _merge(spark, stmt)
+    if verb == "INSERT":
+        m = re.match(
+            rf"insert\s+into\s+{_VT}\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "INSERT grammar: INSERT INTO vt'<path>' <SELECT ...|"
+                "VALUES ...> (full-row, append semantics)"
+            )
+        path, body = m.groups()
+        body = body.strip()
+        if body.upper().startswith("VALUES"):
+            # VALUES rows need the target's column names
+            cols = _table(path).read(spark).columns
+            df = spark.sql(
+                f"SELECT * FROM ({body}) AS v({', '.join(cols)})"
+            )
+        else:
+            df = spark.sql(_substitute_views(spark, body))
+        v = _table(path).append(df)
+        return _receipt(spark, op="insert", path=path, version=str(v))
+    if verb == "CREATE":
+        m = re.match(
+            rf"create\s+table\s+{_VT}"
+            rf"(?:\s+partitioned\s+by\s*\(([^)]+)\))?"
+            rf"\s+as\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "CREATE grammar: CREATE TABLE vt'<path>' "
+                "[PARTITIONED BY (a, b)] AS <SELECT ...>"
+            )
+        path, pby, body = m.groups()
+        df = spark.sql(_substitute_views(spark, body.strip()))
+        v = _table(path).create(
+            df,
+            partition_by=(
+                [c.strip() for c in pby.split(",")] if pby else None
+            ),
+        )
+        return _receipt(spark, op="create", path=path, version=str(v))
     if verb == "UPDATE":
         m = re.match(
             rf"update\s+{_VT}\s+set\s+(.+?)\s+where\s+(.+)$",
@@ -395,7 +446,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         ).where("would_remove IS NOT NULL")
     raise ValueError(
         f"unsupported statement head {verb!r} — the router speaks "
-        f"SELECT/WITH (with vt'...' time travel), MERGE, UPDATE, "
-        f"DELETE, DESCRIBE HISTORY/DETAIL, OPTIMIZE, RESTORE, "
+        f"SELECT/WITH (with vt'...' time travel), MERGE, INSERT, "
+        f"CREATE TABLE AS, UPDATE, DELETE, DESCRIBE HISTORY/DETAIL, "
+        f"OPTIMIZE, RESTORE, "
         f"VACUUM DRY RUN"
     )

@@ -3783,3 +3783,37 @@ def test_update_where_semantics(spark, tmp_path):
     )
     r2 = t.read(spark).where("k = 2").first()
     assert (r2.v, r2.w) == (240, 5)
+
+
+def test_sql_router_insert_and_ctas(spark, tmp_path):
+    """r12 extra SQL verbs: INSERT INTO (SELECT and VALUES forms,
+    append semantics) and CREATE TABLE ... AS SELECT (CTAS, with
+    PARTITIONED BY and vt-reference time travel inside the SELECT)."""
+    from python_etl_spark import sql
+
+    r1 = str(tmp_path / "a")
+    r2 = str(tmp_path / "b")
+    sql(
+        spark,
+        f"CREATE TABLE vt'{r1}' AS "
+        f"SELECT id AS k, id*2 AS v FROM range(10)",
+    )
+    assert sql(spark, f"SELECT COUNT(*) AS n FROM vt'{r1}'").first().n == 10
+    sql(spark, f"INSERT INTO vt'{r1}' SELECT id AS k, id*2 AS v "
+               f"FROM range(10, 15)")
+    sql(spark, f"INSERT INTO vt'{r1}' VALUES (100, 200), (101, 202)")
+    assert sql(spark, f"SELECT COUNT(*) AS n FROM vt'{r1}'").first().n == 17
+    # CTAS from a vt reference WITH time travel, partitioned
+    sql(
+        spark,
+        f"CREATE TABLE vt'{r2}' PARTITIONED BY (p) AS "
+        f"SELECT k, v, CAST(k % 3 AS STRING) AS p "
+        f"FROM vt'{r1}' VERSION AS OF 0",
+    )
+    t2 = VersionedTable(r2)
+    assert t2.partition_columns() == ["p"]
+    assert t2.row_count() == 10
+    with pytest.raises(ValueError, match="INSERT grammar"):
+        sql(spark, f"INSERT INTO vt'{r1}'")
+    with pytest.raises(RuntimeError, match="already exists"):
+        sql(spark, f"CREATE TABLE vt'{r1}' AS SELECT 1 AS x")
