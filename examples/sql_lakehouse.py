@@ -85,7 +85,17 @@ def main() -> None:
         """,
     ).show()
 
-    # 3. predicate DELETE
+    # 3. column-subset UPDATE, row INSERTs, predicate DELETE
+    sql(
+        spark,
+        f"UPDATE vt'{root}' SET qty = qty + 5000 "
+        f"WHERE status = 'P' AND k % 11 = 0",
+    ).show()
+    sql(
+        spark,
+        f"INSERT INTO vt'{root}' VALUES (990000001, 1, 'N'), "
+        f"(990000002, 2, 'N')",
+    ).show()
     sql(spark, f"DELETE FROM vt'{root}' WHERE status = 'F'").show()
 
     # 4. audit surface

@@ -3299,7 +3299,15 @@ class VersionedTable:
         which is exactly the honest price of a lineage gap; it is not
         a substitute for the feed on tables where commits carry
         lineage. Updates surface as delete+insert (content diff has
-        no key knowledge)."""
+        no key knowledge).
+
+        REACH FOR THE FEED FIRST: ``row_changes``/``changes()`` (or
+        the registered ``table_changes`` source) read only the
+        commits in range — at 100 TB that is last night's files; this
+        method reads the WHOLE TABLE TWICE. Use snapshot_diff only
+        when the feed raises at a re-baseline barrier, to recover the
+        net effect across it, then resume the feed from the barrier
+        version."""
         upto = self.latest_version() if version is None else version
         old_df = self.read(spark, since_version)
         new_df = self.read(spark, upto)
