@@ -2906,6 +2906,69 @@ _ORACLES["etl_format_read"] = _ORACLES["etl_schema_widening"]
 
 
 @register(
+    "etl_point_lookup",
+    oracle=r"""
+SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uk,
+  o_orderpriority AS priority,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM orders WHERE o_orderkey = 1
+""",
+)
+def etl_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEEDLE LOOKUP on a uuid-shaped key (r12): the table is keyed
+    by ``uk = md5(orderkey)`` — every commit dir spans the whole
+    lexicographic key domain, so min-max stats prune NOTHING — and
+    declared ``bloom_keys=["uk"]`` makes each commit embed a per-dir
+    key bloom. ``read_pruned(eq={"uk": needle})`` probes the blooms
+    with the SAME Spark xxhash64 expressions the commit path built
+    the bits with (false negatives impossible by construction) and
+    opens only the admitting dirs — asserted strictly fewer than the
+    6-commit fixture's total, the O(1)-dirs point-read a 10k-dir
+    table needs. Result held to the direct orders oracle.
+
+    Scale posture: the probe is one 1-row Spark job + a driver-side
+    bit test per dir (manifest-embedded, size-capped blooms); the
+    lookup reads only admitting dirs' files."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("ptlk", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ptlk_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("uk"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    t = VersionedTable(os.path.join(root, "t"))
+    if not t.exists():
+        t.create(base.where(F.col("k") % 6 == 0), bloom_keys=["uk"])
+    for i in range(1, 6):
+        if t.latest_version() < i:
+            t.append(base.where(F.col("k") % 6 == i))
+    needle = t.read(spark).where(F.col("k") == 1).first()["uk"]
+    looked = t.read_pruned(spark, eq={"uk": needle})
+    n_all = len(t.read(spark).inputFiles())
+    n_hit = len(looked.inputFiles())
+    if not n_hit < n_all:
+        raise RuntimeError(
+            f"bloom point-lookup ineffective: {n_hit}/{n_all} files"
+        )
+    return looked.select(
+        "uk", "priority", F.col("price").cast("double").alias("price")
+    )
+
+
+@register(
     "etl_sql_update",
     oracle=r"""
 WITH cur AS (

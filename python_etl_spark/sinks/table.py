@@ -2190,6 +2190,7 @@ class VersionedTable:
         hi=None,
         version: int | None = None,
         ranges: dict | None = None,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Snapshot read with DIR-GRANULARITY data skipping: commit
         dirs whose footer-derived [min, max] for a bounded column
@@ -2209,13 +2210,30 @@ class VersionedTable:
         (a dir/file drops when ANY range provably misses it), which
         is exactly the payoff of a Z-ordered layout: each file is a
         bounding box in every clustered dimension, so a conjunctive
-        range predicate multiplies the skip rates."""
+        range predicate multiplies the skip rates.
+
+        POINT LOOKUP (r12): ``eq={"k": value, ...}`` binds exact
+        values. Each binding prunes via stats as the degenerate
+        range [v, v], and when the bindings cover the table's
+        declared ``bloom_keys`` the per-dir KEY BLOOMS are probed too
+        — the prune that works where min-max cannot (uuid/hash-shaped
+        keys, every dir spanning the whole key domain): a needle
+        lookup into a 10k-dir table opens only the dirs whose bloom
+        admits the key (FP ~2-3% costs an extra dir read; a false
+        negative is impossible — the probe runs the SAME Spark
+        xxhash64 expressions the commit path used to build the bits).
+        Like ranges, callers still apply the equality predicate."""
         if ranges is None:
-            if col is None:
-                raise ValueError("pass col+lo/hi or ranges={...}")
-            ranges = {col: (lo, hi)}
+            if col is None and not eq:
+                raise ValueError("pass col+lo/hi, ranges={...} or eq")
+            ranges = {col: (lo, hi)} if col is not None else {}
         elif col is not None:
             raise ValueError("pass col OR ranges, not both")
+        if eq:
+            for c, v in eq.items():
+                if c in ranges:
+                    raise ValueError(f"column '{c}' in both ranges and eq")
+                ranges[c] = (v, v)
         m = self._read_manifest(version)
         stats = m.get("dir_stats", {})
         dirs = []
@@ -2240,6 +2258,24 @@ class VersionedTable:
                     pass
             if admit:
                 dirs.append(d)
+        # bloom probe for point lookups covering the declared keys:
+        # one 1-row Spark frame reuses the merge probe's machinery
+        # (same xxhash64 exprs the commit path built the bits with)
+        bcols = sorted(self.bloom_columns())
+        if eq and bcols and set(bcols) <= set(eq) and dirs:
+            types = {
+                f.name: f.dataType
+                for f in self.read(spark, m["version"]).schema.fields
+            }
+            row = spark.range(1).select(
+                *[
+                    F.lit(eq[c]).cast(types[c]).alias(c)
+                    for c in bcols
+                    if c in types
+                ]
+            )
+            if set(row.columns) == set(bcols):
+                dirs = self._bloom_candidates(m, bcols, row, dirs)
         # per-FILE refinement: inside surviving dirs, open only the
         # files whose footer stats admit every range (r10 verdict #5)
         dirs, subsets = self._prune_files(m, dirs, ranges)

@@ -141,6 +141,7 @@ QUERIES_UNDER_TEST = [
     ("etl_sql_dml", "linear", "checksum"),
     ("etl_sql_update", "linear", "checksum"),
     ("etl_optimize_zorder_str", "linear", "checksum"),
+    ("etl_point_lookup", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
@@ -221,6 +222,7 @@ def run_rehearsal(
                             "etl_table_changes", "etl_schema", "etl_rename",
                             "etl_read_pruned", "etl_optimize", "etl_drop",
                             "etl_constraints", "etl_clone", "etl_partition",
+                            "etl_point_lookup",
                             "etl_sql_update",
                             "etl_generated", "etl_incremental_rollup",
                             "etl_format_read", "etl_sql_dml"))

@@ -3817,3 +3817,38 @@ def test_sql_router_insert_and_ctas(spark, tmp_path):
         sql(spark, f"INSERT INTO vt'{r1}'")
     with pytest.raises(RuntimeError, match="already exists"):
         sql(spark, f"CREATE TABLE vt'{r1}' AS SELECT 1 AS x")
+
+
+def test_read_pruned_eq_bloom_point_lookup(spark, tmp_path):
+    """r12 point lookup: read_pruned(eq={key: v}) probes per-dir key
+    BLOOMS where min-max cannot prune (hash-shaped keys spanning the
+    whole domain in every dir): only admitting dirs open, an absent
+    key opens zero dirs, results stay exact, and a same-column
+    eq+ranges double-bind is refused."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    base = spark.range(0, 600).selectExpr(
+        "md5(CAST(id AS STRING)) AS uk", "id AS k", "id % 7 AS v"
+    )
+    t.create(base.where("k % 6 = 0"), bloom_keys=["uk"])
+    for i in range(1, 6):
+        t.append(base.where(f"k % 6 = {i}"))
+    needle = base.where("k = 1").first()["uk"]
+    looked = t.read_pruned(spark, eq={"uk": needle})
+    n_all = len(t.read(spark).inputFiles())
+    assert len(looked.inputFiles()) < n_all
+    got = [(r.uk, r.k, r.v) for r in looked.collect()]
+    assert got == [(needle, 1, 1)]  # residual applied by read_pruned
+    # absent key: bloom rejects every dir -> empty, zero files
+    ghost = t.read_pruned(
+        spark, eq={"uk": "0" * 32}
+    )
+    assert ghost.count() == 0
+    # eq composes with ranges on OTHER columns; same column refused
+    both = t.read_pruned(spark, ranges={"k": (0, 10)}, eq={"uk": needle})
+    assert [(r.k,) for r in both.select("k").collect()] == [(1,)]
+    with pytest.raises(ValueError, match="both ranges and eq"):
+        t.read_pruned(spark, ranges={"uk": (None, None)}, eq={"uk": needle})
+    # eq on a NON-bloom column still prunes via the [v, v] stat range
+    pk = t.read_pruned(spark, eq={"k": 1})
+    assert sorted(r.k for r in pk.collect()) == [1]
