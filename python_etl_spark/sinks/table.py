@@ -2213,27 +2213,39 @@ class VersionedTable:
         range predicate multiplies the skip rates.
 
         POINT LOOKUP (r12): ``eq={"k": value, ...}`` binds exact
-        values. Each binding prunes via stats as the degenerate
-        range [v, v], and when the bindings cover the table's
-        declared ``bloom_keys`` the per-dir KEY BLOOMS are probed too
-        — the prune that works where min-max cannot (uuid/hash-shaped
-        keys, every dir spanning the whole key domain): a needle
-        lookup into a 10k-dir table opens only the dirs whose bloom
-        admits the key (FP ~2-3% costs an extra dir read; a false
-        negative is impossible — the probe runs the SAME Spark
-        xxhash64 expressions the commit path used to build the bits).
-        Like ranges, callers still apply the equality predicate."""
+        values (a LIST of values = an IN-list multi-needle lookup).
+        Each binding prunes via stats as the degenerate range [v, v]
+        (lists as [min, max]), and when the bindings cover the
+        table's declared ``bloom_keys`` the per-dir KEY BLOOMS are
+        probed too — the prune that works where min-max cannot
+        (uuid/hash-shaped keys, every dir spanning the whole key
+        domain): a needle lookup into a 10k-dir table opens only the
+        dirs whose bloom admits some needle (FP ~2-3% costs an extra
+        dir read; a false negative is impossible — the probe runs
+        the SAME Spark xxhash64 expressions the commit path used to
+        build the bits). A single value is re-applied exactly (the
+        [v, v] range IS the equality); a LIST is re-applied only as
+        its [min, max] envelope — callers re-apply the IN predicate,
+        same contract as ranges."""
         if ranges is None:
             if col is None and not eq:
                 raise ValueError("pass col+lo/hi, ranges={...} or eq")
             ranges = {col: (lo, hi)} if col is not None else {}
         elif col is not None:
             raise ValueError("pass col OR ranges, not both")
+        eq_lists: dict = {}
         if eq:
             for c, v in eq.items():
                 if c in ranges:
                     raise ValueError(f"column '{c}' in both ranges and eq")
-                ranges[c] = (v, v)
+                vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+                if not vals:
+                    raise ValueError(f"eq['{c}'] is an empty value list")
+                eq_lists[c] = vals
+                try:
+                    ranges[c] = (min(vals), max(vals))
+                except TypeError:
+                    ranges[c] = (None, None)  # mixed types: no stat prune
         m = self._read_manifest(version)
         stats = m.get("dir_stats", {})
         dirs = []
@@ -2263,19 +2275,37 @@ class VersionedTable:
         # (same xxhash64 exprs the commit path built the bits with)
         bcols = sorted(self.bloom_columns())
         if eq and bcols and set(bcols) <= set(eq) and dirs:
+            import itertools
+
             types = {
                 f.name: f.dataType
                 for f in self.read(spark, m["version"]).schema.fields
             }
-            row = spark.range(1).select(
-                *[
-                    F.lit(eq[c]).cast(types[c]).alias(c)
-                    for c in bcols
-                    if c in types
-                ]
-            )
-            if set(row.columns) == set(bcols):
-                dirs = self._bloom_candidates(m, bcols, row, dirs)
+            if all(c in types for c in bcols):
+                combos = list(
+                    itertools.islice(
+                        itertools.product(*[eq_lists[c] for c in bcols]),
+                        _BLOOM_PROBE_CAP + 1,
+                    )
+                )
+                if len(combos) <= _BLOOM_PROBE_CAP:
+                    # stringify + cast to the TABLE types: the probe
+                    # must hash exactly what the commit path hashed
+                    frame = spark.createDataFrame(
+                        [
+                            tuple(
+                                None if v is None else str(v) for v in t
+                            )
+                            for t in combos
+                        ],
+                        ", ".join(f"{c} string" for c in bcols),
+                    ).select(
+                        *[
+                            F.col(c).cast(types[c]).alias(c)
+                            for c in bcols
+                        ]
+                    )
+                    dirs = self._bloom_candidates(m, bcols, frame, dirs)
         # per-FILE refinement: inside surviving dirs, open only the
         # files whose footer stats admit every range (r10 verdict #5)
         dirs, subsets = self._prune_files(m, dirs, ranges)

@@ -3852,3 +3852,25 @@ def test_read_pruned_eq_bloom_point_lookup(spark, tmp_path):
     # eq on a NON-bloom column still prunes via the [v, v] stat range
     pk = t.read_pruned(spark, eq={"k": 1})
     assert sorted(r.k for r in pk.collect()) == [1]
+
+
+def test_read_pruned_eq_in_list_multi_needle(spark, tmp_path):
+    """eq with a LIST of values = IN-list lookup: the bloom probe
+    admits a dir when ANY needle hits; stats prune via [min, max] of
+    the list; the re-applied predicate keeps results exact."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    base = spark.range(0, 600).selectExpr(
+        "md5(CAST(id AS STRING)) AS uk", "id AS k"
+    )
+    t.create(base.where("k % 6 = 0"), bloom_keys=["uk"])
+    for i in range(1, 6):
+        t.append(base.where(f"k % 6 = {i}"))
+    needles = [r["uk"] for r in base.where("k IN (1, 2, 500)").collect()]
+    looked = t.read_pruned(spark, eq={"uk": needles})
+    n_all = len(t.read(spark).inputFiles())
+    assert len(looked.inputFiles()) < n_all
+    ks = sorted(r.k for r in looked.where(F.col("uk").isin(needles)).collect())
+    assert ks == [1, 2, 500]
+    with pytest.raises(ValueError, match="empty value list"):
+        t.read_pruned(spark, eq={"uk": []})
