@@ -234,10 +234,51 @@ _R10_CHECKED = frozenset(
     ]
 )
 
+_R11_CHECKED = frozenset(
+    [
+        "etl_clone_divergence",
+        "etl_constraints",
+        "etl_drop_evolution",
+        "etl_generated_columns",
+        "etl_merge_bloom_pruned",
+        "etl_merge_evolve",
+        "etl_merge_evolve_feed",
+        "etl_mor_delete_keyed",
+        "etl_optimize_table",
+        "etl_optimize_zorder",
+        "etl_partition_evolution",
+        "etl_read_pruned_files",
+        "etl_rename_evolution",
+        "events_audience_theta",
+        "q01_pricing_summary",
+        "q02_cheapest_part_per_brand",
+        "q03_shipping_priority",
+        "q04_order_priority",
+        "q05_local_supplier_volume",
+        "q06_forecast_revenue",
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q09_product_profit",
+        "q10_returned_items",
+        "q11_supplier_balance_share",
+        "q12_priority_by_linestatus",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_bracketed_revenue",
+        "q20_parts_promo_suppliers",
+        "q21_high_value_open_orders",
+        "q22_inactive_customers",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
-    | _R09_CHECKED | _R10_CHECKED
+    | _R09_CHECKED | _R10_CHECKED | _R11_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the
