@@ -2906,6 +2906,148 @@ _ORACLES["etl_format_read"] = _ORACLES["etl_schema_widening"]
 
 
 @register(
+    "etl_snapshot_drift",
+    oracle=r"""
+WITH v0 AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 0),
+cur AS (
+  SELECT price, priority FROM v0
+  UNION ALL
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.2 AS DOUBLE),
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1),
+pb AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR(price / 30000) AS INT)))
+         AS b, COUNT(*) AS n FROM v0 GROUP BY 1),
+qb AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR(price / 30000) AS INT)))
+         AS b, COUNT(*) AS n FROM cur GROUP BY 1),
+price_psi AS (
+  SELECT SUM((q - p) * LN(q / p)) AS psi FROM (
+    SELECT GREATEST(COALESCE(pb.n, 0) * 1.0
+             / (SELECT SUM(n) FROM pb), 1e-6) AS p,
+           GREATEST(COALESCE(qb.n, 0) * 1.0
+             / (SELECT SUM(n) FROM qb), 1e-6) AS q
+    FROM pb FULL OUTER JOIN qb ON pb.b = qb.b)),
+pc AS (SELECT priority AS c, COUNT(*) AS n FROM v0 GROUP BY 1),
+qc AS (SELECT priority AS c, COUNT(*) AS n FROM cur GROUP BY 1),
+prio_psi AS (
+  SELECT SUM((q - p) * LN(q / p)) AS psi FROM (
+    SELECT GREATEST(COALESCE(pc.n, 0) * 1.0
+             / (SELECT SUM(n) FROM pc), 1e-6) AS p,
+           GREATEST(COALESCE(qc.n, 0) * 1.0
+             / (SELECT SUM(n) FROM qc), 1e-6) AS q
+    FROM pc FULL OUTER JOIN qc ON pc.c = qc.c))
+SELECT 'price' AS col, ROUND(CAST(psi AS DOUBLE), 6) AS psi
+FROM price_psi
+UNION ALL
+SELECT 'priority' AS col, ROUND(CAST(psi AS DOUBLE), 6) AS psi
+FROM prio_psi
+""",
+)
+def etl_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION DRIFT between two snapshots of a lakehouse table
+    (r12): population stability index per column — the pre-training
+    gate a 100 TB corpus pipeline runs before admitting a new crawl
+    into the mixture (a silent upstream re-price/re-crawl shifts
+    feature distributions long before row counts move). The fixture's
+    v1 append re-prices its half of the rows +20%, so the price PSI
+    must surface the shift while the priority PSI stays ~0 (the
+    categorical mix is unchanged) — both held to a full SQL replay.
+
+    Numeric columns bucket by FIXED integer-arithmetic bins (exact
+    cross-engine, unlike quantile sketches); categorical columns use
+    per-value shares; both sides clamp at 1e-6 (standard PSI
+    smoothing) so an empty bucket contributes a bounded penalty, not
+    infinity. One groupBy per snapshot per column; shares and the
+    ``(q-p)*ln(q/p)`` fold are 20-row (or |categories|-row)
+    arithmetic, rounded to 6 decimals for the hash.
+
+    Scale posture: each PSI input is a tiny histogram — at 100 TB the
+    baseline histogram would be a MATERIALIZED 20-row artifact
+    (maintained like MaterializedRollup) and only the NEW snapshot
+    pays a scan; the fixture computes both sides live to keep the
+    oracle self-contained. Time travel supplies the baseline: the
+    query literally reads ``t.read(spark, 0)`` against latest."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("drift", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_drift_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "t"))
+    if not t.exists():
+        t.create(
+            orders.where(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_totalprice")
+                .cast("decimal(12,2)")
+                .cast("double")
+                .alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    if t.latest_version() < 1:
+        t.append(
+            orders.where(F.col("o_orderkey") % 2 == 1).select(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 1.2)
+                .cast("double")
+                .alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+            )
+        )
+    base = t.read(spark, 0)
+    cur = t.read(spark)
+
+    def _psi(expr_name, bucket_of):
+        p = (
+            base.groupBy(bucket_of(base).alias("b"))
+            .agg(F.count(F.lit(1)).alias("pn"))
+        )
+        q = (
+            cur.groupBy(bucket_of(cur).alias("b"))
+            .agg(F.count(F.lit(1)).alias("qn"))
+        )
+        joined = p.join(q, "b", "outer").select(
+            F.greatest(
+                F.coalesce(F.col("pn"), F.lit(0))
+                / F.lit(float(base.count())),
+                F.lit(1e-6),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("qn"), F.lit(0))
+                / F.lit(float(cur.count())),
+                F.lit(1e-6),
+            ).alias("q"),
+        )
+        return joined.agg(
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+                6,
+            ).alias("psi")
+        ).select(F.lit(expr_name).alias("col"), "psi")
+
+    price_psi = _psi(
+        "price",
+        lambda d: F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0), F.floor(d["price"] / 30000).cast("int")
+            ),
+        ),
+    )
+    prio_psi = _psi("priority", lambda d: d["priority"])
+    return price_psi.unionByName(prio_psi)
+
+
+@register(
     "etl_point_lookup",
     oracle=r"""
 SELECT md5(CAST(o_orderkey AS VARCHAR)) AS uk,

@@ -139,9 +139,10 @@ QUERIES_UNDER_TEST = [
     ("etl_format_read", "linear", "checksum"),
     ("etl_format_read_asof", "linear", "checksum"),
     ("etl_sql_dml", "linear", "checksum"),
-    ("etl_sql_update", "linear", "checksum"),
+    ("etl_sql_update", "etl_snapshot_drift", "linear", "checksum"),
     ("etl_optimize_zorder_str", "linear", "checksum"),
     ("etl_point_lookup", "linear", "checksum"),
+    ("etl_snapshot_drift", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
@@ -223,7 +224,7 @@ def run_rehearsal(
                             "etl_read_pruned", "etl_optimize", "etl_drop",
                             "etl_constraints", "etl_clone", "etl_partition",
                             "etl_point_lookup",
-                            "etl_sql_update",
+                            "etl_sql_update", "etl_snapshot_drift",
                             "etl_generated", "etl_incremental_rollup",
                             "etl_format_read", "etl_sql_dml"))
     ]

@@ -3874,3 +3874,17 @@ def test_read_pruned_eq_in_list_multi_needle(spark, tmp_path):
     assert ks == [1, 2, 500]
     with pytest.raises(ValueError, match="empty value list"):
         t.read_pruned(spark, eq={"uk": []})
+
+
+def test_snapshot_drift_psi_semantics(spark, sf_dir):
+    """etl_snapshot_drift's semantic pin (the oracle pins VALUES;
+    this pins MEANING): the +20% re-price must register as price
+    drift (PSI above the classic 0.1 'shifted' threshold) while the
+    untouched categorical mix stays below it."""
+    from python_etl_spark.plans import QUERIES
+
+    rows = {r.col: r.psi for r in QUERIES["etl_snapshot_drift"](
+        spark, sf_dir
+    ).collect()}
+    assert rows["price"] > 0.1, rows
+    assert rows["priority"] < 0.1, rows
