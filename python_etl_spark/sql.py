@@ -80,6 +80,52 @@ def _table(path: str):
     return VersionedTable(path)
 
 
+def _find_keyword(stmt: str, kw: str, start: int = 0) -> int:
+    """Index of the first whitespace-delimited ``kw`` OUTSIDE single-
+    quoted literals and parentheses (depth 0), case-insensitive; -1
+    when absent. The regex grammars split on keywords like WHERE/SET/
+    USING/ON — a literal ``'a where b'`` or a subquery's own WHERE
+    must never be the split point."""
+    low = stmt.lower()
+    kw = kw.lower()
+    n, k = len(stmt), len(kw)
+    i, depth, in_q = 0, 0, False
+    while i < n:
+        ch = stmt[i]
+        if in_q:
+            if ch == "'":
+                # '' is an escaped quote inside a literal
+                if i + 1 < n and stmt[i + 1] == "'":
+                    i += 1
+                else:
+                    in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(kw, i)
+            and i >= start
+            and (i == 0 or stmt[i - 1].isspace())
+            and (i + k == n or stmt[i + k].isspace())
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _split_on_keyword(stmt: str, kw: str) -> tuple[str, str] | None:
+    """(before, after) around the first depth-0 unquoted ``kw``, or
+    None."""
+    i = _find_keyword(stmt, kw)
+    if i < 0:
+        return None
+    return stmt[:i].rstrip(), stmt[i + len(kw):].lstrip()
+
+
 def _resolve(spark: SparkSession, path: str, ver, ts_s, ts_n) -> DataFrame:
     t = _table(path)
     if ver is not None:
@@ -129,9 +175,7 @@ def _receipt(spark: SparkSession, **kv) -> DataFrame:
 
 def _merge(spark: SparkSession, stmt: str) -> DataFrame:
     m = re.match(
-        rf"merge\s+into\s+{_VT}\s+(?:as\s+)?(\w+)\s+using\s+"
-        rf"(.+?)\s+(?:as\s+)?(\w+)\s+on\s+(.+?)"
-        rf"(\s+when\s+.*)?$",
+        rf"merge\s+into\s+{_VT}\s+(?:as\s+)?(\w+)\s+using\s+(.+)$",
         stmt,
         re.IGNORECASE | re.DOTALL,
     )
@@ -140,7 +184,25 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
             "MERGE grammar: MERGE INTO vt'<path>' AS t USING <source> "
             "AS s ON t.k = s.k [WHEN ...] — see python_etl_spark.sql"
         )
-    path, t_alias, source, s_alias, on, when_tail = m.groups()
+    path, t_alias, rest = m.groups()
+    # keyword splits are QUOTE- and PAREN-aware: a subquery source
+    # carrying its own JOIN ... ON, or a literal containing ' on ' /
+    # ' when ', must never be the split point
+    so = _split_on_keyword(rest, "on")
+    if so is None:
+        raise ValueError("MERGE grammar: missing ON clause")
+    source_part, tail = so
+    parts = source_part.rsplit(None, 1)
+    if len(parts) != 2:
+        raise ValueError(
+            f"MERGE grammar: USING needs '<source> [AS] <alias>', "
+            f"got {source_part!r}"
+        )
+    source, s_alias = parts
+    source = re.sub(r"\s+as$", "", source, flags=re.IGNORECASE).strip()
+    wi = _find_keyword(tail, "when")
+    on = tail[:wi].strip() if wi >= 0 else tail.strip()
+    when_tail = tail[wi:] if wi >= 0 else None
     if t_alias.lower() != "t" or s_alias.lower() != "s":
         raise ValueError(
             f"MERGE aliases must be 't' (target) and 's' (source) — "
@@ -179,45 +241,61 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
     upd = dele = ins = None
     has_clause = False
     if when_tail:
-        for wm in re.finditer(
-            r"when\s+(not\s+matched|matched)"
-            r"(?:\s+and\s+(.*?))?\s+then\s+"
-            r"(update\s+set\s+\*|delete|insert\s+\*)",
-            when_tail,
-            re.IGNORECASE | re.DOTALL,
-        ):
-            has_clause = True
-            kind, cond, action = (
-                wm.group(1).lower(),
-                (wm.group(2) or "true").strip(),
-                wm.group(3).lower(),
+        # scanner-based clause walk: segment boundaries are the
+        # depth-0 unquoted WHEN keywords, the condition/THEN split is
+        # the depth-0 unquoted THEN — a condition like
+        # s.note = 'and then some' can never confuse the parse
+        starts = []
+        pos = 0
+        while True:
+            i = _find_keyword(when_tail, "when", pos)
+            if i < 0:
+                break
+            starts.append(i)
+            pos = i + 4
+        if not starts or when_tail[: starts[0]].strip():
+            raise ValueError(
+                f"unsupported MERGE clause tail: "
+                f"{when_tail[: starts[0] if starts else None]!r}"
             )
-            if action.startswith("update"):
+        for j, st in enumerate(starts):
+            seg = when_tail[
+                st + 4 : starts[j + 1] if j + 1 < len(starts) else None
+            ].strip()
+            ti = _find_keyword(seg, "then")
+            if ti < 0:
+                raise ValueError(f"MERGE clause missing THEN: {seg!r}")
+            head, action = seg[:ti].strip(), seg[ti + 4 :].strip()
+            hm = re.fullmatch(
+                r"(not\s+matched|matched)(?:\s+and\s+(.*))?",
+                head,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not hm:
+                raise ValueError(f"bad MERGE clause head: {head!r}")
+            kind = re.sub(r"\s+", " ", hm.group(1).lower())
+            cond = (hm.group(2) or "true").strip()
+            act = re.sub(r"\s+", " ", action.lower())
+            has_clause = True
+            if act == "update set *":
                 if kind != "matched":
                     raise ValueError("UPDATE requires WHEN MATCHED")
                 upd = cond
-            elif action == "delete":
+            elif act == "delete":
                 if kind != "matched":
                     raise ValueError("DELETE requires WHEN MATCHED")
                 dele = cond
-            else:
+            elif act == "insert *":
                 if kind != "not matched":
                     raise ValueError("INSERT requires WHEN NOT MATCHED")
                 ins = cond
-        leftovers = re.sub(
-            r"when\s+(not\s+matched|matched)(?:\s+and\s+.*?)?\s+then\s+"
-            r"(update\s+set\s+\*|delete|insert\s+\*)",
-            "",
-            when_tail,
-            flags=re.IGNORECASE | re.DOTALL,
-        ).strip()
-        if leftovers:
-            raise ValueError(
-                f"unsupported MERGE clause tail: {leftovers!r} — only "
-                f"UPDATE SET * / DELETE / INSERT * (full-row "
-                f"semantics) are expressible; a column-subset SET is "
-                f"a different operation"
-            )
+            else:
+                raise ValueError(
+                    f"unsupported MERGE clause tail: {action!r} — "
+                    f"only UPDATE SET * / DELETE / INSERT * (full-row "
+                    f"semantics) are expressible; a column-subset SET "
+                    f"is a different operation"
+                )
     t = _table(path)
     if has_clause:
         v = t.merge(
@@ -289,29 +367,43 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _receipt(spark, op="create", path=path, version=str(v))
     if verb == "UPDATE":
         m = re.match(
-            rf"update\s+{_VT}\s+set\s+(.+?)\s+where\s+(.+)$",
+            rf"update\s+{_VT}\s+set\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m:
+        sw = _split_on_keyword(m.group(2), "where") if m else None
+        if not m or sw is None:
             raise ValueError(
                 "UPDATE grammar: UPDATE vt'<path>' SET col = expr"
                 "[, col = expr ...] WHERE <pred>"
             )
-        path, set_clause, pred = m.groups()
+        path = m.group(1)
+        set_clause, pred = sw
         # split assignments on top-level commas only (expressions may
-        # carry function-call commas)
-        parts, depth, cur = [], 0, []
-        for ch in set_clause:
-            if ch == "(":
+        # carry function-call commas and quoted literals)
+        parts, depth, in_q, cur = [], 0, False, []
+        i, n_sc = 0, len(set_clause)
+        while i < n_sc:
+            ch = set_clause[i]
+            if in_q:
+                if ch == "'":
+                    if i + 1 < n_sc and set_clause[i + 1] == "'":
+                        cur.append("''")  # escaped quote: stay inside
+                        i += 2
+                        continue
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            if ch == "," and depth == 0:
+            if ch == "," and depth == 0 and not in_q:
                 parts.append("".join(cur))
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         parts.append("".join(cur))
         assignments = {}
         for p in parts:

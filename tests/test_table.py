@@ -3888,3 +3888,47 @@ def test_snapshot_drift_psi_semantics(spark, sf_dir):
     ).collect()}
     assert rows["price"] > 0.1, rows
     assert rows["priority"] < 0.1, rows
+
+
+def test_sql_router_quoted_keywords_and_subquery_joins(spark, tmp_path):
+    """r12 hardening: keyword splits in the router are quote- and
+    paren-aware — string literals containing ' where '/' then ', ''
+    escaped quotes, commas inside literals, and a MERGE source
+    subquery carrying its own JOIN ... ON all parse correctly."""
+    from python_etl_spark import sql
+
+    root = str(tmp_path / "t")
+    VersionedTable(root).create(
+        spark.createDataFrame(
+            [(1, "x", 5), (2, "it's a, list", 6)],
+            "k long, note string, v long",
+        )
+    )
+    sql(
+        spark,
+        f"UPDATE vt'{root}' SET note = 'a where b', v = v + 1 "
+        f"WHERE k = 1",
+    )
+    t = VersionedTable(root)
+    assert [(r.note, r.v) for r in t.read(spark).where("k = 1").collect()] \
+        == [("a where b", 6)]
+    sql(spark, f"DELETE FROM vt'{root}' WHERE note = 'it''s a, list'")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    spark.range(3).selectExpr(
+        "id AS k", "'n' AS note", "CAST(id*10 AS LONG) AS v"
+    ).createOrReplaceTempView("__hard_mv")
+    sql(
+        spark,
+        f"""MERGE INTO vt'{root}' AS t USING
+        (SELECT a.k, 'm' AS note, CAST(a.k*100 AS LONG) AS v
+         FROM __hard_mv a JOIN __hard_mv b ON a.k = b.k
+         WHERE a.k >= 1) AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.note = 'and then some' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+        (1, 100),
+        (2, 200),
+    ]
