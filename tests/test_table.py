@@ -2034,6 +2034,51 @@ def test_drop_column_round_trip(spark, tmp_path):
         t2.drop_column("ds")
 
 
+def test_add_column_metadata_only(spark, tmp_path):
+    """r13 ALTER TABLE ADD COLUMN: a metadata-only commit records the
+    widened snapshot schema so reads NULL-FILL the new column for all
+    pre-add files (zero files touched); time travel below the add
+    does not show it; a later batch writes real values; collisions,
+    retired names, and generated/constraint interplay behave like the
+    other evolution verbs."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    inv = list(t._read_manifest()["data_dirs"])
+    v = t.add_column("score", "double")
+    m = t._read_manifest()
+    assert m["data_dirs"] == inv and m["op"] == "add_column"
+    assert t.read(spark).columns == ["k", "v", "score"]
+    assert _rows(t.read(spark)) == [(1, 10, None), (2, 20, None)]
+    assert t.read(spark, version=v - 1).columns == ["k", "v"]
+    assert t.row_count() == 2
+    # a post-add batch carrying the column writes real values
+    t.append(
+        spark.createDataFrame([(3, 30, 0.5)], "k long, v long, score double")
+    )
+    assert _rows(t.read(spark)) == [
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, 0.5),
+    ]
+    # an old-schema batch is schema drift (needs allow_evolution)
+    with pytest.raises(ValueError, match="drift"):
+        t.append(spark.createDataFrame([(4, 40)], "k long, v long"))
+    t.append(
+        spark.createDataFrame([(4, 40)], "k long, v long"),
+        allow_evolution=True,
+    )
+    assert t.read(spark).where("k = 4").first().score is None
+    # collision / retired-name guards
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("v", "long")
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="retired"):
+        t.add_column("score", "double")
+    # complex DDL type strings parse
+    t.add_column("tags", "array<string>")
+    assert dict(t.read(spark).dtypes)["tags"] == "array<string>"
+
+
 def test_drop_column_guards_live_deletion_vectors(spark, tmp_path):
     """Dropping a column that live FULL-ROW tombstones key on would
     collapse rows differing only in that column (wrong deletions) —
@@ -3785,6 +3830,53 @@ def test_update_where_semantics(spark, tmp_path):
     assert (r2.v, r2.w) == (240, 5)
 
 
+def test_update_where_condition_column_assigned(spark, tmp_path):
+    """r12 advice (high): when the SET list touches a column the WHERE
+    condition reads (SET status='X' WHERE status='A'), the predicate
+    must be evaluated on PRE-update values only. The old code
+    re-resolved the condition against the post-assignment frame, so
+    the fired set became empty: constraint checks passed vacuously
+    (violations committed), the CDF wrote update_preimage rows with
+    no matching postimage, and generated columns were not recomputed."""
+    from python_etl_spark.sinks.table import ConstraintViolationError
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame(
+            [(1, "A", 10), (2, "B", 20), (3, "A", 30)],
+            "k long, status string, v long",
+        ),
+        constraints={"v_cap": "v < 100"},
+        generated={"tag": "concat(status, '-', cast(k as string))"},
+    )
+    before = sorted(map(tuple, t.read(spark).collect()))
+    # constraint must be enforced on the rows that ACTUALLY fired
+    # (pre-image status='A'), not on post-image status='A' (none)
+    with pytest.raises(ConstraintViolationError, match="v_cap"):
+        t.update_where(
+            {"status": "'X'", "v": "999"}, F.col("status") == "A"
+        )
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+    # happy path: condition column assigned; postimages present and
+    # the generated column recomputes from the NEW source value
+    v = t.update_where({"status": "'X'"}, F.col("status") == "A")
+    rows = sorted(
+        (r.k, r.status, r.tag) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, "X", "X-1"), (2, "B", "B-2"), (3, "X", "X-3")]
+    ch = sorted(
+        (r.k, r._change_type, r.status)
+        for r in t.row_changes(spark, v - 1, v).collect()
+    )
+    assert ch == [
+        (1, "update_postimage", "X"),
+        (1, "update_preimage", "A"),
+        (3, "update_postimage", "X"),
+        (3, "update_preimage", "A"),
+    ]
+
+
 def test_sql_router_insert_and_ctas(spark, tmp_path):
     """r12 extra SQL verbs: INSERT INTO (SELECT and VALUES forms,
     append semantics) and CREATE TABLE ... AS SELECT (CTAS, with
@@ -3852,6 +3944,39 @@ def test_read_pruned_eq_bloom_point_lookup(spark, tmp_path):
     # eq on a NON-bloom column still prunes via the [v, v] stat range
     pk = t.read_pruned(spark, eq={"k": 1})
     assert sorted(r.k for r in pk.collect()) == [1]
+
+
+def test_read_pruned_eq_bloom_binary_key_no_false_negative(
+    spark, tmp_path
+):
+    """r12 advice (medium): the bloom probe used to build its frame
+    by str(value)-then-cast; for BINARY keys str(b'ab') -> "b'ab'"
+    casts to DIFFERENT bytes than the commit path hashed, so the
+    probe missed every dir containing the needle — a bloom FALSE
+    NEGATIVE (rows silently missing). The probe now builds from
+    typed values under the table schema; this pins the contract
+    'a false negative is impossible' for binary keys, and that a
+    string-typed value for an integral key still degrades to the
+    exact cast path instead of erroring."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    base = spark.range(0, 600).selectExpr(
+        "unhex(md5(CAST(id AS STRING))) AS bk", "id AS k"
+    )
+    t.create(base.where("k % 6 = 0"), bloom_keys=["bk"])
+    for i in range(1, 6):
+        t.append(base.where(f"k % 6 = {i}"))
+    needle = base.where("k = 1").first()["bk"]  # Python bytes
+    looked = t.read_pruned(spark, eq={"bk": bytes(needle)})
+    got = [(bytes(r.bk), r.k) for r in looked.collect()]
+    assert got == [(bytes(needle), 1)], "bloom false negative on binary key"
+    assert len(looked.inputFiles()) < len(t.read(spark).inputFiles())
+    # absent binary key still prunes to zero dirs
+    assert t.read_pruned(spark, eq={"bk": b"\x00" * 16}).count() == 0
+    # string value for a long bloom key: falls back to the cast path
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.create(spark.range(0, 60).selectExpr("id AS k"), bloom_keys=["k"])
+    assert [r.k for r in t2.read_pruned(spark, eq={"k": "7"}).collect()] == [7]
 
 
 def test_read_pruned_eq_in_list_multi_needle(spark, tmp_path):
