@@ -457,11 +457,21 @@ class _TableChangesStreamReader(DataSourceStreamReader):
             try:
                 with open(self._sidecar()) as f:
                     base = int(f.read().strip())
-            except (OSError, ValueError):
+            except FileNotFoundError:
                 # no sidecar yet: a FRESH stream (Spark calls
                 # latestOffset before initialOffset on new queries) —
-                # the position is startingVersion by definition
+                # commit() is the sidecar's only writer, so the
+                # position provably never advanced past
+                # startingVersion; bounding from it is safe
                 base = self.start_v
+            except (OSError, ValueError):
+                # sidecar EXISTS but is unreadable/corrupt: the true
+                # position is unknown and may sit ABOVE start_v —
+                # bounding from start_v could hand Spark an end BELOW
+                # the checkpointed start (regressed offset -> replay
+                # duplicates on a later restart; r12 advice, low).
+                # One unbounded batch, then partitions() re-teaches.
+                base = None
         if base is None:
             # no streamId and no in-memory position (a restart at a
             # committed boundary): bounding blindly could return an

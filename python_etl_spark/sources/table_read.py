@@ -465,8 +465,23 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             try:
                 with open(self._sidecar()) as f:
                     base = int(f.read().strip())
+            except FileNotFoundError:
+                # sidecar never written: commit() is its only writer,
+                # so the position provably never advanced past
+                # start_v (a crash before the first commit replays
+                # the identical bound already in the WAL) — bounding
+                # from start_v is safe for fresh streams
+                base = self.start_v  # may be None
             except (OSError, ValueError):
-                base = self.start_v  # fresh stream (may be None)
+                # sidecar EXISTS but is unreadable/corrupt after a
+                # restart: the true position is unknown and may sit
+                # ABOVE start_v. Bounding from start_v could hand
+                # Spark an end BELOW the checkpointed start — the WAL
+                # records the regressed offset and a later restart
+                # replays already-delivered commits (r12 advice,
+                # low). One unbounded batch is the safe degradation,
+                # same as the no-streamId restart path.
+                base = None
         if base is None:
             return {"version": latest, "snap": True}
         # same never-self-advance contract as table_changes

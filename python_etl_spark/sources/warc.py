@@ -501,8 +501,19 @@ try:  # pragma: no cover - import surface depends on pyspark version
                 try:
                     with open(self._sidecar()) as f:
                         base = f.read().strip()
+                except FileNotFoundError:
+                    # sidecar never written (commit() is its only
+                    # writer): position provably still at the start —
+                    # bounding from "" is safe for fresh streams
+                    base = ""
                 except OSError:
-                    base = ""  # fresh stream: position is the start
+                    # sidecar EXISTS but is unreadable: the true
+                    # position is unknown — bounding from "" could
+                    # put the end BELOW the checkpointed start and
+                    # regress the offset log into replay duplicates
+                    # (r12 advice, low). Fall through to the
+                    # unbounded-batch path instead.
+                    base = None
             if base is None:
                 # no streamId, no in-memory position (restart): one
                 # unbounded batch — bounding blindly could hand Spark

@@ -139,7 +139,7 @@ QUERIES_UNDER_TEST = [
     ("etl_format_read", "linear", "checksum"),
     ("etl_format_read_asof", "linear", "checksum"),
     ("etl_sql_dml", "linear", "checksum"),
-    ("etl_sql_update", "etl_snapshot_drift", "linear", "checksum"),
+    ("etl_sql_update", "linear", "checksum"),
     ("etl_optimize_zorder_str", "linear", "checksum"),
     ("etl_point_lookup", "linear", "checksum"),
     ("etl_snapshot_drift", "linear", "checksum"),

@@ -1862,6 +1862,87 @@ def test_table_changes_cap_without_streamid_warns(spark, tmp_path):
         _TableChangesStreamReader({"path": root}, None)
 
 
+def test_capped_stream_sidecar_loss_degrades_unbounded(spark, tmp_path):
+    """r12 advice (low): a MISSING streamId sidecar is provably a
+    fresh stream (commit() is its only writer) and keeps the first
+    batch bounded from the start position; a sidecar that EXISTS but
+    is unreadable/corrupt after a restart means the true position is
+    unknown — bounding from the start could hand Spark an end BELOW
+    the checkpointed offset (regressed WAL -> replay duplicates), so
+    the readers must degrade to ONE UNBOUNDED batch instead. Pinned
+    for all three capped readers."""
+    import os
+
+    from python_etl_spark.sinks.table import VersionedTable
+    from python_etl_spark.sources.table_changes import (
+        _TableChangesStreamReader,
+    )
+    from python_etl_spark.sources.table_read import (
+        VersionedTableStreamReader,
+    )
+    from python_etl_spark.sources.warc import _WarcStreamReader
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    for i in range(2, 8):
+        t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+    latest = t.latest_version()
+    assert latest == 6
+    opts = {
+        "path": root,
+        "maxCommitsPerTrigger": "2",
+        "streamId": "s1",
+        "startingVersion": "0",
+    }
+    side = os.path.join(root, "_streams", "s1")
+    os.makedirs(os.path.dirname(side), exist_ok=True)
+    # missing sidecar: fresh stream, bounded from startingVersion
+    assert VersionedTableStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == 2
+    assert _TableChangesStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == 2
+    # healthy sidecar: bounded from the recovered position
+    with open(side, "w") as f:
+        f.write("4")
+    assert VersionedTableStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == 6
+    # corrupt sidecar (garbage content): position unknown -> UNBOUNDED
+    with open(side, "w") as f:
+        f.write("not-a-version")
+    assert VersionedTableStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == latest
+    assert _TableChangesStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == latest
+    # unreadable sidecar (a directory): same unbounded degradation
+    os.remove(side)
+    os.makedirs(side)
+    assert VersionedTableStreamReader(dict(opts), None).latestOffset()[
+        "version"
+    ] == latest
+    # warc reader: same contract on name high-water marks
+    wroot = str(tmp_path / "w")
+    os.makedirs(wroot)
+    for n in ("a.warc", "b.warc", "c.warc"):
+        open(os.path.join(wroot, n), "wb").close()
+    wopts = {"path": wroot, "maxFilesPerTrigger": "1", "streamId": "w1"}
+    # missing sidecar: bounded to the first pending container
+    assert _WarcStreamReader(dict(wopts)).latestOffset()["last"] == "a.warc"
+    wside = os.path.join(wroot, "_streams", "w1")
+    os.makedirs(os.path.dirname(wside), exist_ok=True)
+    with open(wside, "w") as f:
+        f.write("a.warc")
+    assert _WarcStreamReader(dict(wopts)).latestOffset()["last"] == "b.warc"
+    os.remove(wside)
+    os.makedirs(wside)  # unreadable -> unbounded (newest name)
+    assert _WarcStreamReader(dict(wopts)).latestOffset()["last"] == "c.warc"
+
+
 def test_table_to_table_streaming_replication(spark, tmp_path):
     """r11 verdict #4, end-to-end lakehouse pipes: readStream
     ``table_changes`` (maxCommitsPerTrigger + streamId) -> insert
