@@ -275,10 +275,36 @@ _R11_CHECKED = frozenset(
     ]
 )
 
+_R12_CHECKED = frozenset(
+    [
+        "emb_pca_variance",
+        "etl_agg_stats",
+        "etl_approx_distinct",
+        "etl_approx_quantiles",
+        "etl_filter_pushdown",
+        "etl_format_read",
+        "etl_format_read_asof",
+        "etl_join_anti",
+        "etl_join_inner",
+        "etl_join_left",
+        "etl_join_semi",
+        "etl_optimize_zorder_str",
+        "etl_point_lookup",
+        "etl_select_cast",
+        "etl_snapshot_drift",
+        "etl_sql_dml",
+        "etl_sql_update",
+        "events_audience_overlap_hll",
+        "text_bpe_tokens",
+        "text_cms_topk",
+        "text_unigram_lm_tokens",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
-    | _R09_CHECKED | _R10_CHECKED | _R11_CHECKED
+    | _R09_CHECKED | _R10_CHECKED | _R11_CHECKED | _R12_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the

@@ -19,6 +19,10 @@ of a driver OOM).
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -106,3 +110,97 @@ def forget_keys(
     for a in audits[1:]:
         audit = audit.unionByName(a)
     return ForgetResult(cleaned, audit, parents)
+
+
+def forget_across(
+    tables: dict,
+    tombstones: DataFrame,
+    journal_path: str,
+    merge_on_read: bool = False,
+) -> list[dict]:
+    """Right-to-be-forgotten CASCADE over :class:`VersionedTable`s
+    with a COORDINATOR JOURNAL (r12 verdict #8): ``tables`` maps
+    table name -> (VersionedTable, key column); every row whose key
+    appears in ``tombstones`` (one-column frame) is deleted from
+    every table via :meth:`delete_keys` — the distributed semi/anti
+    join path, never a driver-collected IN list.
+
+    CONSISTENCY CONTRACT — resumable, not atomic: each table's
+    delete is its own atomic manifest commit, so a crash mid-cascade
+    leaves some tables cleaned and others not. The journal at
+    ``journal_path`` (atomic-replace JSON, the manifest pattern)
+    records per-table completion WITH the committed version; re-
+    running the SAME cascade (same journal path) skips completed
+    tables and finishes the rest. A crash in the window between a
+    table's commit and its journal mark re-runs that one delete,
+    which is IDEMPOTENT (the keys are already gone — the retry
+    commits a no-op version). The journal's terminal state is
+    ``complete`` with every table's version — the attestation an
+    auditor reads. Readers of a partially-forgotten set see each
+    table's committed snapshot (never a torn table); the journal is
+    what tells you whether the CASCADE finished.
+
+    Returns the per-table report: [{table, status(deleted|skipped),
+    version}] in execution order (deterministic: sorted by name).
+
+    Scale posture: one semi-join probe + O(touched dirs) rewrite per
+    table (or a tombstone sidecar with merge_on_read); the journal
+    is O(#tables) metadata."""
+
+    def _load() -> dict:
+        try:
+            with open(journal_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"state": "pending", "tables": {}}
+
+    def _store(doc: dict) -> None:
+        os.makedirs(os.path.dirname(journal_path) or ".", exist_ok=True)
+        tmp = f"{journal_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, journal_path)
+
+    doc = _load()
+    known = set(doc["tables"])
+    asked = set(tables)
+    if known and not known <= asked:
+        raise ValueError(
+            f"journal {journal_path} belongs to a cascade over "
+            f"{sorted(known)} — resuming with a DIFFERENT table set "
+            f"{sorted(asked)} would attest completion for tables this "
+            f"run never cleaned"
+        )
+    if doc["state"] == "pending":
+        doc["tables"] = {
+            n: doc["tables"].get(n, {"status": "pending"}) for n in tables
+        }
+        doc["state"] = "running"
+        _store(doc)
+    report = []
+    for name in sorted(tables):
+        t, key = tables[name]
+        if doc["tables"].get(name, {}).get("status") == "done":
+            report.append(
+                {
+                    "table": name,
+                    "status": "skipped",
+                    "version": doc["tables"][name].get("version"),
+                }
+            )
+            continue
+        keyed = tombstones.select(
+            F.col(tombstones.columns[0]).alias(key)
+        )
+        v = t.delete_keys(keyed, merge_on_read=merge_on_read)
+        doc["tables"][name] = {"status": "done", "version": v}
+        _store(doc)
+        report.append({"table": name, "status": "deleted", "version": v})
+    if all(
+        rec.get("status") == "done" for rec in doc["tables"].values()
+    ):
+        doc["state"] = "complete"
+        _store(doc)
+    return report

@@ -4589,3 +4589,249 @@ def etl_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("price").cast("double").alias("amount"),
     )
+
+
+# ------------------------- round-13: SQL DDL + catalog + CDC SQL faces --------
+#
+# r12 verdict #1/#2/#3: the router grew ALTER TABLE (rename/drop/add
+# column, add/drop constraint), a real VACUUM behind an explicit
+# RETAIN clause, a named-table catalog (CREATE TABLE <name> USING
+# versioned_table LOCATION / DROP TABLE / names accepted wherever
+# vt'<path>' is), and TABLE_CHANGES(<ref>, start[, end]) in SELECT.
+# These three queries put each face on an oracle hash.
+
+
+def _sqlddl_source(spark: SparkSession, sf_dir: str):
+    """5-commit DDL demo table, built ENTIRELY through SQL (router
+    surface on the hash): v0 CTAS from orders; v1 ALTER RENAME COLUMN
+    qty->quantity; v2 ALTER ADD COLUMN bonus; v3 UPDATE filling bonus
+    for k%10==0; v4 ALTER ADD CONSTRAINT; then an INSERT violating
+    the constraint is REFUSED (marker row on the oracle). Re-entrant
+    like _cdf_source."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("sqlddl", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_sqlddl_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    tr = os.path.join(root, "t")
+    t = VersionedTable(tr)
+    if not t.exists():
+        _t(spark, sf_dir, "orders").createOrReplaceTempView(
+            "__sqlddl_orders"
+        )
+        vt_sql(
+            spark,
+            f"""
+            CREATE TABLE vt'{tr}' AS
+            SELECT CAST(o_orderkey AS LONG) AS k,
+                   CAST(o_orderkey % 100 AS LONG) AS qty,
+                   o_orderstatus AS status
+            FROM __sqlddl_orders
+            """,
+        )
+    if t.latest_version() < 1:
+        vt_sql(spark, f"ALTER TABLE vt'{tr}' RENAME COLUMN qty TO quantity")
+    if t.latest_version() < 2:
+        vt_sql(spark, f"ALTER TABLE vt'{tr}' ADD COLUMN bonus bigint")
+    if t.latest_version() < 3:
+        vt_sql(
+            spark,
+            f"UPDATE vt'{tr}' SET bonus = quantity * 2 WHERE k % 10 = 0",
+        )
+    if t.latest_version() < 4:
+        vt_sql(
+            spark,
+            f"ALTER TABLE vt'{tr}' ADD CONSTRAINT bonus_pos "
+            f"CHECK (bonus IS NULL OR bonus >= 0)",
+        )
+    return t
+
+
+@register(
+    "etl_sql_ddl",
+    oracle=r"""
+WITH v0 AS (
+  SELECT o_orderkey AS k, o_orderkey % 100 AS qty,
+         o_orderstatus AS status
+  FROM orders)
+SELECT 'cur' AS snap, status, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(qty) AS BIGINT) AS qty_total,
+  CAST(SUM(CASE WHEN k % 10 = 0 THEN qty * 2 END) AS BIGINT)
+    AS bonus_total
+FROM v0 GROUP BY 2
+UNION ALL
+SELECT 'v0', status, CAST(COUNT(*) AS BIGINT),
+  CAST(SUM(qty) AS BIGINT), CAST(NULL AS BIGINT)
+FROM v0 GROUP BY 2
+UNION ALL
+SELECT 'ddl', 'refused', 1, NULL, NULL
+""",
+)
+def etl_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DDL surface end-to-end (r12 verdict #1, sql.py _alter):
+    rename→add-column→update-fill→constraint all through ``ALTER
+    TABLE`` statements, then (a) the CURRENT snapshot aggregated
+    under the NEW column names (rename + null-filled add on the
+    hash), (b) ``VERSION AS OF 0`` aggregated under the OLD name
+    (metadata-only evolution: time travel below the rename keeps
+    qty), and (c) a marker row proving the post-DDL constraint
+    REFUSED a violating SQL INSERT with the table unchanged — any
+    mis-route, wrong-frame constraint check, or resurrected column
+    shifts a sum and breaks the hash.
+
+    Scale posture: every ALTER is an O(1) metadata commit; the
+    UPDATE is the dir-pruned copy-on-write path; the aggregates are
+    single-shuffle groupBys at |status| cardinality."""
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import ConstraintViolationError
+
+    t = _sqlddl_source(spark, sf_dir)
+    refused = 0
+    try:
+        vt_sql(
+            spark,
+            f"INSERT INTO vt'{t.root}' VALUES "
+            f"(4000000001, 1, 'X', -5)",
+        )
+    except ConstraintViolationError:
+        refused = 1
+    return vt_sql(
+        spark,
+        f"""
+        SELECT 'cur' AS snap, status, COUNT(*) AS n,
+               SUM(quantity) AS qty_total, SUM(bonus) AS bonus_total
+        FROM vt'{t.root}' GROUP BY status
+        UNION ALL
+        SELECT 'v0', status, COUNT(*), SUM(qty), CAST(NULL AS BIGINT)
+        FROM vt'{t.root}' VERSION AS OF 0 GROUP BY status
+        UNION ALL
+        SELECT 'ddl', 'refused', {refused}, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        """,
+    ).select(
+        "snap",
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("qty_total").cast("long").alias("qty_total"),
+        F.col("bonus_total").cast("long").alias("bonus_total"),
+    )
+
+
+@register("etl_sql_table_changes", oracle=None)
+def etl_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC SQL face (r12 verdict #3): ``SELECT ... FROM
+    TABLE_CHANGES(vt'<root>', 0, 2)`` over the SAME 3-commit table
+    etl_cdf_changes reads through the library feed — the router
+    substitutes the call with the REGISTERED table_changes batch
+    source, and the oracle below is assigned as etl_cdf_changes'
+    exact SQL (the established twin trick), so a drift anywhere in
+    the SQL face (bad parse, wrong version bounds, name resolution)
+    breaks this hash while the library twin stays green.
+
+    Scale posture: identical to etl_table_changes_batch — one
+    InputPartition per change file, never the corpus."""
+    from python_etl_spark import sql as vt_sql
+
+    t = _cdf_source(spark, sf_dir)
+    feed = vt_sql(
+        spark,
+        f"""
+        SELECT _change_type AS change_type, priority, price
+        FROM TABLE_CHANGES(vt'{t.root}', 0, 2)
+        """,
+    )
+    return feed.groupBy("change_type", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("amount"),
+    )
+
+
+# the twin trick: hold the SQL face to the library feed's exact oracle
+_ORACLES["etl_sql_table_changes"] = _ORACLES["etl_cdf_changes"]
+
+
+@register(
+    "etl_sql_catalog",
+    oracle=r"""
+SELECT CAST(n_regionkey AS BIGINT) AS r,
+  CAST(2 * COUNT(*) AS BIGINT) AS n,
+  CAST(2 * SUM(n_nationkey) + 100 * COUNT(*) AS BIGINT) AS total
+FROM nation GROUP BY 1
+""",
+)
+def etl_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED TABLES end-to-end (r12 verdict #2, catalog.py): a named
+    CTAS materializes beside the catalog file, an ``INSERT INTO
+    <name>`` appends through the resolved root, and the final
+    ``SELECT ... FROM <name>`` substitutes the registered name in
+    table position — path never appears in any statement after the
+    CTAS. The oracle replays the CTAS∪INSERT arithmetic over nation
+    directly, so a resolution bug (wrong root, stale catalog read,
+    name hijacking a session view) breaks the hash.
+
+    Scale posture: the catalog is O(#tables) metadata resolved once
+    per statement, before Catalyst sees the query — never on the
+    data path."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.catalog import Catalog
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("sqlcat", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_sqlcat_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    cat_path = os.path.join(root, "catalog.json")
+    spark.conf.set("spark.python_etl_spark.catalog", cat_path)
+    name = "vtcat_nation"
+    if name not in Catalog(cat_path).names():
+        _t(spark, sf_dir, "nation").createOrReplaceTempView(
+            "__sqlcat_nation"
+        )
+        vt_sql(
+            spark,
+            f"""
+            CREATE TABLE {name} AS
+            SELECT CAST(n_nationkey AS LONG) AS k,
+                   CAST(n_regionkey AS LONG) AS r
+            FROM __sqlcat_nation
+            """,
+        )
+    t = VersionedTable(Catalog(cat_path).resolve(name))
+    if t.latest_version() < 1:
+        _t(spark, sf_dir, "nation").createOrReplaceTempView(
+            "__sqlcat_nation"
+        )
+        vt_sql(
+            spark,
+            f"""
+            INSERT INTO {name}
+            SELECT CAST(n_nationkey + 100 AS LONG),
+                   CAST(n_regionkey AS LONG)
+            FROM __sqlcat_nation
+            """,
+        )
+    return vt_sql(
+        spark,
+        f"SELECT r, COUNT(*) AS n, SUM(k) AS total "
+        f"FROM {name} GROUP BY r",
+    ).select(
+        "r",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )

@@ -22,6 +22,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # r13 (r12 verdict #4): Python-data-source filter pushdown ON for
+    # sessions we bootstrap — the versioned_table read face then
+    # selects its skipping reader BY DEFAULT (option pushdown=auto);
+    # vanilla sessions that never ran this stay on the plain reader
+    # automatically (the auto probe is conservative), so nothing
+    # breaks when the conf is off.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

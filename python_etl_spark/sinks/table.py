@@ -93,6 +93,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _active_spark() -> SparkSession:
+    """The session, THREAD-SAFELY: getActiveSession() is thread-local
+    and returns None in a worker thread a user spawned for concurrent
+    DML (r12 verdict #7 soak exposed this in update_where) —
+    builder.getOrCreate() falls back to the process-default session
+    without creating a new one."""
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
 _MANIFEST_DIR = "_manifests"
 _LATEST = "_latest"
 _MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
@@ -571,7 +580,7 @@ class VersionedTable:
         Delta stats-collection shape, opt-in)."""
         import base64
 
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         if spark is None:
             return None
         n = self._dir_rows(path)
@@ -1143,7 +1152,7 @@ class VersionedTable:
         treat the commit as a re-baseline barrier (a feed cannot mix
         two path layouts in one range); the appends-only ``changes``
         face barriers like any non-append."""
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         cols = list(cols or [])
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
@@ -2035,7 +2044,7 @@ class VersionedTable:
         and a predicate on ANY of them prunes — a lexicographic
         ``sort_by=[a, b]`` gives perfect pruning on ``a`` and none on
         ``b``. Same single shuffle as ``sort_by``."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = spark or _active_spark()
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         for attempt in range(self.max_retries + 1):
@@ -2373,7 +2382,7 @@ class VersionedTable:
         its manifest carries the FULL snapshot row count, so
         ``row_count()`` uses it as a base. Conflict retry recomputes
         against the winner's snapshot."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = spark or _active_spark()
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             dirs = cur["data_dirs"]
@@ -2431,7 +2440,7 @@ class VersionedTable:
         clustering provenance restored in the meta, so the optimize()
         planner recognizes the snapshot as clustered. No-op (None)
         when nothing landed since."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = spark or _active_spark()
         base = set(self._read_manifest(since_version)["data_dirs"])
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
@@ -2483,7 +2492,7 @@ class VersionedTable:
         scopes. Row-preserving (logical rows unchanged), so it commits
         as a ``compact_bins`` op — change feeds are unaffected. No-op
         (None) when no DVs exist."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = spark or _active_spark()
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             dvs = cur.get("dvs", [])
@@ -2607,7 +2616,7 @@ class VersionedTable:
         race costs the maintenance job a re-read and re-plan, never
         the pipeline a row — pinned by
         tests/test_table.py::test_optimize_races_live_streaming_sink."""
-        spark = spark or SparkSession.getActiveSession()
+        spark = spark or _active_spark()
         actions: list[dict] = []
         cur = self._read_manifest()
         dvs = cur.get("dvs", [])
@@ -2818,12 +2827,48 @@ class VersionedTable:
             return None
         return self.compact(spark)
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        track_changes: bool = True,
+        merge_on_read: bool = False,
+    ) -> int:
+        """KEY-SET delete (r12 verdict #8 — the GDPR mass-deletion
+        shape): remove every row whose values match a row of ``keys``
+        (matched on the key frame's column names). Unlike a
+        ``delete_where(col.isin([...]))`` predicate, the key set is a
+        DATAFRAME — a 10^8-key deletion backlog joins distributed
+        (semi/anti join; AQE broadcasts when small) and never
+        collects to the driver. Rows with NULL in a key column never
+        match (SQL join semantics) — deletion lists don't carry NULL
+        identities. Same dir-pruned copy-on-write (default) and
+        deletion-vector (``merge_on_read=True``, key-column
+        tombstones: every co-keyed row goes, which for an identity
+        key is exactly the forget contract) modes as
+        :meth:`delete_where`; re-deleting already-absent keys commits
+        a no-op (idempotent re-run, the property
+        ``operators.compliance.forget_across`` resumes on)."""
+        missing = [c for c in keys.columns if c not in
+                   self.read(keys.sparkSession).columns]
+        if missing:
+            raise ValueError(
+                f"delete_keys columns {missing} not in the table schema"
+            )
+        return self.delete_where(
+            None,
+            track_changes=track_changes,
+            merge_on_read=merge_on_read,
+            key_cols=list(keys.columns) if merge_on_read else None,
+            keys=keys,
+        )
+
     def delete_where(
         self,
         condition,
         track_changes: bool = True,
         merge_on_read: bool = False,
         key_cols: list[str] | None = None,
+        keys: DataFrame | None = None,
     ) -> int:
         """DELETE matching rows. ``condition`` is a Column predicate.
         Conflict retry recomputes against the winner's snapshot.
@@ -2865,10 +2910,41 @@ class VersionedTable:
 
         With ``track_changes`` (default) the commit persists the
         removed rows as ``delete`` change rows, so ``row_changes``
-        consumers subtract them instead of re-baselining."""
-        spark = SparkSession.getActiveSession()
+        consumers subtract them instead of re-baselining.
+
+        ``keys`` (normally reached via :meth:`delete_keys`) swaps the
+        predicate matcher for a DISTRIBUTED semi/anti join against a
+        key frame — the same probe/rewrite/tombstone shapes, with the
+        match decided by join instead of a Column."""
+        spark = _active_spark()
+        if (condition is None) == (keys is None):
+            raise ValueError("pass exactly one of condition / keys")
+        if keys is not None:
+            kcols = list(keys.columns)
+            kset = keys.dropDuplicates(kcols)
+
+            def _match(df: DataFrame) -> DataFrame:
+                return df.join(kset, kcols, "left_semi")
+
+            def _keep(df: DataFrame) -> DataFrame:
+                return df.join(kset, kcols, "left_anti")
+
+        else:
+
+            def _match(df: DataFrame) -> DataFrame:
+                return df.where(condition)
+
+            def _keep(df: DataFrame) -> DataFrame:
+                # delete only where the predicate is TRUE: a row whose
+                # condition evaluates NULL is KEPT (Delta DELETE and
+                # the merge-on-read path's semantics) — plain
+                # ``~condition`` is NULL for those rows and would
+                # silently drop any NULL-condition row that shares a
+                # commit dir with a true match
+                return df.where(~condition | condition.isNull())
+
         if merge_on_read:
-            return self._delete_mor(spark, condition, track_changes, key_cols)
+            return self._delete_mor(spark, _match, track_changes, key_cols)
         if key_cols:
             raise ValueError(
                 "key_cols applies to merge_on_read=True deletes only"
@@ -2889,7 +2965,7 @@ class VersionedTable:
             )
             touched = [
                 r["__dir"]
-                for r in probe.where(condition)
+                for r in _match(probe)
                 .select("__dir")
                 .distinct()
                 .collect()
@@ -2908,14 +2984,8 @@ class VersionedTable:
                                 f.name, F.lit(None).cast(f.dataType)
                             )
                 base = base.select(*[f.name for f in snap_schema.fields])
-                # delete only where the predicate is TRUE: a row whose
-                # condition evaluates NULL is KEPT (Delta DELETE and
-                # the merge-on-read path's semantics) — plain
-                # ``~condition`` is NULL for those rows and would
-                # silently drop any NULL-condition row that shares a
-                # commit dir with a true match
-                kept = base.where(~condition | condition.isNull())
-                removed = base.where(condition)
+                kept = _keep(base)
+                removed = _match(base)
             else:
                 base = spark.createDataFrame([], snap_schema)
                 kept = base
@@ -2963,7 +3033,7 @@ class VersionedTable:
     def _delete_mor(
         self,
         spark: SparkSession,
-        condition,
+        match,
         track_changes: bool,
         key_cols: list[str] | None = None,
     ) -> int:
@@ -2971,7 +3041,9 @@ class VersionedTable:
         tombstone sidecar + per-dir deleted counts, rewrites ZERO data
         files. The probe applies EXISTING deletion vectors first, so
         re-deleting an already-deleted row neither double-counts nor
-        re-emits a change row."""
+        re-emits a change row. ``match`` is the matcher callable
+        delete_where built (predicate where() or key-frame semi
+        join)."""
         for attempt in range(self.max_retries + 1):
             cur = self._read_manifest()
             dirs = cur["data_dirs"]
@@ -2979,7 +3051,7 @@ class VersionedTable:
             tagged = self._read_snapshot_subset(
                 spark, cur, dirs, tag_dir=True
             )
-            matched = tagged.where(condition)
+            matched = match(tagged)
             matched.persist()
             try:
                 per_dir = {
@@ -3057,7 +3129,7 @@ class VersionedTable:
         Scale: O(touched dirs) rewrite + one probe scan with only the
         predicate columns materialized; at 100 TB an UPDATE touching
         one ingest day rewrites that day's dirs, never the corpus."""
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         gen = self.generated_columns()
         for col in assignments:
             if col in gen:
@@ -3234,7 +3306,7 @@ class VersionedTable:
         a batch actually writes it)."""
         from pyspark.sql.types import DataType, StructField, StructType
 
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         if isinstance(dtype, DataType):
             dt = dtype
         else:
@@ -3288,7 +3360,7 @@ class VersionedTable:
         into every data path)."""
         from pyspark.sql.types import StructType
 
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         if old in self.partition_columns():
             raise ValueError(
                 f"cannot rename hive partition column '{old}' — its "
@@ -3376,7 +3448,7 @@ class VersionedTable:
         field id; a manifest NAME-mapping has no second id space, so
         retirement is the sound contract.) Partition columns and the
         last remaining column are refused."""
-        spark = SparkSession.getActiveSession()
+        spark = _active_spark()
         if name in self.partition_columns():
             raise ValueError(
                 f"cannot drop hive partition column '{name}' — its "

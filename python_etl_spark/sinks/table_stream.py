@@ -604,6 +604,20 @@ class VersionedTableDataSource(DataSource):
     def name(cls) -> str:
         return "versioned_table"
 
+    def __init__(self, options):
+        super().__init__(options)
+        # named-table indirection (r12 verdict #2): .option("table",
+        # name) resolves through the catalog (.option("catalog",
+        # path) overrides its location — planning may run in a
+        # Python worker where the session conf is unreachable, so
+        # explicit-path or PYTHON_ETL_CATALOG is the robust spelling)
+        if not options.get("path") and options.get("table"):
+            from python_etl_spark.catalog import Catalog
+
+            options["path"] = Catalog(options.get("catalog")).resolve(
+                options["table"]
+            )
+
     def schema(self):
         from python_etl_spark.sources.table_read import (
             resolve_version,
@@ -615,17 +629,51 @@ class VersionedTableDataSource(DataSource):
             raise ValueError("versioned_table requires a path")
         return snapshot_struct(root, resolve_version(root, self.options))
 
+    @staticmethod
+    def _planner_pushdown_enabled() -> bool:
+        """Is spark.sql.python.filterPushdown.enabled TRUE in the
+        session planning this read? reader() runs in a session-less
+        Python worker, but the worker KNOWS: the pushdown-enabled
+        path plans through pyspark's data_source_pushdown_filters
+        worker module, and the plain path
+        (plan_data_source_read) reads the ``enable_pushdown`` conf
+        bool off the socket before calling reader(). Walk the call
+        stack for either signal; anything unrecognized (future
+        pyspark refactor, direct library use) returns False — the
+        conservative plain reader, never a broken plan."""
+        import sys
+
+        try:
+            f = sys._getframe(1)
+            while f is not None:
+                mod = f.f_globals.get("__name__", "")
+                if mod.endswith("data_source_pushdown_filters"):
+                    return True
+                if mod.endswith("plan_data_source_read"):
+                    return bool(f.f_locals.get("enable_pushdown"))
+                f = f.f_back
+        except Exception:  # pragma: no cover - stack introspection
+            pass
+        return False
+
     def reader(self, schema):
         from python_etl_spark.sources.table_read import (
             _PushdownSnapshotReader,
             VersionedTableSnapshotReader,
         )
 
-        # pushdown is OPT-IN: Spark 4.1 raises for any reader that
-        # implements pushFilters while the session conf
-        # spark.sql.python.filterPushdown.enabled is false (its
-        # default), so a vanilla session must get the plain reader
-        if str(self.options.get("pushdown", "false")).lower() == "true":
+        # pushdown is DEFAULT-ON where legal (r12 verdict #4): Spark
+        # 4.1 raises for any reader that implements pushFilters while
+        # the session conf spark.sql.python.filterPushdown.enabled is
+        # false (its default), so "auto" probes the planning worker
+        # for the conf and picks the skipping reader only when the
+        # session allows it — vanilla sessions keep the plain reader
+        # with zero options. pushdown=true forces (old opt-in
+        # spelling), pushdown=false is the opt-OUT.
+        mode = str(self.options.get("pushdown", "auto")).lower()
+        if mode == "true" or (
+            mode == "auto" and self._planner_pushdown_enabled()
+        ):
             return _PushdownSnapshotReader(self.options, schema)
         return VersionedTableSnapshotReader(self.options, schema)
 

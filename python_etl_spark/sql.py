@@ -52,9 +52,27 @@ Supported grammar (case-insensitive keywords; one statement per call):
   planner; returns the actions taken.
 * ``RESTORE vt'<path>' TO VERSION AS OF n`` (also ``TO TIMESTAMP AS
   OF ts``) — zero-copy restore commit.
-* ``VACUUM vt'<path>' DRY RUN`` — the audit face only: actually
-  removing bytes ends time travel, which a SQL router should not do
-  silently; call ``VersionedTable.vacuum`` for the real sweep.
+* ``VACUUM vt'<path>' [DRY RUN | RETAIN n HOURS]`` — DRY RUN is the
+  DEFAULT (a silent sweep would end time travel); the destructive
+  sweep requires the explicit ``RETAIN n HOURS`` clause, whose window
+  is the in-flight-writer grace guard (r12 verdict #1).
+* ``ALTER TABLE <ref> RENAME COLUMN a TO b | DROP COLUMN a | ADD
+  COLUMN a <type> | ADD CONSTRAINT n CHECK (...) | DROP CONSTRAINT
+  n``, and ``ALTER TABLE <name> RENAME TO <newname>`` — the schema-
+  evolution verbs (r12 verdict #1), each routing to the certified
+  library face (``rename_column`` / ``drop_column`` / ``add_column``
+  / ``add_constraint`` / ``drop_constraint``; metadata-only commits).
+* ``CREATE [OR REPLACE] TABLE <name> USING versioned_table LOCATION
+  '<root>'`` / ``DROP TABLE <name>`` — the named-table CATALOG (r12
+  verdict #2, :mod:`python_etl_spark.catalog`): once registered, a
+  bare ``<name>`` is accepted EVERYWHERE ``vt'<path>'`` is — in
+  SELECT table position (session views keep precedence), as any DML/
+  DDL/utility target, inside ``TABLE_CHANGES``, and a named CTAS
+  materializes beside the catalog file. ``DROP TABLE`` forgets the
+  name only; bytes stay.
+* ``SELECT ... FROM TABLE_CHANGES(vt'<path>'|<name>, start[, end])``
+  — the CDC read face (r12 verdict #3), routed to the REGISTERED
+  ``table_changes`` batch source (held to etl_cdf_changes' oracle).
 
 Scale posture: the router only REWRITES statements — reads stay the
 library's Catalyst scans (pushdown/pruning intact), DML routes to the
@@ -147,19 +165,152 @@ def _resolve(spark: SparkSession, path: str, ver, ts_s, ts_n) -> DataFrame:
 
 _VIEW_N = [0]
 
+# TABLE_CHANGES(<ref>, start[, end]) — the CDC read face in SQL (the
+# Delta table_changes() TVF shape; r12 verdict #3). <ref> is a vt
+# literal or a catalog name; versions are integers (start exclusive?
+# no — same [start, end] contract as the registered source).
+_TCHANGES = (
+    r"table_changes\s*\(\s*"
+    r"(?:vt\s*'([^']+)'|([A-Za-z_][A-Za-z0-9_]*))\s*,\s*"
+    r"(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+)
+
+
+def _sub_unquoted(stmt: str, pattern, repl) -> str:
+    """Apply ``pattern`` -> ``repl(match)`` only at positions OUTSIDE
+    single-quoted literals and ``--`` comments (r12 advice: the old
+    raw ``re.sub`` eagerly resolved a ``vt'...'`` mention inside a
+    comment or string, constructing and reading a table the statement
+    never references). Matches are also required to start at a word
+    boundary so ``avt'x'`` can never half-match."""
+    out = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if stmt[j] == "'":
+                    if j + 1 < n and stmt[j + 1] == "'":
+                        j += 2  # '' escape: stay inside the literal
+                        continue
+                    break
+                j += 1
+            out.append(stmt[i : j + 1])
+            i = j + 1
+        elif ch == "-" and i + 1 < n and stmt[i + 1] == "-":
+            j = stmt.find("\n", i)
+            j = n if j < 0 else j
+            out.append(stmt[i:j])
+            i = j
+        else:
+            m = pattern.match(stmt, i)
+            if m and (i == 0 or not (stmt[i - 1].isalnum()
+                                     or stmt[i - 1] in "_.$")):
+                out.append(repl(m))
+                i = m.end()
+            else:
+                out.append(ch)
+                i += 1
+    return "".join(out)
+
+
+def _register_frame(df: DataFrame) -> str:
+    _VIEW_N[0] += 1
+    name = f"__vt_snapshot_{_VIEW_N[0]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _changes_frame(
+    spark: SparkSession, root: str, start: int, end: int | None
+) -> DataFrame:
+    """The REGISTERED table_changes batch face (held to
+    etl_cdf_changes' oracle) — not a private re-derivation."""
+    from python_etl_spark.sources.table_changes import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    r = spark.read.format("table_changes").option("startingVersion", start)
+    if end is not None:
+        r = r.option("endingVersion", end)
+    return r.load(root)
+
 
 def _substitute_views(spark: SparkSession, stmt: str) -> str:
-    """Replace every ``vt'...' [VERSION|TIMESTAMP AS OF ...]`` with a
-    registered temp view of that snapshot."""
+    """Replace every ``TABLE_CHANGES(...)`` call, ``vt'...'
+    [VERSION|TIMESTAMP AS OF ...]`` literal, and registered CATALOG
+    NAME with a temp view of the corresponding frame. Quote- and
+    comment-aware throughout."""
 
-    def repl(m: re.Match) -> str:
-        df = _resolve(spark, m.group(1), m.group(2), m.group(3), m.group(4))
-        _VIEW_N[0] += 1
-        name = f"__vt_snapshot_{_VIEW_N[0]}"
-        df.createOrReplaceTempView(name)
-        return name
+    def tc_repl(m: re.Match) -> str:
+        root = m.group(1) or _catalog().resolve(m.group(2))
+        end = int(m.group(4)) if m.group(4) is not None else None
+        return _register_frame(
+            _changes_frame(spark, root, int(m.group(3)), end)
+        )
 
-    return re.sub(_TRAVEL, repl, stmt, flags=re.IGNORECASE)
+    stmt = _sub_unquoted(
+        stmt, re.compile(_TCHANGES, re.IGNORECASE), tc_repl
+    )
+
+    def vt_repl(m: re.Match) -> str:
+        return _register_frame(
+            _resolve(spark, m.group(1), m.group(2), m.group(3), m.group(4))
+        )
+
+    stmt = _sub_unquoted(
+        stmt, re.compile(_TRAVEL, re.IGNORECASE), vt_repl
+    )
+    # catalog names: substitute a registered name only where Spark's
+    # own resolution would fail (session views/tables keep precedence
+    # — zero behavior change for existing statements), and never when
+    # the word is qualified (db.name) or called (name(...))
+    names = _catalog().names()
+    low = stmt.lower()
+    hits = [n for n in names if n in low]
+    if hits:
+        pat = re.compile(
+            r"(?:" + "|".join(sorted(hits, key=len, reverse=True))
+            + r")\b(?!\s*\()",
+            re.IGNORECASE,
+        )
+
+        def name_repl(m: re.Match) -> str:
+            n = m.group(0).lower()
+            if n not in names or spark.catalog.tableExists(n):
+                return m.group(0)
+            from python_etl_spark.sinks.table import VersionedTable
+
+            return _register_frame(VersionedTable(names[n]).read(spark))
+
+        stmt = _sub_unquoted(stmt, pat, name_repl)
+    return stmt
+
+
+def _catalog():
+    from python_etl_spark.catalog import Catalog
+
+    return Catalog()
+
+
+# verbs whose FIRST operand is a table reference: a bare catalog name
+# there is resolved to its vt literal before the verb grammar runs
+_HEAD_NAME = re.compile(
+    r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|update|"
+    r"delete\s+from|describe\s+(?:history|detail)|optimize|restore|"
+    r"vacuum|alter\s+table)\s+)"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?![\w.'(])"
+)
+
+
+def _resolve_head_name(stmt: str) -> str:
+    m = _HEAD_NAME.match(stmt)
+    if not m:
+        return stmt
+    root = _catalog().resolve(m.group("name"))
+    return f"{m.group('head')}vt'{root}'{stmt[m.end():]}"
 
 
 def _receipt(spark: SparkSession, **kv) -> DataFrame:
@@ -310,6 +461,97 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
     return _receipt(spark, op="merge", path=path, version=str(v))
 
 
+def _alter(spark: SparkSession, stmt: str) -> DataFrame:
+    """ALTER TABLE — the schema-evolution verbs (r12 verdict #1).
+    Every action routes to an already-certified library face; the
+    router is pure surface. Grammar (one action per statement):
+
+    * ``ALTER TABLE <name> RENAME TO <newname>`` — catalog rename
+      (names only: a path-addressed table has no name to change).
+    * ``ALTER TABLE <ref> RENAME COLUMN a TO b``
+    * ``ALTER TABLE <ref> DROP COLUMN a``
+    * ``ALTER TABLE <ref> ADD COLUMN a <ddl type>``
+    * ``ALTER TABLE <ref> ADD CONSTRAINT name CHECK (<expr>)``
+    * ``ALTER TABLE <ref> DROP CONSTRAINT name``
+
+    where ``<ref>`` is ``vt'<path>'`` or a catalog name."""
+    m = re.match(
+        r"alter\s+table\s+([A-Za-z_][A-Za-z0-9_]*)\s+rename\s+to\s+"
+        r"([A-Za-z_][A-Za-z0-9_]*)$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        _catalog().rename(m.group(1), m.group(2))
+        return _receipt(
+            spark,
+            op="rename_table",
+            name=m.group(1).lower(),
+            new_name=m.group(2).lower(),
+        )
+    stmt = _resolve_head_name(stmt)
+    m = re.match(
+        rf"alter\s+table\s+{_VT}\s+(.+)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "ALTER grammar: ALTER TABLE vt'<path>'|<name> RENAME "
+            "COLUMN a TO b | DROP COLUMN a | ADD COLUMN a <type> | "
+            "ADD CONSTRAINT n CHECK (...) | DROP CONSTRAINT n, or "
+            "ALTER TABLE <name> RENAME TO <newname> (names only)"
+        )
+    path, action = m.group(1), m.group(2).strip()
+    t = _table(path)
+    am = re.match(
+        r"rename\s+column\s+(\w+)\s+to\s+(\w+)$", action, re.IGNORECASE
+    )
+    if am:
+        v = t.rename_column(am.group(1), am.group(2))
+        return _receipt(
+            spark, op="rename_column", path=path, version=str(v)
+        )
+    am = re.match(r"drop\s+column\s+(\w+)$", action, re.IGNORECASE)
+    if am:
+        v = t.drop_column(am.group(1))
+        return _receipt(
+            spark, op="drop_column", path=path, version=str(v)
+        )
+    am = re.match(
+        r"add\s+column\s+(\w+)\s+(.+)$", action, re.IGNORECASE | re.DOTALL
+    )
+    if am:
+        v = t.add_column(am.group(1), am.group(2).strip())
+        return _receipt(
+            spark, op="add_column", path=path, version=str(v)
+        )
+    am = re.match(
+        r"add\s+constraint\s+(\w+)\s+check\s*\((.+)\)$",
+        action,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if am:
+        v = t.add_constraint(am.group(1), am.group(2).strip())
+        return _receipt(
+            spark, op="add_constraint", path=path, version=str(v)
+        )
+    am = re.match(
+        r"drop\s+constraint\s+(\w+)$", action, re.IGNORECASE
+    )
+    if am:
+        v = t.drop_constraint(am.group(1))
+        return _receipt(
+            spark, op="drop_constraint", path=path, version=str(v)
+        )
+    raise ValueError(
+        f"unsupported ALTER action: {action!r} — RENAME COLUMN / "
+        f"DROP COLUMN / ADD COLUMN / ADD CONSTRAINT ... CHECK / "
+        f"DROP CONSTRAINT (RENAME TO works on catalog NAMES only: a "
+        f"path-addressed table has no name to change)"
+    )
+
+
 def sql(spark: SparkSession, statement: str) -> DataFrame:
     """Route one lakehouse SQL statement (module docstring grammar).
     Everything returns a DataFrame."""
@@ -318,6 +560,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     verb = head[0].upper() if head else ""
     if verb in ("SELECT", "WITH"):
         return spark.sql(_substitute_views(spark, stmt))
+    if verb == "ALTER":
+        return _alter(spark, stmt)
+    if verb == "DROP":
+        m = re.match(
+            r"drop\s+table\s+([A-Za-z_][A-Za-z0-9_]*)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "DROP grammar: DROP TABLE <name> — forgets the "
+                "catalog name only; data and history stay at the "
+                "root (remove bytes with VersionedTable.vacuum / "
+                "clean_metadata)"
+            )
+        root = _catalog().unregister(m.group(1))
+        return _receipt(spark, op="drop_table", name=m.group(1), path=root)
+    if verb in (
+        "MERGE", "INSERT", "UPDATE", "DELETE", "DESCRIBE",
+        "OPTIMIZE", "RESTORE", "VACUUM",
+    ):
+        stmt = _resolve_head_name(stmt)
     if verb == "MERGE":
         return _merge(spark, stmt)
     if verb == "INSERT":
@@ -333,19 +597,76 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
         path, body = m.groups()
         body = body.strip()
+        target = _table(path).read(spark).schema
+        cols = target.names
         if body.upper().startswith("VALUES"):
-            # VALUES rows need the target's column names
-            cols = _table(path).read(spark).columns
+            # VALUES rows need the target's column names; bare NULL
+            # literals type as VOID and must coerce to the target
+            # column types (ANSI INSERT semantics) or the append's
+            # drift guard refuses them
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import NullType
+
             df = spark.sql(
                 f"SELECT * FROM ({body}) AS v({', '.join(cols)})"
             )
+            df = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(t.dataType).alias(f.name)
+                        if isinstance(f.dataType, NullType)
+                        else F.col(f.name)
+                    )
+                    for f, t in zip(df.schema.fields, target.fields)
+                ]
+            )
         else:
+            # ANSI INSERT without a column list is POSITIONAL: the
+            # SELECT's columns map to the target's by position (so
+            # computed expressions need no AS aliases), same as the
+            # VALUES form
             df = spark.sql(_substitute_views(spark, body))
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT SELECT arity mismatch: target has "
+                    f"{len(cols)} columns {cols}, SELECT produces "
+                    f"{len(df.columns)}"
+                )
+            df = df.toDF(*cols)
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import NullType
+
+            df = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(t.dataType).alias(f.name)
+                        if isinstance(f.dataType, NullType)
+                        else F.col(f.name)
+                    )
+                    for f, t in zip(df.schema.fields, target.fields)
+                ]
+            )
         v = _table(path).append(df)
         return _receipt(spark, op="insert", path=path, version=str(v))
     if verb == "CREATE":
+        # CREATE [OR REPLACE] TABLE <name> USING versioned_table
+        # LOCATION '<root>' — catalog registration (metadata only;
+        # the root may already hold a table or be created later)
         m = re.match(
-            rf"create\s+table\s+{_VT}"
+            r"create\s+(or\s+replace\s+)?table\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+using\s+versioned_table\s+"
+            r"location\s+'([^']+)'$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            replace, name, root = m.groups()
+            _catalog().register(name, root, replace=bool(replace))
+            return _receipt(
+                spark, op="create_table", name=name, path=root
+            )
+        m = re.match(
+            rf"create\s+table\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))"
             rf"(?:\s+partitioned\s+by\s*\(([^)]+)\))?"
             rf"\s+as\s+(.+)$",
             stmt,
@@ -353,10 +674,26 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         if not m:
             raise ValueError(
-                "CREATE grammar: CREATE TABLE vt'<path>' "
-                "[PARTITIONED BY (a, b)] AS <SELECT ...>"
+                "CREATE grammar: CREATE TABLE vt'<path>'|<name> "
+                "[PARTITIONED BY (a, b)] AS <SELECT ...>, or CREATE "
+                "[OR REPLACE] TABLE <name> USING versioned_table "
+                "LOCATION '<root>'"
             )
-        path, pby, body = m.groups()
+        path, name, pby, body = m.groups()
+        if path is None:
+            # named CTAS: materialize beside the catalog file so the
+            # user never touches a path; refuse a taken name
+            import os
+
+            cat = _catalog()
+            if name.lower() in cat.names():
+                raise ValueError(
+                    f"table name '{name.lower()}' already exists — "
+                    f"DROP TABLE it first or pick another name"
+                )
+            path = os.path.join(
+                os.path.dirname(cat.path), name.lower()
+            )
         df = spark.sql(_substitute_views(spark, body.strip()))
         v = _table(path).create(
             df,
@@ -364,6 +701,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                 [c.strip() for c in pby.split(",")] if pby else None
             ),
         )
+        if name is not None:
+            _catalog().register(name, path)
         return _receipt(spark, op="create", path=path, version=str(v))
     if verb == "UPDATE":
         m = re.match(
@@ -524,22 +863,39 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
     if verb == "VACUUM":
         m = re.match(
-            rf"vacuum\s+{_VT}\s+dry\s+run$", stmt, re.IGNORECASE
+            rf"vacuum\s+{_VT}"
+            rf"(?:\s+(dry\s+run)|\s+retain\s+(\d+(?:\.\d+)?)\s+hours)?$",
+            stmt,
+            re.IGNORECASE,
         )
         if not m:
             raise ValueError(
-                "VACUUM grammar: VACUUM vt'<path>' DRY RUN (the SQL "
-                "router only audits; the destructive sweep is "
-                "VersionedTable.vacuum)"
+                "VACUUM grammar: VACUUM vt'<path>' [DRY RUN | RETAIN "
+                "<n> HOURS] — DRY RUN is the default (a silent sweep "
+                "would end time travel); deleting requires the "
+                "EXPLICIT retention clause"
             )
-        would = _table(m.group(1)).vacuum(dry_run=True)
+        t = _table(m.group(1))
+        if m.group(3) is not None:
+            # the real sweep: RETAIN n HOURS is the in-flight-writer
+            # grace window (r12 verdict #1 — an explicit retention is
+            # the destructive opt-in, the Delta VACUUM contract)
+            removed = t.vacuum(
+                grace_seconds=float(m.group(3)) * 3600.0
+            )
+            return spark.createDataFrame(
+                [(d,) for d in removed] or [(None,)], "removed string"
+            ).where("removed IS NOT NULL")
+        would = t.vacuum(dry_run=True)
         return spark.createDataFrame(
             [(d,) for d in would] or [(None,)], "would_remove string"
         ).where("would_remove IS NOT NULL")
     raise ValueError(
         f"unsupported statement head {verb!r} — the router speaks "
-        f"SELECT/WITH (with vt'...' time travel), MERGE, INSERT, "
-        f"CREATE TABLE AS, UPDATE, DELETE, DESCRIBE HISTORY/DETAIL, "
-        f"OPTIMIZE, RESTORE, "
-        f"VACUUM DRY RUN"
+        f"SELECT/WITH (with vt'...'/named-table time travel and "
+        f"TABLE_CHANGES(...)), MERGE, INSERT, CREATE TABLE AS / "
+        f"USING versioned_table LOCATION, DROP TABLE, UPDATE, "
+        f"DELETE, ALTER TABLE (columns/constraints/RENAME TO), "
+        f"DESCRIBE HISTORY/DETAIL, OPTIMIZE, RESTORE, VACUUM "
+        f"[DRY RUN | RETAIN n HOURS]"
     )

@@ -38,12 +38,25 @@ def main() -> None:
         "mm_exif_probe",
     }
 
+    # Fixture-backed queries (VersionedTable demos cached per session
+    # via _INCR_STORE_CACHE) report build_s/query_s SPLIT (r12
+    # bookkeeping #2): the first call pays the one-time fixture
+    # construction, the second call measures the steady-state query —
+    # the number a cross-round regression reader should compare.
+    from scripts.bench_scaling import FIXTURE_BACKED_PREFIXES
+
     rows = []
     for name in sorted(QUERIES):
         # query CONSTRUCTION stays inside the timer: iterative plans
         # (pagerank, k-means, BPE training) do their work eagerly at
         # build time, and excluding it would hide their real cost
-        if name in checksum_forced:
+        action = "checksum" if name in checksum_forced else "count"
+        build = None
+        if name.startswith(FIXTURE_BACKED_PREFIXES):
+            t0 = time.perf_counter()
+            _force(QUERIES[name](spark, sf_dir), action)
+            build = time.perf_counter() - t0
+        if action == "checksum":
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             _force(df, "checksum")
@@ -54,14 +67,20 @@ def main() -> None:
             df = QUERIES[name](spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
-        rows.append((name, dt, n, "oracle" if name in ORACLES else "rows-only"))
-        print(f"{name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        rows.append(
+            (name, dt, build, n, "oracle" if name in ORACLES else "rows-only")
+        )
+        b = f" (+{build:.2f}s build)" if build is not None else ""
+        print(f"{name}: {dt:.2f}s{b} ({n} rows)", file=sys.stderr)
 
     total = sum(r[1] for r in rows)
+    total_build = sum(r[2] or 0.0 for r in rows)
     with open("BENCH_ALL.md", "w") as f:
         f.write(f"# BENCH_ALL — every registered query at `{sf_dir}`\n\n")
-        f.write(f"{len(rows)} queries, total {total:.1f}s wall on local[32] "
-                "(sequential, includes per-query planning).\n\n")
+        f.write(
+            f"{len(rows)} queries, total {total:.1f}s query wall + "
+            f"{total_build:.1f}s one-time fixture build on local[32] "
+            "(sequential, includes per-query planning).\n\n")
         f.write(
             "Each query is timed COLD in alphabetical order (unlike "
             "bench.py's warm-pass steady state), so one-time costs land "
@@ -69,11 +88,19 @@ def main() -> None:
             "time includes materializing the session-shared shingle "
             "cache that containment_capped / ngram_jaccard / "
             "boilerplate_coverage then reuse for free (warm-run "
-            "containment is ~1.6-2.5s).\n\n")
-        f.write("| query | wall s | rows | check |\n|---|---|---|---|\n")
-        for name, dt, n, kind in sorted(rows, key=lambda r: -r[1]):
-            f.write(f"| {name} | {dt:.2f} | {n} | {kind} |\n")
-    print(f"wrote BENCH_ALL.md ({len(rows)} queries, {total:.1f}s)")
+            "containment is ~1.6-2.5s). Fixture-backed lakehouse "
+            "queries list their one-time VersionedTable construction "
+            "under `build s`; `wall s` is the steady-state query — "
+            "compare THAT across rounds.\n\n")
+        f.write("| query | wall s | build s | rows | check |\n"
+                "|---|---|---|---|---|\n")
+        for name, dt, build, n, kind in sorted(rows, key=lambda r: -r[1]):
+            bs = f"{build:.2f}" if build is not None else ""
+            f.write(f"| {name} | {dt:.2f} | {bs} | {n} | {kind} |\n")
+    print(
+        f"wrote BENCH_ALL.md ({len(rows)} queries, {total:.1f}s query "
+        f"+ {total_build:.1f}s build)"
+    )
     spark.stop()
 
 

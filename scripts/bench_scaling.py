@@ -31,6 +31,22 @@ sys.path.insert(0, ".")
 # with true pair/candidate volume (still ~linear under the replica's
 # disjoint-copy construction); "quadratic" marks the documented exact
 # all-pairs baselines whose LSH/IVF twins are the production path.
+# queries whose plan builds a VersionedTable fixture on first call
+# (cached per session via _INCR_STORE_CACHE): big-side fixtures are
+# pre-built UNTIMED (r11 #9) and bench_all splits build from measure
+# (r12 bookkeeping #2). New fixture queries MUST extend this tuple or
+# their rehearsal ratio is cold-build-vs-warm-small skewed.
+FIXTURE_BACKED_PREFIXES = (
+    "etl_cdf", "etl_merge", "etl_mor", "etl_scd2_from",
+    "etl_table_changes", "etl_schema", "etl_rename",
+    "etl_read_pruned", "etl_optimize", "etl_drop",
+    "etl_constraints", "etl_clone", "etl_partition",
+    "etl_point_lookup", "etl_sql_update", "etl_snapshot_drift",
+    "etl_generated", "etl_incremental_rollup",
+    "etl_format_read", "etl_sql_dml",
+    "etl_sql_ddl", "etl_sql_catalog", "etl_sql_table_changes",
+)
+
 QUERIES_UNDER_TEST = [
     ("q01_pricing_summary", "linear"),
     ("q03_shipping_priority", "linear"),
@@ -143,6 +159,13 @@ QUERIES_UNDER_TEST = [
     ("etl_optimize_zorder_str", "linear", "checksum"),
     ("etl_point_lookup", "linear", "checksum"),
     ("etl_snapshot_drift", "linear", "checksum"),
+    # round-13: SQL DDL (metadata-only ALTERs + one dir-pruned
+    # UPDATE), the named-catalog round trip (CTAS + INSERT + SELECT
+    # by name), and the TABLE_CHANGES SQL face (reads only the two
+    # commits' change files) — all linear in rows by construction
+    ("etl_sql_ddl", "linear", "checksum"),
+    ("etl_sql_catalog", "linear", "checksum"),
+    ("etl_sql_table_changes", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
@@ -218,15 +241,7 @@ def run_rehearsal(
     # this). Pre-build the big fixtures too; the timed passes then
     # compare steady-state read/DML work at both scales.
     fixture_backed = [
-        q for q in queries
-        if q[0].startswith(("etl_cdf", "etl_merge", "etl_mor", "etl_scd2_from",
-                            "etl_table_changes", "etl_schema", "etl_rename",
-                            "etl_read_pruned", "etl_optimize", "etl_drop",
-                            "etl_constraints", "etl_clone", "etl_partition",
-                            "etl_point_lookup",
-                            "etl_sql_update", "etl_snapshot_drift",
-                            "etl_generated", "etl_incremental_rollup",
-                            "etl_format_read", "etl_sql_dml"))
+        q for q in queries if q[0].startswith(FIXTURE_BACKED_PREFIXES)
     ]
     if verbose and fixture_backed:
         print(

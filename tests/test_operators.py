@@ -618,3 +618,71 @@ def test_trained_langid_beats_marker_heuristic_on_planted_corpus(spark):
     assert trained >= 0.95, trained
     assert heur <= 0.5, heur
     assert trained >= heur + 0.3, (trained, heur)
+
+
+def test_forget_across_crash_resume(spark, tmp_path, monkeypatch):
+    """r13 (r12 verdict #8): the VersionedTable forget cascade is
+    RESUMABLY consistent — a crash after the first table's delete
+    leaves a journal attesting the partial state; re-running the same
+    cascade skips the completed table, finishes the rest, and marks
+    the journal complete; a third run no-ops (no version churn); a
+    crash in the commit-vs-journal window replays one idempotent
+    delete; resuming with a different table set is refused."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_etl_spark.operators.compliance import forget_across
+    from python_etl_spark.sinks.table import VersionedTable
+
+    roots = {n: str(tmp_path / n) for n in ("acct", "events", "prefs")}
+    tabs = {}
+    for n, root in roots.items():
+        t = VersionedTable(root)
+        t.create(
+            spark.range(0, 20).select(
+                F.col("id").alias("uid"),
+                F.concat(F.lit(n), F.col("id")).alias("v"),
+            )
+        )
+        tabs[n] = (t, "uid")
+    tomb = spark.createDataFrame([(3,), (7,)], "k long")
+    journal = str(tmp_path / "forget.json")
+
+    real = VersionedTable.delete_keys
+    calls = {"n": 0}
+
+    def crashing(self, keys, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before table 2")
+        return real(self, keys, **kw)
+
+    monkeypatch.setattr(VersionedTable, "delete_keys", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        forget_across(tabs, tomb, journal)
+    doc = json.load(open(journal))
+    assert doc["state"] == "running"
+    assert doc["tables"]["acct"]["status"] == "done"
+    assert doc["tables"]["events"]["status"] == "pending"
+    # partial state is table-consistent: acct cleaned, events not
+    assert tabs["acct"][0].read(spark).where("uid IN (3,7)").count() == 0
+    assert tabs["events"][0].read(spark).where("uid IN (3,7)").count() == 2
+    monkeypatch.setattr(VersionedTable, "delete_keys", real)
+    # resume: completed table skipped, the rest finish, journal complete
+    rep = {r["table"]: r["status"] for r in forget_across(tabs, tomb, journal)}
+    assert rep == {"acct": "skipped", "events": "deleted", "prefs": "deleted"}
+    doc = json.load(open(journal))
+    assert doc["state"] == "complete"
+    for n in roots:
+        assert tabs[n][0].read(spark).where("uid IN (3,7)").count() == 0
+        assert tabs[n][0].read(spark).count() == 18
+    # third run: all skipped, zero version churn
+    vers = {n: tabs[n][0].latest_version() for n in roots}
+    rep2 = {r["table"]: r["status"] for r in forget_across(tabs, tomb, journal)}
+    assert set(rep2.values()) == {"skipped"}
+    assert vers == {n: tabs[n][0].latest_version() for n in roots}
+    # a journal from a different cascade is refused
+    with pytest.raises(ValueError, match="DIFFERENT table set"):
+        forget_across({"acct": tabs["acct"]}, tomb, journal)
