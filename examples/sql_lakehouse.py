@@ -134,6 +134,41 @@ def main() -> None:
     print("restored; current rows:",
           sql(spark, f"SELECT COUNT(*) AS n FROM vt'{root}'").first().n)
 
+    # 7. r13: give the table a NAME — paths disappear from every
+    # later statement (catalog location set via session conf;
+    # defaults to <warehouse>/_vt_catalog.json)
+    sql(spark, f"CREATE OR REPLACE TABLE orders_live USING "
+               f"versioned_table LOCATION '{root}'").show()
+    sql(spark, "SELECT status, COUNT(*) AS n FROM orders_live "
+               "GROUP BY status").show()
+
+    # 8. r13: schema evolution in SQL — all metadata-only commits
+    sql(spark, "ALTER TABLE orders_live ADD COLUMN discount double").show()
+    sql(spark, "UPDATE orders_live SET discount = qty * 0.01 "
+               "WHERE status = 'O'").show()
+    sql(spark, "ALTER TABLE orders_live RENAME COLUMN discount "
+               "TO rebate").show()
+    sql(spark, "ALTER TABLE orders_live ADD CONSTRAINT rebate_pos "
+               "CHECK (rebate IS NULL OR rebate >= 0)").show()
+    try:
+        sql(spark, "INSERT INTO orders_live VALUES "
+                   "(990000003, 1, 'N', -1.0)")
+    except Exception as e:
+        print("constraint refused the bad insert:",
+              type(e).__name__)
+
+    # 9. r13: CDC in SQL — the change feed as a table function
+    # (start AFTER the restore: a restore has no change feed, so the
+    # range guard tells consumers to re-baseline — start at v7)
+    sql(spark, "SELECT _change_type, COUNT(*) AS n "
+               "FROM TABLE_CHANGES(orders_live, 7) "
+               "GROUP BY _change_type").show()
+
+    # 10. r13: real VACUUM needs the explicit retention clause
+    print("swept dirs:",
+          sql(spark, "VACUUM orders_live RETAIN 168 HOURS").count())
+    sql(spark, "DROP TABLE orders_live").show()  # name only; bytes stay
+
 
 if __name__ == "__main__":
     main()

@@ -2659,6 +2659,7 @@ class VersionedTable:
             if not already:
                 _tail_ok = {
                     "append", "add_constraint", "drop_constraint",
+                    "add_column",  # metadata-only: cannot touch cluster keys
                 }
                 for i in range(cur["version"], -1, -1):
                     try:
@@ -3929,7 +3930,7 @@ class VersionedTable:
                         )
             elif op in (
                 "compact", "compact_bins", "rename", "drop",
-                "add_constraint", "drop_constraint",
+                "add_constraint", "drop_constraint", "add_column",
             ):
                 pass  # row-preserving rewrite / metadata-only rename
                 # or drop: the feed is unaffected (pre-rename change

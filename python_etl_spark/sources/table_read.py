@@ -514,7 +514,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                     raise
             if op not in (
                 "append", "add_constraint", "drop_constraint",
-                "rename", "drop", "set_partitioning",
+                "rename", "drop", "set_partitioning", "add_column",
             ):
                 raise ValueError(
                     f"versioned_table stream: commit v{v} is a "

@@ -2068,6 +2068,15 @@ def test_add_column_metadata_only(spark, tmp_path):
         allow_evolution=True,
     )
     assert t.read(spark).where("k = 4").first().score is None
+    # the change feed spans the add_column commit (metadata-only op
+    # whitelisted like rename/drop — the r13 example exposed this):
+    # inserts before it lack the column, inserts after carry it
+    feed = t.row_changes(spark, 0)
+    assert feed.where("_change_type = 'insert'").count() == 2
+    assert sorted(
+        (r.k, r.score)
+        for r in feed.where("_change_type = 'insert'").collect()
+    ) == [(3, 0.5), (4, None)]
     # collision / retired-name guards
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("v", "long")
