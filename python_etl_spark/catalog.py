@@ -8,9 +8,9 @@ write-tmp + ``os.replace`` atomic-publish pattern every manifest in
 this repo uses — readers never observe a torn file. The catalog is
 METADATA ONLY: registering points a name at an existing (or future)
 :class:`~python_etl_spark.sinks.table.VersionedTable` root;
-unregistering forgets the name and never touches data. Concurrent
-registers are last-writer-wins on DISTINCT names (each write re-reads
-the file first); a same-name collision is refused unless
+unregistering forgets the name and never touches data. Mutators
+serialize on an advisory flock (concurrent registers of distinct
+names both land); a same-name collision is refused unless
 ``replace=True`` — the same posture as ``CREATE OR REPLACE``.
 
 Resolution order for the catalog file itself (``default_path``):
@@ -94,6 +94,31 @@ class Catalog:
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
 
+    def _locked(self):
+        """Advisory flock serializing read-modify-write mutators:
+        without it two concurrent registers of DIFFERENT names race
+        the whole-file replace and one silently vanishes. Local-FS
+        semantics (the catalog lives beside the warehouse); on a
+        network FS without flock the lock degrades to best-effort —
+        same posture as every local lakehouse catalog."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _cm():
+            os.makedirs(
+                os.path.dirname(self.path) or ".", exist_ok=True
+            )
+            fd = os.open(f"{self.path}.lock", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _cm()
+
     @staticmethod
     def _norm(name: str) -> str:
         n = name.strip().lower()
@@ -109,35 +134,38 @@ class Catalog:
         self, name: str, root: str, replace: bool = False
     ) -> None:
         n = self._norm(name)
-        tables = self._load()
-        cur = tables.get(n)
-        if cur is not None and cur != root and not replace:
-            raise ValueError(
-                f"table name '{n}' already points at {cur} — pass "
-                f"replace=True (SQL: CREATE OR REPLACE TABLE) to "
-                f"repoint it"
-            )
-        tables[n] = root
-        self._store(tables)
+        with self._locked():
+            tables = self._load()
+            cur = tables.get(n)
+            if cur is not None and cur != root and not replace:
+                raise ValueError(
+                    f"table name '{n}' already points at {cur} — pass "
+                    f"replace=True (SQL: CREATE OR REPLACE TABLE) to "
+                    f"repoint it"
+                )
+            tables[n] = root
+            self._store(tables)
 
     def unregister(self, name: str) -> str:
         n = self._norm(name)
-        tables = self._load()
-        if n not in tables:
-            raise KeyError(f"no table named '{n}' in {self.path}")
-        root = tables.pop(n)
-        self._store(tables)
+        with self._locked():
+            tables = self._load()
+            if n not in tables:
+                raise KeyError(f"no table named '{n}' in {self.path}")
+            root = tables.pop(n)
+            self._store(tables)
         return root
 
     def rename(self, old: str, new: str) -> None:
         o, n = self._norm(old), self._norm(new)
-        tables = self._load()
-        if o not in tables:
-            raise KeyError(f"no table named '{o}' in {self.path}")
-        if n in tables:
-            raise ValueError(f"table name '{n}' already exists")
-        tables[n] = tables.pop(o)
-        self._store(tables)
+        with self._locked():
+            tables = self._load()
+            if o not in tables:
+                raise KeyError(f"no table named '{o}' in {self.path}")
+            if n in tables:
+                raise ValueError(f"table name '{n}' already exists")
+            tables[n] = tables.pop(o)
+            self._store(tables)
 
     def resolve(self, name: str) -> str:
         n = self._norm(name)

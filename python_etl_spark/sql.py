@@ -47,7 +47,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
   feed written).
 * ``DELETE FROM vt'<path>' WHERE <predicate>`` — copy-on-write
   dir-pruned delete (bare column names in the predicate).
-* ``DESCRIBE HISTORY vt'<path>'`` / ``DESCRIBE DETAIL vt'<path>'``.
+* ``DESCRIBE HISTORY vt'<path>'`` / ``DESCRIBE DETAIL vt'<path>'`` /
+  ``DESCRIBE [TABLE] <ref>`` (schema with partition/generated/
+  constraint annotations) / ``SHOW TABLES`` (the catalog listing).
 * ``OPTIMIZE vt'<path>' [ZORDER BY (a, b, ...)]`` — the maintenance
   planner; returns the actions taken.
 * ``RESTORE vt'<path>' TO VERSION AS OF n`` (also ``TO TIMESTAMP AS
@@ -299,7 +301,8 @@ def _catalog():
 # there is resolved to its vt literal before the verb grammar runs
 _HEAD_NAME = re.compile(
     r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|update|"
-    r"delete\s+from|describe\s+(?:history|detail)|optimize|restore|"
+    r"delete\s+from|describe(?:\s+history|\s+detail|\s+table)?|"
+    r"optimize|restore|"
     r"vacuum|alter\s+table)\s+)"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?![\w.'(])"
 )
@@ -772,13 +775,51 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _receipt(
             spark, op="delete", path=m.group(1), version=str(v)
         )
+    if verb == "SHOW":
+        if not re.match(r"show\s+tables$", stmt, re.IGNORECASE):
+            raise ValueError("SHOW grammar: SHOW TABLES")
+        names = sorted(_catalog().names().items())
+        return spark.createDataFrame(
+            names or [(None, None)], "name string, location string"
+        ).where("name IS NOT NULL")
     if verb == "DESCRIBE":
+        dm = re.match(
+            rf"describe\s+(?:table\s+)?{_VT}$", stmt, re.IGNORECASE
+        )
+        if dm:
+            # DESCRIBE [TABLE] <ref> — schema + invariants, the
+            # spark.sql("DESCRIBE t") shape an analyst types first
+            t = _table(dm.group(1))
+            df = t.read(spark)
+            gen = t.generated_columns()
+            cons = t.constraints()
+            pby = set(t.partition_columns())
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    (
+                        "partition" if f.name in pby
+                        else f"generated: {gen[f.name]}"
+                        if f.name in gen
+                        else ""
+                    ),
+                )
+                for f in df.schema.fields
+            ] + [
+                (f"constraint:{n}", "check", e)
+                for n, e in sorted(cons.items())
+            ]
+            return spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
         m = re.match(
             rf"describe\s+(history|detail)\s+{_VT}$", stmt, re.IGNORECASE
         )
         if not m:
             raise ValueError(
-                "DESCRIBE grammar: DESCRIBE HISTORY|DETAIL vt'<path>'"
+                "DESCRIBE grammar: DESCRIBE [TABLE] vt'<path>'|<name> "
+                "| DESCRIBE HISTORY|DETAIL vt'<path>'|<name>"
             )
         t = _table(m.group(2))
         if m.group(1).lower() == "history":
@@ -896,6 +937,6 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         f"TABLE_CHANGES(...)), MERGE, INSERT, CREATE TABLE AS / "
         f"USING versioned_table LOCATION, DROP TABLE, UPDATE, "
         f"DELETE, ALTER TABLE (columns/constraints/RENAME TO), "
-        f"DESCRIBE HISTORY/DETAIL, OPTIMIZE, RESTORE, VACUUM "
-        f"[DRY RUN | RETAIN n HOURS]"
+        f"DESCRIBE [TABLE|HISTORY|DETAIL], SHOW TABLES, OPTIMIZE, "
+        f"RESTORE, VACUUM [DRY RUN | RETAIN n HOURS]"
     )

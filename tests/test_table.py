@@ -4337,6 +4337,62 @@ def test_sql_catalog_named_tables(spark, tmp_path):
             spark.conf.set("spark.python_etl_spark.catalog", old)
 
 
+def test_sql_show_describe_and_catalog_lock(spark, tmp_path):
+    """r13 catalog polish: SHOW TABLES lists the catalog, DESCRIBE
+    [TABLE] <ref> surfaces schema + partition/generated/constraint
+    annotations, and concurrent registers of DISTINCT names all land
+    (the mutators serialize on an advisory flock — without it the
+    whole-file replace silently drops one)."""
+    import threading
+
+    from python_etl_spark import sql
+    from python_etl_spark.catalog import Catalog
+
+    cat = str(tmp_path / "cat.json")
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    spark.conf.set("spark.python_etl_spark.catalog", cat)
+    try:
+        root = str(tmp_path / "t")
+        VersionedTable(root).create(
+            spark.createDataFrame([(1, "a", 0.5)], "k long, ds string, v double"),
+            partition_by=["ds"],
+            constraints={"v_pos": "v >= 0"},
+            generated={"b": "k % 3"},
+        )
+        sql(spark, f"CREATE TABLE d USING versioned_table LOCATION '{root}'")
+        shown = {(r.name, r.location) for r in sql(spark, "SHOW TABLES").collect()}
+        assert shown == {("d", root)}
+        desc = {r.col_name: (r.data_type, r.comment)
+                for r in sql(spark, "DESCRIBE TABLE d").collect()}
+        assert desc["ds"] == ("string", "partition")
+        assert desc["b"][1] == "generated: k % 3"
+        assert desc["constraint:v_pos"] == ("check", "v >= 0")
+        assert sql(spark, f"DESCRIBE vt'{root}'").count() == len(desc)
+        errs = []
+
+        def reg(i):
+            try:
+                Catalog(cat).register(f"n{i}", f"/tmp/x{i}")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ths = [threading.Thread(target=reg, args=(i,)) for i in range(12)]
+        for x in ths:
+            x.start()
+        for x in ths:
+            x.join()
+        assert not errs
+        got = Catalog(cat).names()
+        assert all(f"n{i}" in got for i in range(12)), got
+        with pytest.raises(ValueError, match="SHOW grammar"):
+            sql(spark, "SHOW DATABASES")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
 def test_sql_substitution_quote_comment_aware(spark, tmp_path):
     """r12 advice (low): vt'...' / TABLE_CHANGES(...) mentions inside
     string literals and -- comments must NOT be resolved (the old raw
