@@ -84,6 +84,8 @@ def merge_clauses(
     matched_delete=None,
     not_matched_insert=True,
     return_actions: bool = False,
+    matched_set: dict | None = None,
+    insert_values: dict | None = None,
 ):
     """Full conditional MERGE (the public Delta/ANSI MERGE surface):
 
@@ -101,6 +103,20 @@ def merge_clauses(
     clause never fires — a MERGE with only ``matched_delete`` deletes
     matched rows and touches nothing else.
 
+    COLUMN-SUBSET ASSIGNMENTS (the common Delta MERGE spelling):
+    ``matched_set`` maps column → expression (Column or SQL over the
+    ``t``/``s`` aliases); when given, the UPDATE action writes the
+    assigned columns from their expressions and CARRIES every other
+    target column unchanged — ``UPDATE SET qty = t.qty + s.qty``
+    instead of full-row replacement. If ``matched_set`` is given with
+    no ``matched_update`` condition the update clause fires for every
+    matched row (condition True). ``insert_values`` likewise maps
+    column → expression for the INSERT action (``INSERT (cols) VALUES
+    (exprs)``): assigned columns evaluate their expressions, all other
+    non-key columns land NULL, key columns always take the source key
+    (the coalesced join key). Assigning a merge key in ``matched_set``
+    raises — keys are the row identity.
+
     One full-outer join on the key (single shuffle, no driver state):
     each row gets an action — delete / update / keep / insert / skip —
     and the output projects source columns for update+insert, target
@@ -117,6 +133,33 @@ def merge_clauses(
             return F.lit(True)
         return F.expr(c) if isinstance(c, str) else c
 
+    def _assign(e):
+        return F.expr(e) if isinstance(e, str) else e
+
+    if matched_set:
+        bad = sorted(set(matched_set) & set(keys))
+        if bad:
+            raise ValueError(
+                f"matched_set assigns merge key(s) {bad} — keys are "
+                f"the row identity and cannot be SET"
+            )
+        unknown = sorted(set(matched_set) - set(base.columns))
+        if unknown:
+            raise ValueError(
+                f"matched_set assigns unknown column(s) {unknown}; "
+                f"target columns are {sorted(base.columns)}"
+            )
+        if matched_update is None:
+            matched_update = True
+    if insert_values:
+        unknown = sorted(
+            set(insert_values) - set(keys) - set(base.columns)
+        )
+        if unknown:
+            raise ValueError(
+                f"insert_values assigns unknown column(s) {unknown}"
+            )
+
     cols = base.columns
     t = base.withColumn("__t", F.lit(1)).alias("t")
     s = updates.withColumn("__s", F.lit(1)).alias("s")
@@ -132,11 +175,29 @@ def merge_clauses(
         .otherwise(F.lit("keep"))  # target-only row
     )
     tagged = j.withColumn("__action", action)
-    from_source = F.col("__action").isin("update", "insert")
+    is_upd = F.col("__action") == "update"
+    is_ins = F.col("__action") == "insert"
+    schema_by_name = {f.name: f.dataType for f in base.schema.fields}
+
+    def _upd_val(c):
+        if matched_set is not None:
+            if c in matched_set:
+                return _assign(matched_set[c]).cast(schema_by_name[c])
+            return F.col(f"t.{c}")  # unassigned: carry target value
+        return F.col(f"s.{c}")  # SET *: full row from source
+
+    def _ins_val(c):
+        if insert_values is not None:
+            if c in insert_values:
+                return _assign(insert_values[c]).cast(schema_by_name[c])
+            return F.lit(None).cast(schema_by_name[c])
+        return F.col(f"s.{c}")  # INSERT *: full row from source
+
     out_cols = [
         F.col(c)  # join key: already coalesced by the named-key join
         if c in keys
-        else F.when(from_source, F.col(f"s.{c}"))
+        else F.when(is_upd, _upd_val(c))
+        .when(is_ins, _ins_val(c))
         .otherwise(F.col(f"t.{c}"))
         .alias(c)
         for c in cols

@@ -3288,6 +3288,109 @@ def etl_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_sql_merge_set",
+    oracle=r"""
+WITH v0 AS (
+  SELECT o_orderkey AS k, o_orderkey % 100 AS qty,
+         o_orderstatus AS status
+  FROM orders),
+src AS (
+  SELECT o_orderkey AS k, o_orderkey % 37 AS delta
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 4000000000, o_orderkey % 37
+  FROM orders WHERE o_orderkey % 10 = 0),
+cur AS (
+  SELECT v0.k,
+    CASE WHEN s.k IS NOT NULL AND v0.status <> 'F'
+         THEN v0.qty + s.delta ELSE v0.qty END AS qty,
+    CASE WHEN s.k IS NOT NULL AND v0.status <> 'F'
+         THEN 'M' ELSE v0.status END AS status
+  FROM v0 LEFT JOIN src s ON v0.k = s.k
+  UNION ALL
+  SELECT s.k, s.delta, NULL
+  FROM src s LEFT JOIN v0 ON v0.k = s.k WHERE v0.k IS NULL)
+SELECT COALESCE(status, '_null') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qty) AS BIGINT) AS total
+FROM cur GROUP BY 1
+""",
+)
+def etl_sql_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subset MERGE assignments (r13): ``WHEN MATCHED AND
+    t.status <> 'F' THEN UPDATE SET t.qty = t.qty + s.delta,
+    t.status = 'M' WHEN NOT MATCHED THEN INSERT (k, qty) VALUES
+    (s.k, s.delta)`` through the SQL router onto
+    ``VersionedTable.merge(when_matched_set=...,
+    when_not_matched_insert_values=...)`` — the common Delta MERGE
+    spelling the full-row path refuses. The source carries ONLY
+    ``(k, delta)``: unassigned target columns byte-carry on update,
+    NULL-fill on insert, and a matched row whose condition misses
+    stays untouched. The oracle replays the assignment algebra over
+    orders with a LEFT JOIN + anti-join union, so a wrongly-assigned,
+    wrongly-carried, or resurrected row breaks the hash.
+
+    Scale posture: identical to the full-row clause merge — one
+    full-outer join on the key over the TOUCHED dirs only (dir
+    pruning is key-based and subset-agnostic); assignment
+    expressions are Catalyst ``F.expr`` projections, zero Python."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("squms", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_squms_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "t"))
+    if not t.exists():
+        t.create(
+            orders.select(
+                F.col("o_orderkey").cast("long").alias("k"),
+                (F.col("o_orderkey") % 100).cast("long").alias("qty"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    orders.createOrReplaceTempView("__squms_orders")
+    if t.latest_version() < 1:
+        vt_sql(
+            spark,
+            f"""
+            MERGE INTO vt'{t.root}' AS t
+            USING (
+              SELECT CAST(o_orderkey AS LONG) AS k,
+                     CAST(o_orderkey % 37 AS LONG) AS delta
+              FROM __squms_orders WHERE o_orderkey % 5 = 0
+              UNION ALL
+              SELECT CAST(o_orderkey + 4000000000 AS LONG),
+                     CAST(o_orderkey % 37 AS LONG)
+              FROM __squms_orders WHERE o_orderkey % 10 = 0
+            ) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND t.status <> 'F'
+              THEN UPDATE SET t.qty = t.qty + s.delta, t.status = 'M'
+            WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.delta)
+            """,
+        )
+    return vt_sql(
+        spark,
+        f"SELECT COALESCE(status, '_null') AS status, COUNT(*) AS n, "
+        f"SUM(qty) AS total FROM vt'{t.root}' GROUP BY 1",
+    ).select(
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 # ------------------------- MERGE-path schema evolution -------------------------
 #
 # Round 11: the r10 verdict's #2 — merge() used to silently DROP any

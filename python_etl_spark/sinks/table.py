@@ -1661,6 +1661,8 @@ class VersionedTable:
         when_matched_delete=None,
         when_not_matched_insert=None,
         allow_evolution: bool = False,
+        when_matched_set: dict | None = None,
+        when_not_matched_insert_values: dict | None = None,
     ) -> int:
         """DIR-PRUNED copy-on-write MERGE: update rows win on key
         collision, new keys are inserted (upsert semantics;
@@ -1722,23 +1724,86 @@ class VersionedTable:
         matched-delete keys, ``insert`` for inserted keys — matched
         keys whose conditions all miss emit nothing. Dir pruning is
         identical (all clause effects live where the update keys
-        live); ``version_col`` does not apply to the clause path."""
+        live); ``version_col`` does not apply to the clause path.
+
+        COLUMN-SUBSET ASSIGNMENTS (r13): ``when_matched_set`` maps
+        column → expression (SQL over the ``t``/``s`` aliases) — the
+        UPDATE action writes the assigned columns and carries every
+        other target column unchanged, so the updates batch only needs
+        the KEY columns plus whatever columns its expressions read
+        (full-row width no longer required; snapshot columns the batch
+        lacks surface as NULL ``s.<col>`` references).
+        ``when_not_matched_insert_values`` is the subset INSERT
+        (``INSERT (cols) VALUES (exprs)``): assigned columns evaluate,
+        other non-key columns land NULL, keys come from the source key.
+        Assigning a merge key or a GENERATED column raises (generated
+        columns are recomputed from their expressions on the merged
+        rows instead, so a SET touching a generated column's input
+        propagates). Constraints and the change feed behave exactly as
+        the full-row clause path."""
         from python_etl_spark.operators.upsert import merge_clauses, upsert
 
-        clauses = not (
+        subset = not (
+            when_matched_set is None
+            and when_not_matched_insert_values is None
+        )
+        clauses = subset or not (
             when_matched_update is None
             and when_matched_delete is None
             and when_not_matched_insert is None
         )
         spark = updates.sparkSession
-        # generated columns absent from the updates batch are computed
-        # HERE (before the full-rows guard); present ones are verified
-        # once, later, on the written frame like any other invariant
         _gen = self.generated_columns()
-        updates = self._apply_generated(
-            updates,
-            {c: e for c, e in _gen.items() if c not in updates.columns},
-        )
+        if subset:
+            bad = sorted(
+                set(when_matched_set or {}) & set(_gen)
+            ) + sorted(set(when_not_matched_insert_values or {}) & set(_gen))
+            if bad:
+                raise ValueError(
+                    f"cannot SET generated column(s) {sorted(set(bad))} "
+                    f"— they are recomputed from their expressions"
+                )
+            missing_keys = [k for k in keys if k not in updates.columns]
+            if missing_keys:
+                raise ValueError(
+                    f"subset merge batch is missing key column(s) "
+                    f"{missing_keys}"
+                )
+            bad_ins_keys = {
+                k: v
+                for k, v in (when_not_matched_insert_values or {}).items()
+                if k in keys
+                and re.fullmatch(rf"\s*s\.{re.escape(k)}\s*", str(v))
+                is None
+            }
+            if bad_ins_keys:
+                raise ValueError(
+                    f"INSERT values for key column(s) "
+                    f"{sorted(bad_ins_keys)} must be the bare source "
+                    f"key (s.<key>) — keys are the merge identity"
+                )
+        else:
+            # generated columns absent from the updates batch are
+            # computed HERE (before the full-rows guard); present ones
+            # are verified once, later, on the written frame like any
+            # other invariant. Subset merges skip this: generated
+            # columns are recomputed on the MERGED rows instead. A
+            # generated column whose INPUT columns the batch lacks is
+            # left absent so the full-rows guard reports the real
+            # problem (missing snapshot columns) instead of an
+            # unresolved-column analysis error.
+            from pyspark.errors import AnalysisException
+
+            computable = {}
+            for c, e in _gen.items():
+                if c in updates.columns:
+                    continue
+                try:  # does the expression resolve over the batch?
+                    updates.select(F.expr(e)).schema
+                    computable[c] = e
+                except AnalysisException:
+                    pass
+            updates = self._apply_generated(updates, computable)
         # per-key-column bounds of the updates batch: one tiny agg job,
         # 2 scalars per key column, powers the metadata prune
         brow = updates.select(
@@ -1772,15 +1837,22 @@ class VersionedTable:
                     f"names are retired — use a new name"
                 )
             miss = [f.name for f in snap_schema.fields if f.name not in got]
-            if miss:
+            if miss and not subset:
                 raise ValueError(
                     f"merge updates batch is missing snapshot columns "
-                    f"{miss} — MERGE updates must carry full rows"
+                    f"{miss} — MERGE updates must carry full rows "
+                    f"(pass when_matched_set for column-subset merges)"
                 )
             part_cols = set(self.partition_columns())
             widened = False
             target_fields = []
             for f in snap_schema.fields:
+                if subset:
+                    # subset merge never evolves: the table schema is
+                    # the target; shared batch columns conform to it
+                    # by cast, missing ones NULL-fill below
+                    target_fields.append(f)
+                    continue
                 g = got[f.name]
                 if f.name in part_cols:
                     # hive partition column: snapshot type is path-
@@ -1800,7 +1872,12 @@ class VersionedTable:
                         f"{g.simpleString()} — not a supported widening"
                     )
             extra = [n for n in updates.columns if n not in have]
-            if (extra or widened) and not allow_evolution:
+            if subset:
+                pass  # extra batch columns are expression INPUTS
+                # (s.<col> in assignments/conditions), never schema
+                # evolution — they ride along in upd and the output
+                # projection (base.columns) excludes them
+            elif (extra or widened) and not allow_evolution:
                 raise ValueError(
                     f"merge schema drift: batch has new columns {extra}"
                     f"{' and widened types' if widened else ''} — the "
@@ -1808,19 +1885,27 @@ class VersionedTable:
                     f"silently drop update data; pass "
                     f"allow_evolution=True to evolve the table schema"
                 )
-            for n in extra:
-                target_fields.append(
-                    next(f for f in updates.schema.fields if f.name == n)
-                )
+            if not subset:
+                for n in extra:
+                    target_fields.append(
+                        next(
+                            f for f in updates.schema.fields if f.name == n
+                        )
+                    )
             target = StructType(target_fields)
             upd = updates.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in target_fields
-                ]
+                *(
+                    [
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in got
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in target_fields
+                    ]
+                    + ([F.col(n) for n in extra] if subset else [])
+                )
             )
             m = dict(meta or {})
-            if extra or widened:
+            if not subset and (extra or widened):
                 m["schema_evolved"] = True
                 if widened or self._widened_schema(cur["version"]) is not None:
                     m["schema_json"] = target.json()
@@ -1883,15 +1968,25 @@ class VersionedTable:
                     matched_delete=when_matched_delete,
                     not_matched_insert=when_not_matched_insert,
                     return_actions=True,
+                    matched_set=when_matched_set,
+                    insert_values=when_not_matched_insert_values,
                 )
             else:
                 merged = upsert(base, upd, keys, version_col)
             # constraints + generated-column invariants check the
             # WRITTEN frame (clause expressions can mint violating
-            # values an input-only check would miss)
-            merged = self._apply_generated(
-                merged, self.generated_columns()
-            )
+            # values an input-only check would miss). Subset merges
+            # RECOMPUTE all generated columns (a SET touching a
+            # generated column's input must propagate — the carried
+            # pre-image value would be stale).
+            gen = self.generated_columns()
+            if subset and gen:
+                merged = merged.drop(*[c for c in gen if c in merged.columns])
+                merged = self._apply_generated(merged, gen).select(
+                    *[f.name for f in target_fields]
+                )
+            else:
+                merged = self._apply_generated(merged, gen)
             self._enforce_constraints(
                 merged, self.constraints(cur["version"])
             )

@@ -23,16 +23,20 @@ Supported grammar (case-insensitive keywords; one statement per call):
   several vt references) applies. ``ts`` is epoch seconds or an
   ISO-8601 string literal.
 * ``MERGE INTO vt'<path>' AS t USING <source> AS s ON t.k = s.k [AND
-  t.k2 = s.k2 ...] [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
-  [WHEN MATCHED [AND <cond>] THEN DELETE] [WHEN NOT MATCHED [AND
-  <cond>] THEN INSERT *]`` — aliases MUST be ``t`` (target) and ``s``
-  (source): clause conditions are evaluated over those names (the
-  library contract). ``<source>`` is a registered view/table name, a
-  parenthesized subquery, or another ``vt'...'`` reference. The ON
-  clause must be an equality conjunction on same-named columns (the
-  key-based merge the engine implements); ``UPDATE SET *`` / ``INSERT
-  *`` are the full-row semantics ``VersionedTable.merge`` has — a
-  column-subset SET is a different operation and is refused loudly.
+  t.k2 = s.k2 ...] [WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
+  UPDATE SET [t.]col = expr[, ...]] [WHEN MATCHED [AND <cond>] THEN
+  DELETE] [WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT
+  (cols) VALUES (exprs)]`` — aliases MUST be ``t`` (target) and ``s``
+  (source): clause conditions AND assignment expressions are
+  evaluated over those names (the library contract). ``<source>`` is
+  a registered view/table name, a parenthesized subquery, or another
+  ``vt'...'`` reference. The ON clause must be an equality conjunction
+  on same-named columns (the key-based merge the engine implements).
+  ``UPDATE SET *`` / ``INSERT *`` are full-row semantics (the source
+  must carry full rows); the column-subset spellings (r13) carry
+  unassigned target columns unchanged on update and NULL-fill
+  unassigned columns on insert — with a subset SET the source frame
+  only needs the key columns plus whatever its expressions read.
   With no WHEN clause the statement is the plain upsert.
 * ``INSERT INTO vt'<path>' <SELECT ...|VALUES (...), ...>`` —
   append-semantics insert (the Delta INSERT INTO shape); VALUES rows
@@ -144,6 +148,50 @@ def _split_on_keyword(stmt: str, kw: str) -> tuple[str, str] | None:
     if i < 0:
         return None
     return stmt[:i].rstrip(), stmt[i + len(kw):].lstrip()
+
+
+def _split_commas(text: str) -> list[str]:
+    """Split on TOP-LEVEL commas only — expressions may carry
+    function-call commas (depth-tracked) and quoted literals with
+    ``''`` escapes (quote-tracked), neither of which is a boundary."""
+    parts, depth, in_q, cur = [], 0, False, []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_q:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    cur.append("''")  # escaped quote: stay inside
+                    i += 2
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0 and not in_q:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_assignments(set_clause: str, lhs_alias: str = "") -> dict:
+    """``a = expr[, b = expr ...]`` → {col: expr-string}; the LHS may
+    carry the given alias prefix (``t.col``), which is stripped."""
+    assignments = {}
+    pre = rf"(?:{lhs_alias}\.)?" if lhs_alias else ""
+    for p in _split_commas(set_clause):
+        am = re.match(rf"\s*{pre}(\w+)\s*=\s*(.+)$", p, re.DOTALL)
+        if not am:
+            raise ValueError(f"bad SET assignment: {p!r}")
+        assignments[am.group(1)] = am.group(2).strip()
+    return assignments
 
 
 def _resolve(spark: SparkSession, path: str, ver, ts_s, ts_n) -> DataFrame:
@@ -393,6 +441,8 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
             )
         keys.append(names.pop())
     upd = dele = ins = None
+    upd_set: dict | None = None
+    ins_values: dict | None = None
     has_clause = False
     if when_tail:
         # scanner-based clause walk: segment boundaries are the
@@ -435,6 +485,17 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
                 if kind != "matched":
                     raise ValueError("UPDATE requires WHEN MATCHED")
                 upd = cond
+            elif act.startswith("update set"):
+                # column-subset assignments (r13): UPDATE SET
+                # [t.]col = expr[, ...] over the t/s aliases
+                if kind != "matched":
+                    raise ValueError("UPDATE requires WHEN MATCHED")
+                um = re.match(
+                    r"update\s+set\s+(.+)$", action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                upd_set = _parse_assignments(um.group(1), lhs_alias="t")
+                upd = cond
             elif act == "delete":
                 if kind != "matched":
                     raise ValueError("DELETE requires WHEN MATCHED")
@@ -443,12 +504,34 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
                 if kind != "not matched":
                     raise ValueError("INSERT requires WHEN NOT MATCHED")
                 ins = cond
+            elif act.startswith("insert"):
+                # subset insert (r13): INSERT (c1, ...) VALUES (e1, ...)
+                if kind != "not matched":
+                    raise ValueError("INSERT requires WHEN NOT MATCHED")
+                im = re.match(
+                    r"insert\s*\(([^)]*)\)\s*values\s*\((.+)\)\s*$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(
+                        f"INSERT grammar: INSERT * | INSERT (c1, ...) "
+                        f"VALUES (e1, ...); got {action!r}"
+                    )
+                cols = [c.strip() for c in im.group(1).split(",")]
+                vals = [v.strip() for v in _split_commas(im.group(2))]
+                if len(cols) != len(vals) or not all(cols):
+                    raise ValueError(
+                        f"INSERT column/value count mismatch: "
+                        f"{len(cols)} columns, {len(vals)} values"
+                    )
+                ins_values = dict(zip(cols, vals))
+                ins = cond
             else:
                 raise ValueError(
                     f"unsupported MERGE clause tail: {action!r} — "
-                    f"only UPDATE SET * / DELETE / INSERT * (full-row "
-                    f"semantics) are expressible; a column-subset SET "
-                    f"is a different operation"
+                    f"UPDATE SET * | UPDATE SET col = expr, ... | "
+                    f"DELETE | INSERT * | INSERT (cols) VALUES (exprs)"
                 )
     t = _table(path)
     if has_clause:
@@ -458,6 +541,8 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
             when_matched_update=upd,
             when_matched_delete=dele,
             when_not_matched_insert=ins,
+            when_matched_set=upd_set,
+            when_not_matched_insert_values=ins_values,
         )
     else:
         v = t.merge(src_df, keys=keys)
@@ -721,38 +806,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
         path = m.group(1)
         set_clause, pred = sw
-        # split assignments on top-level commas only (expressions may
-        # carry function-call commas and quoted literals)
-        parts, depth, in_q, cur = [], 0, False, []
-        i, n_sc = 0, len(set_clause)
-        while i < n_sc:
-            ch = set_clause[i]
-            if in_q:
-                if ch == "'":
-                    if i + 1 < n_sc and set_clause[i + 1] == "'":
-                        cur.append("''")  # escaped quote: stay inside
-                        i += 2
-                        continue
-                    in_q = False
-            elif ch == "'":
-                in_q = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0 and not in_q:
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-            i += 1
-        parts.append("".join(cur))
-        assignments = {}
-        for p in parts:
-            am = re.match(r"\s*(\w+)\s*=\s*(.+)$", p, re.DOTALL)
-            if not am:
-                raise ValueError(f"bad SET assignment: {p!r}")
-            assignments[am.group(1)] = am.group(2).strip()
+        assignments = _parse_assignments(set_clause)
         from pyspark.sql import functions as F
 
         t = _table(path)

@@ -4491,3 +4491,142 @@ def test_sql_concurrent_dml_soak(spark, tmp_path):
     assert len(rows) == 120
     assert all(rows[k] == 11 for k in range(0, 10))
     assert all(rows[k] == 1 for k in range(10, 50))
+
+
+# ---------------------------------------------------------------------------
+# column-subset MERGE assignments (r13): WHEN MATCHED THEN UPDATE SET
+# col = expr / WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_subset_set_carries_unassigned_columns(spark, tmp_path):
+    """SET qty = t.qty + s.delta over a KEYS+inputs-only source: the
+    assigned column updates, every unassigned column byte-carries, a
+    missed condition keeps the row, inserts NULL-fill, and the CDF is
+    typed per clause exactly like the full-row path."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, "a", "x"), (2, 20, "b", "y"), (3, 30, "c", "z")],
+            "k long, qty long, status string, note string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, 5), (3, 7), (9, 99)], "k long, delta long"
+    )
+    v = t.merge(
+        src,
+        keys=["k"],
+        when_matched_update="s.delta > 5",
+        when_matched_set={"qty": "t.qty + s.delta", "status": "'U'"},
+        when_not_matched_insert=True,
+    )
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert (out[1]["qty"], out[1]["status"]) == (10, "a")  # unmatched
+    assert (out[2]["qty"], out[2]["status"]) == (20, "b")  # cond missed
+    assert (out[3]["qty"], out[3]["status"], out[3]["note"]) == (
+        37, "U", "z",  # assigned update + carried column
+    )
+    assert out[9]["qty"] is None and out[9]["note"] is None  # NULL fill
+    ch = {
+        r["_change_type"]: r["n"]
+        for r in t.row_changes(spark, v - 1, v)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert ch == {"update_preimage": 1, "update_postimage": 1, "insert": 1}
+
+
+def test_merge_subset_recomputes_generated_and_enforces_constraints(
+    spark, tmp_path
+):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, 20), (2, 20, 40)], "k long, qty long, qty2 long"
+        ),
+        generated={"qty2": "qty * 2"},
+        constraints={"qty_pos": "qty >= 0"},
+    )
+    src = spark.createDataFrame([(2, 5)], "k long, delta long")
+    t.merge(
+        src,
+        keys=["k"],
+        when_matched_set={"qty": "t.qty + s.delta"},
+        when_not_matched_insert=False,
+    )
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert out[2]["qty2"] == 50  # generated col recomputed, not stale
+    assert out[1]["qty2"] == 20
+    with pytest.raises(Exception, match="qty_pos"):
+        t.merge(
+            src,
+            keys=["k"],
+            when_matched_set={"qty": "t.qty - 100"},
+            when_not_matched_insert=False,
+        )
+
+
+def test_merge_subset_refusals(spark, tmp_path):
+    """keys / unknown columns / generated columns are not assignable;
+    INSERT values for a key must be the bare source key; a subset
+    batch WITHOUT a SET still hits the full-rows guard."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, 20)], "k long, qty long, qty2 long"
+        ),
+        generated={"qty2": "qty * 2"},
+    )
+    src = spark.createDataFrame([(1, 5)], "k long, delta long")
+    with pytest.raises(ValueError, match="row identity"):
+        t.merge(src, keys=["k"], when_matched_set={"k": "s.k"})
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(src, keys=["k"], when_matched_set={"zzz": "1"})
+    with pytest.raises(ValueError, match="generated"):
+        t.merge(src, keys=["k"], when_matched_set={"qty2": "1"})
+    with pytest.raises(ValueError, match="bare source"):
+        t.merge(
+            src,
+            keys=["k"],
+            when_not_matched_insert=True,
+            when_not_matched_insert_values={"k": "s.k + 1", "qty": "1"},
+        )
+    with pytest.raises(ValueError, match="full rows"):
+        t.merge(src, keys=["k"], when_matched_update="true")
+
+
+def test_sql_merge_subset_set_and_insert_values(spark, tmp_path):
+    from python_etl_spark.sql import sql
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k long, qty long, status string",
+        )
+    )
+    spark.createDataFrame(
+        [(2, 5), (3, 7), (9, 99)], "k long, delta long"
+    ).createOrReplaceTempView("subset_src")
+    sql(
+        spark,
+        f"MERGE INTO vt'{t.root}' AS t USING subset_src AS s ON t.k = s.k "
+        f"WHEN MATCHED AND s.delta > 5 "
+        f"THEN UPDATE SET t.qty = t.qty + s.delta "
+        f"WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.delta * 2)",
+    )
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert out[2]["qty"] == 20  # condition missed
+    assert (out[3]["qty"], out[3]["status"]) == (37, "c")
+    assert (out[9]["qty"], out[9]["status"]) == (198, None)
+    # a SET expression carrying commas/quotes parses (depth/quote aware)
+    sql(
+        spark,
+        f"MERGE INTO vt'{t.root}' AS t USING subset_src AS s ON t.k = s.k "
+        f"WHEN MATCHED AND t.k = 2 THEN UPDATE SET "
+        f"status = concat('m,', 'x'), qty = greatest(t.qty, s.delta, 1)",
+    )
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert (out[2]["status"], out[2]["qty"]) == ("m,x", 20)
