@@ -3391,6 +3391,84 @@ def etl_sql_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_sql_copy_into",
+    oracle=r"""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey % 100) AS BIGINT) AS total
+FROM orders GROUP BY 1
+""",
+)
+def etl_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent bulk ingestion (r13): ``COPY INTO vt'<path>' FROM
+    '<stage>' FILEFORMAT = PARQUET`` — batch 1 (even keys) is staged
+    and copied, the SAME statement re-runs (must load ZERO files: the
+    load history publishes in the same atomic commit as the rows),
+    batch 2 (odd keys) is staged and a third COPY picks up only the
+    new file. The oracle is the plain orders aggregate — a
+    double-loaded file doubles a group's count/sum and breaks the
+    hash, a missed file drops rows.
+
+    Scale posture: the nightly-ingest face — each run lists the stage
+    (metadata), anti-joins the committed file history (manifest meta,
+    never data), and scans ONLY the new files; rows land through the
+    append path with constraints/stats/blooms intact."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("sqcpy", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_sqcpy_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 100).cast("long").alias("qty"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(os.path.join(root, "t"))
+    stage = os.path.join(root, "stage")
+    if not t.exists():
+        t.create(orders.limit(0))
+    if (t.latest_version() or 0) < 1:
+        orders.where(F.col("k") % 2 == 0).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b1"))
+        stmt = (
+            f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = PARQUET"
+        )
+        vt_sql(spark, stmt)
+        rerun = vt_sql(spark, stmt).first()  # idempotence ON the hash
+        if rerun["files_loaded"] != "0":
+            raise RuntimeError(
+                f"COPY INTO re-run loaded {rerun['files_loaded']} files"
+            )
+    if (t.latest_version() or 0) < 2:
+        orders.where(F.col("k") % 2 == 1).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "b2"))
+        vt_sql(
+            spark,
+            f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = PARQUET",
+        )
+    return vt_sql(
+        spark,
+        f"SELECT status, COUNT(*) AS n, SUM(qty) AS total "
+        f"FROM vt'{t.root}' GROUP BY status",
+    ).select(
+        "status",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 # ------------------------- MERGE-path schema evolution -------------------------
 #
 # Round 11: the r10 verdict's #2 — merge() used to silently DROP any

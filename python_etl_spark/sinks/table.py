@@ -1650,6 +1650,121 @@ class VersionedTable:
                 out.append(d)
         return out
 
+    def copy_into(
+        self,
+        spark: SparkSession,
+        source: str,
+        file_format: str = "parquet",
+        options: dict | None = None,
+        force: bool = False,
+        meta: dict | None = None,
+    ) -> dict:
+        """Idempotent bulk file ingestion (the Delta ``COPY INTO``
+        shape): list the data files under ``source`` (recursive;
+        ``_``/``.``-prefixed names skipped — writer sidecars), drop
+        every file a prior ``copy_into`` of THIS table already
+        loaded, read the remainder with ``spark.read.format(...)``,
+        conform to the table schema BY NAME (types cast to the
+        snapshot's; an extra source column or a missing non-generated
+        table column refuses loudly — COPY INTO is schema-strict),
+        and append them as ONE commit whose manifest meta records the
+        loaded file list. The load history therefore publishes in the
+        SAME atomic commit as the rows: re-running after a crash, on
+        a schedule, or concurrently never double-loads — a file is in
+        the history iff its rows are in the table. ``force=True``
+        ignores the history and reloads everything listed.
+
+        Returns ``{"version", "files_loaded", "files_skipped",
+        "rows_loaded"}``; ``version`` is None when no new files.
+
+        File identity is the absolute path (Delta's rule): replacing
+        a file's CONTENT in place is invisible — stage new bytes as
+        new file names. ``clean_metadata`` truncates dropped
+        versions' manifests to summaries, losing their slice of the
+        load history; re-runs older than the kept window should pass
+        ``force`` deliberately or re-stage under fresh names.
+
+        Scale posture: the nightly-ingest face. History reads are
+        metadata-only (manifest meta, never data); each run scans
+        ONLY the new files; rows land via :meth:`append`, so
+        constraints, generated columns, schema evolution guards and
+        carried stats/blooms all apply unchanged."""
+        already: set[str] = set()
+        if not force:
+            for m_ in self.history():
+                already.update((m_.get("meta") or {}).get("copy_files", ()))
+        listed: list[str] = []
+        import glob as _glob
+
+        paths = (
+            sorted(_glob.glob(source, recursive=True))
+            if any(ch in source for ch in "*?[")
+            else [source]
+        )
+        for p in paths:
+            if os.path.isdir(p):
+                for dirpath, dirnames, filenames in os.walk(p):
+                    dirnames[:] = [
+                        d for d in dirnames if not d.startswith(("_", "."))
+                    ]
+                    listed.extend(
+                        os.path.abspath(os.path.join(dirpath, f))
+                        for f in filenames
+                        if not f.startswith(("_", "."))
+                    )
+            elif os.path.isfile(p) and not os.path.basename(p).startswith(
+                ("_", ".")
+            ):
+                listed.append(os.path.abspath(p))
+        listed = sorted(set(listed))
+        if not listed:
+            raise FileNotFoundError(
+                f"COPY INTO source matched no data files: {source}"
+            )
+        new_files = [f for f in listed if f not in already]
+        if not new_files:
+            return {
+                "version": None,
+                "files_loaded": 0,
+                "files_skipped": len(listed),
+                "rows_loaded": 0,
+            }
+        reader = spark.read.format(file_format)
+        if options:
+            reader = reader.options(**options)
+        df = reader.load(new_files)
+        snap = self.read(spark).schema
+        gen = set(self.generated_columns())
+        have = {f.name: f.dataType for f in snap.fields}
+        got = set(df.columns)
+        extra = sorted(got - set(have))
+        missing = sorted(set(have) - got - gen)
+        if extra or missing:
+            raise ValueError(
+                f"COPY INTO schema mismatch: source has extra columns "
+                f"{extra}, is missing table columns {missing} — COPY "
+                f"INTO maps by name and is schema-strict (generated "
+                f"columns may be absent; they are computed)"
+            )
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in snap.fields
+                if f.name in got
+            ]
+        )
+        rows = df.count()
+        m = dict(meta or {})
+        m["copy_files"] = new_files
+        m["copy_source"] = source
+        v = self.append(df, meta=m)
+        return {
+            "version": v,
+            "files_loaded": len(new_files),
+            "files_skipped": len(listed) - len(new_files),
+            "rows_loaded": rows,
+        }
+
     def merge(
         self,
         updates: DataFrame,

@@ -44,6 +44,12 @@ Supported grammar (case-insensitive keywords; one statement per call):
 * ``CREATE TABLE vt'<path>' [PARTITIONED BY (a, b)] AS <SELECT ...>``
   — CTAS bootstrap (vt references inside the SELECT resolve,
   including time travel, so CLONE-like statements compose).
+* ``CREATE TABLE vt'<path>'|<name> SHALLOW CLONE vt'<src>'|<name>
+  [VERSION AS OF n | TIMESTAMP AS OF ts]`` — zero-copy clone (r13):
+  the new table's v0 references the source snapshot's data dirs by
+  path (O(metadata), no byte copied; evolution state, constraints,
+  DVs, stats all carried); a named destination materializes beside
+  the catalog file and registers.
 * ``UPDATE vt'<path>' SET col = expr[, col = expr ...] WHERE
   <predicate>`` — column-subset update via
   ``VersionedTable.update_where`` (dir-pruned copy-on-write;
@@ -79,6 +85,12 @@ Supported grammar (case-insensitive keywords; one statement per call):
 * ``SELECT ... FROM TABLE_CHANGES(vt'<path>'|<name>, start[, end])``
   — the CDC read face (r12 verdict #3), routed to the REGISTERED
   ``table_changes`` batch source (held to etl_cdf_changes' oracle).
+* ``COPY INTO vt'<path>'|<name> FROM '<source>' FILEFORMAT =
+  PARQUET|CSV|JSON [FORMAT_OPTIONS (k = 'v', ...)] [FORCE]`` —
+  idempotent bulk file ingestion (r13): files already loaded by a
+  prior COPY INTO of the same table are skipped (the load history
+  publishes in the same atomic commit as the rows), so re-running a
+  crashed or scheduled load never double-ingests; ``FORCE`` reloads.
 
 Scale posture: the router only REWRITES statements — reads stay the
 library's Catalyst scans (pushdown/pruning intact), DML routes to the
@@ -194,22 +206,26 @@ def _parse_assignments(set_clause: str, lhs_alias: str = "") -> dict:
     return assignments
 
 
+def _ts_to_epoch(ts: str) -> float:
+    """TIMESTAMP AS OF literal → epoch seconds (float or ISO-8601;
+    naive ISO strings are UTC)."""
+    try:
+        return float(ts)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+
 def _resolve(spark: SparkSession, path: str, ver, ts_s, ts_n) -> DataFrame:
     t = _table(path)
     if ver is not None:
         return t.read(spark, int(ver))
     if ts_s is not None or ts_n is not None:
-        ts = ts_s if ts_s is not None else ts_n
-        try:
-            t0 = float(ts)
-        except ValueError:
-            from datetime import datetime, timezone
-
-            dt = datetime.fromisoformat(ts)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
-            t0 = dt.timestamp()
-        return t.read_as_of(spark, t0)
+        return t.read_as_of(spark, _ts_to_epoch(ts_s if ts_s is not None else ts_n))
     return t.read(spark)
 
 
@@ -348,8 +364,12 @@ def _catalog():
 # verbs whose FIRST operand is a table reference: a bare catalog name
 # there is resolved to its vt literal before the verb grammar runs
 _HEAD_NAME = re.compile(
-    r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|update|"
-    r"delete\s+from|describe(?:\s+history|\s+detail|\s+table)?|"
+    # the DESCRIBE suffixes are ATOMIC (?>...): without it, "DESCRIBE
+    # HISTORY vt'...'" backtracks the matched "\s+history" OUT of the
+    # head when "vt'" fails the name lookahead, mis-capturing
+    # "history" as a catalog name to resolve
+    r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|copy\s+into|update|"
+    r"delete\s+from|(?>describe(?:\s+history|\s+detail|\s+table)?)|"
     r"optimize|restore|"
     r"vacuum|alter\s+table)\s+)"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?![\w.'(])"
@@ -667,11 +687,49 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _receipt(spark, op="drop_table", name=m.group(1), path=root)
     if verb in (
         "MERGE", "INSERT", "UPDATE", "DELETE", "DESCRIBE",
-        "OPTIMIZE", "RESTORE", "VACUUM",
+        "OPTIMIZE", "RESTORE", "VACUUM", "COPY",
     ):
         stmt = _resolve_head_name(stmt)
     if verb == "MERGE":
         return _merge(spark, stmt)
+    if verb == "COPY":
+        m = re.match(
+            rf"copy\s+into\s+{_VT}\s+from\s+'([^']+)'\s+"
+            rf"fileformat\s*=\s*(\w+)"
+            rf"(?:\s+format_options\s*\(([^)]*)\))?"
+            rf"(\s+force)?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "COPY grammar: COPY INTO vt'<path>'|<name> FROM "
+                "'<source>' FILEFORMAT = PARQUET|CSV|JSON [...] "
+                "[FORMAT_OPTIONS (k = 'v', ...)] [FORCE]"
+            )
+        path, src, fmt, raw_opts, force = m.groups()
+        opts = {}
+        for kv in _split_commas(raw_opts) if raw_opts else []:
+            km = re.match(r"\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", kv)
+            if not km:
+                raise ValueError(
+                    f"bad FORMAT_OPTIONS entry {kv!r} — expected "
+                    f"key = '<value>'"
+                )
+            opts[km.group(1)] = km.group(2)
+        res = _table(path).copy_into(
+            spark,
+            src,
+            file_format=fmt.lower(),
+            options=opts or None,
+            force=bool(force),
+        )
+        return _receipt(
+            spark,
+            op="copy_into",
+            path=path,
+            **{k: str(v) for k, v in res.items()},
+        )
     if verb == "INSERT":
         m = re.match(
             rf"insert\s+into\s+{_VT}\s+(.+)$",
@@ -755,6 +813,50 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
         m = re.match(
             rf"create\s+table\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))"
+            rf"\s+shallow\s+clone\s+"
+            rf"(?:{_TRAVEL}|([A-Za-z_][A-Za-z0-9_]*))$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            # CREATE TABLE <dest> SHALLOW CLONE <src> [time travel] —
+            # zero-copy clone (r13): the new table's v0 references the
+            # source snapshot's data dirs by path, O(metadata)
+            path, name, src_path, ver, ts_s, ts_n, src_name = m.groups()
+            if src_path is None:
+                src_path = _catalog().resolve(src_name)
+            if path is None:
+                import os
+
+                cat = _catalog()
+                if name.lower() in cat.names():
+                    raise ValueError(
+                        f"table name '{name.lower()}' already exists "
+                        f"— DROP TABLE it first or pick another name"
+                    )
+                path = os.path.join(
+                    os.path.dirname(cat.path), name.lower()
+                )
+            src = _table(src_path)
+            v = src.latest_version()
+            if ver is not None:
+                v = int(ver)
+            elif ts_s is not None or ts_n is not None:
+                v = src.version_as_of(
+                    _ts_to_epoch(ts_s if ts_s is not None else ts_n)
+                )
+            src.clone(path, version=v)
+            if name is not None:
+                _catalog().register(name, path)
+            return _receipt(
+                spark,
+                op="shallow_clone",
+                path=path,
+                source=src.root,
+                source_version=str(v),
+            )
+        m = re.match(
+            rf"create\s+table\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))"
             rf"(?:\s+partitioned\s+by\s*\(([^)]+)\))?"
             rf"\s+as\s+(.+)$",
             stmt,
@@ -763,7 +865,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         if not m:
             raise ValueError(
                 "CREATE grammar: CREATE TABLE vt'<path>'|<name> "
-                "[PARTITIONED BY (a, b)] AS <SELECT ...>, or CREATE "
+                "[PARTITIONED BY (a, b)] AS <SELECT ...>, CREATE "
+                "TABLE vt'<path>'|<name> SHALLOW CLONE vt'<src>'|"
+                "<name> [VERSION|TIMESTAMP AS OF ...], or CREATE "
                 "[OR REPLACE] TABLE <name> USING versioned_table "
                 "LOCATION '<root>'"
             )

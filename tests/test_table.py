@@ -3654,7 +3654,7 @@ def test_sql_router_lakehouse_surface(spark, tmp_path):
     dry = sql(spark, f"VACUUM vt'{root}' DRY RUN").collect()
     assert all(r.would_remove for r in dry)
     # refusals: wrong aliases, unsupported verb, non-equality ON,
-    # column-subset SET
+    # garbage clause tail
     with pytest.raises(ValueError, match="aliases must be"):
         sql(
             spark,
@@ -3673,10 +3673,19 @@ def test_sql_router_lakehouse_surface(spark, tmp_path):
         sql(
             spark,
             f"MERGE INTO vt'{root}' AS t USING "
-            f"(SELECT CAST(1 AS LONG) AS k, CAST(1 AS LONG) AS v, "
-            f"'q' AS cat) AS s ON t.k = s.k "
-            f"WHEN MATCHED THEN UPDATE SET v = s.v",
+            f"(SELECT 1 AS k) AS s ON t.k = s.k "
+            f"WHEN MATCHED THEN UPSERT",
         )
+    # column-subset SET is a supported spelling since r13 (it used to
+    # be the canonical refusal): assigned column updates, others carry
+    sql(
+        spark,
+        f"MERGE INTO vt'{root}' AS t USING "
+        f"(SELECT CAST(1 AS LONG) AS k, CAST(111 AS LONG) AS v) AS s "
+        f"ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v",
+    )
+    got = {r.k: r for r in VersionedTable(root).read(spark).collect()}
+    assert got[1].v == 111 and got[1].cat is not None
 
 
 def test_format_read_filter_pushdown_skips_files(spark, tmp_path):
@@ -4630,3 +4639,168 @@ def test_sql_merge_subset_set_and_insert_values(spark, tmp_path):
     )
     out = {r["k"]: r for r in t.read(spark).collect()}
     assert (out[2]["status"], out[2]["qty"]) == ("m,x", 20)
+
+
+# ---------------------------------------------------------------------------
+# COPY INTO: idempotent bulk file ingestion with committed load history (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_copy_into_idempotent_and_incremental(spark, tmp_path):
+    """First copy loads the staged files; an immediate re-run loads
+    ZERO (history rides in the commit); a new staged file is picked
+    up alone; FORCE reloads everything."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([], "k long, v long"),
+    )
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"
+    ).coalesce(1).write.parquet(str(stage / "b1"))
+    r1 = t.copy_into(spark, str(stage))
+    assert r1["files_loaded"] >= 1 and r1["rows_loaded"] == 50
+    r2 = t.copy_into(spark, str(stage))
+    assert r2 == {
+        "version": None,
+        "files_loaded": 0,
+        "files_skipped": r1["files_loaded"],
+        "rows_loaded": 0,
+    }
+    assert t.read(spark).count() == 50  # no double-load
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(50, 80)], "k long, v long"
+    ).coalesce(1).write.parquet(str(stage / "b2"))
+    r3 = t.copy_into(spark, str(stage))
+    assert r3["rows_loaded"] == 30 and r3["files_skipped"] >= 1
+    assert t.read(spark).count() == 80
+    r4 = t.copy_into(spark, str(stage), force=True)
+    assert r4["rows_loaded"] == 80  # FORCE ignores history
+    assert t.read(spark).count() == 160
+
+
+def test_copy_into_schema_strict_and_casts(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 2, 4)], "k long, v long, v2 long"),
+        generated={"v2": "v * 2"},
+    )
+    stage = tmp_path / "stage"
+    # narrower int batch, generated column absent: casts + computes
+    spark.createDataFrame(
+        [(7, 3)], "k int, v int"
+    ).coalesce(1).write.parquet(str(stage / "ok"))
+    t.copy_into(spark, str(stage))
+    got = {r.k: r for r in t.read(spark).collect()}
+    assert got[7].v2 == 6
+    # extra column refused loudly
+    bad = tmp_path / "bad"
+    spark.createDataFrame(
+        [(8, 3, "x")], "k long, v long, junk string"
+    ).coalesce(1).write.parquet(str(bad / "b"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.copy_into(spark, str(bad))
+    # missing non-generated column refused loudly
+    bad2 = tmp_path / "bad2"
+    spark.createDataFrame([(9,)], "k long").coalesce(1).write.parquet(
+        str(bad2 / "b")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.copy_into(spark, str(bad2))
+    # empty source refused (a typo'd path silently 'succeeding' would
+    # look like a healthy no-op load forever)
+    with pytest.raises(FileNotFoundError):
+        t.copy_into(spark, str(tmp_path / "nope"))
+
+
+def test_sql_copy_into_csv_options_and_named_table(spark, tmp_path):
+    from python_etl_spark.sql import sql
+
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    spark.conf.set(
+        "spark.python_etl_spark.catalog",
+        str(tmp_path / "_vt_catalog.json"),
+    )
+    try:
+        root = str(tmp_path / "t")
+        VersionedTable(root).create(
+            spark.createDataFrame([], "k long, v long")
+        )
+        sql(
+            spark,
+            f"CREATE TABLE cptab USING versioned_table LOCATION '{root}'",
+        )
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        (stage / "a.csv").write_text("k,v\n1,10\n2,20\n")
+        rec = sql(
+            spark,
+            f"COPY INTO cptab FROM '{stage}' FILEFORMAT = CSV "
+            f"FORMAT_OPTIONS (header = 'true', inferSchema = 'true')",
+        ).first()
+        assert rec["rows_loaded"] == "2" and rec["files_loaded"] == "1"
+        rec2 = sql(
+            spark,
+            f"COPY INTO cptab FROM '{stage}' FILEFORMAT = CSV "
+            f"FORMAT_OPTIONS (header = 'true', inferSchema = 'true')",
+        ).first()
+        assert rec2["files_loaded"] == "0"  # idempotent through SQL
+        assert sql(spark, "SELECT COUNT(*) AS n FROM cptab").first()["n"] == 2
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
+def test_sql_shallow_clone(spark, tmp_path):
+    """CREATE TABLE <dest> SHALLOW CLONE <src> [VERSION AS OF n]:
+    zero-copy (clone v0 reads the SOURCE's files), time travel picks
+    the pinned snapshot, writes diverge, named destinations register
+    in the catalog."""
+    import os
+
+    from python_etl_spark.sql import sql
+
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    spark.conf.set(
+        "spark.python_etl_spark.catalog",
+        str(tmp_path / "_vt_catalog.json"),
+    )
+    try:
+        src = VersionedTable(str(tmp_path / "src"))
+        src.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+        src.append(spark.createDataFrame([(2, 20)], "k long, v long"))
+        # path-addressed clone of the PINNED v0
+        dest = str(tmp_path / "c0")
+        rec = sql(
+            spark,
+            f"CREATE TABLE vt'{dest}' SHALLOW CLONE vt'{src.root}' "
+            f"VERSION AS OF 0",
+        ).first()
+        assert rec["source_version"] == "0"
+        c0 = VersionedTable(dest)
+        assert c0.read(spark).count() == 1
+        # zero-copy: the clone's files live under the source root
+        assert all(
+            src.root in f for f in c0.read(spark).inputFiles()
+        )
+        # named clone of latest registers in the catalog
+        sql(
+            spark,
+            f"CREATE TABLE clonetab USING versioned_table "
+            f"LOCATION '{src.root}'",
+        )
+        sql(spark, "CREATE TABLE c1 SHALLOW CLONE clonetab")
+        assert sql(
+            spark, "SELECT COUNT(*) AS n FROM c1"
+        ).first()["n"] == 2
+        # divergence: a write to the clone never touches the source
+        sql(spark, "INSERT INTO c1 VALUES (3, 30)")
+        assert sql(spark, "SELECT COUNT(*) AS n FROM c1").first()["n"] == 3
+        assert src.read(spark).count() == 2
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
