@@ -1089,6 +1089,15 @@ class VersionedTable:
                 "declared",
             )
         d = self._write_data(df, partition_by)
+        if partition_by and not self._has_parquet(d):
+            # empty frame + hive layout emits NO files (Spark writes
+            # nothing per missing partition value) and the snapshot
+            # read would fail schema inference: write one flat
+            # schema-carrying file instead (the emptied-table pattern
+            # merge/delete use); partition columns ride as ordinary
+            # empty data columns and the per-dir conforming read
+            # handles the mixed layout once real hive dirs append
+            d = self._write_data(df.repartition(1))
         m = dict(meta or {})
         if partition_by:
             m["partition_by"] = list(partition_by)

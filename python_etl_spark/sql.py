@@ -44,6 +44,15 @@ Supported grammar (case-insensitive keywords; one statement per call):
 * ``CREATE TABLE vt'<path>' [PARTITIONED BY (a, b)] AS <SELECT ...>``
   — CTAS bootstrap (vt references inside the SELECT resolve,
   including time travel, so CLONE-like statements compose).
+* ``CREATE TABLE vt'<path>'|<name> (col TYPE [GENERATED ALWAYS AS
+  (expr)][, ...][, CONSTRAINT n CHECK (expr)]) [PARTITIONED BY
+  (a, b)]`` — empty-table DDL (r13): the schema-first bootstrap a
+  COPY INTO or streaming sink needs before any row exists; generated
+  columns and CHECK constraints are declared inline and enforced by
+  every later write.
+* ``TRUNCATE TABLE vt'<path>'|<name>`` — DELETE FROM without WHERE:
+  one copy-on-write commit removes every row; time travel and the
+  typed delete change feed are kept (not a history wipe).
 * ``CREATE TABLE vt'<path>'|<name> SHALLOW CLONE vt'<src>'|<name>
   [VERSION AS OF n | TIMESTAMP AS OF ts]`` — zero-copy clone (r13):
   the new table's v0 references the source snapshot's data dirs by
@@ -370,7 +379,7 @@ _HEAD_NAME = re.compile(
     # "history" as a catalog name to resolve
     r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|copy\s+into|update|"
     r"delete\s+from|(?>describe(?:\s+history|\s+detail|\s+table)?)|"
-    r"optimize|restore|"
+    r"optimize|restore|truncate\s+table|"
     r"vacuum|alter\s+table)\s+)"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?![\w.'(])"
 )
@@ -660,6 +669,106 @@ def _alter(spark: SparkSession, stmt: str) -> DataFrame:
     )
 
 
+def _balanced_prefix(text: str) -> tuple[str, str]:
+    """Split ``text`` (which starts INSIDE an already-open paren) at
+    the matching close paren: (inside, after). Quote-aware."""
+    depth, in_q = 1, False
+    for i, ch in enumerate(text):
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[:i], text[i + 1:]
+    raise ValueError(f"unbalanced parentheses in: ({text}")
+
+
+def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
+    """CREATE TABLE <ref> (<column defs>) [PARTITIONED BY (...)]:
+    empty-table DDL. Column defs are ``col TYPE [GENERATED ALWAYS AS
+    (expr)]`` plus table-level ``CONSTRAINT name CHECK (expr)``
+    entries; types are full Spark DDL (DECIMAL(10,2), ARRAY<...>)."""
+    from pyspark.sql.types import StructType
+
+    path, name, rest = m.group(1), m.group(2), m.group(3)
+    inside, after = _balanced_prefix(rest)
+    after = after.strip()
+    pby = None
+    if after:
+        pm = re.fullmatch(
+            r"partitioned\s+by\s*\(([^)]+)\)", after, re.IGNORECASE
+        )
+        if not pm:
+            raise ValueError(
+                f"CREATE TABLE (schema) tail must be PARTITIONED BY "
+                f"(a, b) or nothing; got {after!r}"
+            )
+        pby = [c.strip() for c in pm.group(1).split(",")]
+    fields, generated, constraints = [], {}, {}
+    for item in _split_commas(inside):
+        item = item.strip()
+        if not item:
+            raise ValueError("empty column definition")
+        cm = re.match(
+            r"constraint\s+([A-Za-z_][A-Za-z0-9_]*)\s+check\s*\((.+)\)\s*$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            constraints[cm.group(1)] = cm.group(2).strip()
+            continue
+        gm = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+generated\s+always"
+            r"\s+as\s*\((.+)\)\s*$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if gm:
+            col, typ, expr = gm.groups()
+            generated[col] = expr.strip()
+        else:
+            dm = re.match(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+)$", item, re.DOTALL
+            )
+            if not dm:
+                raise ValueError(f"bad column definition: {item!r}")
+            col, typ = dm.groups()
+        fields.append(f"{col} {typ.strip()}")
+    if not fields:
+        raise ValueError("CREATE TABLE (schema) needs at least one column")
+    schema = StructType.fromDDL(", ".join(fields))
+    if path is None:
+        import os
+
+        cat = _catalog()
+        if name.lower() in cat.names():
+            raise ValueError(
+                f"table name '{name.lower()}' already exists — DROP "
+                f"TABLE it first or pick another name"
+            )
+        path = os.path.join(os.path.dirname(cat.path), name.lower())
+    v = _table(path).create(
+        spark.createDataFrame([], schema),
+        partition_by=pby,
+        constraints=constraints or None,
+        generated=generated or None,
+    )
+    if name is not None:
+        _catalog().register(name, path)
+    return _receipt(
+        spark,
+        op="create",
+        path=path,
+        version=str(v),
+        columns=str(len(schema.fields)),
+    )
+
+
 def sql(spark: SparkSession, statement: str) -> DataFrame:
     """Route one lakehouse SQL statement (module docstring grammar).
     Everything returns a DataFrame."""
@@ -687,9 +796,25 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _receipt(spark, op="drop_table", name=m.group(1), path=root)
     if verb in (
         "MERGE", "INSERT", "UPDATE", "DELETE", "DESCRIBE",
-        "OPTIMIZE", "RESTORE", "VACUUM", "COPY",
+        "OPTIMIZE", "RESTORE", "VACUUM", "COPY", "TRUNCATE",
     ):
         stmt = _resolve_head_name(stmt)
+    if verb == "TRUNCATE":
+        m = re.match(rf"truncate\s+table\s+{_VT}$", stmt, re.IGNORECASE)
+        if not m:
+            raise ValueError(
+                "TRUNCATE grammar: TRUNCATE TABLE vt'<path>'|<name> — "
+                "removes every row as ONE copy-on-write commit (time "
+                "travel and the typed delete change feed are kept; "
+                "this is DELETE FROM without WHERE, not a history wipe)"
+            )
+        from pyspark.sql import functions as F
+
+        t = _table(m.group(1))
+        v = t.delete_where(F.lit(True))
+        return _receipt(
+            spark, op="truncate", path=m.group(1), version=str(v)
+        )
     if verb == "MERGE":
         return _merge(spark, stmt)
     if verb == "COPY":
@@ -857,6 +982,24 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
         m = re.match(
             rf"create\s+table\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))"
+            rf"\s*\((.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and not re.match(
+            rf"create\s+table\s+(?:{_VT}|[A-Za-z_][A-Za-z0-9_]*)"
+            rf"\s+(?:as|shallow|partitioned)\b",
+            stmt,
+            re.IGNORECASE,
+        ):
+            # CREATE TABLE <ref> (col TYPE [GENERATED ALWAYS AS
+            # (expr)][, ...][, CONSTRAINT n CHECK (expr)])
+            # [PARTITIONED BY (a, b)] — empty-table DDL (r13): the
+            # schema-first bootstrap a COPY INTO / streaming target
+            # needs before any row exists
+            return _create_schema(spark, m)
+        m = re.match(
+            rf"create\s+table\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))"
             rf"(?:\s+partitioned\s+by\s*\(([^)]+)\))?"
             rf"\s+as\s+(.+)$",
             stmt,
@@ -866,6 +1009,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             raise ValueError(
                 "CREATE grammar: CREATE TABLE vt'<path>'|<name> "
                 "[PARTITIONED BY (a, b)] AS <SELECT ...>, CREATE "
+                "TABLE vt'<path>'|<name> (col TYPE [GENERATED ALWAYS "
+                "AS (expr)], ..., [CONSTRAINT n CHECK (expr)]) "
+                "[PARTITIONED BY (a, b)], CREATE "
                 "TABLE vt'<path>'|<name> SHALLOW CLONE vt'<src>'|"
                 "<name> [VERSION|TIMESTAMP AS OF ...], or CREATE "
                 "[OR REPLACE] TABLE <name> USING versioned_table "

@@ -3662,7 +3662,7 @@ def test_sql_router_lakehouse_surface(spark, tmp_path):
             f"(SELECT 1 AS k) AS s ON x.k = s.k",
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        sql(spark, f"TRUNCATE TABLE vt'{root}'")
+        sql(spark, f"GRANT SELECT ON vt'{root}' TO someone")
     with pytest.raises(ValueError, match="equality conjunction"):
         sql(
             spark,
@@ -4804,3 +4804,47 @@ def test_sql_shallow_clone(spark, tmp_path):
             spark.conf.unset("spark.python_etl_spark.catalog")
         else:
             spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
+def test_sql_create_schema_and_truncate(spark, tmp_path):
+    """CREATE TABLE <ref> (cols...) empty-table DDL: typed empty v0,
+    inline GENERATED ALWAYS AS and CONSTRAINT CHECK enforced by later
+    writes, PARTITIONED BY honored; TRUNCATE TABLE empties as one CoW
+    commit with time travel and a typed delete feed kept."""
+    from python_etl_spark.sql import sql
+
+    root = str(tmp_path / "t")
+    sql(
+        spark,
+        f"CREATE TABLE vt'{root}' ("
+        f"k BIGINT, amt DECIMAL(10,2), cat STRING, "
+        f"amt2 BIGINT GENERATED ALWAYS AS (CAST(amt * 2 AS BIGINT)), "
+        f"CONSTRAINT amt_pos CHECK (amt >= 0)"
+        f") PARTITIONED BY (cat)",
+    )
+    t = VersionedTable(root)
+    assert t.read(spark).count() == 0
+    assert t.read(spark).schema.simpleString() == (
+        "struct<k:bigint,amt:decimal(10,2),cat:string,amt2:bigint>"
+    )
+    assert t.partition_columns() == ["cat"]
+    # generated column verified on insert; constraint enforced
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (1, 10.00, 'a', 20)")
+    got = t.read(spark).first()
+    assert got.amt2 == 20
+    with pytest.raises(Exception, match="amt2"):
+        # wrong explicit value for a generated column is refused
+        sql(spark, f"INSERT INTO vt'{root}' VALUES (5, 10.00, 'a', 999)")
+    with pytest.raises(Exception, match="amt_pos"):
+        sql(spark, f"INSERT INTO vt'{root}' VALUES (2, -1.00, 'a', -2)")
+    # TRUNCATE: rows gone, history kept, feed typed
+    v = int(sql(spark, f"TRUNCATE TABLE vt'{root}'").first()["version"])
+    assert t.read(spark).count() == 0
+    assert t.read(spark, 1).count() == 1  # time travel intact
+    feed = t.row_changes(spark, v - 1, v).collect()
+    assert [r["_change_type"] for r in feed] == ["delete"]
+    # refusals: junk tail after the column list, empty columns
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        sql(spark, f"CREATE TABLE vt'{root}x' (k BIGINT) CLUSTER BY k")
+    with pytest.raises(ValueError, match="column"):
+        sql(spark, f"CREATE TABLE vt'{root}y' ( )")
