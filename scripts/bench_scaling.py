@@ -45,6 +45,7 @@ FIXTURE_BACKED_PREFIXES = (
     "etl_generated", "etl_incremental_rollup",
     "etl_format_read", "etl_sql_dml",
     "etl_sql_ddl", "etl_sql_catalog", "etl_sql_table_changes",
+    "etl_sql_merge_set", "etl_sql_copy_into",
 )
 
 QUERIES_UNDER_TEST = [
@@ -166,6 +167,11 @@ QUERIES_UNDER_TEST = [
     ("etl_sql_ddl", "linear", "checksum"),
     ("etl_sql_catalog", "linear", "checksum"),
     ("etl_sql_table_changes", "linear", "checksum"),
+    # round-13 part 2: column-subset MERGE (same one full-outer join
+    # over touched dirs as the full-row clause path) and COPY INTO
+    # (file listing is metadata; the load scans only new files)
+    ("etl_sql_merge_set", "linear", "checksum"),
+    ("etl_sql_copy_into", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

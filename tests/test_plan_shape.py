@@ -700,3 +700,27 @@ def test_sql_dml_select_is_catalyst_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "etl_sql_dml")
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+# --------------------------- round-13 families ---------------------------
+
+
+def test_sql_merge_set_select_is_catalyst_scan(spark, sf_dir):
+    """The column-subset MERGE query's readback plans like any
+    snapshot aggregate — Catalyst parquet scans, no cartesian, no
+    single-partition funnel (assignments ran at WRITE time as one
+    keyed full-outer join over touched dirs)."""
+    plan = _plan(spark, sf_dir, "etl_sql_merge_set")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_sql_copy_into_select_is_catalyst_scan(spark, sf_dir):
+    """COPY INTO's readback is the plain snapshot aggregate: parquet
+    scans of the committed dirs, no join (ingest-time file skipping
+    is manifest metadata, invisible to the read plan)."""
+    plan = _plan(spark, sf_dir, "etl_sql_copy_into")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
