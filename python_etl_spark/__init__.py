@@ -10,4 +10,4 @@ similarity search, text analysis, multimodal plumbing) designed for
 __version__ = "0.1.0"
 
 from python_etl_spark.session import get_spark  # noqa: F401
-from python_etl_spark.sql import sql  # noqa: F401
+from python_etl_spark.sql import sql, sql_script  # noqa: F401

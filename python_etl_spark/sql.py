@@ -40,7 +40,14 @@ Supported grammar (case-insensitive keywords; one statement per call):
   With no WHEN clause the statement is the plain upsert.
 * ``INSERT INTO vt'<path>' <SELECT ...|VALUES (...), ...>`` —
   append-semantics insert (the Delta INSERT INTO shape); VALUES rows
-  adopt the target's column order.
+  adopt the target's column order. ``INSERT OVERWRITE`` (r13) is the
+  full-replace twin: the snapshot becomes exactly the SELECT/VALUES
+  rows in one copy-on-write commit (history kept for time travel).
+* ``sql_script(spark, "stmt1; stmt2; ...")`` — run several
+  statements in order (quote-aware split on ``;``); returns the last
+  statement's frame. One failed statement stops the script there —
+  statements already run stay committed (each DML verb is its own
+  atomic commit; there is no cross-statement transaction).
 * ``CREATE TABLE vt'<path>' [PARTITIONED BY (a, b)] AS <SELECT ...>``
   — CTAS bootstrap (vt references inside the SELECT resolve,
   including time travel, so CLONE-like statements compose).
@@ -377,7 +384,8 @@ _HEAD_NAME = re.compile(
     # HISTORY vt'...'" backtracks the matched "\s+history" OUT of the
     # head when "vt'" fails the name lookahead, mis-capturing
     # "history" as a catalog name to resolve
-    r"(?is)^(?P<head>(?:merge\s+into|insert\s+into|copy\s+into|update|"
+    r"(?is)^(?P<head>(?:merge\s+into|insert\s+(?:into|overwrite)|"
+    r"copy\s+into|update|"
     r"delete\s+from|(?>describe(?:\s+history|\s+detail|\s+table)?)|"
     r"optimize|restore|truncate\s+table|"
     r"vacuum|alter\s+table)\s+)"
@@ -857,16 +865,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
     if verb == "INSERT":
         m = re.match(
-            rf"insert\s+into\s+{_VT}\s+(.+)$",
+            rf"insert\s+(into|overwrite)\s+{_VT}\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(
-                "INSERT grammar: INSERT INTO vt'<path>' <SELECT ...|"
-                "VALUES ...> (full-row, append semantics)"
+                "INSERT grammar: INSERT INTO|OVERWRITE vt'<path>' "
+                "<SELECT ...|VALUES ...> (full-row; INTO appends, "
+                "OVERWRITE replaces the snapshot as one CoW commit)"
             )
-        path, body = m.groups()
+        mode, path, body = m.groups()
         body = body.strip()
         target = _table(path).read(spark).schema
         cols = target.names
@@ -916,6 +925,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                     )
                     for f, t in zip(df.schema.fields, target.fields)
                 ]
+            )
+        if mode.lower() == "overwrite":
+            # full REPLACE as one CoW commit (old dirs stay readable
+            # for time travel until vacuum) — Delta INSERT OVERWRITE
+            v = _table(path).overwrite(df)
+            return _receipt(
+                spark, op="insert_overwrite", path=path, version=str(v)
             )
         v = _table(path).append(df)
         return _receipt(spark, op="insert", path=path, version=str(v))
@@ -1244,3 +1260,46 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         f"DESCRIBE [TABLE|HISTORY|DETAIL], SHOW TABLES, OPTIMIZE, "
         f"RESTORE, VACUUM [DRY RUN | RETAIN n HOURS]"
     )
+
+
+def sql_script(spark: SparkSession, script: str) -> DataFrame:
+    """Run several ``;``-separated statements in order and return the
+    LAST statement's frame (quote-aware split — a semicolon inside a
+    string literal never splits; ``--`` line comments are stripped).
+    No cross-statement transaction exists: each DML verb is its own
+    atomic commit, and a failing statement stops the script with
+    everything before it already committed (the receipt frames name
+    the versions, so a caller can RESTORE to unwind)."""
+    stmts, cur, in_q = [], [], False
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if in_q:
+            if ch == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_q = False
+            cur.append(ch)
+        elif ch == "'":
+            in_q = True
+            cur.append(ch)
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    stmts.append("".join(cur))
+    stmts = [s.strip() for s in stmts if s.strip()]
+    if not stmts:
+        raise ValueError("empty SQL script")
+    out = None
+    for s in stmts:
+        out = sql(spark, s)
+    return out

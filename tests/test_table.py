@@ -4848,3 +4848,31 @@ def test_sql_create_schema_and_truncate(spark, tmp_path):
         sql(spark, f"CREATE TABLE vt'{root}x' (k BIGINT) CLUSTER BY k")
     with pytest.raises(ValueError, match="column"):
         sql(spark, f"CREATE TABLE vt'{root}y' ( )")
+
+
+def test_sql_insert_overwrite_and_script(spark, tmp_path):
+    """INSERT OVERWRITE replaces the snapshot as one CoW commit (time
+    travel kept); sql_script runs ;-separated statements in order
+    (quote-aware — a ';' inside a literal never splits; -- comments
+    stripped) and returns the LAST frame."""
+    from python_etl_spark.sql import sql, sql_script
+
+    root = str(tmp_path / "t")
+    sql(spark, f"CREATE TABLE vt'{root}' (k BIGINT, v STRING)")
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (1, 'a'), (2, 'b')")
+    sql(spark, f"INSERT OVERWRITE vt'{root}' VALUES (9, 'z;semi')")
+    t = VersionedTable(root)
+    assert [(r.k, r.v) for r in t.read(spark).collect()] == [(9, "z;semi")]
+    assert t.read(spark, 1).count() == 2  # pre-overwrite time travel
+    out = sql_script(
+        spark,
+        f"""
+        -- a comment; with a semicolon
+        INSERT INTO vt'{root}' VALUES (10, 'w;x');
+        SELECT COUNT(*) AS n FROM vt'{root}';
+        """,
+    ).first()
+    assert out["n"] == 2
+    assert {r.v for r in t.read(spark).collect()} == {"z;semi", "w;x"}
+    with pytest.raises(ValueError, match="empty SQL script"):
+        sql_script(spark, " ;; ")
