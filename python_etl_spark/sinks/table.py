@@ -1697,7 +1697,45 @@ class VersionedTable:
         metadata-only (manifest meta, never data); each run scans
         ONLY the new files; rows land via :meth:`append`, so
         constraints, generated columns, schema evolution guards and
-        carried stats/blooms all apply unchanged."""
+        carried stats/blooms all apply unchanged.
+
+        CONCURRENCY: the history-read → append window is serialized
+        on an advisory flock at ``<root>/_copy.lock`` (the catalog
+        mutators' pattern) — without it two simultaneous COPYs of the
+        same stage both see an empty history and double-load. Local-
+        FS semantics; on a network FS without flock it degrades to
+        best-effort (schedule one loader per table there)."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _copy_lock():
+            os.makedirs(self.root, exist_ok=True)
+            fd = os.open(
+                os.path.join(self.root, "_copy.lock"),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        with _copy_lock():
+            return self._copy_into_locked(
+                spark, source, file_format, options, force, meta
+            )
+
+    def _copy_into_locked(
+        self,
+        spark: SparkSession,
+        source: str,
+        file_format: str,
+        options: dict | None,
+        force: bool,
+        meta: dict | None,
+    ) -> dict:
         already: set[str] = set()
         if not force:
             for m_ in self.history():

@@ -4876,3 +4876,31 @@ def test_sql_insert_overwrite_and_script(spark, tmp_path):
     assert {r.v for r in t.read(spark).collect()} == {"z;semi", "w;x"}
     with pytest.raises(ValueError, match="empty SQL script"):
         sql_script(spark, " ;; ")
+
+
+def test_copy_into_concurrent_no_double_load(spark, tmp_path):
+    """Two simultaneous COPYs of the same stage: the advisory copy
+    lock serializes the history-read -> append window, so exactly one
+    loads each file and the other skips (never a double-ingest)."""
+    import threading
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], "k long, v long"))
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(i, i) for i in range(40)], "k long, v long"
+    ).coalesce(2).write.parquet(str(stage))
+    results, errs = [], []
+
+    def go():
+        try:
+            results.append(t.copy_into(spark, str(stage)))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    a, b = threading.Thread(target=go), threading.Thread(target=go)
+    a.start(), b.start()
+    a.join(), b.join()
+    assert not errs
+    assert sorted(r["rows_loaded"] for r in results) == [0, 40]
+    assert t.read(spark).count() == 40
