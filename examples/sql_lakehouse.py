@@ -164,7 +164,42 @@ def main() -> None:
                "FROM TABLE_CHANGES(orders_live, 7) "
                "GROUP BY _change_type").show()
 
-    # 10. r13: real VACUUM needs the explicit retention clause
+    # 10. r13: the ingestion lifecycle without a line of Python —
+    # schema-first CREATE, idempotent COPY INTO (re-running loads
+    # ZERO files), subset MERGE, zero-copy clone, INSERT OVERWRITE,
+    # TRUNCATE — as one sql_script
+    from python_etl_spark import sql_script
+
+    stage = os.path.join(out, "stage")
+    load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("name"),
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    ing = os.path.join(out, "ingested_vt")
+    sql(spark, f"CREATE TABLE vt'{ing}' (k BIGINT, name STRING, "
+               f"CONSTRAINT k_pos CHECK (k >= 0))")
+    sql(spark, f"COPY INTO vt'{ing}' FROM '{stage}' "
+               f"FILEFORMAT = PARQUET").show(truncate=False)
+    print("re-run loads zero files:")
+    sql(spark, f"COPY INTO vt'{ing}' FROM '{stage}' "
+               f"FILEFORMAT = PARQUET").show(truncate=False)
+    sql_script(
+        spark,
+        f"""
+        -- column-subset MERGE: only the assigned column changes
+        MERGE INTO vt'{ing}' AS t
+        USING (SELECT CAST(0 AS LONG) AS k, 'RENAMED' AS nm) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET t.name = s.nm;
+        -- zero-copy experiment clone, then throw it away
+        CREATE TABLE vt'{ing}_exp' SHALLOW CLONE vt'{ing}';
+        INSERT OVERWRITE vt'{ing}_exp' VALUES (99, 'scratch');
+        TRUNCATE TABLE vt'{ing}_exp';
+        SELECT COUNT(*) AS n FROM vt'{ing}';
+        """,
+    ).show()
+
+    # 11. r13: real VACUUM needs the explicit retention clause
     print("swept dirs:",
           sql(spark, "VACUUM orders_live RETAIN 168 HOURS").count())
     sql(spark, "DROP TABLE orders_live").show()  # name only; bytes stay
