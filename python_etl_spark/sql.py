@@ -101,6 +101,11 @@ Supported grammar (case-insensitive keywords; one statement per call):
 * ``SELECT ... FROM TABLE_CHANGES(vt'<path>'|<name>, start[, end])``
   — the CDC read face (r12 verdict #3), routed to the REGISTERED
   ``table_changes`` batch source (held to etl_cdf_changes' oracle).
+* ``SELECT ... FROM SNAPSHOT_DIFF(vt'<path>'|<name>, since[, upto])``
+  — the re-baseline TVF (r13): full-row content diff between two
+  snapshots shaped like the feed (insert/delete rows), for crossing
+  feed barriers (overwrite / restore) where TABLE_CHANGES raises;
+  reads both snapshots — reach for TABLE_CHANGES first.
 * ``COPY INTO vt'<path>'|<name> FROM '<source>' FILEFORMAT =
   PARQUET|CSV|JSON [FORMAT_OPTIONS (k = 'v', ...)] [FORCE]`` —
   idempotent bulk file ingestion (r13): files already loaded by a
@@ -257,6 +262,17 @@ _TCHANGES = (
     r"(\d+)\s*(?:,\s*(\d+)\s*)?\)"
 )
 
+# SNAPSHOT_DIFF(<ref>, since[, upto]) — the re-baseline TVF (r13):
+# content diff between two snapshots shaped like the change feed
+# (insert/delete), for crossing feed barriers (overwrite/restore)
+# where TABLE_CHANGES raises. Reads BOTH snapshots — the honest
+# price of a lineage gap; reach for TABLE_CHANGES first.
+_SDIFF = (
+    r"snapshot_diff\s*\(\s*"
+    r"(?:vt\s*'([^']+)'|([A-Za-z_][A-Za-z0-9_]*))\s*,\s*"
+    r"(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+)
+
 
 def _sub_unquoted(stmt: str, pattern, repl) -> str:
     """Apply ``pattern`` -> ``repl(match)`` only at positions OUTSIDE
@@ -335,6 +351,17 @@ def _substitute_views(spark: SparkSession, stmt: str) -> str:
 
     stmt = _sub_unquoted(
         stmt, re.compile(_TCHANGES, re.IGNORECASE), tc_repl
+    )
+
+    def sd_repl(m: re.Match) -> str:
+        root = m.group(1) or _catalog().resolve(m.group(2))
+        end = int(m.group(4)) if m.group(4) is not None else None
+        return _register_frame(
+            _table(root).snapshot_diff(spark, int(m.group(3)), end)
+        )
+
+    stmt = _sub_unquoted(
+        stmt, re.compile(_SDIFF, re.IGNORECASE), sd_repl
     )
 
     def vt_repl(m: re.Match) -> str:

@@ -4904,3 +4904,29 @@ def test_copy_into_concurrent_no_double_load(spark, tmp_path):
     assert not errs
     assert sorted(r["rows_loaded"] for r in results) == [0, 40]
     assert t.read(spark).count() == 40
+
+
+def test_sql_snapshot_diff_tvf(spark, tmp_path):
+    """SNAPSHOT_DIFF(<ref>, since[, upto]) in SELECT position: the
+    content diff across a feed barrier (an overwrite), typed like the
+    feed — and a mention inside a string literal is never resolved."""
+    from python_etl_spark.sql import sql
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string"))
+    got = sorted(
+        (r["_change_type"], r["k"])
+        for r in sql(
+            spark,
+            f"SELECT _change_type, k FROM "
+            f"SNAPSHOT_DIFF(vt'{root}', 0, 1)",
+        ).collect()
+    )
+    assert got == [("delete", 1), ("insert", 3)]
+    # literal mention is untouched (quote-aware substitution)
+    row = sql(
+        spark, "SELECT 'SNAPSHOT_DIFF(vt''x'', 0)' AS s"
+    ).first()
+    assert "SNAPSHOT_DIFF" in row["s"]
