@@ -75,7 +75,12 @@ Supported grammar (case-insensitive keywords; one statement per call):
   dir-pruned delete (bare column names in the predicate).
 * ``DESCRIBE HISTORY vt'<path>'`` / ``DESCRIBE DETAIL vt'<path>'`` /
   ``DESCRIBE [TABLE] <ref>`` (schema with partition/generated/
-  constraint annotations) / ``SHOW TABLES`` (the catalog listing).
+  constraint annotations) / ``SHOW TABLES`` (the catalog listing) /
+  ``SHOW PARTITIONS <ref>`` (r13: hive key=value segments from the
+  current manifest's dir tree — metadata only, one listing per
+  level; flat pre-partition-evolution dirs are not enumerated and a
+  dir fully emptied by deletion vectors still lists — use SELECT
+  DISTINCT for row-exact values).
 * ``OPTIMIZE vt'<path>' [ZORDER BY (a, b, ...)]`` — the maintenance
   planner; returns the actions taken.
 * ``RESTORE vt'<path>' TO VERSION AS OF n`` (also ``TO TIMESTAMP AS
@@ -1123,8 +1128,56 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             spark, op="delete", path=m.group(1), version=str(v)
         )
     if verb == "SHOW":
+        pm = re.match(
+            rf"show\s+partitions\s+(?:{_VT}|([A-Za-z_][A-Za-z0-9_]*))$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if pm:
+            # SHOW PARTITIONS <ref> — metadata only: hive key=value
+            # segments parsed from the CURRENT manifest's dir tree
+            # (one directory listing per level, never a data scan)
+            import os as _os
+            from urllib.parse import unquote
+
+            root = pm.group(1) or _catalog().resolve(pm.group(2))
+            t = _table(root)
+            pcols = t.partition_columns()
+            if not pcols:
+                raise ValueError(
+                    f"table at {root} is not partitioned — SHOW "
+                    f"PARTITIONS needs a PARTITIONED BY table"
+                )
+            seen: set[tuple] = set()
+
+            def _walk(d: str, depth: int, vals: tuple) -> None:
+                if depth == len(pcols):
+                    seen.add(vals)
+                    return
+                try:
+                    entries = _os.listdir(d)
+                except FileNotFoundError:
+                    return
+                for e in entries:
+                    if e.startswith((f"{pcols[depth]}=",)):
+                        _walk(
+                            _os.path.join(d, e),
+                            depth + 1,
+                            vals + (unquote(e.split("=", 1)[1]),),
+                        )
+
+            for d in t._read_manifest()["data_dirs"]:
+                _walk(d, 0, ())
+            rows = sorted(seen) or None
+            schema = ", ".join(f"{c} string" for c in pcols)
+            if rows is None:
+                return spark.createDataFrame([], schema)
+            return spark.createDataFrame(rows, schema)
         if not re.match(r"show\s+tables$", stmt, re.IGNORECASE):
-            raise ValueError("SHOW grammar: SHOW TABLES")
+            raise ValueError(
+                "SHOW grammar: SHOW TABLES | SHOW PARTITIONS "
+                "vt'<path>'|<name>"
+            )
         names = sorted(_catalog().names().items())
         return spark.createDataFrame(
             names or [(None, None)], "name string, location string"

@@ -4930,3 +4930,32 @@ def test_sql_snapshot_diff_tvf(spark, tmp_path):
         spark, "SELECT 'SNAPSHOT_DIFF(vt''x'', 0)' AS s"
     ).first()
     assert "SNAPSHOT_DIFF" in row["s"]
+
+
+def test_sql_show_partitions(spark, tmp_path):
+    """SHOW PARTITIONS lists hive key=value combinations from the
+    manifest dir tree (metadata only), across commits; unpartitioned
+    tables refuse."""
+    from python_etl_spark.sql import sql
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "a", "y")],
+            "k long, cat string, sub string",
+        ),
+        partition_by=["cat", "sub"],
+    )
+    t.append(
+        spark.createDataFrame([(4, "c", "z")], "k long, cat string, sub string")
+    )
+    got = sorted(
+        (r["cat"], r["sub"])
+        for r in sql(spark, f"SHOW PARTITIONS vt'{root}'").collect()
+    )
+    assert got == [("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")]
+    flat = VersionedTable(str(tmp_path / "flat"))
+    flat.create(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="not partitioned"):
+        sql(spark, f"SHOW PARTITIONS vt'{flat.root}'")
