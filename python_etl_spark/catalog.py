@@ -73,7 +73,7 @@ class Catalog:
         self.path = path or default_path()
 
     # ---------------------------------------------------------- io
-    def _load(self) -> dict:
+    def _load_doc(self) -> dict:
         try:
             with open(self.path) as f:
                 doc = json.load(f)
@@ -83,13 +83,21 @@ class Catalog:
             raise ValueError(
                 f"catalog file {self.path} is unreadable: {e}"
             ) from e
-        return dict(doc.get("tables") or {})
+        return doc
 
-    def _store(self, tables: dict) -> None:
+    def _load(self) -> dict:
+        return dict(self._load_doc().get("tables") or {})
+
+    def _store(self, tables: dict, views: dict | None = None) -> None:
+        if views is None:  # table-only mutator: carry views through
+            views = dict(self._load_doc().get("views") or {})
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"tables": tables}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"tables": tables, "views": views},
+                f, indent=1, sort_keys=True,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.path)
@@ -135,7 +143,14 @@ class Catalog:
     ) -> None:
         n = self._norm(name)
         with self._locked():
-            tables = self._load()
+            doc = self._load_doc()
+            tables = dict(doc.get("tables") or {})
+            views = dict(doc.get("views") or {})
+            if n in views:
+                raise ValueError(
+                    f"'{n}' is a VIEW — tables and views share one "
+                    f"namespace; DROP VIEW it first"
+                )
             cur = tables.get(n)
             if cur is not None and cur != root and not replace:
                 raise ValueError(
@@ -144,7 +159,49 @@ class Catalog:
                     f"repoint it"
                 )
             tables[n] = root
-            self._store(tables)
+            self._store(tables, views)
+
+    def register_view(
+        self, name: str, text: str, replace: bool = False
+    ) -> None:
+        """Store a NAMED SQL VIEW (r13): the catalog keeps the raw
+        statement text; resolution re-substitutes it at read time, so
+        a view always reflects the CURRENT table snapshots (and other
+        views) it references. One namespace with tables."""
+        n = self._norm(name)
+        if not str(text).strip():
+            raise ValueError("view text is empty")
+        with self._locked():
+            doc = self._load_doc()
+            tables = dict(doc.get("tables") or {})
+            views = dict(doc.get("views") or {})
+            if n in tables:
+                raise ValueError(
+                    f"'{n}' is a TABLE — tables and views share one "
+                    f"namespace; DROP TABLE it first"
+                )
+            if n in views and not replace:
+                raise ValueError(
+                    f"view '{n}' already exists — CREATE OR REPLACE "
+                    f"VIEW to redefine it"
+                )
+            views[n] = str(text)
+            self._store(tables, views)
+
+    def unregister_view(self, name: str) -> str:
+        n = self._norm(name)
+        with self._locked():
+            doc = self._load_doc()
+            tables = dict(doc.get("tables") or {})
+            views = dict(doc.get("views") or {})
+            if n not in views:
+                raise KeyError(f"no view named '{n}' in {self.path}")
+            text = views.pop(n)
+            self._store(tables, views)
+        return text
+
+    def views(self) -> dict[str, str]:
+        return dict(self._load_doc().get("views") or {})
 
     def unregister(self, name: str) -> str:
         n = self._norm(name)
@@ -169,8 +226,14 @@ class Catalog:
 
     def resolve(self, name: str) -> str:
         n = self._norm(name)
-        tables = self._load()
+        doc = self._load_doc()
+        tables = dict(doc.get("tables") or {})
         if n not in tables:
+            if n in (doc.get("views") or {}):
+                raise ValueError(
+                    f"'{n}' is a VIEW — views are read-only (SELECT "
+                    f"position); DML/DDL needs a table"
+                )
             raise KeyError(
                 f"no table named '{n}' in {self.path} — register it "
                 f"with CREATE TABLE {n} USING versioned_table "

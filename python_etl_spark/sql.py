@@ -95,6 +95,13 @@ Supported grammar (case-insensitive keywords; one statement per call):
   evolution verbs (r12 verdict #1), each routing to the certified
   library face (``rename_column`` / ``drop_column`` / ``add_column``
   / ``add_constraint`` / ``drop_constraint``; metadata-only commits).
+* ``CREATE [OR REPLACE] VIEW <name> AS <SELECT ...>`` / ``DROP VIEW
+  <name>`` / ``SHOW VIEWS`` — stored SQL views (r13): the catalog
+  keeps the statement TEXT and every read re-substitutes it, so a
+  view always reflects the current snapshots (and views) it
+  references; validated by analysis at CREATE, definition cycles
+  refused at read, read-only (DML on a view name refuses loudly).
+  Views share the table namespace.
 * ``CREATE [OR REPLACE] TABLE <name> USING versioned_table LOCATION
   '<root>'`` / ``DROP TABLE <name>`` — the named-table CATALOG (r12
   verdict #2, :mod:`python_etl_spark.catalog`): once registered, a
@@ -377,13 +384,18 @@ def _substitute_views(spark: SparkSession, stmt: str) -> str:
     stmt = _sub_unquoted(
         stmt, re.compile(_TRAVEL, re.IGNORECASE), vt_repl
     )
-    # catalog names: substitute a registered name only where Spark's
-    # own resolution would fail (session views/tables keep precedence
-    # — zero behavior change for existing statements), and never when
-    # the word is qualified (db.name) or called (name(...))
-    names = _catalog().names()
+    # catalog names (tables AND stored views): substitute a registered
+    # name only where Spark's own resolution would fail (session
+    # views/tables keep precedence — zero behavior change for existing
+    # statements), and never when the word is qualified (db.name) or
+    # called (name(...)). A stored view re-substitutes its saved text
+    # RECURSIVELY (views over views, vt refs, TVFs), so it always
+    # reflects the current snapshots; a definition cycle raises.
+    cat = _catalog()
+    names = cat.names()
+    views = cat.views()
     low = stmt.lower()
-    hits = [n for n in names if n in low]
+    hits = [n for n in set(names) | set(views) if n in low]
     if hits:
         pat = re.compile(
             r"(?:" + "|".join(sorted(hits, key=len, reverse=True))
@@ -393,14 +405,49 @@ def _substitute_views(spark: SparkSession, stmt: str) -> str:
 
         def name_repl(m: re.Match) -> str:
             n = m.group(0).lower()
-            if n not in names or spark.catalog.tableExists(n):
+            if (n not in names and n not in views) or (
+                spark.catalog.tableExists(n)
+            ):
                 return m.group(0)
-            from python_etl_spark.sinks.table import VersionedTable
+            if n in names:
+                from python_etl_spark.sinks.table import VersionedTable
 
-            return _register_frame(VersionedTable(names[n]).read(spark))
+                return _register_frame(
+                    VersionedTable(names[n]).read(spark)
+                )
+            stack = _view_stack()
+            if n in stack:
+                raise ValueError(
+                    f"view definition cycle through '{n}' — a stored "
+                    f"view cannot reference itself (directly or via "
+                    f"another view)"
+                )
+            stack.add(n)
+            try:
+                frame = spark.sql(_substitute_views(spark, views[n]))
+            finally:
+                stack.discard(n)
+            return _register_frame(frame)
 
         stmt = _sub_unquoted(stmt, pat, name_repl)
     return stmt
+
+
+_VIEW_STACK = None
+
+
+def _view_stack() -> set:
+    """Per-thread set of view names currently being expanded (the
+    recursion/cycle guard — sql() is exercised from threads in the
+    concurrency soak, so this must not be shared)."""
+    global _VIEW_STACK
+    if _VIEW_STACK is None:
+        import threading
+
+        _VIEW_STACK = threading.local()
+    if not hasattr(_VIEW_STACK, "s"):
+        _VIEW_STACK.s = set()
+    return _VIEW_STACK.s
 
 
 def _catalog():
@@ -821,19 +868,22 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _alter(spark, stmt)
     if verb == "DROP":
         m = re.match(
-            r"drop\s+table\s+([A-Za-z_][A-Za-z0-9_]*)$",
+            r"drop\s+(table|view)\s+([A-Za-z_][A-Za-z0-9_]*)$",
             stmt,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(
-                "DROP grammar: DROP TABLE <name> — forgets the "
+                "DROP grammar: DROP TABLE <name> (forgets the "
                 "catalog name only; data and history stay at the "
-                "root (remove bytes with VersionedTable.vacuum / "
-                "clean_metadata)"
+                "root — remove bytes with VersionedTable.vacuum / "
+                "clean_metadata) | DROP VIEW <name>"
             )
-        root = _catalog().unregister(m.group(1))
-        return _receipt(spark, op="drop_table", name=m.group(1), path=root)
+        if m.group(1).lower() == "view":
+            _catalog().unregister_view(m.group(2))
+            return _receipt(spark, op="drop_view", name=m.group(2))
+        root = _catalog().unregister(m.group(2))
+        return _receipt(spark, op="drop_table", name=m.group(2), path=root)
     if verb in (
         "MERGE", "INSERT", "UPDATE", "DELETE", "DESCRIBE",
         "OPTIMIZE", "RESTORE", "VACUUM", "COPY", "TRUNCATE",
@@ -968,6 +1018,40 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         v = _table(path).append(df)
         return _receipt(spark, op="insert", path=path, version=str(v))
     if verb == "CREATE":
+        # CREATE [OR REPLACE] VIEW <name> AS <select> — a stored SQL
+        # view (r13): the catalog keeps the TEXT; reads re-substitute
+        # it, so the view tracks current snapshots. Validated by
+        # analyzing the substituted statement before storing.
+        m = re.match(
+            r"create\s+(or\s+replace\s+)?view\s+"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+as\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            replace, name, body = m.groups()
+            body = body.strip()
+            if not re.match(r"(select|with)\b", body, re.IGNORECASE):
+                raise ValueError(
+                    "CREATE VIEW body must be a SELECT/WITH statement"
+                )
+            # analysis-only validation: a typo'd column or unknown
+            # table fails NOW, not at first read. The name being
+            # defined rides the expansion stack so a definition that
+            # would close a cycle (through any chain of views) is
+            # refused HERE, not at first read — this also rejects a
+            # self-referential redefinition (text-substituted views
+            # cannot reference themselves).
+            stack = _view_stack()
+            if name.lower() in stack:  # pragma: no cover - nested
+                raise ValueError(f"view definition cycle through '{name}'")
+            stack.add(name.lower())
+            try:
+                spark.sql(_substitute_views(spark, body)).schema
+            finally:
+                stack.discard(name.lower())
+            _catalog().register_view(name, body, replace=bool(replace))
+            return _receipt(spark, op="create_view", name=name)
         # CREATE [OR REPLACE] TABLE <name> USING versioned_table
         # LOCATION '<root>' — catalog registration (metadata only;
         # the root may already hold a table or be created later)
@@ -1173,10 +1257,15 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if rows is None:
                 return spark.createDataFrame([], schema)
             return spark.createDataFrame(rows, schema)
+        if re.match(r"show\s+views$", stmt, re.IGNORECASE):
+            vs = sorted(_catalog().views().items())
+            return spark.createDataFrame(
+                vs or [(None, None)], "name string, text string"
+            ).where("name IS NOT NULL")
         if not re.match(r"show\s+tables$", stmt, re.IGNORECASE):
             raise ValueError(
-                "SHOW grammar: SHOW TABLES | SHOW PARTITIONS "
-                "vt'<path>'|<name>"
+                "SHOW grammar: SHOW TABLES | SHOW VIEWS | SHOW "
+                "PARTITIONS vt'<path>'|<name>"
             )
         names = sorted(_catalog().names().items())
         return spark.createDataFrame(

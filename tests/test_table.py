@@ -4959,3 +4959,67 @@ def test_sql_show_partitions(spark, tmp_path):
     flat.create(spark.createDataFrame([(1,)], "k long"))
     with pytest.raises(ValueError, match="not partitioned"):
         sql(spark, f"SHOW PARTITIONS vt'{flat.root}'")
+
+
+def test_sql_views_catalog(spark, tmp_path):
+    """CREATE/DROP VIEW + SHOW VIEWS: stored text re-substitutes on
+    every read (tracks new commits), views compose over views and
+    named tables, cycles and DML-on-view refuse, namespace is shared
+    with tables, analysis validates at CREATE."""
+    import json
+
+    from python_etl_spark.sql import sql
+
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    cat_path = str(tmp_path / "_vt_catalog.json")
+    spark.conf.set("spark.python_etl_spark.catalog", cat_path)
+    try:
+        root = str(tmp_path / "t")
+        VersionedTable(root).create(
+            spark.createDataFrame(
+                [(1, 10, "a"), (2, 20, "b")], "k long, v long, cat string"
+            )
+        )
+        sql(spark, f"CREATE TABLE base USING versioned_table "
+                   f"LOCATION '{root}'")
+        sql(spark, "CREATE VIEW v_sum AS SELECT cat, SUM(v) AS total "
+                   "FROM base GROUP BY cat")
+        sql(spark, "CREATE VIEW v_top AS SELECT MAX(total) AS mx "
+                   "FROM v_sum")  # view over view
+        assert sql(spark, "SELECT mx FROM v_top").first()["mx"] == 20
+        # the view tracks NEW commits (text re-substitutes at read)
+        sql(spark, "INSERT INTO base VALUES (3, 70, 'b')")
+        assert sql(spark, "SELECT mx FROM v_top").first()["mx"] == 90
+        assert {
+            r["name"] for r in sql(spark, "SHOW VIEWS").collect()
+        } == {"v_sum", "v_top"}
+        # refusals: DML on a view, table/view namespace collision,
+        # invalid body at CREATE, duplicate without OR REPLACE
+        with pytest.raises(ValueError, match="read-only"):
+            sql(spark, "DELETE FROM v_sum WHERE 1=1")
+        with pytest.raises(ValueError, match="namespace"):
+            sql(spark, f"CREATE TABLE v_sum USING versioned_table "
+                       f"LOCATION '{root}'")
+        with pytest.raises(Exception, match="zzz|cannot be resolved"):
+            sql(spark, "CREATE VIEW v_bad AS SELECT zzz FROM base")
+        with pytest.raises(ValueError, match="already exists"):
+            sql(spark, "CREATE VIEW v_sum AS SELECT 1 AS one")
+        # cycle guard: redefine v_sum to read v_top (which reads v_sum)
+        # — CREATE's validation itself must refuse the cycle
+        with pytest.raises(ValueError, match="cycle"):
+            sql(spark, "CREATE OR REPLACE VIEW v_sum AS "
+                       "SELECT mx AS total, 'x' AS cat FROM v_top")
+        sql(spark, "DROP VIEW v_top")
+        assert {
+            r["name"] for r in sql(spark, "SHOW VIEWS").collect()
+        } == {"v_sum"}
+        # views survive table-only catalog mutations (doc carry)
+        sql(spark, f"CREATE OR REPLACE TABLE base2 USING "
+                   f"versioned_table LOCATION '{root}'")
+        doc = json.load(open(cat_path))
+        assert "v_sum" in doc["views"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
