@@ -328,6 +328,108 @@ class VersionedTable:
             ckpt = self._latest_checkpoint()
             return ckpt.get("generated", {}) if ckpt else {}
 
+    def identity_columns(self) -> dict:
+        """IDENTITY column specs declared at create time
+        (``identity={col: {"start": n, "step": m}}`` — the Delta
+        ``GENERATED ALWAYS AS IDENTITY`` shape), sticky like
+        ``generated`` and carried by checkpoints. Writes must NOT
+        supply the column (GENERATED ALWAYS): ``create``/``append``/
+        ``copy_into``/``overwrite`` assign values that are UNIQUE and
+        monotone per commit but NOT contiguous (partition-parallel
+        assignment leaves gaps — Delta's documented behavior); the
+        last used value rides each assigning commit's manifest meta
+        (``identity_highwater``), and a commit conflict reassigns
+        from the winner's mark, so two racing appends can never mint
+        the same id."""
+        if not self.exists():
+            return {}
+        try:
+            return (
+                self._read_manifest(0).get("meta", {}).get("identity", {})
+            )
+        except FileNotFoundError:
+            ckpt = self._latest_checkpoint()
+            return ckpt.get("identity", {}) if ckpt else {}
+
+    def _identity_highwater(self, cur: dict) -> dict:
+        """Last used id per identity column as of ``cur`` — the most
+        recent commit carrying ``identity_highwater`` (every assigning
+        commit does; non-assigning commits — delete, optimize — are
+        walked past, metadata-only). A manifest dropped by
+        clean_metadata forces the honest fallback: one max() scan of
+        the column."""
+        spec = self.identity_columns()
+        for i in range(cur["version"], -1, -1):
+            try:
+                m = self._read_manifest(i).get("meta") or {}
+            except FileNotFoundError:
+                break
+            hw = m.get("identity_highwater")
+            if hw is not None:
+                return {c: int(v) for c, v in hw.items()}
+        spark = _active_spark()
+        row = self.read(spark, cur["version"]).select(
+            *[F.max(c).alias(c) for c in spec]
+        ).first()
+        return {
+            c: (
+                int(row[c]) if row[c] is not None
+                else int(s["start"]) - int(s["step"])
+            )
+            for c, s in spec.items()
+        }
+
+    @staticmethod
+    def _assign_identity(
+        df: DataFrame, spec: dict, hw: dict
+    ) -> tuple[DataFrame, dict]:
+        """Add CONTIGUOUS identity values above ``hw`` to a frame that
+        lacks the columns — ``id = hw + step * (global_pos + 1)``.
+        Global positions come from ``monotonically_increasing_id``'s
+        documented layout (partition id in the high bits, a contiguous
+        0-based record number in the low 33) over a CHECKPOINTED frame
+        (materialized once, so the recorded high-water can never
+        disagree with the written bytes), plus per-partition offsets:
+        one O(#partitions)-row count agg broadcast-joined back. Zero
+        row shuffles, zero Python, contiguous per commit (gaps only
+        appear when a conflict retry orphans an attempt — Delta's
+        documented identity behavior)."""
+        mono = "__ident_mono"
+        df = df.withColumn(mono, F.monotonically_increasing_id())
+        df = df.localCheckpoint(eager=True)
+        spark = df.sparkSession
+        pid = (F.col(mono) / F.lit(1 << 33)).cast("long")
+        loc = F.col(mono) % F.lit(1 << 33)
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in df.groupBy(pid.alias("__pid"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        offsets, acc = [], 0
+        for p, n in counts:
+            offsets.append((int(p), acc))
+            acc += int(n)
+        off_df = spark.createDataFrame(
+            offsets or [(0, 0)], "__pid long, __off long"
+        )
+        out = df.withColumn("__pid", pid).join(
+            F.broadcast(off_df), "__pid", "left"
+        )
+        new_hw = dict(hw)
+        for c, s in spec.items():
+            step = int(s["step"])
+            out = out.withColumn(
+                c,
+                (
+                    F.lit(int(hw[c]))
+                    + F.lit(step)
+                    * (F.col("__off") + loc + 1)
+                ).cast("long"),
+            )
+            new_hw[c] = int(hw[c]) + step * acc
+        return out.drop(mono, "__pid", "__off"), new_hw
+
     def _apply_generated(self, df: DataFrame, gen: dict) -> DataFrame:
         """Compute absent generated columns; verify present ones in
         ONE action (same shape as the constraint gate)."""
@@ -898,6 +1000,7 @@ class VersionedTable:
             "partition_by": self.partition_columns(),
             "bloom_keys": self.bloom_columns(),
             "generated": self.generated_columns(),
+            "identity": self.identity_columns(),
             "cluster_keys": self.cluster_keys(),
             "commits": commits,
         }
@@ -1040,6 +1143,7 @@ class VersionedTable:
         constraints: dict | None = None,
         generated: dict | None = None,
         cluster_keys: list[str] | None = None,
+        identity: dict | None = None,
     ) -> int:
         """``bloom_keys`` declares key columns for PER-DIR BLOOM stats
         (r10 verdict #4): every commit then embeds a size-capped bloom
@@ -1077,6 +1181,35 @@ class VersionedTable:
                         f"cluster key '{c}' ({dt}) has no rank order "
                         f"— numeric/date/timestamp/string only"
                     )
+        hw0 = None
+        if identity:
+            identity = {
+                c: {"start": int(s.get("start", 1)),
+                    "step": int(s.get("step", 1))}
+                for c, s in identity.items()
+            }
+            clash = set(identity) & (
+                set(generated or {}) | set(partition_by or [])
+            )
+            if clash:
+                raise ValueError(
+                    f"identity column(s) {sorted(clash)} cannot also "
+                    f"be generated or partition columns"
+                )
+            supplied = sorted(set(identity) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity column(s) {supplied} are GENERATED "
+                    f"ALWAYS — the create frame must not supply them"
+                )
+            for c, s in identity.items():
+                if s["step"] == 0:
+                    raise ValueError(f"identity '{c}' step must be nonzero")
+            df, hw0 = self._assign_identity(
+                df,
+                identity,
+                {c: s["start"] - s["step"] for c, s in identity.items()},
+            )
         if generated:
             df = self._apply_generated(df, generated)
         if constraints:
@@ -1109,6 +1242,9 @@ class VersionedTable:
             m["generated"] = dict(generated)
         if cluster_keys:
             m["cluster_keys"] = list(cluster_keys)
+        if identity:
+            m["identity"] = dict(identity)
+            m["identity_highwater"] = hw0
         try:
             return self._commit([d], "create", 0, m or None)
         except CommitConflictError:
@@ -1214,6 +1350,16 @@ class VersionedTable:
         from pyspark.sql.types import StructType
 
         cur = self._read_manifest()
+        ident = self.identity_columns()
+        if ident:
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity column(s) {supplied} are GENERATED "
+                    f"ALWAYS — appends must not supply them"
+                )
+            hw = self._identity_highwater(cur)
+            df, new_hw = self._assign_identity(df, ident, hw)
         df = self._apply_generated(df, self.generated_columns())
         # schema guard: an append with drifted columns would poison the
         # snapshot read (parquet union mismatch) — fail at commit time
@@ -1304,10 +1450,16 @@ class VersionedTable:
             )
         checked_constraints = self.constraints(cur["version"])
         self._enforce_constraints(df, checked_constraints)
+        if ident:
+            m["identity_highwater"] = new_hw
         # the batch's data dir is written ONCE; only the manifest is
         # retried. An append does not depend on the base's CONTENT,
         # just its dir list, so a conflict retry re-reads the winner's
-        # manifest and re-lists — no data rewrite.
+        # manifest and re-lists — no data rewrite. IDENTITY is the
+        # exception: the assigned ids depend on the base's high-water
+        # mark, so a conflict against a winner that moved the mark
+        # REASSIGNS and rewrites (the first dir orphans; vacuum
+        # sweeps it) — two racing appends can never mint the same id.
         d = self._write_data(df, self.partition_columns() or None)
         for attempt in range(self.max_retries + 1):
             v = cur["version"] + 1
@@ -1323,6 +1475,18 @@ class VersionedTable:
                 if attempt == self.max_retries:
                     raise
                 cur = self._read_manifest()
+                if ident:
+                    won_hw = self._identity_highwater(cur)
+                    if won_hw != hw:
+                        hw = won_hw
+                        base = df.drop(*[c for c in ident])
+                        df, new_hw = self._assign_identity(
+                            base, ident, hw
+                        )
+                        m["identity_highwater"] = new_hw
+                        d = self._write_data(
+                            df, self.partition_columns() or None
+                        )
                 # the winner may have ADDED a constraint after this
                 # append validated — a re-commit without re-checking
                 # would land rows add_constraint never saw (it
@@ -1782,16 +1946,22 @@ class VersionedTable:
         df = reader.load(new_files)
         snap = self.read(spark).schema
         gen = set(self.generated_columns())
+        ident = set(self.identity_columns())
         have = {f.name: f.dataType for f in snap.fields}
         got = set(df.columns)
         extra = sorted(got - set(have))
-        missing = sorted(set(have) - got - gen)
+        missing = sorted(set(have) - got - gen - ident)
+        if sorted(got & ident):
+            raise ValueError(
+                f"identity column(s) {sorted(got & ident)} are "
+                f"GENERATED ALWAYS — stage files must not supply them"
+            )
         if extra or missing:
             raise ValueError(
                 f"COPY INTO schema mismatch: source has extra columns "
                 f"{extra}, is missing table columns {missing} — COPY "
-                f"INTO maps by name and is schema-strict (generated "
-                f"columns may be absent; they are computed)"
+                f"INTO maps by name and is schema-strict (generated/"
+                f"identity columns may be absent; they are computed)"
             )
         df = df.select(
             *[
@@ -1915,6 +2085,13 @@ class VersionedTable:
             and when_not_matched_insert is None
         )
         spark = updates.sparkSession
+        if self.identity_columns():
+            raise ValueError(
+                "MERGE is not supported on a table with IDENTITY "
+                "columns — identity is for append-style ingestion "
+                "(create/append/copy_into/INSERT INTO); key your "
+                "merges on a natural key table instead"
+            )
         _gen = self.generated_columns()
         if subset:
             bad = sorted(
@@ -2258,6 +2435,20 @@ class VersionedTable:
         themselves; :meth:`MaterializedRollup.refresh` does exactly
         that."""
         cur = self._read_manifest()
+        meta = dict(meta or {}) or None
+        ident = self.identity_columns()
+        if ident:
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity column(s) {supplied} are GENERATED "
+                    f"ALWAYS — overwrite frames must not supply them"
+                )
+            df, new_hw = self._assign_identity(
+                df, ident, self._identity_highwater(cur)
+            )
+            meta = dict(meta or {})
+            meta["identity_highwater"] = new_hw
         df = self._apply_generated(df, self.generated_columns())
         self._enforce_constraints(df, self.constraints(cur["version"]))
         d = self._write_data(df, self.partition_columns() or None)
@@ -3389,11 +3580,17 @@ class VersionedTable:
         one ingest day rewrites that day's dirs, never the corpus."""
         spark = _active_spark()
         gen = self.generated_columns()
+        ident = self.identity_columns()
         for col in assignments:
             if col in gen:
                 raise ValueError(
                     f"column '{col}' is GENERATED ({gen[col]}) — its "
                     f"value is derived; update the source columns"
+                )
+            if col in ident:
+                raise ValueError(
+                    f"column '{col}' is GENERATED ALWAYS AS IDENTITY "
+                    f"— its values are system-assigned and immutable"
                 )
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)

@@ -56,7 +56,14 @@ Supported grammar (case-insensitive keywords; one statement per call):
   (a, b)]`` — empty-table DDL (r13): the schema-first bootstrap a
   COPY INTO or streaming sink needs before any row exists; generated
   columns and CHECK constraints are declared inline and enforced by
-  every later write.
+  every later write. ``col BIGINT GENERATED ALWAYS AS IDENTITY
+  [(START WITH n [INCREMENT BY m])]`` declares an IDENTITY column
+  (r13): ids are system-assigned on create/append/COPY INTO/INSERT
+  (unique + monotone per commit, NOT contiguous — Delta's documented
+  gap behavior; racing appends reassign on commit conflict), writes
+  supplying the column refuse, UPDATE on it refuses, and INSERT
+  VALUES/SELECT map positionally to the NON-identity columns. MERGE
+  on an identity table refuses (identity is append-style ingestion).
 * ``TRUNCATE TABLE vt'<path>'|<name>`` — DELETE FROM without WHERE:
   one copy-on-write commit removes every row; time travel and the
   typed delete change feed are kept (not a history wipe).
@@ -796,7 +803,7 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
                 f"(a, b) or nothing; got {after!r}"
             )
         pby = [c.strip() for c in pm.group(1).split(",")]
-    fields, generated, constraints = [], {}, {}
+    fields, generated, constraints, identity = [], {}, {}, {}
     for item in _split_commas(inside):
         item = item.strip()
         if not item:
@@ -808,6 +815,22 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
         )
         if cm:
             constraints[cm.group(1)] = cm.group(2).strip()
+            continue
+        im = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+(bigint|long)\s+generated"
+            r"\s+always\s+as\s+identity"
+            r"(?:\s*\(\s*start\s+with\s+(-?\d+)"
+            r"(?:\s+increment\s+by\s+(-?\d+))?\s*\))?\s*$",
+            item,
+            re.IGNORECASE,
+        )
+        if im:
+            col = im.group(1)
+            identity[col] = {
+                "start": int(im.group(3) or 1),
+                "step": int(im.group(4) or 1),
+            }
+            fields.append(f"{col} bigint")
             continue
         gm = re.match(
             r"([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+generated\s+always"
@@ -828,7 +851,16 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
         fields.append(f"{col} {typ.strip()}")
     if not fields:
         raise ValueError("CREATE TABLE (schema) needs at least one column")
-    schema = StructType.fromDDL(", ".join(fields))
+    # identity columns are GENERATED ALWAYS: the bootstrap frame must
+    # not carry them — create() assigns them (they land last in the
+    # physical column order)
+    schema = StructType.fromDDL(
+        ", ".join(f for f in fields if f.split()[0] not in identity)
+    )
+    if not schema.fields and identity:
+        raise ValueError(
+            "a table cannot consist of identity columns only"
+        )
     if path is None:
         import os
 
@@ -844,6 +876,7 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
         partition_by=pby,
         constraints=constraints or None,
         generated=generated or None,
+        identity=identity or None,
     )
     if name is not None:
         _catalog().register(name, path)
@@ -959,8 +992,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             )
         mode, path, body = m.groups()
         body = body.strip()
-        target = _table(path).read(spark).schema
-        cols = target.names
+        t = _table(path)
+        target = t.read(spark).schema
+        # identity columns are GENERATED ALWAYS: INSERT maps to the
+        # OTHER columns positionally and the write path assigns ids
+        id_cols = set(t.identity_columns())
+        tfields = [f for f in target.fields if f.name not in id_cols]
+        cols = [f.name for f in tfields]
         if body.upper().startswith("VALUES"):
             # VALUES rows need the target's column names; bare NULL
             # literals type as VOID and must coerce to the target
@@ -979,7 +1017,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         if isinstance(f.dataType, NullType)
                         else F.col(f.name)
                     )
-                    for f, t in zip(df.schema.fields, target.fields)
+                    for f, t in zip(df.schema.fields, tfields)
                 ]
             )
         else:
@@ -1005,7 +1043,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
                         if isinstance(f.dataType, NullType)
                         else F.col(f.name)
                     )
-                    for f, t in zip(df.schema.fields, target.fields)
+                    for f, t in zip(df.schema.fields, tfields)
                 ]
             )
         if mode.lower() == "overwrite":

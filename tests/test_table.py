@@ -5023,3 +5023,89 @@ def test_sql_views_catalog(spark, tmp_path):
             spark.conf.unset("spark.python_etl_spark.catalog")
         else:
             spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
+# ---------------------------------------------------------------------------
+# IDENTITY columns (r13): GENERATED ALWAYS AS IDENTITY
+# ---------------------------------------------------------------------------
+
+
+def test_identity_columns_assign_unique_monotone(spark, tmp_path):
+    """Create + append + INSERT INTO + COPY INTO all assign ids that
+    are unique and strictly increasing across commits; explicit values
+    refuse everywhere; UPDATE on the id refuses; MERGE refuses."""
+    from python_etl_spark.sql import sql
+
+    root = str(tmp_path / "t")
+    sql(
+        spark,
+        f"CREATE TABLE vt'{root}' (k BIGINT, v STRING, "
+        f"id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 "
+        f"INCREMENT BY 10))",
+    )
+    t = VersionedTable(root)
+    assert t.identity_columns() == {"id": {"start": 100, "step": 10}}
+    # append assigns; ids start at 100, step 10 (gaps allowed)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    ids_v1 = [r.id for r in t.read(spark).collect()]
+    assert len(set(ids_v1)) == 2 and min(ids_v1) == 100
+    assert all((i - 100) % 10 == 0 for i in ids_v1)
+    # SQL INSERT maps positionally to NON-identity columns
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (3, 'c')")
+    ids_v2 = {r.k: r.id for r in t.read(spark).collect()}
+    assert ids_v2[3] > max(ids_v1)  # monotone across commits
+    assert len(set(ids_v2.values())) == 3  # unique
+    # COPY INTO assigns too (stage lacks the id column)
+    stage = tmp_path / "stage"
+    spark.createDataFrame([(4, "d")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(stage))
+    t.copy_into(spark, str(stage))
+    ids_v3 = {r.k: r.id for r in t.read(spark).collect()}
+    assert len(set(ids_v3.values())) == 4
+    assert ids_v3[4] > ids_v2[3]
+    # refusals
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(
+            spark.createDataFrame(
+                [(9, "z", 1)], "k long, v string, id long"
+            )
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        sql(spark, f"UPDATE vt'{root}' SET id = 0 WHERE k = 1")
+    with pytest.raises(ValueError, match="MERGE is not supported"):
+        t.merge(
+            spark.createDataFrame([(1, "x")], "k long, v string"),
+            keys=["k"],
+        )
+
+
+def test_identity_concurrent_appends_never_collide(spark, tmp_path):
+    """Two racing appends: the conflict loser reassigns from the
+    winner's high-water mark, so ids stay unique."""
+    import threading
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    errs = []
+
+    def go(lo):
+        try:
+            t.append(
+                spark.createDataFrame([(i,) for i in range(lo, lo + 20)],
+                                      "k long")
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    a = threading.Thread(target=go, args=(0,))
+    b = threading.Thread(target=go, args=(100,))
+    a.start(), b.start()
+    a.join(), b.join()
+    assert not errs
+    rows = t.read(spark).collect()
+    ids = [r.id for r in rows]
+    assert len(rows) == 40 and len(set(ids)) == 40  # all unique
