@@ -3469,6 +3469,90 @@ def etl_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_identity_ids",
+    oracle=r"""
+WITH n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM orders)
+SELECT 'create' AS commit, n1 AS n_rows,
+       CAST(100 AS BIGINT) AS min_id,
+       100 + 10 * (n1 - 1) AS max_id,
+       CAST(n1 * 100 + 10 * (n1 * (n1 - 1) // 2) AS BIGINT) AS sum_id
+FROM n
+UNION ALL
+SELECT 'append', n2,
+       100 + 10 * n1,
+       100 + 10 * (n1 + n2 - 1),
+       CAST(n2 * 100 + 10 * ((n1 + n2) * (n1 + n2 - 1) // 2
+                             - n1 * (n1 - 1) // 2) AS BIGINT)
+FROM n
+""",
+)
+def etl_identity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY column arithmetic (r13): a table created from orders
+    with ``id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100
+    INCREMENT BY 10)`` and one appended batch. WHICH row gets WHICH id
+    depends on partition layout (assignment is partition-parallel),
+    but the id SET per commit is exactly determined — contiguous from
+    the committed high-water mark — so per-commit count/min/max/sum
+    of ids are all on the oracle hash: a gap, duplicate, or
+    high-water drift breaks it.
+
+    Scale posture: assignment is one O(#partitions) count agg + a
+    broadcast offsets join over a checkpointed frame — zero row
+    shuffles, zero Python; the high-water walk is metadata-only."""
+    import os
+    import tempfile
+
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("ident", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_ident_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    t = VersionedTable(os.path.join(root, "t"))
+    if not t.exists():
+        t.create(
+            orders, identity={"id": {"start": 100, "step": 10}}
+        )
+    if t.latest_version() < 1:
+        t.append(orders.where(F.col("k") % 3 == 0))
+    n1 = orders.count()
+    boundary = 100 + 10 * (n1 - 1)
+    return (
+        t.read(spark)
+        .withColumn(
+            "commit",
+            F.when(F.col("id") <= boundary, "create").otherwise("append"),
+        )
+        .groupBy("commit")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("id").alias("sum_id"),
+        )
+        .select(
+            "commit",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("min_id").cast("long").alias("min_id"),
+            F.col("max_id").cast("long").alias("max_id"),
+            F.col("sum_id").cast("long").alias("sum_id"),
+        )
+    )
+
+
 # ------------------------- MERGE-path schema evolution -------------------------
 #
 # Round 11: the r10 verdict's #2 — merge() used to silently DROP any

@@ -45,7 +45,7 @@ FIXTURE_BACKED_PREFIXES = (
     "etl_generated", "etl_incremental_rollup",
     "etl_format_read", "etl_sql_dml",
     "etl_sql_ddl", "etl_sql_catalog", "etl_sql_table_changes",
-    "etl_sql_merge_set", "etl_sql_copy_into",
+    "etl_sql_merge_set", "etl_sql_copy_into", "etl_identity_ids",
 )
 
 QUERIES_UNDER_TEST = [
@@ -172,6 +172,8 @@ QUERIES_UNDER_TEST = [
     # (file listing is metadata; the load scans only new files)
     ("etl_sql_merge_set", "linear", "checksum"),
     ("etl_sql_copy_into", "linear", "checksum"),
+    # identity assignment: one O(#partitions) agg + broadcast join
+    ("etl_identity_ids", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),
