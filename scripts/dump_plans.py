@@ -167,6 +167,17 @@ SHOWCASE = {
     "cosines distributed (broadcast joins), greedy selection on the "
     "bounded 20-row pool driver-side; the displayed plan is the "
     "createDataFrame of the selection trace",
+    "etl_sql_merge_set": "column-subset MERGE readback: the "
+    "assignments ran at WRITE time as one keyed full-outer join over "
+    "touched dirs; the read is a plain snapshot aggregate (Catalyst "
+    "parquet scans, no join, one aggregate exchange)",
+    "etl_sql_copy_into": "COPY INTO readback: ingest-time file "
+    "skipping is manifest metadata, invisible here — the plan is the "
+    "committed dirs' parquet scans plus one aggregate exchange",
+    "etl_identity_ids": "identity-id arithmetic readback: assignment "
+    "was one O(#partitions) count agg + broadcast offsets join at "
+    "write; the read buckets ids with a codegen CASE and aggregates "
+    "(scan -> partial agg -> exchange -> final agg)",
 }
 
 
