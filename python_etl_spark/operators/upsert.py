@@ -159,6 +159,11 @@ def merge_clauses(
             raise ValueError(
                 f"insert_values assigns unknown column(s) {unknown}"
             )
+        if not_matched_insert is None:
+            # symmetric with matched_set: giving the subset INSERT
+            # clause activates it (condition True) unless the caller
+            # passed an explicit condition or False
+            not_matched_insert = True
 
     cols = base.columns
     t = base.withColumn("__t", F.lit(1)).alias("t")

@@ -356,8 +356,17 @@ class VersionedTable:
         recent commit carrying ``identity_highwater`` (every assigning
         commit does; non-assigning commits — delete, optimize — are
         walked past, metadata-only). A manifest dropped by
-        clean_metadata forces the honest fallback: one max() scan of
-        the column."""
+        clean_metadata forces the honest fallback: one scan of the
+        column — ``max`` for a positive step, ``min`` for a negative
+        one (the "last used" id is the extreme in the step's
+        direction). CAVEAT (documented, not silent): the scan sees
+        only LIVE rows, so if deletes removed the extreme ids AND
+        clean_metadata truncated every manifest that recorded the
+        mark, previously minted ids below the scan result can be
+        reassigned; time-travel/CDF readers of pre-truncation
+        versions could then see an id twice. Assigning commits always
+        re-stamp ``identity_highwater``, so one append after any
+        truncation restores the durable mark."""
         spec = self.identity_columns()
         for i in range(cur["version"], -1, -1):
             try:
@@ -369,7 +378,12 @@ class VersionedTable:
                 return {c: int(v) for c, v in hw.items()}
         spark = _active_spark()
         row = self.read(spark, cur["version"]).select(
-            *[F.max(c).alias(c) for c in spec]
+            *[
+                (
+                    F.max(c) if int(s["step"]) > 0 else F.min(c)
+                ).alias(c)
+                for c, s in spec.items()
+            ]
         ).first()
         return {
             c: (
@@ -398,8 +412,11 @@ class VersionedTable:
         df = df.withColumn(mono, F.monotonically_increasing_id())
         df = df.localCheckpoint(eager=True)
         spark = df.sparkSession
-        pid = (F.col(mono) / F.lit(1 << 33)).cast("long")
-        loc = F.col(mono) % F.lit(1 << 33)
+        # Integer bit arithmetic, not floating division: a double is
+        # exact only below 2^53, so `mono / 2^33` misrounds the pid
+        # once partition ids pass ~2^20 — plausible on a wide cluster.
+        pid = F.shiftright(F.col(mono), 33)
+        loc = F.col(mono).bitwiseAND(F.lit((1 << 33) - 1))
         counts = sorted(
             (r["__pid"], r["n"])
             for r in df.groupBy(pid.alias("__pid"))
@@ -2182,6 +2199,34 @@ class VersionedTable:
                     f"{miss} — MERGE updates must carry full rows "
                     f"(pass when_matched_set for column-subset merges)"
                 )
+            if miss and subset:
+                # Mixing a subset clause with a FULL-ROW clause must
+                # not dodge the full-rows guard: the full-row action
+                # projects s.<col> / INSERT * verbatim, so a NULL-
+                # filled missing column would silently overwrite
+                # matched target values (or insert NULL-filled rows).
+                # Delta raises an analysis error here; so do we.
+                full_row = []
+                if when_matched_set is None and (
+                    when_matched_update is not None
+                    and when_matched_update is not False
+                ):
+                    full_row.append("WHEN MATCHED ... UPDATE SET *")
+                if when_not_matched_insert_values is None and (
+                    when_not_matched_insert is not None
+                    and when_not_matched_insert is not False
+                ):
+                    full_row.append("WHEN NOT MATCHED ... INSERT *")
+                if full_row:
+                    raise ValueError(
+                        f"merge updates batch is missing snapshot "
+                        f"columns {miss}, but {' and '.join(full_row)} "
+                        f"writes full rows from the source — a subset "
+                        f"batch would NULL-fill them. Carry full rows, "
+                        f"or make every clause a column-subset clause "
+                        f"(when_matched_set / "
+                        f"when_not_matched_insert_values)"
+                    )
             part_cols = set(self.partition_columns())
             widened = False
             target_fields = []
@@ -2620,6 +2665,14 @@ class VersionedTable:
         ckeys = self.cluster_keys()
         if ckeys:
             m["cluster_keys"] = ckeys
+        ident = self.identity_columns()
+        if ident:
+            # IDENTITY is create-time state like generated/bloom: the
+            # clone must keep minting above the source's mark AS OF the
+            # cloned version, or its first append re-mints ids the
+            # referenced dirs already contain.
+            m["identity"] = ident
+            m["identity_highwater"] = self._identity_highwater(src)
         try:
             dst._commit(
                 src["data_dirs"],

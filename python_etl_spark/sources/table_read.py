@@ -573,12 +573,16 @@ class VersionedTableSnapshotReader(DataSourceReader):
     Options: ``path`` (table root), ``versionAsOf``, ``timestampAsOf``
     (mutually exclusive; default latest).
 
-    FILTER PUSHDOWN lives on the ``_PushdownSnapshotReader`` subclass
-    and is selected by ``.option("pushdown", "true")`` — Spark 4.1
-    RAISES for any reader that implements ``pushFilters`` while
-    ``spark.sql.python.filterPushdown.enabled`` is false (its
-    default), so a vanilla session must get the plain reader; set the
-    session conf AND the option to turn skipping on."""
+    FILTER PUSHDOWN is DEFAULT-ON (r14): registering the format flips
+    ``spark.sql.python.filterPushdown.enabled`` for the session
+    (``VersionedTableDataSource.name()`` runs driver-side during
+    ``spark.dataSource.register``), and the reader() auto-probe then
+    selects the ``_PushdownSnapshotReader`` subclass for plain
+    ``.load().where(...)`` reads with zero options. This class is the
+    conservative fallback — picked by ``.option("pushdown", "false")``
+    (the opt-out) or when the session conf was forced back off (Spark
+    4.1 RAISES for any reader that implements ``pushFilters`` while
+    the conf is false, so the fallback must not implement it)."""
 
     def __init__(self, options, schema):
         self.root = options.get("path")
@@ -600,8 +604,10 @@ class VersionedTableSnapshotReader(DataSourceReader):
 
 
 class _PushdownSnapshotReader(VersionedTableSnapshotReader):
-    """FILTER PUSHDOWN face (Spark 4.1 ``pushFilters``; opt-in via
-    ``option("pushdown", "true")`` + the session conf): comparison/
+    """FILTER PUSHDOWN face (Spark 4.1 ``pushFilters``; DEFAULT for
+    registered-format reads since r14 — see
+    ``VersionedTableSnapshotReader`` for the selection rules):
+    comparison/
     equality/IN filters on top-level columns become per-column
     [lo, hi] bounds that (a) skip whole dirs/files at PLAN time
     against the manifest's dir/file stats and hive path values — the

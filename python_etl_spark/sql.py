@@ -782,6 +782,30 @@ def _balanced_prefix(text: str) -> tuple[str, str]:
     raise ValueError(f"unbalanced parentheses in: ({text}")
 
 
+def _named_destination(name: str):
+    """Resolve the on-disk root for a NAMED create destination, after
+    refusing a taken name against BOTH catalog namespaces. Tables and
+    views share one namespace; checking only names() would let a
+    view-colliding CREATE write the table/clone to disk first and then
+    fail at register(), stranding an orphaned root beside the catalog
+    (round-13 advice, sql.py)."""
+    import os
+
+    cat = _catalog()
+    n = name.lower()
+    if n in cat.names():
+        raise ValueError(
+            f"table name '{n}' already exists — DROP TABLE it first "
+            f"or pick another name"
+        )
+    if n in cat.views():
+        raise ValueError(
+            f"'{n}' is a VIEW — tables and views share one namespace; "
+            f"DROP VIEW it first or pick another name"
+        )
+    return os.path.join(os.path.dirname(cat.path), n)
+
+
 def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
     """CREATE TABLE <ref> (<column defs>) [PARTITIONED BY (...)]:
     empty-table DDL. Column defs are ``col TYPE [GENERATED ALWAYS AS
@@ -862,15 +886,7 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
             "a table cannot consist of identity columns only"
         )
     if path is None:
-        import os
-
-        cat = _catalog()
-        if name.lower() in cat.names():
-            raise ValueError(
-                f"table name '{name.lower()}' already exists — DROP "
-                f"TABLE it first or pick another name"
-            )
-        path = os.path.join(os.path.dirname(cat.path), name.lower())
+        path = _named_destination(name)
     v = _table(path).create(
         spark.createDataFrame([], schema),
         partition_by=pby,
@@ -1121,17 +1137,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if src_path is None:
                 src_path = _catalog().resolve(src_name)
             if path is None:
-                import os
-
-                cat = _catalog()
-                if name.lower() in cat.names():
-                    raise ValueError(
-                        f"table name '{name.lower()}' already exists "
-                        f"— DROP TABLE it first or pick another name"
-                    )
-                path = os.path.join(
-                    os.path.dirname(cat.path), name.lower()
-                )
+                path = _named_destination(name)
             src = _table(src_path)
             v = src.latest_version()
             if ver is not None:
@@ -1191,17 +1197,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         if path is None:
             # named CTAS: materialize beside the catalog file so the
             # user never touches a path; refuse a taken name
-            import os
-
-            cat = _catalog()
-            if name.lower() in cat.names():
-                raise ValueError(
-                    f"table name '{name.lower()}' already exists — "
-                    f"DROP TABLE it first or pick another name"
-                )
-            path = os.path.join(
-                os.path.dirname(cat.path), name.lower()
-            )
+            path = _named_destination(name)
         df = spark.sql(_substitute_views(spark, body.strip()))
         v = _table(path).create(
             df,

@@ -4511,8 +4511,11 @@ def test_sql_concurrent_dml_soak(spark, tmp_path):
 def test_merge_subset_set_carries_unassigned_columns(spark, tmp_path):
     """SET qty = t.qty + s.delta over a KEYS+inputs-only source: the
     assigned column updates, every unassigned column byte-carries, a
-    missed condition keeps the row, inserts NULL-fill, and the CDF is
-    typed per clause exactly like the full-row path."""
+    missed condition keeps the row, the subset INSERT clause
+    NULL-fills unassigned columns, and the CDF is typed per clause
+    exactly like the full-row path. (r13 advice: a FULL-ROW INSERT *
+    with this subset batch now refuses — covered by
+    test_merge_mixed_subset_full_row_clause_refuses.)"""
     t = VersionedTable(str(tmp_path / "t"))
     t.create(
         spark.createDataFrame(
@@ -4528,7 +4531,7 @@ def test_merge_subset_set_carries_unassigned_columns(spark, tmp_path):
         keys=["k"],
         when_matched_update="s.delta > 5",
         when_matched_set={"qty": "t.qty + s.delta", "status": "'U'"},
-        when_not_matched_insert=True,
+        when_not_matched_insert_values={"k": "s.k"},
     )
     out = {r["k"]: r for r in t.read(spark).collect()}
     assert (out[1]["qty"], out[1]["status"]) == (10, "a")  # unmatched
@@ -5109,3 +5112,211 @@ def test_identity_concurrent_appends_never_collide(spark, tmp_path):
     rows = t.read(spark).collect()
     ids = [r.id for r in rows]
     assert len(rows) == 40 and len(set(ids)) == 40  # all unique
+
+
+def test_clone_carries_identity_spec_and_highwater(spark, tmp_path):
+    """r13 advice (table.py clone): SHALLOW CLONE of an IDENTITY table
+    must carry the identity spec AND the source's high-water as of the
+    cloned version — otherwise the clone's first append demands
+    explicit ids (spec lost) or re-mints ids the referenced dirs
+    already contain (mark lost)."""
+    src = VersionedTable(str(tmp_path / "src"))
+    src.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 100, "step": 10}},
+    )
+    src.append(spark.createDataFrame([(1,), (2,)], "k long"))
+    src_hw = max(r.id for r in src.read(spark).collect())
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.identity_columns() == {"id": {"start": 100, "step": 10}}
+    # explicit ids still refuse on the clone (GENERATED ALWAYS intact)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        dst.append(
+            spark.createDataFrame([(9, 1)], "k long, id long")
+        )
+    dst.append(spark.createDataFrame([(3,), (4,)], "k long"))
+    ids = [r.id for r in dst.read(spark).collect()]
+    assert len(set(ids)) == 4  # no collision with cloned rows
+    assert min(i for i in ids if i > src_hw) > src_hw
+    # the source is untouched by the clone's append
+    assert src.read(spark).count() == 2
+
+
+def test_merge_mixed_subset_full_row_clause_refuses(spark, tmp_path):
+    """r13 advice (table.py merge): a subset clause plus a FULL-ROW
+    clause (UPDATE SET * / INSERT *) must not dodge the full-rows
+    guard when the batch lacks snapshot columns — the full-row action
+    would silently write NULL fills over matched rows (or insert
+    NULL-filled rows). Delta raises an analysis error here; so do we."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10, "A"), (2, 20, "B")], "k long, qty long, status string"
+        )
+    )
+    batch = spark.createDataFrame([(1, 5), (3, 7)], "k long, delta long")
+    # subset INSERT + full-row UPDATE SET * -> refuse
+    with pytest.raises(ValueError, match="full rows from the source"):
+        t.merge(
+            batch,
+            keys=["k"],
+            when_matched_update=True,
+            when_not_matched_insert_values={
+                "k": "s.k", "qty": "s.delta"
+            },
+        )
+    # subset UPDATE + full-row INSERT * -> refuse
+    with pytest.raises(ValueError, match="full rows from the source"):
+        t.merge(
+            batch,
+            keys=["k"],
+            when_matched_set={"qty": "t.qty + s.delta"},
+            when_not_matched_insert=True,
+        )
+    # all-subset clauses with the same batch still work
+    t.merge(
+        batch,
+        keys=["k"],
+        when_matched_set={"qty": "t.qty + s.delta"},
+        when_not_matched_insert_values={"k": "s.k", "qty": "s.delta"},
+    )
+    got = {r.k: (r.qty, r.status) for r in t.read(spark).collect()}
+    assert got == {1: (15, "A"), 2: (20, "B"), 3: (7, None)}
+    # nothing changed for the untouched full-row path: a full-row
+    # batch with full-row clauses is still fine
+    full = spark.createDataFrame(
+        [(2, 99, "C")], "k long, qty long, status string"
+    )
+    t.merge(full, keys=["k"], when_matched_update=True)
+    assert {r.qty for r in t.read(spark).where("k = 2").collect()} == {99}
+
+
+def test_identity_negative_step_and_highwater_fallback(spark, tmp_path):
+    """r13 advice (table.py _identity_highwater): the clean_metadata
+    fallback scan must take MIN for a negative step (the last used id
+    is the extreme in the step's direction), and a negative-step table
+    mints unique decreasing ids end-to-end."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 0, "step": -1}},
+    )
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], "k long"))
+    ids = sorted(r.id for r in t.read(spark).collect())
+    assert ids == [-2, -1, 0]
+    t.append(spark.createDataFrame([(4,)], "k long"))
+    ids2 = [r.id for r in t.read(spark).collect()]
+    assert len(set(ids2)) == 4 and min(ids2) < -2  # monotone downward
+    # force the fallback: strip identity_highwater from every manifest
+    # the walk can see, so the scan is the only source of truth
+    cur = t._read_manifest()
+    orig = t._read_manifest
+
+    def no_hw(v=None):
+        m = dict(orig(v))
+        meta = dict(m.get("meta") or {})
+        meta.pop("identity_highwater", None)
+        m = dict(m)
+        m["meta"] = meta
+        return m
+
+    t._read_manifest = no_hw
+    try:
+        hw = t._identity_highwater(cur)
+    finally:
+        t._read_manifest = orig
+    assert hw == {"id": min(ids2)}  # min for negative step, not max
+
+
+def test_sql_create_name_collision_with_view_refuses_before_write(
+    spark, tmp_path
+):
+    """r13 advice (sql.py named destinations): a named CREATE TABLE /
+    CTAS / SHALLOW CLONE whose name collides with a stored VIEW must
+    refuse BEFORE writing anything — the old names()-only pre-check
+    let register() fail after the table was already on disk, leaving
+    an orphaned root beside the catalog."""
+    import os
+
+    from python_etl_spark.sql import sql
+
+    cat = str(tmp_path / "cat.json")
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    spark.conf.set("spark.python_etl_spark.catalog", cat)
+    try:
+        root = str(tmp_path / "t")
+        sql(
+            spark,
+            f"CREATE TABLE vt'{root}' AS SELECT id AS k FROM range(3)",
+        )
+        sql(
+            spark,
+            f"CREATE TABLE demo USING versioned_table LOCATION '{root}'",
+        )
+        sql(spark, "CREATE VIEW vx AS SELECT k FROM demo WHERE k > 0")
+        orphan = os.path.join(os.path.dirname(cat), "vx")
+        with pytest.raises(ValueError, match="is a VIEW"):
+            sql(spark, "CREATE TABLE vx (k BIGINT)")
+        assert not os.path.exists(orphan)
+        with pytest.raises(ValueError, match="is a VIEW"):
+            sql(spark, "CREATE TABLE vx AS SELECT 1 AS one")
+        assert not os.path.exists(orphan)
+        with pytest.raises(ValueError, match="is a VIEW"):
+            sql(spark, "CREATE TABLE vx SHALLOW CLONE demo")
+        assert not os.path.exists(orphan)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
+def test_format_read_pushdown_vanilla_session(spark, tmp_path):
+    """r14 (carried r12 verdict #4): a VANILLA session — conf at its
+    Spark default (false), no engine session helper — gets dir/file
+    skipping from a plain .load().where() after nothing more than
+    registering the format: register() flips the session conf
+    driver-side (name() hook), and the auto probe then picks the
+    skipping reader with zero options."""
+    from python_etl_spark.sinks.table_stream import (
+        VersionedTableDataSource,
+    )
+
+    k = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(k)
+    spark.conf.set(k, "false")  # simulate the vanilla session
+    try:
+        spark.dataSource.register(VersionedTableDataSource)
+        assert spark.conf.get(k) == "true", (
+            "registering versioned_table must enable pushdown for "
+            "the session"
+        )
+        root = str(tmp_path / "t")
+        t = VersionedTable(root)
+        for i in range(5):
+            batch = spark.range(i * 1000, (i + 1) * 1000).selectExpr(
+                "id AS k", "id * 2 AS v"
+            )
+            t.create(batch) if i == 0 else t.append(batch)
+        plain = (
+            spark.read.format("versioned_table")
+            .load(root)
+            .where("k between 1500 and 1600")
+        )
+        assert sorted(r.k for r in plain.collect()) == list(
+            range(1500, 1601)
+        )
+        n_default = plain.rdd.getNumPartitions()
+        n_optout = (
+            spark.read.format("versioned_table")
+            .option("pushdown", "false")
+            .load(root)
+            .where("k between 1500 and 1600")
+            .rdd.getNumPartitions()
+        )
+        assert n_default < n_optout, (
+            f"vanilla-session default read planned {n_default} "
+            f"partitions vs opt-out {n_optout} — skipping inactive"
+        )
+    finally:
+        spark.conf.set(k, old)
