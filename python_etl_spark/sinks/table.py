@@ -1999,6 +1999,187 @@ class VersionedTable:
             "rows_loaded": rows,
         }
 
+    def explain_merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """EXPLAIN for dir-pruned MERGE (r13 verdict #3): run the
+        exact touched-dir discovery :meth:`merge` would run — the
+        min-max stats pass, the bloom pass, the per-file refinement,
+        and the exact key probe — WITHOUT committing, and return the
+        per-dir prune decision so an operator can see what a MERGE
+        would rewrite *before* running it. One row per snapshot data
+        dir:
+
+        * ``dir`` — commit dir path,
+        * ``rows`` — logical rows visible in the snapshot (physical
+          minus deletion-vector tombstones; metadata-only),
+        * ``stats_admitted`` — survived the manifest min-max pass,
+        * ``bloom_admitted`` — survived the per-dir key-bloom pass
+          (true when the dir has no usable bloom: conservative),
+        * ``files_total`` / ``files_admitted`` — per-file-stats
+          refinement (null when the dir carries no file stats or was
+          pruned before this stage),
+        * ``probe_rows`` — rows holding a matched update key, from
+          the exact probe over the admitted files (null when the dir
+          was pruned before the probe; 0 = probed, no match),
+        * ``action`` — ``rewrite`` | ``carry``.
+
+        The decision pipeline is byte-identical to merge()'s (same
+        helpers, same conservative posture), so the ``rewrite`` set
+        equals the dirs the next merge with this batch rewrites —
+        pytest-pinned. Cost: the bounds agg + the key-column probe
+        scan of the admitted dirs; no write, no commit, no lock.
+        Clause merges (conditional UPDATE/DELETE/INSERT) prune
+        identically — all clause effects live where the update keys
+        live — so one EXPLAIN covers every merge flavor."""
+        spark = updates.sparkSession
+        v = self.latest_version() if version is None else version
+        cur = self._read_manifest(v)
+        evolved, _wj, renames, drops, _c, _p = self._evolution_state(
+            cur["version"]
+        )
+        brow = updates.select(
+            *[
+                f
+                for k in keys
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
+        ).first()
+        bounds = {k: (brow[f"__lo_{k}"], brow[f"__hi_{k}"]) for k in keys}
+        upd_keys = updates.select(*keys).distinct()
+        stats_ok = set(self._stats_candidates(cur, bounds))
+        bloom_ok = set(
+            self._bloom_candidates(
+                cur, keys, upd_keys, [d for d in cur["data_dirs"]
+                                      if d in stats_ok]
+            )
+        )
+        kept, subsets = self._prune_files(
+            cur, [d for d in cur["data_dirs"] if d in bloom_ok], bounds
+        )
+        kept_set = set(kept)
+        probe_rows: dict[str, int] = {}
+        if kept:
+            probe = self._union_dirs(
+                spark,
+                kept,
+                evolved,
+                tag_dir=True,
+                renames=renames,
+                file_subsets=subsets,
+                drops=drops,
+            ).select("__dir", *keys)
+            probe_rows = {
+                r["__dir"]: int(r["n"])
+                for r in probe.join(upd_keys, keys, "left_semi")
+                .groupBy("__dir")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        fstats = cur.get("file_stats") or {}
+        out = []
+        for d in cur["data_dirs"]:
+            fs = fstats.get(d)
+            files_total = len(fs) if fs else None
+            if fs is None or d not in bloom_ok:
+                files_admitted = None
+            elif d in subsets:
+                files_admitted = len(subsets[d])
+            elif d in kept_set:
+                files_admitted = files_total
+            else:
+                files_admitted = 0  # every file pruned at this stage
+            pr = probe_rows.get(d, 0) if d in kept_set else None
+            out.append(
+                (
+                    d,
+                    self._logical_dir_rows(cur, d),
+                    d in stats_ok,
+                    d in bloom_ok,
+                    files_total,
+                    files_admitted,
+                    pr,
+                    "rewrite" if pr else "carry",
+                )
+            )
+        return spark.createDataFrame(
+            sorted(out),
+            "dir string, rows long, stats_admitted boolean, "
+            "bloom_admitted boolean, files_total int, "
+            "files_admitted int, probe_rows long, action string",
+        )
+
+    def explain_mutation(
+        self,
+        condition=None,
+        keys: DataFrame | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """EXPLAIN for dir-pruned UPDATE / DELETE (r13 verdict #3):
+        run the exact touched-dir probe :meth:`update_where` /
+        :meth:`delete_where` would run — a scan with only the
+        predicate (or join-key) columns materialized, tagged per
+        commit dir — WITHOUT committing, and return the per-dir
+        decision. One row per snapshot data dir: ``dir``, ``rows``
+        (logical, DV-adjusted, metadata-only), ``matched_rows``
+        (physical probe matches in the dir — the same pre-tombstone
+        count the real probe decides on, so EXPLAIN and the DML can
+        never disagree), ``action`` (``rewrite`` | ``carry``).
+
+        ``condition`` is a Column / SQL-string predicate (UPDATE,
+        predicate DELETE); ``keys`` is a key frame (delete_keys).
+        Cost: one probe scan (Catalyst prunes unused columns and
+        pushes the predicate into parquet) + one tiny per-dir agg."""
+        spark = _active_spark()
+        if (condition is None) == (keys is None):
+            raise ValueError("pass exactly one of condition / keys")
+        v = self.latest_version() if version is None else version
+        cur = self._read_manifest(v)
+        evolved, _wj, renames, drops, _c, _p = self._evolution_state(
+            cur["version"]
+        )
+        dirs = cur["data_dirs"]
+        probe = self._union_dirs(
+            spark, dirs, evolved, tag_dir=True, renames=renames,
+            drops=drops,
+        )
+        if keys is not None:
+            kcols = list(keys.columns)
+            matched = probe.join(
+                keys.dropDuplicates(kcols), kcols, "left_semi"
+            )
+        else:
+            cond = (
+                F.expr(condition) if isinstance(condition, str)
+                else condition
+            )
+            matched = probe.where(cond)
+        counts = {
+            r["__dir"]: int(r["n"])
+            for r in matched.groupBy("__dir")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out = [
+            (
+                d,
+                self._logical_dir_rows(cur, d),
+                counts.get(d, 0),
+                "rewrite" if counts.get(d, 0) else "carry",
+            )
+            for d in dirs
+        ]
+        return spark.createDataFrame(
+            sorted(out),
+            "dir string, rows long, matched_rows long, action string",
+        )
+
     def merge(
         self,
         updates: DataFrame,

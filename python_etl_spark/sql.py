@@ -498,7 +498,9 @@ def _receipt(spark: SparkSession, **kv) -> DataFrame:
     )
 
 
-def _merge(spark: SparkSession, stmt: str) -> DataFrame:
+def _merge(
+    spark: SparkSession, stmt: str, explain: bool = False
+) -> DataFrame:
     m = re.match(
         rf"merge\s+into\s+{_VT}\s+(?:as\s+)?(\w+)\s+using\s+(.+)$",
         stmt,
@@ -657,6 +659,12 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
                     f"DELETE | INSERT * | INSERT (cols) VALUES (exprs)"
                 )
     t = _table(path)
+    if explain:
+        # EXPLAIN MERGE (r13 verdict #3): full grammar parse (a bad
+        # statement fails identically), then the per-dir prune
+        # decision instead of the commit — clause effects live where
+        # the update keys live, so one discovery covers every flavor
+        return t.explain_merge(src_df, keys=keys)
     if has_clause:
         v = t.merge(
             src_df,
@@ -670,6 +678,51 @@ def _merge(spark: SparkSession, stmt: str) -> DataFrame:
     else:
         v = t.merge(src_df, keys=keys)
     return _receipt(spark, op="merge", path=path, version=str(v))
+
+
+def _explain_mutation(
+    spark: SparkSession, stmt: str, verb: str
+) -> DataFrame:
+    """EXPLAIN UPDATE / EXPLAIN DELETE (r13 verdict #3): parse the
+    inner statement with the real verb's grammar (same refusals),
+    validate UPDATE's SET targets against the schema like the real
+    verb would, then return ``VersionedTable.explain_mutation``'s
+    per-dir (dir, rows, matched_rows, action) decision without
+    committing."""
+    if verb == "UPDATE":
+        m = re.match(
+            rf"update\s+{_VT}\s+set\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        sw = _split_on_keyword(m.group(2), "where") if m else None
+        if not m or sw is None:
+            raise ValueError(
+                "EXPLAIN UPDATE grammar: EXPLAIN UPDATE vt'<path>' "
+                "SET col = expr[, ...] WHERE <pred>"
+            )
+        path = m.group(1)
+        set_clause, pred = sw
+        assignments = _parse_assignments(set_clause)
+        t = _table(path)
+        snap_cols = t.read(spark).columns
+        unknown = [c for c in assignments if c not in snap_cols]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET targets not in schema: {unknown}"
+            )
+        return t.explain_mutation(condition=pred)
+    m = re.match(
+        rf"delete\s+from\s+{_VT}\s+where\s+(.+)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "EXPLAIN DELETE grammar: EXPLAIN DELETE FROM vt'<path>' "
+            "WHERE <pred>"
+        )
+    return _table(m.group(1)).explain_mutation(condition=m.group(2))
 
 
 def _alter(spark: SparkSession, stmt: str) -> DataFrame:
@@ -912,6 +965,22 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     head = stmt.split(None, 2)
     verb = head[0].upper() if head else ""
     if verb in ("SELECT", "WITH"):
+        return spark.sql(_substitute_views(spark, stmt))
+    if verb == "EXPLAIN":
+        inner = stmt.split(None, 1)[1].strip() if len(head) > 1 else ""
+        iverb = inner.split(None, 1)[0].upper() if inner else ""
+        if iverb in ("MERGE", "UPDATE", "DELETE"):
+            # EXPLAIN <DML> (r13 verdict #3): the statement parses
+            # through the SAME grammar as the real verb, then returns
+            # the per-dir prune decision (candidate dirs from min-max
+            # stats, bloom-admitted dirs, per-file refinement, exact
+            # probe, rewrite-vs-carry) WITHOUT committing.
+            inner = _resolve_head_name(inner)
+            if iverb == "MERGE":
+                return _merge(spark, inner, explain=True)
+            return _explain_mutation(spark, inner, iverb)
+        # plain EXPLAIN [EXTENDED|FORMATTED|...] SELECT: Spark's own
+        # explain over the substituted statement
         return spark.sql(_substitute_views(spark, stmt))
     if verb == "ALTER":
         return _alter(spark, stmt)

@@ -5320,3 +5320,168 @@ def test_format_read_pushdown_vanilla_session(spark, tmp_path):
         )
     finally:
         spark.conf.set(k, old)
+
+
+def test_explain_merge_pins_rewrite_set_to_real_merge(spark, tmp_path):
+    """r13 verdict #3: explain_merge's per-dir decision is the real
+    thing — the dirs it marks 'rewrite' are exactly the dirs the
+    subsequent merge() with the same batch rewrites, and 'carry' dirs
+    are carried by reference (paths unchanged in the new manifest).
+    The staged prune columns are coherent: pruned-at-stats dirs never
+    show bloom/file/probe values, probed dirs show the matched-key
+    row count."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "id * 2 AS v"
+        ).repartition(2)
+    )
+    for i in range(1, 5):
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("id AS k", "id * 2 AS v")
+            .repartition(2)
+        )
+    before = list(t._read_manifest()["data_dirs"])
+    # updates hit commits 1 and 3 only (keys 1500-1520, 3500-3520)
+    upd = spark.createDataFrame(
+        [(k, k * 7) for k in list(range(1500, 1521))
+         + list(range(3500, 3521))],
+        "k long, v long",
+    )
+    plan = t.explain_merge(upd, keys=["k"])
+    rows = {r.dir: r for r in plan.collect()}
+    assert set(rows) == set(before)  # one row per snapshot dir
+    want_rewrite = {d for d, r in rows.items() if r.action == "rewrite"}
+    assert 0 < len(want_rewrite) < len(before)  # pruning happened
+    for d, r in rows.items():
+        if not r.stats_admitted:
+            assert not r.bloom_admitted and r.probe_rows is None
+        if r.action == "rewrite":
+            assert r.probe_rows and r.probe_rows > 0
+    v_before = t.latest_version()
+    t.merge(upd, keys=["k"])
+    after = set(t._read_manifest()["data_dirs"])
+    really_rewritten = set(before) - after
+    assert want_rewrite == really_rewritten, (
+        f"EXPLAIN said {sorted(want_rewrite)} but merge rewrote "
+        f"{sorted(really_rewritten)}"
+    )
+    # explain itself never committed
+    assert t.latest_version() == v_before + 1  # only the merge did
+
+
+def test_explain_mutation_pins_rewrite_set_to_real_dml(spark, tmp_path):
+    """r13 verdict #3: explain_mutation's rewrite set equals what
+    UPDATE/DELETE actually rewrite, for predicate and key-frame
+    matchers; matched_rows counts the probe's matches."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, "old" if i < 10 else "new") for i in range(20)],
+            "k long, tag string",
+        ).repartition(2)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, "hot") for i in range(100, 110)], "k long, tag string"
+        )
+    )
+    before = list(t._read_manifest()["data_dirs"])
+    plan = {r.dir: r for r in
+            t.explain_mutation(condition="tag = 'hot'").collect()}
+    assert set(plan) == set(before)
+    want = {d for d, r in plan.items() if r.action == "rewrite"}
+    assert sum(r.matched_rows for r in plan.values()) == 10
+    v0 = t.latest_version()
+    t.delete_where(F.col("tag") == "hot")
+    after = set(t._read_manifest()["data_dirs"])
+    assert want == set(before) - after
+    assert t.latest_version() == v0 + 1
+    # key-frame flavor against the new snapshot
+    keys = spark.createDataFrame([(5,), (999,)], "k long")
+    plan2 = t.explain_mutation(keys=keys)
+    want2 = {r.dir for r in plan2.collect() if r.action == "rewrite"}
+    before2 = list(t._read_manifest()["data_dirs"])
+    t.delete_keys(keys)
+    after2 = set(t._read_manifest()["data_dirs"])
+    assert want2 == set(before2) - after2
+    with pytest.raises(ValueError, match="exactly one"):
+        t.explain_mutation()
+
+
+def test_sql_explain_dml_verbs(spark, tmp_path):
+    """r13 verdict #3 (SQL face): EXPLAIN MERGE/UPDATE/DELETE parse
+    the real grammar, return the per-dir decision frame, and commit
+    NOTHING; named tables resolve; plain EXPLAIN SELECT passes
+    through to Spark."""
+    from python_etl_spark.sql import sql
+
+    cat = str(tmp_path / "cat.json")
+    old = spark.conf.get("spark.python_etl_spark.catalog", None)
+    spark.conf.set("spark.python_etl_spark.catalog", cat)
+    try:
+        root = str(tmp_path / "t")
+        sql(
+            spark,
+            f"CREATE TABLE vt'{root}' AS "
+            f"SELECT id AS k, id * 2 AS qty FROM range(1000)",
+        )
+        t = VersionedTable(root)
+        t.append(
+            spark.range(1000, 2000).selectExpr("id AS k", "id*2 AS qty")
+        )
+        sql(spark, f"CREATE TABLE extab USING versioned_table "
+                   f"LOCATION '{root}'")
+        v0 = t.latest_version()
+        plan = sql(
+            spark,
+            f"EXPLAIN DELETE FROM vt'{root}' WHERE k BETWEEN 10 AND 20",
+        )
+        assert plan.columns == ["dir", "rows", "matched_rows", "action"]
+        assert plan.where("action = 'rewrite'").count() == 1
+        plan_upd = sql(
+            spark,
+            "EXPLAIN UPDATE extab SET qty = qty + 1 WHERE k = 1500",
+        )
+        assert plan_upd.where("action = 'rewrite'").count() == 1
+        spark.range(5).selectExpr(
+            "id + 15 AS k", "id AS qty"
+        ).createOrReplaceTempView("__exp_src")
+        plan_m = sql(
+            spark,
+            "EXPLAIN MERGE INTO extab AS t USING __exp_src AS s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        assert "probe_rows" in plan_m.columns
+        assert plan_m.where("action = 'rewrite'").count() == 1
+        assert t.latest_version() == v0, "EXPLAIN must not commit"
+        # the real DML rewrites exactly the explained dirs
+        explained = {
+            r.dir for r in plan_m.collect() if r.action == "rewrite"
+        }
+        before = set(t._read_manifest()["data_dirs"])
+        sql(
+            spark,
+            "MERGE INTO extab AS t USING __exp_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        assert explained == before - set(t._read_manifest()["data_dirs"])
+        # UPDATE SET target validation fires on EXPLAIN too
+        with pytest.raises(ValueError, match="not in schema"):
+            sql(spark, "EXPLAIN UPDATE extab SET nope = 1 WHERE k = 1")
+        # bad grammar refuses with the EXPLAIN-specific message
+        with pytest.raises(ValueError, match="EXPLAIN DELETE grammar"):
+            sql(spark, f"EXPLAIN DELETE FROM vt'{root}'")
+        # plain EXPLAIN SELECT: Spark's own plan text
+        txt = sql(spark, "SELECT * FROM extab WHERE k < 5")
+        assert txt.count() == 5
+        p = sql(spark, "EXPLAIN SELECT 1 AS one")
+        assert p.columns == ["plan"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.python_etl_spark.catalog")
+        else:
+            spark.conf.set("spark.python_etl_spark.catalog", old)
