@@ -3470,6 +3470,107 @@ def etl_sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_sql_copy_evolve",
+    oracle=r"""
+SELECT '_none' AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey % 100) AS BIGINT) AS total,
+       CAST(SUM(o_orderkey) AS BIGINT) AS ksum
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(o_orderkey % 100) AS BIGINT),
+       CAST(SUM(o_orderkey + 4000000000) AS BIGINT)
+FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+""",
+)
+def etl_sql_copy_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO with PATTERN + schema evolution (r14, r13 verdict
+    #5): BOTH stage batches exist up front — batch 1 (even keys,
+    ``k int, qty``) under ``b1/``, batch 2 (odd keys, WIDENED ``k
+    long`` with values past int range, plus a NEW ``tag`` column)
+    under ``b2/``. The first ``COPY INTO ... PATTERN = 'b1/*'`` must
+    load ONLY batch 1 — if PATTERN were ignored, the widened batch 2
+    would hit the schema-strict refusal. The second COPY takes
+    ``PATTERN = 'b2/*' COPY_OPTIONS ('mergeSchema' = 'true')`` and
+    EVOLVES the table (k widens int->long, tag joins the schema,
+    batch-1 rows surface it as NULL); its re-run must load zero files
+    (load-history idempotence is PATTERN-independent). The oracle
+    replays both batches over orders — a dropped widened value, a
+    double-load, a mis-NULLed tag, or a pattern leak all break the
+    hash.
+
+    Scale posture: identical to etl_sql_copy_into (list stage, anti-
+    join manifest-meta history, scan only new files) — PATTERN is a
+    driver-side filter over the listing (O(#stage files)), and
+    evolution is the append path's metadata-only schema record."""
+    import os
+    import tempfile
+
+    from python_etl_spark import sql as vt_sql
+    from python_etl_spark.sinks.table import VersionedTable
+
+    key = ("sqcev", spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    root = _INCR_STORE_CACHE.get(key)
+    if root is None:
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"spark_graft_sqcev_{key[1]}_{stable_digest(key[2])}",
+        )
+        _INCR_STORE_CACHE[key] = root
+    orders = _t(spark, sf_dir, "orders")
+    t = VersionedTable(os.path.join(root, "t"))
+    stage = os.path.join(root, "stage")
+    if not t.exists():
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            (F.col("o_orderkey") % 100).cast("long").alias("qty"),
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(stage, "b1")
+        )
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("o_orderkey") + F.lit(4_000_000_000))
+            .cast("long").alias("k"),
+            (F.col("o_orderkey") % 100).cast("long").alias("qty"),
+            F.col("o_orderstatus").alias("tag"),
+        ).coalesce(2).write.mode("overwrite").parquet(
+            os.path.join(stage, "b2")
+        )
+        t.create(
+            spark.createDataFrame([], "k int, qty long")
+        )
+    if (t.latest_version() or 0) < 1:
+        vt_sql(
+            spark,
+            f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = "
+            f"PARQUET PATTERN = 'b1/*.parquet'",
+        )
+    if (t.latest_version() or 0) < 2:
+        stmt2 = (
+            f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = "
+            f"PARQUET PATTERN = 'b2/*.parquet' "
+            f"COPY_OPTIONS ('mergeSchema' = 'true')"
+        )
+        vt_sql(spark, stmt2)
+        rerun = vt_sql(spark, stmt2).first()
+        if rerun["files_loaded"] != "0":
+            raise RuntimeError(
+                f"evolved COPY INTO re-run loaded "
+                f"{rerun['files_loaded']} files"
+            )
+    return vt_sql(
+        spark,
+        f"SELECT COALESCE(tag, '_none') AS tag, COUNT(*) AS n, "
+        f"SUM(qty) AS total, SUM(k) AS ksum "
+        f"FROM vt'{t.root}' GROUP BY 1",
+    ).select(
+        "tag",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.col("ksum").cast("long").alias("ksum"),
+    )
+
+
+@register(
     "etl_identity_ids",
     oracle=r"""
 WITH n AS (

@@ -149,6 +149,177 @@ class CommitConflictError(RuntimeError):
     against a re-read snapshot or abort."""
 
 
+class TransactionPendingError(RuntimeError):
+    """A multi-table transaction holds a PREPARED (uncommitted)
+    version on this table. Writers must wait for its COMMIT/ROLLBACK
+    — or, if its driver crashed, clear it with
+    :meth:`VersionedTable.abort_pending_txn`. Deliberately NOT a
+    CommitConflictError: retrying cannot help, so the retry loops
+    surface this immediately instead of spinning."""
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions (r13 verdict #4): BEGIN ... COMMIT over any
+# number of VersionedTables, generalizing the forget_across coordinator
+# journal into true all-or-none visibility.
+#
+# Protocol (two-phase, single-driver):
+#   1. PREPARE — between begin_transaction() and commit_transaction(),
+#      every table commit on this thread writes its manifest to
+#      ``_manifests/txn-<id>-v<N>.json`` instead of ``v<N>.json``.
+#      Prepared manifests are INVISIBLE to every other reader (they
+#      never match the committed-manifest pattern) and embed the
+#      coordinator record's path. The preparing thread itself reads
+#      its own prepared versions (statement 2 of a script sees
+#      statement 1), via the thread-local context below.
+#   2. COMMIT POINT — commit_transaction() atomically creates the
+#      coordinator record (fail-on-exists link, the manifest-publish
+#      pattern) with ``state: committed`` and the table->version map.
+#      This single filesystem operation is the all-or-none boundary:
+#      before it, no reader anywhere sees any of the transaction;
+#      after it, every reader sees all of it.
+#   3. FINALIZE — each prepared manifest is published into its real
+#      version slot and the txn file unlinked. A crash between 2 and
+#      3 is safe: any later reader that encounters a txn file follows
+#      its embedded coordinator path and LAZILY finalizes (committed),
+#      ignores (pending — coordinator absent), or cleans (aborted).
+#
+# Concurrency: a pending prepared version BLOCKS other writers on that
+# table (TransactionPendingError — the slot is reserved), which is what
+# serializes the transaction against concurrent single-table commits.
+# Readers are never blocked. A transaction is thread-local and
+# single-driver by design — the SQL face is ``sql_script("BEGIN; ...;
+# COMMIT")`` — matching the engine's one-coordinator posture.
+# ---------------------------------------------------------------------------
+_TXN_RE = re.compile(r"txn-([0-9a-f]{8,32})-v(\d{8})\.json$")
+_TXN_LOCAL = None
+
+
+def _txn_ctx() -> dict | None:
+    global _TXN_LOCAL
+    if _TXN_LOCAL is None:
+        import threading
+
+        _TXN_LOCAL = threading.local()
+    return getattr(_TXN_LOCAL, "ctx", None)
+
+
+def begin_transaction(txn_id: str | None = None) -> str:
+    """Open a multi-table transaction on THIS thread; returns the
+    transaction id. Every VersionedTable commit until
+    :func:`commit_transaction` / :func:`rollback_transaction` is
+    PREPARED (invisible to other readers) instead of published. The
+    coordinator record lands at ``<first prepared table's
+    root>/_txn/<id>.json`` — its atomic creation at commit time is
+    the all-or-none visibility point."""
+    _txn_ctx()  # init the local
+    if getattr(_TXN_LOCAL, "ctx", None) is not None:
+        raise RuntimeError(
+            f"a transaction is already active on this thread "
+            f"({_TXN_LOCAL.ctx['id']}) — nested BEGIN is not supported"
+        )
+    tid = txn_id or uuid.uuid4().hex[:16]
+    if not re.fullmatch(r"[0-9a-f]{8,32}", tid):
+        raise ValueError("txn_id must be 8-32 lowercase hex chars")
+    _TXN_LOCAL.ctx = {
+        "id": tid,
+        "coordinator": None,
+        "prepared": {},  # abs root -> {version: txn manifest path}
+        "order": [],  # (abs_root, root, version, path) in prepare order
+    }
+    return tid
+
+
+def _coordinator_state(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return json.load(f).get("state")
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None  # absent/torn = transaction never committed
+
+
+def commit_transaction() -> dict:
+    """COMMIT the thread's transaction: atomically publish the
+    coordinator record (the all-or-none point), then finalize every
+    prepared manifest into its real version slot. Returns ``{"id",
+    "coordinator", "tables": {root: version}}``. A crash after the
+    coordinator record exists but before finalize completes loses
+    nothing: readers lazily finalize from the record."""
+    ctx = _txn_ctx()
+    if ctx is None:
+        raise RuntimeError("no transaction is active on this thread")
+    try:
+        if not ctx["order"]:
+            return {"id": ctx["id"], "coordinator": None, "tables": {}}
+        coord = ctx["coordinator"]
+        tables = {}
+        for _a, root, v, _p in ctx["order"]:
+            tables[root] = max(v, tables.get(root, v))
+        rec = {
+            "id": ctx["id"],
+            "state": "committed",
+            "tables": tables,
+        }
+        os.makedirs(os.path.dirname(coord), exist_ok=True)
+        tmp = f"{coord}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, coord)  # THE commit point (fail-on-exists)
+        except FileExistsError:
+            st = _coordinator_state(coord)
+            if st != "committed":
+                raise RuntimeError(
+                    f"transaction {ctx['id']} was already "
+                    f"{st or 'recorded'} at {coord} — cannot commit"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        for _a, root, v, p in ctx["order"]:
+            VersionedTable(root)._finalize_txn_file(ctx["id"], v, p)
+        return {"id": ctx["id"], "coordinator": coord, "tables": tables}
+    finally:
+        _TXN_LOCAL.ctx = None
+
+
+def rollback_transaction() -> dict:
+    """ROLLBACK the thread's transaction: record ``state: aborted``
+    in the coordinator and unlink every prepared manifest. Data dirs
+    the prepared commits wrote become unreachable (vacuum sweeps
+    them). Nothing was ever visible."""
+    ctx = _txn_ctx()
+    if ctx is None:
+        raise RuntimeError("no transaction is active on this thread")
+    try:
+        coord = ctx["coordinator"]
+        if coord is not None:
+            if _coordinator_state(coord) == "committed":
+                raise RuntimeError(
+                    f"transaction {ctx['id']} already committed — "
+                    f"ROLLBACK is impossible; RESTORE the tables to "
+                    f"unwind"
+                )
+            os.makedirs(os.path.dirname(coord), exist_ok=True)
+            tmp = f"{coord}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"id": ctx["id"], "state": "aborted"}, f, indent=1
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, coord)
+        for _a, _root, _v, p in ctx["order"]:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        return {"id": ctx["id"], "tables": {}}
+    finally:
+        _TXN_LOCAL.ctx = None
+
+
 class ConstraintViolationError(RuntimeError):
     """A write carried rows that fail a table CHECK constraint. The
     write is refused BEFORE any manifest publish — the table is
@@ -831,6 +1002,142 @@ class VersionedTable:
         finally:
             os.close(dfd)
 
+    def _txn_files(self) -> list[tuple[str, int, str]]:
+        """(txn id, intended version, path) of every prepared-manifest
+        file on this table. Empty in the overwhelmingly common case —
+        one extra fullmatch per listed name, no I/O."""
+        try:
+            names = os.listdir(self._mdir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            m = _TXN_RE.fullmatch(n)
+            if m:
+                out.append(
+                    (m.group(1), int(m.group(2)),
+                     os.path.join(self._mdir, n))
+                )
+        return out
+
+    def _resolve_txn_files(self) -> list[dict]:
+        """Walk this table's prepared-manifest files and settle every
+        one whose transaction already reached a terminal coordinator
+        state: COMMITTED files are lazily finalized into their real
+        version slot (a crash between the coordinator commit point and
+        finalize loses nothing — the first reader finishes the job),
+        ABORTED files are unlinked. Returns the entries still PENDING
+        (coordinator absent or non-terminal), excluding the current
+        thread's own in-flight prepares."""
+        ctx = _txn_ctx()
+        mine = ctx["id"] if ctx else None
+        pending = []
+        for tid, v, p in self._txn_files():
+            if tid == mine:
+                continue
+            try:
+                with open(p) as f:
+                    man = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # finalized by a racer / mid-write
+            coord = (man.get("txn") or {}).get("coordinator")
+            state = _coordinator_state(coord) if coord else None
+            if state == "committed":
+                self._finalize_txn_file(tid, v, p, manifest=man)
+            elif state == "aborted":
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            else:
+                pending.append(
+                    {"id": tid, "version": v, "path": p,
+                     "coordinator": coord}
+                )
+        return pending
+
+    def _finalize_txn_file(
+        self, tid: str, version: int, path: str, manifest: dict | None = None
+    ) -> None:
+        """Publish a COMMITTED transaction's prepared manifest into its
+        real version slot and unlink the txn file. Idempotent: a
+        racer/crash-retry that finds the slot taken by the SAME
+        transaction treats it as done; a slot taken by anything else
+        is impossible under the writer guard and raises."""
+        if manifest is None:
+            try:
+                with open(path) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                return  # another reader finalized fully
+        try:
+            self._publish(
+                self._manifest_path(version),
+                json.dumps(manifest, indent=1),
+            )
+        except CommitConflictError:
+            try:
+                with open(self._manifest_path(version)) as f:
+                    owner = (json.load(f).get("txn") or {}).get("id")
+            except (FileNotFoundError, json.JSONDecodeError):
+                owner = None
+            if owner != tid:
+                raise RuntimeError(
+                    f"transaction {tid} lost version slot v{version} "
+                    f"at {self.root} to another commit — the writer "
+                    f"guard was bypassed; manual repair needed"
+                ) from None
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        try:
+            cached = self._cached_latest()
+            if cached is None or cached < version:
+                self._atomic_write(
+                    os.path.join(self._mdir, _LATEST), str(version)
+                )
+        except OSError:
+            pass
+
+    def abort_pending_txn(self, txn_id: str | None = None) -> list[str]:
+        """Operator hammer for a transaction whose driver crashed
+        BEFORE its commit point: record ``aborted`` in each pending
+        transaction's coordinator (so every other table's leftover
+        prepared files self-clean on their next read) and unlink this
+        table's prepared files. A transaction whose coordinator
+        already says ``committed`` is finalized instead — it cannot be
+        aborted. Returns the settled txn ids."""
+        done = []
+        for tid, v, p in self._txn_files():
+            if txn_id is not None and tid != txn_id:
+                continue
+            try:
+                with open(p) as f:
+                    man = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            coord = (man.get("txn") or {}).get("coordinator")
+            if coord and _coordinator_state(coord) == "committed":
+                self._finalize_txn_file(tid, v, p, manifest=man)
+            else:
+                if coord:
+                    os.makedirs(os.path.dirname(coord), exist_ok=True)
+                    tmp = f"{coord}.tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(
+                            {"id": tid, "state": "aborted"}, f, indent=1
+                        )
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp, coord)
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            done.append(tid)
+        return sorted(set(done))
+
     def _commit(
         self,
         dirs: list[str],
@@ -921,6 +1228,46 @@ class VersionedTable:
             # scope; compaction materializes entries away
             manifest["dvs"] = dvs
         os.makedirs(self._mdir, exist_ok=True)
+        # transaction fencing (r13 verdict #4): a PREPARED version from
+        # another transaction reserves its slot — writers fail fast
+        # (not a retryable conflict) until that txn commits/aborts or
+        # an operator clears it. Settled txns self-clean here first.
+        blocking = self._resolve_txn_files()
+        if blocking:
+            ids = sorted({b["id"] for b in blocking})
+            raise TransactionPendingError(
+                f"transaction(s) {ids} hold prepared version(s) on "
+                f"{self.root} — COMMIT/ROLLBACK them, or clear a "
+                f"crashed one with abort_pending_txn()"
+            )
+        ctx = _txn_ctx()
+        if ctx is not None:
+            # PREPARE instead of publish: the manifest lands under the
+            # txn namespace (invisible to every other reader), embeds
+            # the coordinator path for lazy crash recovery, and the
+            # context records it so later statements of the SAME
+            # transaction read this table at the prepared version.
+            if ctx["coordinator"] is None:
+                ctx["coordinator"] = os.path.join(
+                    self.root, "_txn", f"{ctx['id']}.json"
+                )
+            if os.path.exists(self._manifest_path(version)):
+                raise CommitConflictError(
+                    f"version already committed by a concurrent "
+                    f"writer: {self._manifest_path(version)}"
+                )
+            manifest["txn"] = {
+                "id": ctx["id"],
+                "coordinator": ctx["coordinator"],
+            }
+            tp = os.path.join(
+                self._mdir, f"txn-{ctx['id']}-v{version:08d}.json"
+            )
+            self._publish(tp, json.dumps(manifest, indent=1))
+            aroot = os.path.abspath(self.root)
+            ctx["prepared"].setdefault(aroot, {})[version] = tp
+            ctx["order"].append((aroot, self.root, version, tp))
+            return version
         self._publish(
             self._manifest_path(version), json.dumps(manifest, indent=1)
         )
@@ -1048,6 +1395,14 @@ class VersionedTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        ctx = _txn_ctx()
+        if ctx is not None:
+            # the preparing thread reads its OWN prepared versions —
+            # statement 2 of a transaction sees statement 1's state
+            p = ctx["prepared"].get(os.path.abspath(self.root), {}).get(v)
+            if p is not None:
+                with open(p) as f:
+                    return json.load(f)
         try:
             with open(self._manifest_path(v)) as f:
                 return json.load(f)
@@ -1112,6 +1467,12 @@ class VersionedTable:
             names = os.listdir(self._mdir)
         except FileNotFoundError:
             return None
+        if any(_TXN_RE.fullmatch(n) for n in names):
+            # settle finished transactions (lazy finalize/clean) so a
+            # committed-but-unfinalized version becomes visible to
+            # every reader; pending ones stay invisible
+            self._resolve_txn_files()
+            names = os.listdir(self._mdir)
         best = None
         for n in names:
             m = _MANIFEST_RE.fullmatch(n)
@@ -1119,6 +1480,12 @@ class VersionedTable:
                 v = int(m.group(1))
                 if best is None or v > best:
                     best = v
+        ctx = _txn_ctx()
+        if ctx is not None:
+            mine = ctx["prepared"].get(os.path.abspath(self.root))
+            if mine:
+                mv = max(mine)
+                best = mv if best is None else max(best, mv)
         return best
 
     def history(self) -> list[dict]:
@@ -1848,6 +2215,8 @@ class VersionedTable:
         options: dict | None = None,
         force: bool = False,
         meta: dict | None = None,
+        pattern: str | None = None,
+        allow_evolution: bool = False,
     ) -> dict:
         """Idempotent bulk file ingestion (the Delta ``COPY INTO``
         shape): list the data files under ``source`` (recursive;
@@ -1866,6 +2235,17 @@ class VersionedTable:
 
         Returns ``{"version", "files_loaded", "files_skipped",
         "rows_loaded"}``; ``version`` is None when no new files.
+
+        ``pattern`` (r13 verdict #5) filters the stage listing by a
+        glob over each file's path relative to the stage root
+        (fnmatch semantics; applied before the load history, so
+        unmatched files stay loadable by a later wider pattern).
+        ``allow_evolution=True`` lets an ADDITIVE or type-WIDENING
+        stage batch evolve the table through the same append
+        evolution path appends already certify (new columns join the
+        schema, older rows surface them as NULL; widened types record
+        the widened schema); a batch MISSING table columns refuses
+        either way.
 
         File identity is the absolute path (Delta's rule): replacing
         a file's CONTENT in place is invisible — stage new bytes as
@@ -1905,7 +2285,8 @@ class VersionedTable:
 
         with _copy_lock():
             return self._copy_into_locked(
-                spark, source, file_format, options, force, meta
+                spark, source, file_format, options, force, meta,
+                pattern, allow_evolution,
             )
 
     def _copy_into_locked(
@@ -1916,6 +2297,8 @@ class VersionedTable:
         options: dict | None,
         force: bool,
         meta: dict | None,
+        pattern: str | None = None,
+        allow_evolution: bool = False,
     ) -> dict:
         already: set[str] = set()
         if not force:
@@ -1945,9 +2328,30 @@ class VersionedTable:
             ):
                 listed.append(os.path.abspath(p))
         listed = sorted(set(listed))
+        if pattern is not None:
+            # PATTERN (r13 verdict #5, the Databricks COPY INTO
+            # option): a glob over each file's path RELATIVE to the
+            # stage root — 'part-*.parquet', 'ds=2024*/*.parquet'.
+            # fnmatch semantics ('*' crosses '/'; use '[!_]' classes
+            # as needed), applied AFTER the sidecar skip and BEFORE
+            # the load history, so an unmatched file neither loads nor
+            # enters the history (a later wider PATTERN still picks it
+            # up). Idempotence is per-file, PATTERN-independent.
+            import fnmatch
+
+            base = os.path.abspath(
+                source if os.path.isdir(source)
+                else os.path.dirname(source) or "."
+            )
+            listed = [
+                f
+                for f in listed
+                if fnmatch.fnmatch(os.path.relpath(f, base), pattern)
+            ]
         if not listed:
             raise FileNotFoundError(
                 f"COPY INTO source matched no data files: {source}"
+                + (f" (PATTERN {pattern!r})" if pattern else "")
             )
         new_files = [f for f in listed if f not in already]
         if not new_files:
@@ -1973,25 +2377,38 @@ class VersionedTable:
                 f"identity column(s) {sorted(got & ident)} are "
                 f"GENERATED ALWAYS — stage files must not supply them"
             )
-        if extra or missing:
+        if (extra and not allow_evolution) or missing:
             raise ValueError(
                 f"COPY INTO schema mismatch: source has extra columns "
                 f"{extra}, is missing table columns {missing} — COPY "
                 f"INTO maps by name and is schema-strict (generated/"
-                f"identity columns may be absent; they are computed)"
+                f"identity columns may be absent; they are computed). "
+                f"Pass allow_evolution=True (SQL: COPY_OPTIONS "
+                f"('mergeSchema' = 'true')) to let an ADDITIVE or "
+                f"type-WIDENING stage batch evolve the table; a batch "
+                f"missing table columns always refuses"
             )
-        df = df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in snap.fields
-                if f.name in got
-            ]
-        )
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in snap.fields:
+            if f.name not in got:
+                continue
+            g = src_types[f.name]
+            if allow_evolution and _is_widening(f.dataType, g):
+                # stage batch WIDER than the table: keep the source
+                # type and let append's evolution path widen the
+                # recorded schema (r13 verdict #5)
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        if allow_evolution:
+            cols.extend(F.col(n) for n in extra)
+        df = df.select(*cols)
         rows = df.count()
         m = dict(meta or {})
         m["copy_files"] = new_files
         m["copy_source"] = source
-        v = self.append(df, meta=m)
+        v = self.append(df, meta=m, allow_evolution=allow_evolution)
         return {
             "version": v,
             "files_loaded": len(new_files),
@@ -4701,7 +5118,12 @@ class VersionedTable:
         # range keeps working after a vacuum; clean_metadata dropping
         # old manifests is what releases their feed dirs.
         for name in os.listdir(self._mdir):
-            if not (_MANIFEST_RE.fullmatch(name) or _CKPT_RE.fullmatch(name)):
+            is_txn = bool(_TXN_RE.fullmatch(name))
+            if not (
+                _MANIFEST_RE.fullmatch(name)
+                or _CKPT_RE.fullmatch(name)
+                or is_txn
+            ):
                 continue
             try:
                 with open(os.path.join(self._mdir, name)) as f:
@@ -4709,6 +5131,10 @@ class VersionedTable:
             except (OSError, json.JSONDecodeError):
                 continue
             m = doc.get("manifest", doc)  # ckpt carries a full manifest
+            if is_txn:
+                # a PREPARED transaction's dirs are reachable the
+                # instant its coordinator commits — never sweep them
+                live.update(m.get("data_dirs", []))
             if m.get("cdf_dir"):
                 live.add(m["cdf_dir"])
             for e in m.get("dvs", []):

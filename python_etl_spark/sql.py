@@ -139,6 +139,7 @@ dir-pruned merge/delete, and utility verbs are metadata-only.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -964,6 +965,56 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     stmt = statement.strip().rstrip(";").strip()
     head = stmt.split(None, 2)
     verb = head[0].upper() if head else ""
+    if verb in ("BEGIN", "COMMIT", "ROLLBACK"):
+        # multi-table transaction verbs (r13 verdict #4). BEGIN
+        # [TRANSACTION] opens a thread-local transaction: every DML
+        # until COMMIT is PREPARED (invisible everywhere else), the
+        # COMMIT's coordinator-record creation is the atomic
+        # all-or-none visibility point, and ROLLBACK discards the
+        # prepared state. Statement semantics inside a transaction:
+        # reads (SELECT/WITH/EXPLAIN/SHOW/DESCRIBE) see committed
+        # state plus THIS transaction's prepared versions; DML
+        # (INSERT/MERGE/UPDATE/DELETE/COPY/TRUNCATE) prepares; DDL,
+        # catalog and maintenance verbs are refused (they are not
+        # table commits and could not be rolled back). A crash before
+        # COMMIT leaves nothing visible; a crash after COMMIT
+        # finalizes lazily on the next read of each table.
+        from python_etl_spark.sinks.table import (
+            begin_transaction,
+            commit_transaction,
+            rollback_transaction,
+        )
+
+        if verb == "BEGIN":
+            if not re.fullmatch(
+                r"begin(\s+transaction)?", stmt, re.IGNORECASE
+            ):
+                raise ValueError("BEGIN grammar: BEGIN [TRANSACTION]")
+            tid = begin_transaction()
+            return _receipt(spark, op="begin", txn=tid)
+        if len(head) > 1:
+            raise ValueError(f"{verb} takes no arguments")
+        if verb == "COMMIT":
+            rep = commit_transaction()
+            return _receipt(
+                spark,
+                op="commit",
+                txn=rep["id"],
+                tables=json.dumps(rep["tables"], sort_keys=True),
+            )
+        rep = rollback_transaction()
+        return _receipt(spark, op="rollback", txn=rep["id"])
+    from python_etl_spark.sinks.table import _txn_ctx
+
+    if _txn_ctx() is not None and verb not in (
+        "SELECT", "WITH", "EXPLAIN", "SHOW", "DESCRIBE",
+        "INSERT", "MERGE", "UPDATE", "DELETE", "COPY", "TRUNCATE",
+    ):
+        raise ValueError(
+            f"{verb} is not allowed inside a transaction — only reads "
+            f"and table DML (INSERT/MERGE/UPDATE/DELETE/COPY INTO/"
+            f"TRUNCATE) participate in BEGIN ... COMMIT"
+        )
     if verb in ("SELECT", "WITH"):
         return spark.sql(_substitute_views(spark, stmt))
     if verb == "EXPLAIN":
@@ -1029,7 +1080,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         m = re.match(
             rf"copy\s+into\s+{_VT}\s+from\s+'([^']+)'\s+"
             rf"fileformat\s*=\s*(\w+)"
+            rf"(?:\s+pattern\s*=\s*'([^']+)')?"
             rf"(?:\s+format_options\s*\(([^)]*)\))?"
+            rf"(?:\s+copy_options\s*\(([^)]*)\))?"
             rf"(\s+force)?$",
             stmt,
             re.IGNORECASE | re.DOTALL,
@@ -1038,24 +1091,45 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             raise ValueError(
                 "COPY grammar: COPY INTO vt'<path>'|<name> FROM "
                 "'<source>' FILEFORMAT = PARQUET|CSV|JSON [...] "
-                "[FORMAT_OPTIONS (k = 'v', ...)] [FORCE]"
+                "[PATTERN = '<glob>'] [FORMAT_OPTIONS (k = 'v', ...)] "
+                "[COPY_OPTIONS ('mergeSchema' = 'true'|'false', "
+                "'force' = 'true'|'false')] [FORCE]"
             )
-        path, src, fmt, raw_opts, force = m.groups()
-        opts = {}
-        for kv in _split_commas(raw_opts) if raw_opts else []:
-            km = re.match(r"\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", kv)
-            if not km:
-                raise ValueError(
-                    f"bad FORMAT_OPTIONS entry {kv!r} — expected "
-                    f"key = '<value>'"
-                )
-            opts[km.group(1)] = km.group(2)
+        path, src, fmt, pat, raw_opts, raw_copts, force = m.groups()
+
+        def _kv(raw, label):
+            out = {}
+            for kv in _split_commas(raw) if raw else []:
+                km = re.match(r"\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", kv)
+                if not km:
+                    raise ValueError(
+                        f"bad {label} entry {kv!r} — expected "
+                        f"key = '<value>'"
+                    )
+                out[km.group(1)] = km.group(2)
+            return out
+
+        opts = _kv(raw_opts, "FORMAT_OPTIONS")
+        copts = {k.lower(): v for k, v in _kv(
+            raw_copts, "COPY_OPTIONS"
+        ).items()}
+        unknown = sorted(set(copts) - {"mergeschema", "force"})
+        if unknown:
+            raise ValueError(
+                f"unsupported COPY_OPTIONS {unknown} — supported: "
+                f"'mergeSchema', 'force'"
+            )
         res = _table(path).copy_into(
             spark,
             src,
             file_format=fmt.lower(),
             options=opts or None,
-            force=bool(force),
+            force=bool(force)
+            or str(copts.get("force", "")).lower() == "true",
+            pattern=pat,
+            allow_evolution=(
+                str(copts.get("mergeschema", "")).lower() == "true"
+            ),
         )
         return _receipt(
             spark,
@@ -1538,7 +1612,18 @@ def sql_script(spark: SparkSession, script: str) -> DataFrame:
     """Run several ``;``-separated statements in order and return the
     LAST statement's frame (quote-aware split — a semicolon inside a
     string literal never splits; ``--`` line comments are stripped).
-    No cross-statement transaction exists: each DML verb is its own
+
+    TRANSACTIONS (r13 verdict #4): statements between ``BEGIN
+    [TRANSACTION]`` and ``COMMIT`` are all-or-none across every table
+    they touch — each DML PREPARES an invisible manifest, COMMIT's
+    atomic coordinator-record creation is the visibility point, and
+    lazy finalize makes a crash after that point lose nothing (see
+    sinks/table.py's transaction protocol). ``ROLLBACK`` discards the
+    prepared state. A statement FAILURE inside a transaction rolls the
+    whole transaction back before the error propagates, and a script
+    that ends inside an open transaction is rolled back and refused —
+    so a script transaction can never leak prepared state. Outside a
+    transaction the old contract holds: each DML verb is its own
     atomic commit, and a failing statement stops the script with
     everything before it already committed (the receipt frames name
     the versions, so a caller can RESTORE to unwind)."""
@@ -1571,7 +1656,29 @@ def sql_script(spark: SparkSession, script: str) -> DataFrame:
     stmts = [s.strip() for s in stmts if s.strip()]
     if not stmts:
         raise ValueError("empty SQL script")
+    from python_etl_spark.sinks.table import (
+        _txn_ctx,
+        rollback_transaction,
+    )
+
+    began_txn = False
     out = None
-    for s in stmts:
-        out = sql(spark, s)
+    try:
+        for s in stmts:
+            v = s.split(None, 1)[0].upper()
+            out = sql(spark, s)
+            if v == "BEGIN":
+                began_txn = True
+            elif v in ("COMMIT", "ROLLBACK"):
+                began_txn = False
+    except BaseException:
+        if began_txn and _txn_ctx() is not None:
+            rollback_transaction()  # all-or-none: a failed statement
+        raise  # aborts the whole script transaction
+    if began_txn and _txn_ctx() is not None:
+        rollback_transaction()
+        raise ValueError(
+            "script ended inside an open transaction — nothing was "
+            "committed; end the script with COMMIT or ROLLBACK"
+        )
     return out

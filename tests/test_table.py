@@ -5485,3 +5485,216 @@ def test_sql_explain_dml_verbs(spark, tmp_path):
             spark.conf.unset("spark.python_etl_spark.catalog")
         else:
             spark.conf.set("spark.python_etl_spark.catalog", old)
+
+
+def test_txn_all_or_none_across_tables(spark, tmp_path):
+    """r13 verdict #4: BEGIN ... COMMIT over two tables is
+    all-or-none — both INSERTs land atomically, a later statement in
+    the transaction sees an earlier one's prepared state, and the
+    receipts name the committed versions."""
+    from python_etl_spark.sql import sql, sql_script
+
+    a = VersionedTable(str(tmp_path / "a"))
+    b = VersionedTable(str(tmp_path / "b"))
+    a.create(spark.createDataFrame([(1,)], "k long"))
+    b.create(spark.createDataFrame([(10,)], "k long"))
+    out = sql_script(
+        spark,
+        f"""
+        BEGIN;
+        INSERT INTO vt'{a.root}' VALUES (2);
+        INSERT INTO vt'{b.root}' VALUES (20);
+        UPDATE vt'{b.root}' SET k = k + 1 WHERE k = 20;
+        COMMIT;
+        SELECT COUNT(*) AS n FROM vt'{a.root}'
+        """,
+    )
+    assert out.first().n == 2
+    assert sorted(r.k for r in a.read(spark).collect()) == [1, 2]
+    assert sorted(r.k for r in b.read(spark).collect()) == [10, 21]
+    assert a.latest_version() == 1 and b.latest_version() == 2
+    # no leftover txn files or context
+    assert a._txn_files() == [] and b._txn_files() == []
+    from python_etl_spark.sinks.table import _txn_ctx
+
+    assert _txn_ctx() is None
+
+
+def test_txn_crash_before_commit_is_invisible_and_recoverable(
+    spark, tmp_path
+):
+    """Crash injection BEFORE the commit point: a transaction that
+    prepared on two tables and died leaves NOTHING visible; writers
+    are fenced with a clear error until abort_pending_txn clears the
+    prepared state, after which writes flow again."""
+    import python_etl_spark.sinks.table as T
+    from python_etl_spark.sql import sql
+
+    a = VersionedTable(str(tmp_path / "a"))
+    b = VersionedTable(str(tmp_path / "b"))
+    a.create(spark.createDataFrame([(1,)], "k long"))
+    b.create(spark.createDataFrame([(10,)], "k long"))
+    T.begin_transaction()
+    sql(spark, f"INSERT INTO vt'{a.root}' VALUES (2)")
+    sql(spark, f"INSERT INTO vt'{b.root}' VALUES (20)")
+    # inside the txn, this thread sees its own prepared rows
+    assert a.read(spark).count() == 2
+    T._TXN_LOCAL.ctx = None  # simulate a driver crash (no COMMIT)
+    # invisible to everyone
+    assert a.read(spark).count() == 1
+    assert b.read(spark).count() == 1
+    assert a.latest_version() == 0 and b.latest_version() == 0
+    # writers are fenced, not silently interleaved
+    with pytest.raises(T.TransactionPendingError, match="prepared"):
+        a.append(spark.createDataFrame([(9,)], "k long"))
+    # operator clears the crashed txn; its coordinator is aborted, so
+    # the OTHER table's leftover file self-cleans on its next read
+    cleared = a.abort_pending_txn()
+    assert len(cleared) == 1
+    a.append(spark.createDataFrame([(9,)], "k long"))
+    assert sorted(r.k for r in a.read(spark).collect()) == [1, 9]
+    assert b.read(spark).count() == 1 and b._txn_files() == []
+
+
+def test_txn_crash_after_commit_point_finalizes_lazily(spark, tmp_path):
+    """Crash injection AFTER the commit point: once the coordinator
+    record says committed, a crash before finalize loses nothing —
+    the next reader of each table lazily publishes the prepared
+    manifest, so both tables show the transaction."""
+    import python_etl_spark.sinks.table as T
+
+    a = VersionedTable(str(tmp_path / "a"))
+    b = VersionedTable(str(tmp_path / "b"))
+    a.create(spark.createDataFrame([(1,)], "k long"))
+    b.create(spark.createDataFrame([(10,)], "k long"))
+    T.begin_transaction()
+    a.append(spark.createDataFrame([(2,)], "k long"))
+    b.append(spark.createDataFrame([(20,)], "k long"))
+    orig = T.VersionedTable._finalize_txn_file
+    T.VersionedTable._finalize_txn_file = lambda *a_, **k_: None
+    try:
+        rep = T.commit_transaction()  # coordinator lands; finalize "dies"
+    finally:
+        T.VersionedTable._finalize_txn_file = orig
+    assert rep["tables"] == {a.root: 1, b.root: 1}
+    assert len(a._txn_files()) == 1  # prepared file still there...
+    # ...but the committed transaction is visible and self-finalizes
+    assert sorted(r.k for r in a.read(spark).collect()) == [1, 2]
+    assert sorted(r.k for r in b.read(spark).collect()) == [10, 20]
+    assert a._txn_files() == [] and b._txn_files() == []
+    assert a.latest_version() == 1 and b.latest_version() == 1
+
+
+def test_txn_rollback_and_failure_semantics(spark, tmp_path):
+    """ROLLBACK discards everything; a failing statement inside a
+    script transaction auto-rolls-back (all-or-none); DDL inside a
+    transaction refuses; a script ending inside an open transaction
+    rolls back and raises."""
+    from python_etl_spark.sql import sql_script
+
+    a = VersionedTable(str(tmp_path / "a"))
+    a.create(spark.createDataFrame([(1,)], "k long"))
+    out = sql_script(
+        spark,
+        f"BEGIN; INSERT INTO vt'{a.root}' VALUES (2); ROLLBACK; "
+        f"SELECT COUNT(*) AS n FROM vt'{a.root}'",
+    )
+    assert out.first().n == 1 and a._txn_files() == []
+    # failing statement mid-transaction: nothing applied
+    with pytest.raises(Exception):
+        sql_script(
+            spark,
+            f"BEGIN; INSERT INTO vt'{a.root}' VALUES (3); "
+            f"DELETE FROM vt'{a.root}'",  # bad grammar: no WHERE
+        )
+    assert a.read(spark).count() == 1 and a._txn_files() == []
+    # DDL refused inside a transaction
+    with pytest.raises(ValueError, match="not allowed inside"):
+        sql_script(
+            spark,
+            f"BEGIN; CREATE TABLE vt'{tmp_path / 'c'}' (k BIGINT); "
+            f"COMMIT",
+        )
+    # open transaction at script end: rolled back + refused
+    with pytest.raises(ValueError, match="ended inside"):
+        sql_script(
+            spark, f"BEGIN; INSERT INTO vt'{a.root}' VALUES (4)"
+        )
+    assert a.read(spark).count() == 1 and a._txn_files() == []
+    from python_etl_spark.sinks.table import _txn_ctx
+
+    assert _txn_ctx() is None
+
+
+def test_copy_into_pattern_and_evolution(spark, tmp_path):
+    """r13 verdict #5: PATTERN filters the stage listing relative to
+    the stage root BEFORE the load history (unmatched files stay
+    loadable later); allow_evolution lets an additive/widening batch
+    evolve the table via the certified append path; missing columns
+    still refuse; idempotence holds under PATTERN."""
+    stage = tmp_path / "stage"
+    spark.createDataFrame([(1, "a")], "k int, v string").coalesce(
+        1
+    ).write.parquet(str(stage / "day1"))
+    spark.createDataFrame([(2, "b")], "k int, v string").coalesce(
+        1
+    ).write.parquet(str(stage / "day2"))
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], "k int, v string"))
+    r1 = t.copy_into(spark, str(stage), pattern="day1/*.parquet")
+    assert r1["files_loaded"] == 1 and t.read(spark).count() == 1
+    # re-run same pattern: nothing new
+    r2 = t.copy_into(spark, str(stage), pattern="day1/*.parquet")
+    assert r2["version"] is None and r2["files_skipped"] == 1
+    # wider pattern later picks up the unmatched file (not poisoned
+    # by the history)
+    r3 = t.copy_into(spark, str(stage), pattern="day*/*.parquet")
+    assert r3["files_loaded"] == 1 and r3["files_skipped"] == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    with pytest.raises(FileNotFoundError, match="PATTERN"):
+        t.copy_into(spark, str(stage), pattern="nope/*.parquet")
+    # evolution: additive column + widened k (int -> bigint)
+    spark.createDataFrame(
+        [(3_000_000_000, "c", 9.5)], "k long, v string, score double"
+    ).coalesce(1).write.parquet(str(stage / "day3"))
+    with pytest.raises(ValueError, match="mergeSchema"):
+        t.copy_into(spark, str(stage), pattern="day3/*.parquet")
+    r4 = t.copy_into(
+        spark, str(stage), pattern="day3/*.parquet",
+        allow_evolution=True,
+    )
+    assert r4["files_loaded"] == 1
+    got = {r.k: (r.v, r.score) for r in t.read(spark).collect()}
+    assert got[3_000_000_000] == ("c", 9.5)  # widened value intact
+    assert got[1] == ("a", None)  # old rows NULL-fill the new column
+    # a batch MISSING table columns refuses even with evolution
+    spark.createDataFrame([(4,)], "k long").coalesce(1).write.parquet(
+        str(stage / "day4")
+    )
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.copy_into(
+            spark, str(stage), pattern="day4/*.parquet",
+            allow_evolution=True,
+        )
+    # SQL face: PATTERN + COPY_OPTIONS mergeSchema + force
+    from python_etl_spark.sql import sql
+
+    spark.createDataFrame(
+        [(5, "e", 1.0, True)], "k long, v string, score double, ok boolean"
+    ).coalesce(1).write.parquet(str(stage / "day5"))
+    rec = sql(
+        spark,
+        f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = PARQUET "
+        f"PATTERN = 'day5/*.parquet' COPY_OPTIONS "
+        f"('mergeSchema' = 'true')",
+    ).first()
+    assert rec.files_loaded == "1"
+    assert [r.ok for r in t.read(spark).where("k = 5").collect()] == [
+        True
+    ]
+    with pytest.raises(ValueError, match="unsupported COPY_OPTIONS"):
+        sql(
+            spark,
+            f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = "
+            f"PARQUET COPY_OPTIONS ('nope' = '1')",
+        )
