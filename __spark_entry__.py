@@ -301,10 +301,22 @@ _R12_CHECKED = frozenset(
     ]
 )
 
+_R13_CHECKED = frozenset(
+    [
+        "etl_identity_ids",
+        "etl_sql_catalog",
+        "etl_sql_copy_into",
+        "etl_sql_ddl",
+        "etl_sql_merge_set",
+        "etl_sql_table_changes",
+    ]
+)
+
 _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
     | _R09_CHECKED | _R10_CHECKED | _R11_CHECKED | _R12_CHECKED
+    | _R13_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the

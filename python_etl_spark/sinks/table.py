@@ -501,17 +501,25 @@ class VersionedTable:
 
     def identity_columns(self) -> dict:
         """IDENTITY column specs declared at create time
-        (``identity={col: {"start": n, "step": m}}`` — the Delta
-        ``GENERATED ALWAYS AS IDENTITY`` shape), sticky like
-        ``generated`` and carried by checkpoints. Writes must NOT
-        supply the column (GENERATED ALWAYS): ``create``/``append``/
+        (``identity={col: {"start": n, "step": m[, "mode":
+        "always"|"default"]}}`` — the Delta ``GENERATED ALWAYS|BY
+        DEFAULT AS IDENTITY`` shapes), sticky like ``generated`` and
+        carried by checkpoints. ``always`` (the default mode): writes
+        must NOT supply the column — ``create``/``append``/
         ``copy_into``/``overwrite`` assign values that are UNIQUE and
         monotone per commit but NOT contiguous (partition-parallel
-        assignment leaves gaps — Delta's documented behavior); the
-        last used value rides each assigning commit's manifest meta
-        (``identity_highwater``), and a commit conflict reassigns
-        from the winner's mark, so two racing appends can never mint
-        the same id."""
+        assignment leaves gaps — Delta's documented behavior).
+        ``default`` (r14, r13 verdict #7): a write MAY supply the
+        column — explicit ids must be non-null and batch-distinct,
+        explicit ids at or below the current high-water are probed
+        against the live snapshot and refused on collision (a
+        column-pruned scan, only when below-water ids are present),
+        and the high-water SYNCS past the batch extreme so later
+        auto-assignment never collides. Either way the last used
+        value rides each assigning commit's manifest meta
+        (``identity_highwater``), and a commit conflict
+        reassigns/re-probes from the winner's mark, so two racing
+        appends can never mint the same id."""
         if not self.exists():
             return {}
         try:
@@ -617,6 +625,108 @@ class VersionedTable:
             )
             new_hw[c] = int(hw[c]) + step * acc
         return out.drop(mono, "__pid", "__off"), new_hw
+
+    def _accept_explicit_identity(
+        self,
+        df: DataFrame,
+        spec: dict,
+        hw: dict,
+        probe_version: int | None,
+    ) -> dict:
+        """Validate EXPLICIT ids supplied for ``GENERATED BY
+        DEFAULT`` identity columns (r14, r13 verdict #7) and return
+        the synced high-water for those columns. Three gates, two
+        actions: one agg over the batch (nulls, in-batch duplicates,
+        extremes), then — only when ids sit at or below the current
+        mark, i.e. in already-minted territory — a semi-join probe of
+        the live snapshot at ``probe_version`` refusing collisions
+        with existing rows. ``probe_version=None`` skips the probe
+        (create: nothing minted yet; overwrite: the snapshot being
+        replaced cannot collide with its replacement). Ids ABOVE the
+        mark are safe by construction — never minted — so the common
+        keep-your-ids-above-water loader pays only the one agg.
+
+        Scale shape: the agg is a full-batch reduce (O(batch)); the
+        probe reads ONLY the identity column of the snapshot
+        (parquet column pruning) and only the below-water distinct
+        ids of the batch join against it — no full-row scan, no
+        driver data path."""
+        spark = df.sparkSession
+        aggs = []
+        for c in spec:
+            aggs += [
+                F.count(F.lit(1)).alias(f"__n_{c}"),
+                F.count(c).alias(f"__nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        new_hw = {}
+        for c, s in spec.items():
+            step = int(s["step"])
+            if row[f"__nn_{c}"] != row[f"__n_{c}"]:
+                raise ValueError(
+                    f"identity column '{c}' is GENERATED BY DEFAULT: "
+                    f"supply every row's id or omit the column — "
+                    f"NULL ids are refused (no per-row mixing)"
+                )
+            if row[f"__nd_{c}"] != row[f"__n_{c}"]:
+                raise ValueError(
+                    f"explicit ids for identity column '{c}' repeat "
+                    f"within the batch — ids must be unique"
+                )
+            if row[f"__n_{c}"] == 0:
+                new_hw[c] = int(hw[c])
+                continue
+            lo, hi = int(row[f"__lo_{c}"]), int(row[f"__hi_{c}"])
+            below = (
+                F.col(c) <= hw[c] if step > 0 else F.col(c) >= hw[c]
+            )
+            has_below = (lo <= hw[c]) if step > 0 else (hi >= hw[c])
+            if probe_version is not None and has_below:
+                live = self.read(spark, probe_version).select(c)
+                dup = (
+                    live.join(
+                        df.where(below).select(c).distinct(),
+                        c,
+                        "semi",
+                    )
+                    .limit(3)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"explicit ids {sorted(r[c] for r in dup)} "
+                        f"for identity column '{c}' collide with "
+                        f"existing rows (ids at or below the "
+                        f"high-water {hw[c]} are probed; keep "
+                        f"explicit ids above it to skip the probe)"
+                    )
+            new_hw[c] = max(int(hw[c]), hi) if step > 0 else min(
+                int(hw[c]), lo
+            )
+        return new_hw
+
+    def _split_identity(self, ident: dict, df_cols, verb: str):
+        """Partition an identity spec into (explicit BY DEFAULT
+        columns the frame supplies, columns to auto-assign),
+        refusing a supplied GENERATED ALWAYS column."""
+        supplied = sorted(set(ident) & set(df_cols))
+        bad = [
+            c for c in supplied
+            if str(ident[c].get("mode", "always")) != "default"
+        ]
+        if bad:
+            raise ValueError(
+                f"identity column(s) {bad} are GENERATED ALWAYS — "
+                f"{verb} must not supply them (declare GENERATED BY "
+                f"DEFAULT AS IDENTITY to allow explicit ids)"
+            )
+        return (
+            {c: ident[c] for c in supplied},
+            {c: s for c, s in ident.items() if c not in supplied},
+        )
 
     def _apply_generated(self, df: DataFrame, gen: dict) -> DataFrame:
         """Compute absent generated columns; verify present ones in
@@ -1567,9 +1677,19 @@ class VersionedTable:
                     )
         hw0 = None
         if identity:
+            # the stored spec carries "mode" only for BY DEFAULT —
+            # plain ALWAYS specs keep the r13 two-key shape, so specs
+            # written before modes existed and specs written now are
+            # indistinguishable (both mean ALWAYS)
             identity = {
                 c: {"start": int(s.get("start", 1)),
-                    "step": int(s.get("step", 1))}
+                    "step": int(s.get("step", 1)),
+                    **(
+                        {"mode": str(s.get("mode")).lower()}
+                        if str(s.get("mode", "always")).lower()
+                        != "always"
+                        else {}
+                    )}
                 for c, s in identity.items()
             }
             clash = set(identity) & (
@@ -1580,20 +1700,35 @@ class VersionedTable:
                     f"identity column(s) {sorted(clash)} cannot also "
                     f"be generated or partition columns"
                 )
-            supplied = sorted(set(identity) & set(df.columns))
-            if supplied:
-                raise ValueError(
-                    f"identity column(s) {supplied} are GENERATED "
-                    f"ALWAYS — the create frame must not supply them"
-                )
             for c, s in identity.items():
                 if s["step"] == 0:
                     raise ValueError(f"identity '{c}' step must be nonzero")
-            df, hw0 = self._assign_identity(
-                df,
-                identity,
-                {c: s["start"] - s["step"] for c, s in identity.items()},
+                if s.get("mode", "always") not in ("always", "default"):
+                    raise ValueError(
+                        f"identity '{c}' mode must be 'always' or "
+                        f"'default', got {s['mode']!r}"
+                    )
+            explicit, auto = self._split_identity(
+                identity, df.columns, "the create frame"
             )
+            base_hw = {
+                c: s["start"] - s["step"] for c, s in identity.items()
+            }
+            hw0 = {}
+            if explicit:
+                # nothing minted yet, so no live probe — only the
+                # null/duplicate gates and the high-water sync
+                df = df.localCheckpoint(eager=True)
+                hw0.update(
+                    self._accept_explicit_identity(
+                        df, explicit, base_hw, None
+                    )
+                )
+            if auto:
+                df, hw_auto = self._assign_identity(
+                    df, auto, {c: base_hw[c] for c in auto}
+                )
+                hw0.update(hw_auto)
         if generated:
             df = self._apply_generated(df, generated)
         if constraints:
@@ -1736,14 +1871,21 @@ class VersionedTable:
         cur = self._read_manifest()
         ident = self.identity_columns()
         if ident:
-            supplied = sorted(set(ident) & set(df.columns))
-            if supplied:
-                raise ValueError(
-                    f"identity column(s) {supplied} are GENERATED "
-                    f"ALWAYS — appends must not supply them"
-                )
+            explicit, auto = self._split_identity(
+                ident, df.columns, "appends"
+            )
             hw = self._identity_highwater(cur)
-            df, new_hw = self._assign_identity(df, ident, hw)
+            new_hw = dict(hw)
+            if explicit:
+                df = df.localCheckpoint(eager=True)
+                new_hw.update(
+                    self._accept_explicit_identity(
+                        df, explicit, hw, cur["version"]
+                    )
+                )
+            if auto:
+                df, hw_auto = self._assign_identity(df, auto, hw)
+                new_hw.update({c: hw_auto[c] for c in auto})
         df = self._apply_generated(df, self.generated_columns())
         # schema guard: an append with drifted columns would poison the
         # snapshot read (parquet union mismatch) — fail at commit time
@@ -1863,14 +2005,30 @@ class VersionedTable:
                     won_hw = self._identity_highwater(cur)
                     if won_hw != hw:
                         hw = won_hw
-                        base = df.drop(*[c for c in ident])
-                        df, new_hw = self._assign_identity(
-                            base, ident, hw
-                        )
+                        new_hw = dict(hw)
+                        if explicit:
+                            # explicit ids never reassign — but the
+                            # winner may have minted into their range,
+                            # so re-probe against ITS snapshot (a
+                            # collision here is an honest refusal,
+                            # not a retry)
+                            new_hw.update(
+                                self._accept_explicit_identity(
+                                    df, explicit, hw, cur["version"]
+                                )
+                            )
+                        if auto:
+                            base = df.drop(*[c for c in auto])
+                            df, hw_auto = self._assign_identity(
+                                base, auto, hw
+                            )
+                            new_hw.update(
+                                {c: hw_auto[c] for c in auto}
+                            )
+                            d = self._write_data(
+                                df, self.partition_columns() or None
+                            )
                         m["identity_highwater"] = new_hw
-                        d = self._write_data(
-                            df, self.partition_columns() or None
-                        )
                 # the winner may have ADDED a constraint after this
                 # append validated — a re-commit without re-checking
                 # would land rows add_constraint never saw (it
@@ -2372,11 +2530,8 @@ class VersionedTable:
         got = set(df.columns)
         extra = sorted(got - set(have))
         missing = sorted(set(have) - got - gen - ident)
-        if sorted(got & ident):
-            raise ValueError(
-                f"identity column(s) {sorted(got & ident)} are "
-                f"GENERATED ALWAYS — stage files must not supply them"
-            )
+        ident_spec = self.identity_columns()
+        self._split_identity(ident_spec, got, "stage files")
         if (extra and not allow_evolution) or missing:
             raise ValueError(
                 f"COPY INTO schema mismatch: source has extra columns "
@@ -3081,15 +3236,25 @@ class VersionedTable:
         meta = dict(meta or {}) or None
         ident = self.identity_columns()
         if ident:
-            supplied = sorted(set(ident) & set(df.columns))
-            if supplied:
-                raise ValueError(
-                    f"identity column(s) {supplied} are GENERATED "
-                    f"ALWAYS — overwrite frames must not supply them"
-                )
-            df, new_hw = self._assign_identity(
-                df, ident, self._identity_highwater(cur)
+            explicit, auto = self._split_identity(
+                ident, df.columns, "overwrite frames"
             )
+            hw = self._identity_highwater(cur)
+            new_hw = dict(hw)
+            if explicit:
+                # no live probe: the snapshot being replaced cannot
+                # collide with its replacement — but the high-water
+                # stays monotone past the batch so time-travel
+                # versions never share an id with later mints
+                df = df.localCheckpoint(eager=True)
+                new_hw.update(
+                    self._accept_explicit_identity(
+                        df, explicit, hw, None
+                    )
+                )
+            if auto:
+                df, hw_auto = self._assign_identity(df, auto, hw)
+                new_hw.update({c: hw_auto[c] for c in auto})
             meta = dict(meta or {})
             meta["identity_highwater"] = new_hw
         df = self._apply_generated(df, self.generated_columns())

@@ -528,7 +528,28 @@ class TableChangesDataSource(DataSource):
     control — each micro-batch covers at most N commits; default
     unbounded for compat), ``streamId`` (stream only: name for the
     advisory position sidecar that keeps the cap effective across
-    restarts at committed boundaries)."""
+    restarts at committed boundaries), ``table`` + optional
+    ``catalog`` (named-table indirection, r14 / r13 verdict #6: the
+    batch AND streaming face resolve a catalog name instead of a
+    pasted path — resolution happens ONCE at DataSource construction
+    on the driver, so a catalog RENAME mid-stream does not redirect a
+    running stream; it keeps reading the table it resolved at start,
+    and only a restart re-resolves. That is the safe semantic: offsets
+    are commit versions OF A TABLE, so silently retargeting a renamed
+    name onto a different table would replay foreign versions)."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        # same named-table indirection as versioned_table's faces
+        # (sinks/table_stream.py): .option("catalog", path) overrides
+        # the store location because streams may plan where the
+        # session conf is unreachable.
+        if not options.get("path") and options.get("table"):
+            from python_etl_spark.catalog import Catalog
+
+            options["path"] = Catalog(options.get("catalog")).resolve(
+                options["table"]
+            )
 
     @classmethod
     def name(cls) -> str:

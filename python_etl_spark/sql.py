@@ -46,8 +46,18 @@ Supported grammar (case-insensitive keywords; one statement per call):
 * ``sql_script(spark, "stmt1; stmt2; ...")`` — run several
   statements in order (quote-aware split on ``;``); returns the last
   statement's frame. One failed statement stops the script there —
-  statements already run stay committed (each DML verb is its own
-  atomic commit; there is no cross-statement transaction).
+  statements already run stay committed (outside a transaction, each
+  DML verb is its own atomic commit).
+* ``BEGIN [TRANSACTION] ... COMMIT | ROLLBACK`` (r14) — multi-table
+  transaction: DML between BEGIN and COMMIT PREPARES invisible
+  manifests on every table it touches; COMMIT's atomic
+  coordinator-record creation makes them ALL visible at once (lazy
+  finalize: a crash after that point loses nothing); ROLLBACK — or a
+  statement failure inside a script transaction — discards the
+  prepared state. Reads inside the transaction see its own prepared
+  versions (read-your-writes); other writers are fenced with
+  TransactionPendingError until COMMIT/ROLLBACK; DDL/catalog/
+  maintenance verbs refuse inside a transaction.
 * ``CREATE TABLE vt'<path>' [PARTITIONED BY (a, b)] AS <SELECT ...>``
   — CTAS bootstrap (vt references inside the SELECT resolve,
   including time travel, so CLONE-like statements compose).
@@ -56,14 +66,20 @@ Supported grammar (case-insensitive keywords; one statement per call):
   (a, b)]`` — empty-table DDL (r13): the schema-first bootstrap a
   COPY INTO or streaming sink needs before any row exists; generated
   columns and CHECK constraints are declared inline and enforced by
-  every later write. ``col BIGINT GENERATED ALWAYS AS IDENTITY
-  [(START WITH n [INCREMENT BY m])]`` declares an IDENTITY column
-  (r13): ids are system-assigned on create/append/COPY INTO/INSERT
-  (unique + monotone per commit, NOT contiguous — Delta's documented
-  gap behavior; racing appends reassign on commit conflict), writes
-  supplying the column refuse, UPDATE on it refuses, and INSERT
-  VALUES/SELECT map positionally to the NON-identity columns. MERGE
-  on an identity table refuses (identity is append-style ingestion).
+  every later write. ``col BIGINT GENERATED ALWAYS|BY DEFAULT AS
+  IDENTITY [(START WITH n [INCREMENT BY m])]`` declares an IDENTITY
+  column (r13; BY DEFAULT r14): ids are system-assigned on create/
+  append/COPY INTO/INSERT (unique + monotone per commit, NOT
+  contiguous — Delta's documented gap behavior; racing appends
+  reassign on commit conflict), UPDATE on it refuses, and INSERT
+  VALUES/SELECT map positionally to the NON-identity columns. With
+  ALWAYS, writes supplying the column refuse; with BY DEFAULT a
+  write MAY carry explicit ids — an INSERT whose arity covers the
+  BY DEFAULT columns supplies them, explicit ids must be non-null
+  and batch-unique, at-or-below-high-water ids are probed against
+  live rows and refused on collision, and the high-water syncs past
+  the batch so later auto-assignment never collides. MERGE on an
+  identity table refuses (identity is append-style ingestion).
 * ``TRUNCATE TABLE vt'<path>'|<name>`` — DELETE FROM without WHERE:
   one copy-on-write commit removes every row; time travel and the
   typed delete change feed are kept (not a history wipe).
@@ -896,7 +912,7 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
             continue
         im = re.match(
             r"([A-Za-z_][A-Za-z0-9_]*)\s+(bigint|long)\s+generated"
-            r"\s+always\s+as\s+identity"
+            r"\s+(always|by\s+default)\s+as\s+identity"
             r"(?:\s*\(\s*start\s+with\s+(-?\d+)"
             r"(?:\s+increment\s+by\s+(-?\d+))?\s*\))?\s*$",
             item,
@@ -905,8 +921,13 @@ def _create_schema(spark: SparkSession, m: re.Match) -> DataFrame:
         if im:
             col = im.group(1)
             identity[col] = {
-                "start": int(im.group(3) or 1),
-                "step": int(im.group(4) or 1),
+                "start": int(im.group(4) or 1),
+                "step": int(im.group(5) or 1),
+                "mode": (
+                    "default"
+                    if im.group(3).lower().startswith("by")
+                    else "always"
+                ),
             }
             fields.append(f"{col} bigint")
             continue
@@ -1153,11 +1174,35 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         body = body.strip()
         t = _table(path)
         target = t.read(spark).schema
-        # identity columns are GENERATED ALWAYS: INSERT maps to the
-        # OTHER columns positionally and the write path assigns ids
-        id_cols = set(t.identity_columns())
-        tfields = [f for f in target.fields if f.name not in id_cols]
-        cols = [f.name for f in tfields]
+        # identity columns: GENERATED ALWAYS ones never appear in the
+        # positional mapping (the write path assigns ids); GENERATED
+        # BY DEFAULT ones are OPTIONAL — the row arity picks between
+        # the without-ids mapping (auto-assign) and the with-ids
+        # mapping (explicit ids, validated by the write path)
+        id_spec = t.identity_columns()
+        always = {
+            c for c, s in id_spec.items()
+            if str(s.get("mode", "always")) != "default"
+        }
+        tf_auto = [f for f in target.fields if f.name not in id_spec]
+        tf_full = [f for f in target.fields if f.name not in always]
+
+        def _pick(n):
+            if n == len(tf_auto):
+                return tf_auto
+            if n == len(tf_full):
+                return tf_full
+            want = (
+                f"{len(tf_auto)}"
+                if len(tf_auto) == len(tf_full)
+                else f"{len(tf_auto)} (ids auto-assigned) or "
+                     f"{len(tf_full)} (explicit BY DEFAULT ids)"
+            )
+            raise ValueError(
+                f"INSERT arity mismatch: target takes {want} "
+                f"columns, got {n}"
+            )
+
         if body.upper().startswith("VALUES"):
             # VALUES rows need the target's column names; bare NULL
             # literals type as VOID and must coerce to the target
@@ -1166,9 +1211,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from pyspark.sql import functions as F
             from pyspark.sql.types import NullType
 
-            df = spark.sql(
-                f"SELECT * FROM ({body}) AS v({', '.join(cols)})"
-            )
+            df = spark.sql(f"SELECT * FROM ({body}) AS v")
+            tfields = _pick(len(df.columns))
+            df = df.toDF(*[f.name for f in tfields])
             df = df.select(
                 *[
                     (
@@ -1185,13 +1230,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             # computed expressions need no AS aliases), same as the
             # VALUES form
             df = spark.sql(_substitute_views(spark, body))
-            if len(df.columns) != len(cols):
-                raise ValueError(
-                    f"INSERT SELECT arity mismatch: target has "
-                    f"{len(cols)} columns {cols}, SELECT produces "
-                    f"{len(df.columns)}"
-                )
-            df = df.toDF(*cols)
+            tfields = _pick(len(df.columns))
+            df = df.toDF(*[f.name for f in tfields])
             from pyspark.sql import functions as F
             from pyspark.sql.types import NullType
 

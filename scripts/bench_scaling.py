@@ -46,6 +46,7 @@ FIXTURE_BACKED_PREFIXES = (
     "etl_format_read", "etl_sql_dml",
     "etl_sql_ddl", "etl_sql_catalog", "etl_sql_table_changes",
     "etl_sql_merge_set", "etl_sql_copy_into", "etl_identity_ids",
+    "etl_sql_copy_evolve", "etl_identity_by_default", "etl_sql_txn",
 )
 
 QUERIES_UNDER_TEST = [
@@ -174,6 +175,14 @@ QUERIES_UNDER_TEST = [
     ("etl_sql_copy_into", "linear", "checksum"),
     # identity assignment: one O(#partitions) agg + broadcast join
     ("etl_identity_ids", "linear", "checksum"),
+    # round-14: PATTERN-filtered evolving COPY (driver-side fnmatch
+    # over the listing + the same new-files-only scan), BY DEFAULT
+    # identity (one batch agg + a column-pruned below-water probe),
+    # and the two-table transaction script (each statement's data is
+    # written once; the commit point is metadata-only)
+    ("etl_sql_copy_evolve", "linear", "checksum"),
+    ("etl_identity_by_default", "linear", "checksum"),
+    ("etl_sql_txn", "linear", "checksum"),
     ("dedup_ngram_jaccard", "overlap"),
     ("dedup_containment", "overlap"),
     ("dedup_containment_capped", "overlap"),

@@ -5228,6 +5228,104 @@ def test_identity_negative_step_and_highwater_fallback(spark, tmp_path):
     assert hw == {"id": min(ids2)}  # min for negative step, not max
 
 
+def test_identity_by_default_explicit_ids(spark, tmp_path):
+    """r13 verdict #7, GENERATED BY DEFAULT AS IDENTITY: explicit
+    ids are accepted with high-water sync; below-water duplicates
+    refuse via the live-row probe; NULL ids and in-batch repeats
+    refuse; INSERT arity picks between the with-ids and without-ids
+    positional mappings; auto-assignment after an explicit batch
+    resumes above the synced mark (never collides); clone carries
+    the mode."""
+    from python_etl_spark.sql import sql
+
+    root = str(tmp_path / "t")
+    sql(
+        spark,
+        f"CREATE TABLE vt'{root}' (k BIGINT, v STRING, "
+        f"id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH "
+        f"100 INCREMENT BY 10))",
+    )
+    t = VersionedTable(root)
+    assert t.identity_columns() == {
+        "id": {"start": 100, "step": 10, "mode": "default"}
+    }
+    # explicit-arity INSERT supplies the id; hw syncs past it
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (1, 'a', 500)")
+    assert {r.id for r in t.read(spark).collect()} == {500}
+    # auto-arity INSERT resumes ABOVE the synced mark
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (2, 'b')")
+    ids = {r.k: r.id for r in t.read(spark).collect()}
+    assert ids[2] == 510  # 500 + step, not start
+    # wrong arity names both options
+    with pytest.raises(ValueError, match="2 .*or 3"):
+        sql(spark, f"INSERT INTO vt'{root}' VALUES (3)")
+    # below-water collision refuses via the live probe …
+    with pytest.raises(ValueError, match="collide"):
+        t.append(
+            spark.createDataFrame(
+                [(9, "z", 500)], "k long, v string, id long"
+            )
+        )
+    # … but an unused below-water id is accepted, hw unchanged
+    t.append(
+        spark.createDataFrame(
+            [(4, "d", 123)], "k long, v string, id long"
+        )
+    )
+    sql(spark, f"INSERT INTO vt'{root}' VALUES (5, 'e')")
+    ids = {r.k: r.id for r in t.read(spark).collect()}
+    assert ids[4] == 123 and ids[5] == 520
+    assert len(set(ids.values())) == 4
+    # NULL ids and in-batch repeats refuse with one clear error each
+    with pytest.raises(ValueError, match="NULL ids"):
+        t.append(
+            spark.createDataFrame(
+                [(6, "f", None)], "k long, v string, id long"
+            )
+        )
+    with pytest.raises(ValueError, match="repeat within the batch"):
+        t.append(
+            spark.createDataFrame(
+                [(7, "g", 900), (8, "h", 900)],
+                "k long, v string, id long",
+            )
+        )
+    # COPY INTO: a stage carrying explicit ids flows the same path
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(10, "j", 1000)], "k long, v string, id long"
+    ).coalesce(1).write.parquet(str(stage))
+    t.copy_into(spark, str(stage))
+    assert {
+        r.id for r in t.read(spark).where(F.col("k") == 10).collect()
+    } == {1000}
+    # an ALWAYS table still refuses, with a hint naming BY DEFAULT
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    with pytest.raises(ValueError, match="GENERATED BY DEFAULT"):
+        t2.append(spark.createDataFrame([(1, 5)], "k long, id long"))
+    # clone carries the mode: explicit ids still accepted on the clone
+    c = t.clone(str(tmp_path / "c"))
+    assert c.identity_columns()["id"]["mode"] == "default"
+    with pytest.raises(ValueError, match="collide"):
+        c.append(
+            spark.createDataFrame(
+                [(11, "k", 1000)], "k long, v string, id long"
+            )
+        )
+    c.append(
+        spark.createDataFrame(
+            [(11, "k", 2000)], "k long, v string, id long"
+        )
+    )
+    c.append(spark.createDataFrame([(12, "m")], "k long, v string"))
+    cids = {r.k: r.id for r in c.read(spark).collect()}
+    assert cids[11] == 2000 and cids[12] == 2010
+
+
 def test_sql_create_name_collision_with_view_refuses_before_write(
     spark, tmp_path
 ):
