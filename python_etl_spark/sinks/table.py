@@ -865,6 +865,65 @@ class VersionedTable:
                     f"backticks, no Spark-only builtins)."
                 ) from None
 
+    def sync_identity(self) -> dict:
+        """Recompute the identity high-water from the LIVE column
+        values (Delta's ``ALTER TABLE ... SYNC IDENTITY``) and stamp
+        it in a METADATA-ONLY commit. The recovery/ops face of the
+        identity surface: after ``clean_metadata`` truncated the
+        manifests that carried the mark, or after a ``restore_to`` of
+        an older version, the walked mark can be stale — sync scans
+        ONLY the identity columns (parquet column pruning), takes the
+        extreme in each step's direction, and takes it FORWARD only:
+        the synced mark is ``max(scanned, walked)`` for a positive
+        step (``min`` for negative), so sync can never move the mark
+        backward and re-mint ids an older version already used.
+        Returns the synced ``{col: mark}``; raises on a table with no
+        identity columns."""
+        spark = SparkSession.active()
+        spec = self.identity_columns()
+        if not spec:
+            raise ValueError(
+                f"no identity columns declared at {self.root}"
+            )
+        for attempt in range(self.max_retries + 1):
+            cur = self._read_manifest()
+            walked = self._identity_highwater(cur)
+            row = self.read(spark, cur["version"]).select(
+                *[
+                    (
+                        F.max(c) if int(s["step"]) > 0 else F.min(c)
+                    ).alias(c)
+                    for c, s in spec.items()
+                ]
+            ).first()
+            hw = {}
+            for c, s in spec.items():
+                scanned = (
+                    int(row[c]) if row[c] is not None
+                    else int(s["start"]) - int(s["step"])
+                )
+                hw[c] = (
+                    max(walked[c], scanned)
+                    if int(s["step"]) > 0
+                    else min(walked[c], scanned)
+                )
+            try:
+                self._commit(
+                    cur["data_dirs"],
+                    "sync_identity",
+                    cur["version"] + 1,
+                    {"identity_highwater": hw},
+                    num_rows=self.row_count(cur["version"]),
+                    carry_stats=cur.get("dir_stats"),
+                    dvs=cur.get("dvs"),
+                    carry_blooms=cur.get("dir_blooms"),
+                    carry_files=cur.get("file_stats"),
+                )
+                return hw
+            except CommitConflictError:
+                if attempt == self.max_retries:
+                    raise
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Add a CHECK constraint as a METADATA-ONLY commit. The whole
         current snapshot is validated first (one Spark job) — a table
@@ -2447,6 +2506,30 @@ class VersionedTable:
                 pattern, allow_evolution,
             )
 
+    def explain_copy_into(
+        self,
+        spark: SparkSession,
+        source: str,
+        file_format: str = "parquet",
+        options: dict | None = None,
+        force: bool = False,
+        pattern: str | None = None,
+    ) -> DataFrame:
+        """EXPLAIN for :meth:`copy_into` (r14, completing the r13
+        verdict-#3 operability face): one row per staged file with
+        the decision the real COPY would make — ``load`` (new file),
+        ``skip_history`` (already in the committed load history;
+        ``force=True`` turns these into loads), ``skip_pattern``
+        (listed but excluded by ``PATTERN``). Commits nothing, opens
+        no data file: the cost is the stage listing plus the
+        manifest-meta history walk — both metadata-only. No lock is
+        taken (a racing real COPY can change the answer, exactly as
+        it would between an unlocked explain and a later run)."""
+        return self._copy_into_locked(
+            spark, source, file_format, options, force, None,
+            pattern, False, dry_run=True,
+        )
+
     def _copy_into_locked(
         self,
         spark: SparkSession,
@@ -2457,7 +2540,8 @@ class VersionedTable:
         meta: dict | None,
         pattern: str | None = None,
         allow_evolution: bool = False,
-    ) -> dict:
+        dry_run: bool = False,
+    ) -> "dict | DataFrame":
         already: set[str] = set()
         if not force:
             for m_ in self.history():
@@ -2486,6 +2570,7 @@ class VersionedTable:
             ):
                 listed.append(os.path.abspath(p))
         listed = sorted(set(listed))
+        pre_pattern = listed
         if pattern is not None:
             # PATTERN (r13 verdict #5, the Databricks COPY INTO
             # option): a glob over each file's path RELATIVE to the
@@ -2506,12 +2591,33 @@ class VersionedTable:
                 for f in listed
                 if fnmatch.fnmatch(os.path.relpath(f, base), pattern)
             ]
-        if not listed:
+        if not listed and not dry_run:
+            # a dry run reports the all-excluded listing instead of
+            # raising — that IS the answer the operator asked for
             raise FileNotFoundError(
                 f"COPY INTO source matched no data files: {source}"
                 + (f" (PATTERN {pattern!r})" if pattern else "")
             )
         new_files = [f for f in listed if f not in already]
+        if dry_run:
+            # EXPLAIN COPY INTO: the per-file load decision the real
+            # COPY would make, committing nothing — metadata-only
+            # (the stage listing + manifest-meta history; no file is
+            # opened, no row read)
+            kept = set(listed)
+            rows = [
+                (
+                    f,
+                    "skip_pattern"
+                    if f not in kept
+                    else ("load" if f in set(new_files)
+                          else "skip_history"),
+                )
+                for f in pre_pattern
+            ]
+            return spark.createDataFrame(
+                rows or [("", "")], "file string, action string"
+            ).where(F.col("file") != "")
         if not new_files:
             return {
                 "version": None,
@@ -3923,7 +4029,8 @@ class VersionedTable:
             if not already:
                 _tail_ok = {
                     "append", "add_constraint", "drop_constraint",
-                    "add_column",  # metadata-only: cannot touch cluster keys
+                    "add_column", "sync_identity",
+                    # metadata-only: cannot touch cluster keys
                 }
                 for i in range(cur["version"], -1, -1):
                     try:
@@ -5201,6 +5308,7 @@ class VersionedTable:
             elif op in (
                 "compact", "compact_bins", "rename", "drop",
                 "add_constraint", "drop_constraint", "add_column",
+                "sync_identity",
             ):
                 pass  # row-preserving rewrite / metadata-only rename
                 # or drop: the feed is unaffected (pre-rename change

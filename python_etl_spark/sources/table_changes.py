@@ -106,6 +106,7 @@ def _plan_partitions(
         elif op in (
             "compact", "compact_bins", "rename", "drop",
             "add_constraint", "drop_constraint", "add_column",
+            "sync_identity",
         ):
             pass  # row-preserving rewrite / metadata-only: no rows
         elif op in ("merge", "delete", "delete_mor", "update") and m.get("cdf_dir"):

@@ -515,6 +515,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if op not in (
                 "append", "add_constraint", "drop_constraint",
                 "rename", "drop", "set_partitioning", "add_column",
+                "sync_identity",
             ):
                 raise ValueError(
                     f"versioned_table stream: commit v{v} is a "

@@ -742,6 +742,63 @@ def _explain_mutation(
     return _table(m.group(1)).explain_mutation(condition=m.group(2))
 
 
+def _parse_copy(stmt: str):
+    """Shared COPY INTO grammar for the real verb and EXPLAIN COPY:
+    returns (path, source, format, pattern, format_options,
+    copy_options, force)."""
+    m = re.match(
+        rf"copy\s+into\s+{_VT}\s+from\s+'([^']+)'\s+"
+        rf"fileformat\s*=\s*(\w+)"
+        rf"(?:\s+pattern\s*=\s*'([^']+)')?"
+        rf"(?:\s+format_options\s*\(([^)]*)\))?"
+        rf"(?:\s+copy_options\s*\(([^)]*)\))?"
+        rf"(\s+force)?$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "COPY grammar: COPY INTO vt'<path>'|<name> FROM "
+            "'<source>' FILEFORMAT = PARQUET|CSV|JSON [...] "
+            "[PATTERN = '<glob>'] [FORMAT_OPTIONS (k = 'v', ...)] "
+            "[COPY_OPTIONS ('mergeSchema' = 'true'|'false', "
+            "'force' = 'true'|'false')] [FORCE]"
+        )
+    path, src, fmt, pat, raw_opts, raw_copts, force = m.groups()
+
+    def _kv(raw, label):
+        out = {}
+        for kv in _split_commas(raw) if raw else []:
+            km = re.match(r"\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", kv)
+            if not km:
+                raise ValueError(
+                    f"bad {label} entry {kv!r} — expected "
+                    f"key = '<value>'"
+                )
+            out[km.group(1)] = km.group(2)
+        return out
+
+    opts = _kv(raw_opts, "FORMAT_OPTIONS")
+    copts = {k.lower(): v for k, v in _kv(
+        raw_copts, "COPY_OPTIONS"
+    ).items()}
+    unknown = sorted(set(copts) - {"mergeschema", "force"})
+    if unknown:
+        raise ValueError(
+            f"unsupported COPY_OPTIONS {unknown} — supported: "
+            f"'mergeSchema', 'force'"
+        )
+    return (
+        path,
+        src,
+        fmt.lower(),
+        pat,
+        opts,
+        copts,
+        bool(force) or str(copts.get("force", "")).lower() == "true",
+    )
+
+
 def _alter(spark: SparkSession, stmt: str) -> DataFrame:
     """ALTER TABLE — the schema-evolution verbs (r12 verdict #1).
     Every action routes to an already-certified library face; the
@@ -754,6 +811,9 @@ def _alter(spark: SparkSession, stmt: str) -> DataFrame:
     * ``ALTER TABLE <ref> ADD COLUMN a <ddl type>``
     * ``ALTER TABLE <ref> ADD CONSTRAINT name CHECK (<expr>)``
     * ``ALTER TABLE <ref> DROP CONSTRAINT name``
+    * ``ALTER TABLE <ref> SYNC IDENTITY`` — recompute the identity
+      high-water from live values (forward-only; the recovery face
+      after clean_metadata truncation or restore)
 
     where ``<ref>`` is ``vt'<path>'`` or a catalog name."""
     m = re.match(
@@ -780,11 +840,26 @@ def _alter(spark: SparkSession, stmt: str) -> DataFrame:
         raise ValueError(
             "ALTER grammar: ALTER TABLE vt'<path>'|<name> RENAME "
             "COLUMN a TO b | DROP COLUMN a | ADD COLUMN a <type> | "
-            "ADD CONSTRAINT n CHECK (...) | DROP CONSTRAINT n, or "
+            "ADD CONSTRAINT n CHECK (...) | DROP CONSTRAINT n | "
+            "SYNC IDENTITY, or "
             "ALTER TABLE <name> RENAME TO <newname> (names only)"
         )
     path, action = m.group(1), m.group(2).strip()
     t = _table(path)
+    if re.fullmatch(r"sync\s+identity", action, re.IGNORECASE):
+        # Delta's ALTER TABLE ... SYNC IDENTITY (r14): recompute the
+        # identity high-water from the live column values —
+        # forward-only, metadata-only commit (see
+        # VersionedTable.sync_identity)
+        import json as _json
+
+        hw = t.sync_identity()
+        return _receipt(
+            spark,
+            op="sync_identity",
+            path=path,
+            highwater=_json.dumps(hw, sort_keys=True),
+        )
     am = re.match(
         r"rename\s+column\s+(\w+)\s+to\s+(\w+)$", action, re.IGNORECASE
     )
@@ -1051,6 +1126,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             if iverb == "MERGE":
                 return _merge(spark, inner, explain=True)
             return _explain_mutation(spark, inner, iverb)
+        if iverb == "COPY":
+            # EXPLAIN COPY INTO (r14): the per-file load/skip
+            # decision (load | skip_history | skip_pattern) without
+            # committing — stage listing + manifest-meta history
+            # only, no data file opened
+            inner = _resolve_head_name(inner)
+            (path, src, fmt, pat, opts, _copts, force) = _parse_copy(
+                inner
+            )
+            return _table(path).explain_copy_into(
+                spark,
+                src,
+                file_format=fmt,
+                options=opts or None,
+                force=force,
+                pattern=pat,
+            )
         # plain EXPLAIN [EXTENDED|FORMATTED|...] SELECT: Spark's own
         # explain over the substituted statement
         return spark.sql(_substitute_views(spark, stmt))
@@ -1098,55 +1190,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if verb == "MERGE":
         return _merge(spark, stmt)
     if verb == "COPY":
-        m = re.match(
-            rf"copy\s+into\s+{_VT}\s+from\s+'([^']+)'\s+"
-            rf"fileformat\s*=\s*(\w+)"
-            rf"(?:\s+pattern\s*=\s*'([^']+)')?"
-            rf"(?:\s+format_options\s*\(([^)]*)\))?"
-            rf"(?:\s+copy_options\s*\(([^)]*)\))?"
-            rf"(\s+force)?$",
-            stmt,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
-            raise ValueError(
-                "COPY grammar: COPY INTO vt'<path>'|<name> FROM "
-                "'<source>' FILEFORMAT = PARQUET|CSV|JSON [...] "
-                "[PATTERN = '<glob>'] [FORMAT_OPTIONS (k = 'v', ...)] "
-                "[COPY_OPTIONS ('mergeSchema' = 'true'|'false', "
-                "'force' = 'true'|'false')] [FORCE]"
-            )
-        path, src, fmt, pat, raw_opts, raw_copts, force = m.groups()
-
-        def _kv(raw, label):
-            out = {}
-            for kv in _split_commas(raw) if raw else []:
-                km = re.match(r"\s*'?([\w.]+)'?\s*=\s*'([^']*)'\s*$", kv)
-                if not km:
-                    raise ValueError(
-                        f"bad {label} entry {kv!r} — expected "
-                        f"key = '<value>'"
-                    )
-                out[km.group(1)] = km.group(2)
-            return out
-
-        opts = _kv(raw_opts, "FORMAT_OPTIONS")
-        copts = {k.lower(): v for k, v in _kv(
-            raw_copts, "COPY_OPTIONS"
-        ).items()}
-        unknown = sorted(set(copts) - {"mergeschema", "force"})
-        if unknown:
-            raise ValueError(
-                f"unsupported COPY_OPTIONS {unknown} — supported: "
-                f"'mergeSchema', 'force'"
-            )
+        (path, src, fmt, pat, opts, copts, force) = _parse_copy(stmt)
         res = _table(path).copy_into(
             spark,
             src,
-            file_format=fmt.lower(),
+            file_format=fmt,
             options=opts or None,
-            force=bool(force)
-            or str(copts.get("force", "")).lower() == "true",
+            force=force,
             pattern=pat,
             allow_evolution=(
                 str(copts.get("mergeschema", "")).lower() == "true"

@@ -5326,6 +5326,112 @@ def test_identity_by_default_explicit_ids(spark, tmp_path):
     assert cids[11] == 2000 and cids[12] == 2010
 
 
+def test_sync_identity_stamps_forward_only_mark(spark, tmp_path):
+    """r14 ALTER TABLE ... SYNC IDENTITY: re-stamps the identity
+    high-water from live values in a METADATA-ONLY commit — the
+    durable-mark recovery face (after clean_metadata truncation the
+    walk would otherwise fall back to a live scan forever). Forward
+    only: deleting the extreme rows then syncing must NOT lower the
+    mark (re-minting ids old versions used); the sync commit passes
+    through the streaming faces without a re-baseline barrier."""
+    from python_etl_spark.sql import sql
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 100, "step": 10}},
+    )
+    t.append(spark.createDataFrame([(1,), (2,), (3,)], "k long"))
+    mark = max(r.id for r in t.read(spark).collect())
+    hw = t.sync_identity()
+    assert hw == {"id": mark}
+    # the sync commit itself carries the durable stamp
+    m = t._read_manifest()
+    assert m["op"] == "sync_identity"
+    assert m["meta"]["identity_highwater"] == {"id": mark}
+    # forward-only: drop the extreme rows, sync must not move back
+    t.delete_where(F.col("id") >= mark - 10)
+    assert t.sync_identity() == {"id": mark}
+    # appends resume above the held mark — never re-mint
+    t.append(spark.createDataFrame([(4,)], "k long"))
+    assert max(r.id for r in t.read(spark).collect()) == mark + 10
+    # SQL face + refusal on a no-identity table
+    rec = sql(spark, f"ALTER TABLE vt'{t.root}' SYNC IDENTITY").first()
+    assert rec.op == "sync_identity" and str(mark + 10) in rec.highwater
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.create(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="no identity columns"):
+        t2.sync_identity()
+    # no stream barrier: the change feed crosses the sync versions
+    feed = t.row_changes(spark, 0)
+    assert feed.where(F.col("_change_type") == "insert").count() == 4
+
+
+def test_explain_copy_into_pins_load_decision(spark, tmp_path):
+    """r14 EXPLAIN COPY INTO: per-file load | skip_history |
+    skip_pattern decision, committing nothing — and the files it
+    says 'load' are EXACTLY the files the subsequent real COPY
+    loads."""
+    from python_etl_spark.sql import sql
+
+    stage = tmp_path / "stage"
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(
+        str(stage / "b1")
+    )
+    spark.createDataFrame([(2,)], "k long").coalesce(1).write.parquet(
+        str(stage / "b2")
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], "k long"))
+    sql(
+        spark,
+        f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = "
+        f"PARQUET PATTERN = 'b1/*.parquet'",
+    )
+    v_before = t.latest_version()
+
+    def decisions(stmt):
+        return {
+            r.file: r.action for r in sql(spark, stmt).collect()
+        }
+
+    full = decisions(
+        f"EXPLAIN COPY INTO vt'{t.root}' FROM '{stage}' "
+        f"FILEFORMAT = PARQUET"
+    )
+    assert sorted(set(full.values())) == ["load", "skip_history"]
+    assert all(
+        ("/b1/" in f) == (a == "skip_history")
+        for f, a in full.items()
+    )
+    pat = decisions(
+        f"EXPLAIN COPY INTO vt'{t.root}' FROM '{stage}' "
+        f"FILEFORMAT = PARQUET PATTERN = 'b1/*.parquet'"
+    )
+    assert set(pat.values()) == {"skip_history", "skip_pattern"}
+    forced = decisions(
+        f"EXPLAIN COPY INTO vt'{t.root}' FROM '{stage}' "
+        f"FILEFORMAT = PARQUET FORCE"
+    )
+    assert set(forced.values()) == {"load"}
+    # explain committed nothing
+    assert t.latest_version() == v_before
+    # the real COPY loads exactly the explained 'load' set
+    planned = sorted(f for f, a in full.items() if a == "load")
+    res = t.copy_into(spark, str(stage))
+    assert res["files_loaded"] == len(planned)
+    loaded = sorted(
+        t._read_manifest()["meta"]["copy_files"]
+    )
+    assert loaded == planned
+    # all-excluded pattern: explain answers instead of raising
+    none = decisions(
+        f"EXPLAIN COPY INTO vt'{t.root}' FROM '{stage}' "
+        f"FILEFORMAT = PARQUET PATTERN = 'nope/*.parquet'"
+    )
+    assert set(none.values()) == {"skip_pattern"}
+
+
 def test_sql_create_name_collision_with_view_refuses_before_write(
     spark, tmp_path
 ):
