@@ -5830,6 +5830,40 @@ def test_txn_rollback_and_failure_semantics(spark, tmp_path):
     assert _txn_ctx() is None
 
 
+def test_txn_copy_into_and_truncate_participate(spark, tmp_path):
+    """COPY INTO and TRUNCATE inside a transaction PREPARE like any
+    DML: a rolled-back COPY leaves the load history EMPTY (its files
+    stay loadable — otherwise rollback would permanently strand the
+    stage batch), a committed transaction's COPY is idempotent on
+    re-run, and TRUNCATE in the same transaction is atomic with it."""
+    from python_etl_spark.sql import sql_script
+
+    stage = tmp_path / "stage"
+    spark.createDataFrame([(1,), (2,)], "k long").coalesce(
+        1
+    ).write.parquet(str(stage))
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(99,)], "k long"))
+    copy = (
+        f"COPY INTO vt'{t.root}' FROM '{stage}' FILEFORMAT = PARQUET"
+    )
+    # rollback: no rows, no history — the files remain loadable
+    sql_script(spark, f"BEGIN; {copy}; ROLLBACK")
+    assert t.read(spark).count() == 1 and t._txn_files() == []
+    # commit: TRUNCATE + COPY land atomically (truncate first, so
+    # the final snapshot is exactly the staged batch)
+    out = sql_script(
+        spark,
+        f"BEGIN; TRUNCATE TABLE vt'{t.root}'; {copy}; COMMIT; "
+        f"SELECT COUNT(*) AS n FROM vt'{t.root}'",
+    )
+    assert out.first().n == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    # the committed load history makes a plain re-run load zero files
+    res = t.copy_into(spark, str(stage))
+    assert res["files_loaded"] == 0 and res["version"] is None
+
+
 def test_copy_into_pattern_and_evolution(spark, tmp_path):
     """r13 verdict #5: PATTERN filters the stage listing relative to
     the stage root BEFORE the load history (unmatched files stay
