@@ -178,6 +178,19 @@ SHOWCASE = {
     "was one O(#partitions) count agg + broadcast offsets join at "
     "write; the read buckets ids with a codegen CASE and aggregates "
     "(scan -> partial agg -> exchange -> final agg)",
+    "etl_sql_txn": "transaction readback: PREPARE wrote each "
+    "statement's data once, COMMIT was one coordinator-record "
+    "create; the read is the two tables' snapshot scans unioned "
+    "with one aggregate exchange each — the commit point never "
+    "appears in a data plan",
+    "etl_identity_by_default": "BY DEFAULT identity readback: "
+    "explicit-id validation was one batch agg + a column-pruned "
+    "below-water semi-join probe at write; the read is the same "
+    "codegen CASE bucketing as the ALWAYS twin",
+    "etl_sql_copy_evolve": "evolving COPY readback: PATTERN was a "
+    "driver-side listing filter and evolution a manifest-recorded "
+    "schema; the read conforms each dir by CAST inside the scan, "
+    "then one aggregate exchange",
 }
 
 
