@@ -1550,17 +1550,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             gen = t.generated_columns()
             cons = t.constraints()
             pby = set(t.partition_columns())
+            ident = t.identity_columns()
+
+            def _note(name):
+                if name in pby:
+                    return "partition"
+                if name in gen:
+                    return f"generated: {gen[name]}"
+                if name in ident:
+                    s = ident[name]
+                    mode = (
+                        "by default"
+                        if str(s.get("mode", "always")) == "default"
+                        else "always"
+                    )
+                    return (
+                        f"generated {mode} as identity "
+                        f"(start {s['start']} increment {s['step']})"
+                    )
+                return ""
+
             rows = [
-                (
-                    f.name,
-                    f.dataType.simpleString(),
-                    (
-                        "partition" if f.name in pby
-                        else f"generated: {gen[f.name]}"
-                        if f.name in gen
-                        else ""
-                    ),
-                )
+                (f.name, f.dataType.simpleString(), _note(f.name))
                 for f in df.schema.fields
             ] + [
                 (f"constraint:{n}", "check", e)

@@ -5249,6 +5249,13 @@ def test_identity_by_default_explicit_ids(spark, tmp_path):
     assert t.identity_columns() == {
         "id": {"start": 100, "step": 10, "mode": "default"}
     }
+    desc = {
+        r.col_name: r.comment
+        for r in sql(spark, f"DESCRIBE vt'{root}'").collect()
+    }
+    assert desc["id"] == (
+        "generated by default as identity (start 100 increment 10)"
+    )
     # explicit-arity INSERT supplies the id; hw syncs past it
     sql(spark, f"INSERT INTO vt'{root}' VALUES (1, 'a', 500)")
     assert {r.id for r in t.read(spark).collect()} == {500}
@@ -5862,6 +5869,39 @@ def test_txn_copy_into_and_truncate_participate(spark, tmp_path):
     # the committed load history makes a plain re-run load zero files
     res = t.copy_into(spark, str(stage))
     assert res["files_loaded"] == 0 and res["version"] is None
+
+
+def test_txn_identity_appends_stay_unique(spark, tmp_path):
+    """Identity assignment inside a transaction: the second INSERT's
+    high-water walk sees the FIRST statement's prepared manifest
+    (read-your-writes covers metadata too), so ids stay unique and
+    contiguous across the transaction — and a rollback discards the
+    mark with the rows (the next committed append reuses it)."""
+    from python_etl_spark.sql import sql_script
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([], "k long"),
+        identity={"id": {"start": 100, "step": 10}},
+    )
+    sql_script(
+        spark,
+        f"""
+        BEGIN;
+        INSERT INTO vt'{t.root}' VALUES (1), (2);
+        INSERT INTO vt'{t.root}' VALUES (3);
+        COMMIT
+        """,
+    )
+    ids = sorted(r.id for r in t.read(spark).collect())
+    assert ids == [100, 110, 120]
+    # rollback: rows AND the prepared high-water vanish together
+    sql_script(
+        spark,
+        f"BEGIN; INSERT INTO vt'{t.root}' VALUES (4); ROLLBACK",
+    )
+    t.append(spark.createDataFrame([(5,)], "k long"))
+    assert max(r.id for r in t.read(spark).collect()) == 130
 
 
 def test_copy_into_pattern_and_evolution(spark, tmp_path):
