@@ -5871,6 +5871,52 @@ def test_txn_copy_into_and_truncate_participate(spark, tmp_path):
     assert res["files_loaded"] == 0 and res["version"] is None
 
 
+def test_txn_live_writer_fencing_two_threads(spark, tmp_path):
+    """Live two-writer soak: while thread A holds an OPEN transaction
+    with a prepared version on the table, thread B's plain append is
+    fenced with TransactionPendingError (never silently interleaved,
+    never spinning in the retry loop); the moment A commits, B's
+    retry lands cleanly above A's version."""
+    import threading
+
+    import python_etl_spark.sinks.table as T
+    from python_etl_spark.sql import sql
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    prepared = threading.Event()
+    release = threading.Event()
+    errs = []
+
+    def writer_a():
+        try:
+            T.begin_transaction()
+            sql(spark, f"INSERT INTO vt'{t.root}' VALUES (2)")
+            prepared.set()
+            release.wait(60)
+            T.commit_transaction()
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+            prepared.set()
+
+    th = threading.Thread(target=writer_a)
+    th.start()
+    try:
+        assert prepared.wait(60) and not errs
+        # B is fenced while A's prepare is pending
+        with pytest.raises(T.TransactionPendingError, match="prepared"):
+            t.append(spark.createDataFrame([(9,)], "k long"))
+        assert t.read(spark).count() == 1  # nothing visible yet
+    finally:
+        release.set()
+        th.join(60)
+    assert not errs
+    # after A's commit, B's retry lands above it
+    t.append(spark.createDataFrame([(9,)], "k long"))
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 9]
+    assert t._txn_files() == []
+
+
 def test_txn_identity_appends_stay_unique(spark, tmp_path):
     """Identity assignment inside a transaction: the second INSERT's
     high-water walk sees the FIRST statement's prepared manifest
