@@ -65,9 +65,31 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+def lsh_bucket(vec_col: F.Column | str, planes: list[list[float]]) -> F.Column:
     """Pack sign(plane . vec) bits into a long bucket id (plain double
-    fold — approximate path, no cross-engine parity needed)."""
+    fold — approximate path, no cross-engine parity needed).
+
+    When given a column NAME the whole bucket expression is assembled
+    as one SQL string (single parse): the per-plane Python build was
+    n_planes x dim F.lit py4j round trips (~40 ms/plane of driver wall
+    per query construction). Literal doubles use repr(), which
+    round-trips to the identical IEEE-754 value; fold order and the
+    when/shiftleft combine are unchanged, so bucket ids are
+    bit-identical to the Column-input path (kept for expression-valued
+    callers)."""
+    if isinstance(vec_col, str):
+        terms = []
+        for p, plane in enumerate(planes):
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" | ".join(terms))
     bits = []
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -113,7 +135,7 @@ def lsh_bucketed_topk(
         "id",
         "vec",
         norm_sq_exact("vec").alias("nsq"),
-        lsh_bucket(F.col("vec"), planes).alias("bucket"),
+        lsh_bucket("vec", planes).alias("bucket"),
     )
     queries = v.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"),

@@ -86,6 +86,16 @@ def _parse_size_bytes(s: str) -> int:
     return int(float(s)) * mult
 
 
+# (applicationId, analyzed-plan semanticHash, threshold) -> hint?
+# The .stats() probe runs a full Catalyst analyze+optimize pass on the
+# dim subplan DRIVER-SIDE on every call (~80 ms); a sweep calls bc_dim
+# with the same handful of dim plans hundreds of times. The decision
+# is a pure function of the optimized plan and the threshold, both of
+# which the key captures, so memoizing it changes nothing but the
+# py4j/optimizer traffic.
+_BC_DIM_MEMO: dict[tuple, bool] = {}
+
+
 def bc_dim(df: DataFrame) -> DataFrame:
     """Size-honest broadcast hint for SF-scaling dimension tables.
 
@@ -98,18 +108,29 @@ def bc_dim(df: DataFrame) -> DataFrame:
     low MBs, so plans are unchanged; at 100 TB the same code degrades
     to a shuffle join instead of a driver OOM."""
     try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
-        )
         thr = _parse_size_bytes(
             df.sparkSession.conf.get(
                 "spark.sql.autoBroadcastJoinThreshold", "10485760b"
             )
         )
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            thr,
+        )
+        hint = _BC_DIM_MEMO.get(key)
+        if hint is None:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes().toString()
+            )
+            hint = 0 < est <= thr
+            if len(_BC_DIM_MEMO) > 4096:  # bound against key churn
+                _BC_DIM_MEMO.clear()
+            _BC_DIM_MEMO[key] = hint
     except Exception:
         return df
-    if 0 < est <= thr:
+    if hint:
         return F.broadcast(df)
     return df
 

@@ -40,9 +40,46 @@ _NS_TO_NTZ = (
 )
 
 
+# Session-scoped memo of loaded table frames. spark.read.parquet()
+# re-lists the directory and re-reads footers for schema inference on
+# EVERY call; a sweep builds hundreds of plans over the same ten
+# paths, so that driver-side work (plus the py4j traffic) was paid per
+# query construction. A DataFrame is a lazy plan — reusing the object
+# never caches data, every action still computes from the parquet
+# files. The file fingerprint (name, size, mtime) invalidates the memo
+# when a path is overwritten in-session (e.g. make_scale_replica
+# regenerating a dir), which plan-object reuse alone would miss.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _dir_fingerprint(path: str) -> tuple:
+    import os
+
+    try:
+        if os.path.isdir(path):
+            ents = []
+            for n in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, n))
+                ents.append((n, st.st_size, st.st_mtime_ns))
+            return tuple(ents)
+        st = os.stat(path)
+        return ((path, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return (None,)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        _dir_fingerprint(path),
+    )
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.selectExpr(
             "event_id",
@@ -52,6 +89,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "value",
             "props",
         )
+    # bound the memo: drop entries from other (stopped) sessions and
+    # stale fingerprints of this path
+    app = key[0]
+    for k in [k for k in _TABLE_MEMO if k[0] != app or (k[1] == path and k != key)]:
+        del _TABLE_MEMO[k]
+    _TABLE_MEMO[key] = df
     return df
 
 

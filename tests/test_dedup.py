@@ -65,6 +65,31 @@ def test_minhash_estimates_jaccard(spark, corpus):
     assert abs(est - true) < 0.25  # 64 hashes -> stderr ~ 0.06
 
 
+def test_minhash_arrow_kernel_bit_identical_to_jvm(spark, corpus):
+    """The vectorized numpy xxhash64 kernel (engine='arrow', the
+    default) must reproduce the Catalyst expression path bit-for-bit:
+    same signatures for every doc, including the single-token edge
+    (short doc -> whole-text shingle) and both num_hashes shapes."""
+    short = spark.createDataFrame(
+        [(10, "one two"), (11, ""), (12, "one")], "doc_id long, text string"
+    )
+    for frame in (corpus, short):
+        for nh in (64, 16):
+            jvm = {
+                r.id: list(r.sig)
+                for r in minhash_signatures(
+                    frame, num_hashes=nh, engine="jvm"
+                ).collect()
+            }
+            arrow = {
+                r.id: list(r.sig)
+                for r in minhash_signatures(
+                    frame, num_hashes=nh, engine="arrow"
+                ).collect()
+            }
+            assert arrow == jvm
+
+
 def test_minhash_lsh_finds_near_dup(spark, corpus):
     pairs = {
         (r.doc_a, r.doc_b)
