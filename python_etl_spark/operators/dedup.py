@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# (applicationId, analyzed-plan semanticHash) -> needs repartition?
+# docs.rdd.getNumPartitions() forces a full physical planning pass
+# (~35 ms py4j+Catalyst) on EVERY query construction; the answer is a
+# pure function of the analyzed plan within a session, so memoize the
+# decision (same pattern as plans.common.bc_dim).
+_NPART_MEMO: dict[tuple, bool] = {}
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism when the source plan
+    would scan in fewer partitions (document tables often arrive as a
+    single file/partition, leaving explode+hash single-threaded)."""
+    sc = docs.sparkSession.sparkContext
+    try:
+        key = (
+            sc.applicationId,
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+        )
+        narrow = _NPART_MEMO.get(key)
+    except Exception:  # pragma: no cover - py4j surface drift
+        key, narrow = None, None
+    if narrow is None:
+        narrow = docs.rdd.getNumPartitions() < sc.defaultParallelism
+        if key is not None:
+            if len(_NPART_MEMO) > 4096:
+                _NPART_MEMO.clear()
+            _NPART_MEMO[key] = narrow
+    return docs.repartition(sc.defaultParallelism) if narrow else docs
+
+
 # ------------------------------- shingling --------------------------------
 def _word_grams(toks: F.Column, k: int) -> F.Column:
     """Word k-gram strings from a token array in k-1 chained zip_with
@@ -53,9 +83,7 @@ def shingles(
     Input is repartitioned to the session's parallelism first: document
     tables often arrive as a single file/partition, which would leave
     the explode+hash stage single-threaded."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = _spread(docs)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(n_sh >= 1, _word_grams(toks, k)).otherwise(
@@ -185,9 +213,7 @@ def shared_shingle_hashes(
         key = None
     if key is not None and _SHARED_SH.get("key") == key:
         return _SHARED_SH["df"]
-    sc = spark.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = _spread(docs)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
@@ -271,9 +297,7 @@ def shingle_hashes(
     ``max_doc_freq`` drops shingles appearing in more than that many
     documents (see _cap_doc_freq) — the robustness knob against
     boilerplate-heavy corpora."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = _spread(docs)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
@@ -493,9 +517,7 @@ def minhash_signatures(
                 "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
             ).alias("sig"),
         )
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = _spread(docs)
     toks = F.split(F.col(text_col), " ", -1)
     n_sh = F.size(toks) - F.lit(k - 1)
     grams = F.when(
@@ -614,9 +636,7 @@ def simhash(
     Per-bit vote: +1 if the token hash has the bit set, else -1;
     bit is 1 when the vote sum is positive. Bits are OR-folded into one
     long (no additive overflow under ANSI mode)."""
-    sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    docs = _spread(docs)
     toks = (
         docs.select(
             F.col(id_col).alias("id"),

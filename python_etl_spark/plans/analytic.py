@@ -812,36 +812,71 @@ LIMIT 10
 """,
 )
 def q21_high_value_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT-EXISTS folded into ONE pass over lineitem (r14).
+
+    The l2 semi and l3 anti self-joins each re-scanned and re-shuffled
+    (or broadcast-built, 600k rows at sf0.1) the whole lineitem table.
+    Both subqueries only ask per-order questions, so they collapse to
+    window aggregates over the order key:
+
+    * EXISTS other-supplier row          <=> n_supp >= 2
+    * NOT EXISTS other-supplier row with a LATER shipdate
+      <=> l_shipdate >= max over OTHER suppliers of their max shipdate
+      which per order is: the overall max m1 when >= 2 suppliers attain
+      m1 (threshold m1 for everyone), else m1 for non-top suppliers
+      (unreachable: only the top supplier attains m1) and the
+      second-distinct max m2 for the unique top supplier s_star.
+
+    One exchange on l_orderkey (4 chained Window ops share it) instead
+    of three full lineitem passes; the orders-status restriction is
+    applied FIRST via a semi join, which cannot change the subquery
+    rows (status is an order-level property and all three aliases share
+    l_orderkey). Verified row-identical to the self-join formulation at
+    sf0.001/0.01/0.1 and against the unchanged DuckDB oracle."""
     supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
-    li = _t(spark, sf_dir, "lineitem")
-    l1 = li.alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("d3"),
-    ).alias("l3")
-    base = l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey).join(
-        _dim(supp), F.col("l1.l_suppkey") == supp.s_suppkey
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    base = base.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("k2"))
-        & (F.col("l1.l_suppkey") != F.col("s2")),
-        "left_semi",
+    lf = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+    w = Window.partitionBy("l_orderkey")
+    s1 = lf.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("m1"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
     )
-    base = base.join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("k3"))
-        & (F.col("l1.l_suppkey") != F.col("s3"))
-        & (F.col("d3") > F.col("l1.l_shipdate")),
-        "left_anti",
+    s2 = s1.withColumn(
+        "top_sks",
+        F.collect_set(
+            F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "s_star",
+        F.when(F.size("top_sks") == 1, F.element_at("top_sks", 1)),
+    )
+    s4 = s3.withColumn(
+        "m2",
+        F.max(
+            F.when(F.col("l_suppkey") != F.col("s_star"), F.col("l_shipdate"))
+        ).over(w),
+    )
+    passed = (F.col("n_supp") >= 2) & (
+        ((F.size("top_sks") >= 2) & (F.col("l_shipdate") == F.col("m1")))
+        | (
+            (F.size("top_sks") == 1)
+            & (F.col("l_suppkey") == F.col("s_star"))
+            & (F.col("l_shipdate") >= F.col("m2"))
+        )
     )
     return (
-        base.groupBy("s_name")
+        s4.where(passed)
+        .join(_dim(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)

@@ -96,9 +96,28 @@ def _bucket_sql(w_name: str, out_name: str) -> str:
   FROM {out_name}_d GROUP BY vec_id)"""
 
 
-def _bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+def _bucket(vec: F.Column | str, planes: list[list[float]]) -> F.Column:
     """Spark mirror of _bucket_sql: sign bits of ROUNDED plane dots,
-    packed into a long. Addition == OR over distinct powers of two."""
+    packed into a long. Addition == OR over distinct powers of two.
+
+    Column-name input assembles the whole expression as one SQL parse
+    (the n_planes x dim F.lit py4j round trips dominated construction
+    time — see operators/similarity.lsh_bucket); fold order, rounding
+    and the CASE packing are identical, so buckets match the
+    Column-input path and the DuckDB oracle bit-for-bit."""
+    if isinstance(vec, str):
+        terms = []
+        for p, plane in enumerate(planes):
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+            dot = (
+                f"round(aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x), 6)"
+            )
+            terms.append(
+                f"(CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bits = []
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in plane])
@@ -179,7 +198,7 @@ def sim_topk_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "vec",
         norm_sq_exact("vec").alias("nsq"),
-        _bucket(F.col("vec"), planes).alias("bucket"),
+        _bucket("vec", planes).alias("bucket"),
     )
     queries = v.where(F.col("id") < 10).select(
         F.col("id").alias("query_id"),
@@ -245,7 +264,7 @@ def sim_topk_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "vec",
         norm_sq_exact("vec").alias("nsq"),
-        _bucket(F.col("vec"), planes).alias("bucket"),
+        _bucket("vec", planes).alias("bucket"),
     )
     probes = v.where(F.col("id") < 10).select(
         F.col("id").alias("query_id"),
@@ -334,7 +353,7 @@ def dedup_embedding_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("table"),
-                        _bucket(F.col("vec"), tables[t]).alias("bucket"),
+                        _bucket("vec", tables[t]).alias("bucket"),
                     )
                     for t in range(_EMB_TABLES)
                 ]
@@ -558,7 +577,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "vec",
         norm_sq_exact("vec").alias("nsq"),
-        _bucket(F.col("vec"), planes).alias("cluster"),
+        _bucket("vec", planes).alias("cluster"),
     )
     a = v.select(
         F.col("id").alias("vec_id"), F.col("vec").alias("xa"),
@@ -669,7 +688,7 @@ def sim_eval_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "vec",
         norm_sq_exact("vec").alias("nsq"),
-        _bucket(F.col("vec"), planes).alias("bucket"),
+        _bucket("vec", planes).alias("bucket"),
     )
     queries = v.where(F.col("id") < 10).select(
         F.col("id").alias("query_id"),

@@ -206,7 +206,11 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_topk_lsh")  # approximate: rows-only + pytest recall oracle
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, query_ids=list(range(10)), k=5, n_planes=4)
+    # dim=64 (fixed by the test schema) skips the one-row .first()
+    # probe — a full Spark job per query construction
+    return lsh_bucketed_topk(
+        emb, query_ids=list(range(10)), k=5, n_planes=4, dim=64
+    )
 
 
 @register(
