@@ -31,6 +31,20 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_unrolled(a: str, b: str, dim: int) -> Column:
+    """dot() unrolled for a KNOWN fixed dimension: a left-associated
+    sum chain seeded with the same 0.0 the fold starts from, so every
+    intermediate double is BIT-IDENTICAL to dot() — but the expression
+    is plain arithmetic over GetArrayItem, which whole-stage codegen
+    compiles, where the higher-order aggregate/zip_with fold is
+    interpreted (CodegenFallback). Only safe when both arrays are
+    guaranteed >= dim elements (ANSI mode errors on out-of-bounds)."""
+    expr = "0.0D"
+    for i in range(dim):
+        expr = f"({expr} + ({a}[{i}] * {b}[{i}]))"
+    return F.expr(expr)
+
+
 def norm_sq(a: str | Column) -> Column:
     return dot(a, a)
 

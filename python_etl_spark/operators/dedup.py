@@ -646,24 +646,24 @@ def simhash(
         )
         .withColumn("h", F.xxhash64("tok"))
     )
+    # single-parse SQL strings (identical expression trees; the 128
+    # Python-built when/shift columns dominated construction time)
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                    1,
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftrightunsigned(h, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"v{i}")
             for i in range(64)
         ]
     )
-    bit_exprs = [
-        F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    packed = reduce(lambda x, y: x.bitwiseOR(y), bit_exprs)
+    packed = F.expr(
+        " | ".join(
+            f"(CASE WHEN v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(64)
+        )
+    )
     return votes.select("id", packed.alias("simhash"))
 
 

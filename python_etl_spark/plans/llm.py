@@ -200,7 +200,9 @@ WHERE rnk <= 5
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
+    # dim=64 (schema-fixed) switches the 50k corpus-x-query dots to the
+    # unrolled codegen chain — bit-identical to the interpreted fold
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
 @register("sim_topk_lsh")  # approximate: rows-only + pytest recall oracle

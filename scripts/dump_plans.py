@@ -26,8 +26,10 @@ SHOWCASE = {
     "etl_asof_join": "as-of join as union + single shuffle on user_id + "
     "window carry-forward: no range explosion",
     "dedup_minhash_lsh": "NARROW signature map (per-row min over the "
-    "in-row shingle-hash array — zero shuffles to build sigs) -> banded "
-    "bucket self-join; candidates only, never n^2",
+    "in-row shingle-hash array — zero shuffles to build sigs; the 64 "
+    "min-remixes run in one vectorized Arrow/numpy kernel, bit-exact "
+    "vs the Catalyst xxhash64 path) -> banded bucket self-join; "
+    "candidates only, never n^2",
     "win_ntile": "global NTILE with NO Exchange SinglePartition: "
     "range-partition + per-partition row_number + broadcast offsets",
     "text_tfidf_topk": "tf and df from one exploded agg each, 1-row "
