@@ -78,7 +78,10 @@ def bloom_prefilter(
     test is whole-stage-codegen bit arithmetic — no join, no shuffle,
     no broadcast variable."""
     n_bits = len(bitmap) * 64
-    arr = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # one SQL parse for the 1024-word bitmap literal — the per-word
+    # F.lit().cast() py4j round trips dominated construction time;
+    # the parsed array<bigint> literal is value-identical
+    arr = F.expr("array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")")
     p1, p2 = _positions(F.col(key_col), n_bits)
     tmp = df.withColumn("__bw", arr).withColumn("__p1", p1).withColumn(
         "__p2", p2

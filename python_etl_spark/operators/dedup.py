@@ -526,8 +526,13 @@ def minhash_signatures(
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
     docs_g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
     if engine == "arrow":
+        # the kernel passes ids through untouched — declare their
+        # NATIVE type (string doc ids are the common corpus key; a
+        # hard-coded bigint would silently null them)
+        id_type = docs_g.schema["id"].dataType.simpleString()
         return docs_g.mapInArrow(
-            _minhash_sig_kernel(num_hashes), "id bigint, sig array<bigint>"
+            _minhash_sig_kernel(num_hashes),
+            f"id {id_type}, sig array<bigint>",
         )
     # JVM reference path: one SQL parse instead of num_hashes
     # Python-built transform trees (the py4j round trips to assemble 64
@@ -626,17 +631,81 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------- SimHash --------------------------------
+def _simhash_kernel():
+    """mapInArrow function: 64-bit SimHash from the in-row distinct
+    token-hash array — per bit i, +1/-1 votes over the hashes collapse
+    to 2*popcount_i > n; set bits OR into one long (bit 63 wraps to
+    the sign bit exactly like shiftleft(1L, 63)). Vectorized numpy,
+    value-identical to the explode+groupBy vote aggregation."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            hs = batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            la = hs.combine_chunks() if isinstance(hs, pa.ChunkedArray) else hs
+            lengths = np.asarray(
+                pc.list_value_length(la).fill_null(0)
+            ).astype(np.int64)
+            flat = np.asarray(la.flatten()).view(np.uint64)
+            offs = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=offs[1:])
+            packed = np.zeros(n, dtype=np.uint64)
+            one = np.uint64(1)
+            for i in range(64):
+                bit = ((flat >> np.uint64(i)) & one).astype(np.int64)
+                cnt = np.add.reduceat(bit, offs) if n and flat.size else (
+                    np.zeros(n, dtype=np.int64)
+                )
+                cnt[lengths == 0] = 0
+                packed |= np.where(2 * cnt > lengths, one << np.uint64(i),
+                                   np.uint64(0))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(packed.view(np.int64))], ["id", "simhash"]
+            )
+
+    return fn
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over distinct tokens.
 
     Per-bit vote: +1 if the token hash has the bit set, else -1;
     bit is 1 when the vote sum is positive. Bits are OR-folded into one
-    long (no additive overflow under ANSI mode)."""
+    long (no additive overflow under ANSI mode).
+
+    ``engine='arrow'`` (default, r14) computes the votes from the
+    IN-ROW distinct token-hash array in one vectorized numpy map stage
+    — a narrow map with ZERO exchanges, vs the explode + 64-sum
+    groupBy aggregation the JVM path keeps (one exchange plus the
+    exploded materialization). Token hashing stays JVM-side
+    (xxhash64 over strings); value-identity is pinned in
+    tests/test_dedup.py. Docs with NULL text are dropped by both
+    paths (explode of null vs an explicit filter)."""
     docs = _spread(docs)
+    if engine == "arrow":
+        hs = F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ", -1)),
+            lambda t: F.xxhash64(t),
+        )
+        dg = docs.select(F.col(id_col).alias("id"), hs.alias("hs")).where(
+            F.col("hs").isNotNull()
+        )
+        id_type = dg.schema["id"].dataType.simpleString()
+        return dg.mapInArrow(
+            _simhash_kernel(), f"id {id_type}, simhash bigint"
+        )
     toks = (
         docs.select(
             F.col(id_col).alias("id"),

@@ -178,26 +178,29 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary and flips between engines — measured 4% of rows.)"""
     planes = _rademacher(_JL_OUT, _JL_IN, "jl:")
     emb = _t(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
+    # single-parse SQL strings (r14): the 16 planes x 64 F.lit py4j
+    # round trips dominated query construction; the parsed trees —
+    # same fold order, same single micro-unit rounding — are identical
+    # and the oracle hash is unchanged (parity-checked).
+    vec_sql = "cast(embedding as array<double>)"
 
-    def micro(col: F.Column) -> F.Column:
-        return F.round(col * F.lit(1000000.0), 0).cast("long")
+    def micro_sql(col: str) -> str:
+        return f"CAST(round(({col}) * 1000000.0D, 0) AS BIGINT)"
 
-    def proj(plane: list[float]) -> F.Column:
-        arr = F.array(*[F.lit(x) for x in plane])
-        return micro(
-            F.aggregate(
-                F.zip_with(vec, arr, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    def proj_sql(plane: list[float]) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+        return micro_sql(
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, w) -> x * w), "
+            "0.0D, (acc, x) -> acc + x)"
         )
 
-    nsq = micro(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    nsq = F.expr(
+        micro_sql(f"aggregate({vec_sql}, 0.0D, (acc, x) -> acc + x * x)")
+    )
     base = emb.select(
         "vec_id",
         nsq.alias("nsq_micro"),
-        *[proj(planes[j]).alias(f"pj{j}") for j in range(_JL_OUT)],
+        *[F.expr(proj_sql(planes[j])).alias(f"pj{j}") for j in range(_JL_OUT)],
     )
     s2 = reduce(
         lambda a, b: a + b,
@@ -2141,8 +2144,12 @@ def emb_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     stats = emb.agg(
-        *[F.min(vec[i]).alias(f"lo{i}") for i in range(_SQ_DIM)],
-        *[F.max(vec[i]).alias(f"hi{i}") for i in range(_SQ_DIM)],
+        # single-parse agg exprs (r14): identical GetArrayItem(Cast)
+        # trees, built without 128 x ~5 py4j round trips
+        *[F.expr(f"min(cast(embedding as array<double>)[{i}])").alias(f"lo{i}")
+          for i in range(_SQ_DIM)],
+        *[F.expr(f"max(cast(embedding as array<double>)[{i}])").alias(f"hi{i}")
+          for i in range(_SQ_DIM)],
     )
     lo = F.array(*[F.col(f"lo{i}") for i in range(_SQ_DIM)])
     hi = F.array(*[F.col(f"hi{i}") for i in range(_SQ_DIM)])
@@ -2224,8 +2231,12 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     stats = emb.agg(
-        *[F.min(vec[i]).alias(f"lo{i}") for i in range(_SQ_DIM)],
-        *[F.max(vec[i]).alias(f"hi{i}") for i in range(_SQ_DIM)],
+        # single-parse agg exprs (r14): identical GetArrayItem(Cast)
+        # trees, built without 128 x ~5 py4j round trips
+        *[F.expr(f"min(cast(embedding as array<double>)[{i}])").alias(f"lo{i}")
+          for i in range(_SQ_DIM)],
+        *[F.expr(f"max(cast(embedding as array<double>)[{i}])").alias(f"hi{i}")
+          for i in range(_SQ_DIM)],
     )
     q = emb.where(F.col("vec_id") == 0).select(
         vec.alias("qv")

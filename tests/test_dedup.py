@@ -73,7 +73,11 @@ def test_minhash_arrow_kernel_bit_identical_to_jvm(spark, corpus):
     short = spark.createDataFrame(
         [(10, "one two"), (11, ""), (12, "one")], "doc_id long, text string"
     )
-    for frame in (corpus, short):
+    stringy = spark.createDataFrame(
+        [("https://a.com/x", BASE), ("sha1:bb", NEAR)],
+        "doc_id string, text string",
+    )
+    for frame in (corpus, short, stringy):
         for nh in (64, 16):
             jvm = {
                 r.id: list(r.sig)
@@ -88,6 +92,27 @@ def test_minhash_arrow_kernel_bit_identical_to_jvm(spark, corpus):
                 ).collect()
             }
             assert arrow == jvm
+
+
+def test_simhash_arrow_kernel_bit_identical_to_jvm(spark, corpus):
+    """The narrow-map numpy SimHash (engine='arrow', default — zero
+    exchanges) must reproduce the explode+groupBy vote aggregation
+    bit-for-bit, including the bit-63 sign wrap, empty-string docs,
+    and the null-text drop semantics."""
+    from python_etl_spark.operators.dedup import simhash
+
+    edge = spark.createDataFrame(
+        [(10, "one two"), (11, ""), (12, None), (13, "x")],
+        "doc_id long, text string",
+    )
+    for frame in (corpus, edge):
+        jvm = {
+            r.id: r.simhash for r in simhash(frame, engine="jvm").collect()
+        }
+        arrow = {
+            r.id: r.simhash for r in simhash(frame, engine="arrow").collect()
+        }
+        assert arrow == jvm
 
 
 def test_minhash_lsh_finds_near_dup(spark, corpus):
