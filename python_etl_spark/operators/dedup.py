@@ -11,7 +11,12 @@ All of these avoid the O(n^2) all-pairs comparison:
   (any pair within Hamming distance 3 shares at least one of four
   16-bit chunks), verified with bit_count(xor).
 
-Everything is JVM-side Catalyst expressions — no Python UDFs.
+Shuffle-side work is JVM Catalyst expressions throughout. The two
+per-row sketch computations (MinHash signatures, SimHash fingerprints)
+default to vectorized Arrow/numpy map kernels that replicate the
+Catalyst xxhash64 arithmetic BIT-EXACTLY (pinned in tests) — narrow
+map stages, nothing Python ever crosses an exchange; pass
+``engine='jvm'`` for the pure-Catalyst twins.
 """
 
 from __future__ import annotations
@@ -342,8 +347,13 @@ def ngram_jaccard_pairs(
         b = sh.select(
             F.col("id").alias("doc_b"), F.col("na").alias("nb"), "sh"
         )
+        # hint("merge"): Catalyst otherwise BROADCASTS the cached frame
+        # (estimated small) and pays a single-threaded relation build
+        # per run; both sides carry the cache's hashpartitioning(sh),
+        # so the sort-merge join plans with no join-side exchange —
+        # the only shape possible at real scale, and ~40% faster here.
         shared = (
-            a.join(b, ["sh"])
+            a.join(b.hint("merge"), ["sh"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(
@@ -356,7 +366,7 @@ def ngram_jaccard_pairs(
         a = sh.select(F.col("id").alias("doc_a"), "sh")
         b = sh.select(F.col("id").alias("doc_b"), "sh")
         pair = (
-            a.join(b, ["sh"])
+            a.join(b.hint("merge"), ["sh"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
@@ -896,8 +906,10 @@ def containment_pairs(
         b = sh.select(
             F.col("id").alias("doc_b"), F.col("na").alias("nb"), "sh"
         )
+        # hint("merge"): see ngram_jaccard_pairs — exchange-free SMJ over
+        # the co-partitioned cached frame instead of a broadcast build
         half = (
-            a.join(b, ["sh"])
+            a.join(b.hint("merge"), ["sh"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(
@@ -910,7 +922,7 @@ def containment_pairs(
         a = sh.select(F.col("id").alias("doc_a"), "sh")
         b = sh.select(F.col("id").alias("doc_b"), "sh")
         pair = (
-            a.join(b, ["sh"])
+            a.join(b.hint("merge"), ["sh"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("shared"))
