@@ -301,14 +301,23 @@ _R12_CHECKED = frozenset(
     ]
 )
 
-_R13_CHECKED = frozenset(
+# r13 had certified the six SQL/identity queries below, but the partial
+# r14 BUILD round churned their substrate (sql.py, sinks/table.py,
+# catalog.py — identity/merge/catalog fixes, transactions, SYNC
+# IDENTITY) after that certification, and the r14 sample window never
+# re-verified them on the new code. They are deliberately NOT listed in
+# any _R*_CHECKED set so _registry_order() re-queues all six at the
+# head for a fresh driver row on the code that now runs them:
+#   etl_identity_ids, etl_sql_catalog, etl_sql_copy_into, etl_sql_ddl,
+#   etl_sql_merge_set, etl_sql_table_changes
+
+# r14 sample (CORRECTNESS_r14.json): the three oracled queries added by
+# the partial r14 build round, all hash-green on the current substrate.
+_R14_CHECKED = frozenset(
     [
-        "etl_identity_ids",
-        "etl_sql_catalog",
-        "etl_sql_copy_into",
-        "etl_sql_ddl",
-        "etl_sql_merge_set",
-        "etl_sql_table_changes",
+        "etl_identity_by_default",
+        "etl_sql_copy_evolve",
+        "etl_sql_txn",
     ]
 )
 
@@ -316,7 +325,7 @@ _DRIVER_CHECKED = (
     _R01_CHECKED | _R02_CHECKED | _R03_CHECKED | _R04_CHECKED
     | _R05_CHECKED | _R06_CHECKED | _R07_CHECKED | _R08_CHECKED
     | _R09_CHECKED | _R10_CHECKED | _R11_CHECKED | _R12_CHECKED
-    | _R13_CHECKED
+    | _R14_CHECKED
 )
 
 # The 13 approximate/sketch ops whose driver row can only ever be the
