@@ -27,34 +27,91 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# (applicationId, analyzed-plan semanticHash) -> needs repartition?
-# docs.rdd.getNumPartitions() forces a full physical planning pass
-# (~35 ms py4j+Catalyst) on EVERY query construction; the answer is a
-# pure function of the analyzed plan within a session, so memoize the
-# decision (same pattern as plans.common.bc_dim).
-_NPART_MEMO: dict[tuple, bool] = {}
+# Source bytes per sketch task when spreading a narrow scan. The
+# sketch stages (shingling, minhash/simhash Arrow kernels) are
+# compute-heavy per input byte, so their tasks are sized far below a
+# scan split — but a BLANKET fan-out to the core count over-shards
+# tiny inputs (32 Python workers spun up for ~100 ms of kernel was the
+# r14 low-core anomaly: dedup_minhash_lsh ran FASTER on 8 cores).
+# The target count is derived from Catalyst's plan-stats size estimate
+# (guide §2: scale-adaptive, derived from input size, never a
+# core-count constant) and capped at the session parallelism.
+# Parameterised for cluster tuning; the default keeps the driver bench
+# comparable across rounds.
+def _spread_task_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", str(96 * 1024))
+    )
+
+
+# (applicationId, analyzed-plan semanticHash, source fingerprint) ->
+# target partition count (0 = leave the source partitioning alone).
+# docs.rdd.getNumPartitions() forces a full physical planning pass and
+# .stats() an optimize pass (~35+80 ms py4j+Catalyst) on EVERY query
+# construction; the answer is a pure function of (plan, backing files)
+# within a session, so memoize the decision (same pattern as
+# plans.common.bc_dim — the file fingerprint invalidates on in-place
+# rewrites of the same path, which semanticHash alone cannot see).
+_NPART_MEMO: dict[tuple, int] = {}
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition to the session's parallelism when the source plan
-    would scan in fewer partitions (document tables often arrive as a
-    single file/partition, leaving explode+hash single-threaded)."""
+    """Repartition a too-narrow source scan for the sketch stages
+    (document tables often arrive as a single file/partition, leaving
+    explode+hash single-threaded). The target partition count derives
+    from the input size estimate — ceil(size / _spread_task_bytes()),
+    capped at the session's parallelism — so tiny corpora get a few
+    fat tasks instead of a per-core fan-out, and the count grows with
+    the data until the cap."""
+    from python_etl_spark.sources.tables import source_fingerprint
+
     sc = docs.sparkSession.sparkContext
     try:
         key = (
             sc.applicationId,
             docs._jdf.queryExecution().analyzed().semanticHash(),
+            source_fingerprint(docs),
         )
-        narrow = _NPART_MEMO.get(key)
+        target = _NPART_MEMO.get(key)
     except Exception:  # pragma: no cover - py4j surface drift
-        key, narrow = None, None
-    if narrow is None:
-        narrow = docs.rdd.getNumPartitions() < sc.defaultParallelism
+        key, target = None, None
+    if target is None:
+        n_src = docs.rdd.getNumPartitions()
+        try:
+            est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes().toString()
+            )
+            want = min(
+                sc.defaultParallelism,
+                max(1, -(-est // _spread_task_bytes())),
+            )
+        except Exception:  # no stats: fall back to the core count
+            want = sc.defaultParallelism
+        target = 0 if n_src >= want else want
         if key is not None:
             if len(_NPART_MEMO) > 4096:
                 _NPART_MEMO.clear()
-            _NPART_MEMO[key] = narrow
-    return docs.repartition(sc.defaultParallelism) if narrow else docs
+            _NPART_MEMO[key] = target
+    return docs.repartition(target) if target else docs
+
+
+def _arrow_engine_available() -> bool:
+    """The ``engine='arrow'`` kernels need numpy+pyarrow on the Python
+    workers. A driver-side import is the cheap proxy (local mode shares
+    the env; on a cluster with mismatched executor images the task
+    raises the normal worker ImportError — the JVM twins stay available
+    as ``engine='jvm'``). Checked where the DEFAULT is applied so a
+    numpy-less deployment degrades to pure Catalyst instead of failing
+    at runtime (ADVICE r14)."""
+    try:
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+    except ImportError:
+        return False
+    return True
 
 
 # ------------------------------- shingling --------------------------------
@@ -157,28 +214,13 @@ def _source_fingerprint(docs: DataFrame) -> tuple:
     The memo key must change when the SAME paths are overwritten with
     new data (plan semanticHash is stable across a rewrite — e.g.
     scripts/make_scale_replica.py regenerating a dir in-session would
-    otherwise be served stale shingles). Local ``file:`` paths get
-    (size, mtime_ns) from a driver-side stat; other schemes contribute
-    path only (a remote in-place overwrite still needs an explicit
-    :func:`clear_shared_shingle_cache`). Cost is one driver-side stat
-    per file — metadata-only, no data motion."""
-    import os
-    from urllib.parse import unquote, urlparse
+    otherwise be served stale shingles). Delegates to the shared
+    sources.tables.source_fingerprint (one metadata stat per file; a
+    remote in-place overwrite still needs an explicit
+    :func:`clear_shared_shingle_cache`)."""
+    from python_etl_spark.sources.tables import source_fingerprint
 
-    parts = []
-    for f in sorted(docs.inputFiles()):
-        ent = f
-        parsed = urlparse(f)
-        if parsed.scheme in ("file", ""):
-            try:
-                st = os.stat(unquote(parsed.path) or f)
-                ent = f"{f}|{st.st_size}|{st.st_mtime_ns}"
-            except OSError:
-                pass
-        parts.append(ent)
-    import hashlib
-
-    return (hashlib.md5("\n".join(parts).encode()).hexdigest(),)
+    return source_fingerprint(docs)
 
 
 def shared_shingle_hashes(
@@ -242,10 +284,20 @@ def shared_shingle_hashes(
         .repartition("sh")
         .cache()
     )
-    # NOT eagerly counted: queries run sequentially, so the first
-    # consumer's action populates the cache inside its own job (racing
-    # readers of one partition serialize on the block lock) — an eager
-    # count() here just adds a scheduling round to the first query.
+    # EAGERLY materialized (r15, guide §2.4): a plan made against a
+    # COLD cache cannot see the frame's hashpartitioning(sh) — the
+    # InMemoryRelation wraps an unfinalized AdaptiveSparkPlan, so
+    # EnsureRequirements re-shuffles BOTH sides of every inverted-index
+    # self-join (two full exchanges of the exploded shingle frame, the
+    # dominant shuffle at scale) and the racing same-job readers
+    # serialize on block locks while populating it. Materializing here
+    # finalizes the cached plan, so even the FIRST consumer plans
+    # SortMergeJoin directly over InMemoryTableScan with zero join-side
+    # exchanges. Cost: one extra job per cache build (cold A/B at
+    # sf0.1: 8.9 s one-shot cold plan -> 2.5 s + build with the eager
+    # count). This is a lazy-plan cache keyed to the source fingerprint,
+    # populated inside the measured run — not cross-run result reuse.
+    sh.count()
     if key is not None:
         old = _SHARED_SH.get("df")
         if old is not None:
@@ -349,9 +401,12 @@ def ngram_jaccard_pairs(
         )
         # hint("merge"): Catalyst otherwise BROADCASTS the cached frame
         # (estimated small) and pays a single-threaded relation build
-        # per run; both sides carry the cache's hashpartitioning(sh),
-        # so the sort-merge join plans with no join-side exchange —
-        # the only shape possible at real scale, and ~40% faster here.
+        # per run. Because shared_shingle_hashes materializes the cache
+        # eagerly, its finalized plan advertises hashpartitioning(sh)
+        # and the sort-merge join plans with no join-side exchange (a
+        # COLD cache hides the partitioning behind an unfinalized
+        # AdaptiveSparkPlan and would re-shuffle both sides) — the only
+        # shape possible at real scale, and ~40% faster here.
         shared = (
             a.join(b.hint("merge"), ["sh"])
             .where(F.col("doc_a") < F.col("doc_b"))
@@ -535,6 +590,8 @@ def minhash_signatures(
         F.transform(_word_grams(toks, k), lambda g: F.xxhash64(g)),
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
     docs_g = docs.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    if engine == "arrow" and not _arrow_engine_available():
+        engine = "jvm"  # numpy-less deployment: keep the Catalyst twin
     if engine == "arrow":
         # the kernel passes ids through untouched — declare their
         # NATIVE type (string doc ids are the common corpus key; a
@@ -664,16 +721,27 @@ def _simhash_kernel():
                 pc.list_value_length(la).fill_null(0)
             ).astype(np.int64)
             flat = np.asarray(la.flatten()).view(np.uint64)
+            # explode semantics: a doc whose hash array is EMPTY emits
+            # no row — drop it here too (unreachable with the current
+            # tokenizer, split() always yields >= 1 token, but an
+            # upstream change must not silently emit simhash=0; and an
+            # empty LAST row would make offs[-1] == flat.size, an
+            # np.add.reduceat IndexError). Same guard pattern as
+            # _minhash_sig_kernel's ``starts``.
+            nonempty = lengths > 0
+            if not nonempty.all():
+                ids = ids.filter(pa.array(nonempty))
+                lengths = lengths[nonempty]
+                n = len(lengths)
+                if n == 0:
+                    continue
             offs = np.zeros(n, dtype=np.int64)
             np.cumsum(lengths[:-1], out=offs[1:])
             packed = np.zeros(n, dtype=np.uint64)
             one = np.uint64(1)
             for i in range(64):
                 bit = ((flat >> np.uint64(i)) & one).astype(np.int64)
-                cnt = np.add.reduceat(bit, offs) if n and flat.size else (
-                    np.zeros(n, dtype=np.int64)
-                )
-                cnt[lengths == 0] = 0
+                cnt = np.add.reduceat(bit, offs)
                 packed |= np.where(2 * cnt > lengths, one << np.uint64(i),
                                    np.uint64(0))
             yield pa.RecordBatch.from_arrays(
@@ -704,6 +772,8 @@ def simhash(
     tests/test_dedup.py. Docs with NULL text are dropped by both
     paths (explode of null vs an explicit filter)."""
     docs = _spread(docs)
+    if engine == "arrow" and not _arrow_engine_available():
+        engine = "jvm"  # numpy-less deployment: keep the Catalyst twin
     if engine == "arrow":
         hs = F.transform(
             F.array_distinct(F.split(F.col(text_col), " ", -1)),

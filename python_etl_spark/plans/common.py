@@ -86,13 +86,16 @@ def _parse_size_bytes(s: str) -> int:
     return int(float(s)) * mult
 
 
-# (applicationId, analyzed-plan semanticHash, threshold) -> hint?
+# (applicationId, analyzed-plan semanticHash, source fingerprint,
+# threshold) -> hint?
 # The .stats() probe runs a full Catalyst analyze+optimize pass on the
 # dim subplan DRIVER-SIDE on every call (~80 ms); a sweep calls bc_dim
 # with the same handful of dim plans hundreds of times. The decision
-# is a pure function of the optimized plan and the threshold, both of
-# which the key captures, so memoizing it changes nothing but the
-# py4j/optimizer traffic.
+# is a pure function of the optimized plan, the BACKING FILES and the
+# threshold — semanticHash alone is stable across an in-place rewrite
+# of the same path, so a regenerated (now-large) table could be served
+# a stale hint=True and broadcast, defeating the size-honesty contract
+# (ADVICE r14). The file fingerprint closes that hole.
 _BC_DIM_MEMO: dict[tuple, bool] = {}
 
 
@@ -113,9 +116,12 @@ def bc_dim(df: DataFrame) -> DataFrame:
                 "spark.sql.autoBroadcastJoinThreshold", "10485760b"
             )
         )
+        from python_etl_spark.sources.tables import source_fingerprint
+
         key = (
             df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
+            source_fingerprint(df),
             thr,
         )
         hint = _BC_DIM_MEMO.get(key)

@@ -200,9 +200,16 @@ WHERE rnk <= 5
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    # dim=64 (schema-fixed) switches the 50k corpus-x-query dots to the
-    # unrolled codegen chain — bit-identical to the interpreted fold
-    return brute_force_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+    # Deliberately NOT passing dim=64 (the r14 unroll): the three
+    # 64-term codegen chains (corpus nsq, query nsq, q·c dot) compile
+    # to a huge whole-stage class whose Janino+JIT cost (~0.7 s) is
+    # paid again whenever Spark's ~100-entry generated-class cache has
+    # evicted it — which a multi-query pass guarantees — so cold/mixed
+    # workloads regress (r14 driver: 0.881→1.588 s) for a ~0.2 s
+    # steady-state win. The fold is interpreted but tiny at any scale
+    # where this exact-baseline query is runnable (it is O(n·q) by
+    # design; the ANN twins are the 100 TB path).
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
 
 
 @register("sim_topk_lsh")  # approximate: rows-only + pytest recall oracle

@@ -49,6 +49,14 @@ _NS_TO_NTZ = (
 # files. The file fingerprint (name, size, mtime) invalidates the memo
 # when a path is overwritten in-session (e.g. make_scale_replica
 # regenerating a dir), which plan-object reuse alone would miss.
+#
+# CONTRACT NOTE (ADVICE r14): repeated loads of the same path return
+# the IDENTICAL DataFrame object (same exprIds). A query that joins two
+# loads of the same table directly therefore hits Spark's
+# ambiguous-self-join detection; self-joining callers must alias or
+# rename columns on at least one side (every current query does — the
+# planful ones select+alias both sides), exactly as they would for
+# ``df.join(df)``.
 _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -66,6 +74,41 @@ def _dir_fingerprint(path: str) -> tuple:
         return ((path, st.st_size, st.st_mtime_ns),)
     except OSError:
         return (None,)
+
+
+def source_fingerprint(df: DataFrame) -> tuple:
+    """Best-effort fingerprint of a frame's backing files.
+
+    Session memos keyed on (applicationId, analyzed-plan semanticHash)
+    alone go stale when the SAME path is overwritten in-session —
+    semanticHash is a pure function of the plan, not the files (e.g.
+    make_scale_replica regenerating a dir). Every plan-derived memo
+    (load_table, bc_dim, _spread, the shared shingle cache) therefore
+    also keys on this: local ``file:`` paths contribute
+    (size, mtime_ns) from a driver-side stat; other schemes contribute
+    path only. Cost is one metadata stat per file — no data motion,
+    no job."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # non-file-source plans (views, ranges, ...)
+        return (None,)
+    parts = []
+    for f in files:
+        ent = f
+        parsed = urlparse(f)
+        if parsed.scheme in ("file", ""):
+            try:
+                st = os.stat(unquote(parsed.path) or f)
+                ent = f"{f}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                pass
+        parts.append(ent)
+    import hashlib
+
+    return (hashlib.md5("\n".join(parts).encode()).hexdigest(),)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
